@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline._
+
+/** Run the four-stage DLP pipeline end-to-end at a configurable scale and
+  * print the validation report — the library's user-facing entry point
+  * (equivalent of running the reference's four `main()`s back-to-back).
+  *
+  * Usage: runMain graft.PipelineDemo [perSitCount] [outDir]
+  * With an outDir, also exports the corpus txt files, derived
+  * docx/pdf/eml files, and the final mapping CSV + XLSX.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val perSit = args.headOption.map(_.toInt).getOrElse(10)
+    val outDir = args.lift(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-pipeline-demo")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val cfg = PipelineConfig.scaled(perSit)
+
+    // Stage 1: plan
+    val docs = MetaGen.docs(spark, cfg).cache()
+    val nDocs = docs.count()
+    // Stage 2: render
+    val corpus = ContentGen.corpus(docs).cache()
+    val mapping = ContentGen.mappingFromCorpus(corpus)
+    // Stage 3: derive export formats
+    val derived = PostProcess.derive(corpus)
+    val finalMapping = PostProcess.updateMapping(mapping, derived)
+    // Stage 4: validate
+    val (report, means, issues) = Validator.run(
+      finalMapping, corpus.select("filename", "text"), cfg.sitDim(spark).toDF())
+    val reportText = Validator.formatReport(report, means, issues, cfg.perSitCount)
+
+    outDir.foreach { dir =>
+      graft.sink.DocSink.writeTextFiles(corpus, s"$dir/files")
+      PostProcess.export(derived, s"$dir/files")
+      finalMapping.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$dir/mapping_csv")
+      val rows = finalMapping.columns.toSeq +:
+        finalMapping.collect().map(_.toSeq.map(v => if (v == null) "" else v.toString)).toSeq
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "mapping_final.xlsx"),
+        graft.sink.MiniFormats.xlsxBytes(rows))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "validation_report.txt"), reportText)
+    }
+
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(reportText.linesIterator.take(60).mkString("\n"))
+    println(f"\n[pipeline] $nDocs docs generated+rendered+validated in $secs%.1f s " +
+      f"(${nDocs / secs}%.0f docs/s; reference: 7.9–16 docs/s postprocess alone)")
+    spark.stop()
+  }
+}

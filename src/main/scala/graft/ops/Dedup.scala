@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (BASELINE.json
+  * north-star: LLM-training-data pipeline ops beyond the reference surface).
+  *
+  * All variants avoid the O(n²) all-pairs trap:
+  *   - exact: one shuffle on a 128-bit content hash;
+  *   - MinHash+LSH: per-row signatures (narrow), then an equi-join on band
+  *     keys — only same-bucket pairs are compared;
+  *   - SimHash: per-row 64/16-bit signature, banded for candidate joins;
+  *   - n-gram Jaccard verify: per-pair `array_intersect`/`array_union` on
+  *     carried shingle arrays — no explode at verify time.
+  *
+  * Hashes are md5-based (not `xxhash64`) so every signature is reproducible
+  * in any engine — the DuckDB oracle computes the identical values.
+  */
+object Dedup {
+
+  /** Lowercased word tokens (ASCII word chars). */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Word `n`-gram shingles as strings ("w1 w2 w3"). */
+  def shinglesCol(text: Column, n: Int = 3): Column = {
+    val toks = tokensCol(text)
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Exact duplicate groups: groupBy on md5(text). Scales as a single
+    * hash-partitioned shuffle; at 100 TB use the hash (16 bytes), never the
+    * text, as the shuffle key. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
+
+  /** Rows to drop under exact dedup (everything but min-id per hash). */
+  def exactDropIds(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy("id")
+    df.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("content_hash"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select("id", "content_hash")
+  }
+
+  /** MinHash signature: permutation `j` is approximated by
+    * `min(md5(j || ':' || shingle))` — the lexicographic min of uniformly
+    * distributed hex strings is a valid min-hash, and is engine-portable. */
+  def minhashSigCol(shingles: Column, perm: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(perm + ":"), s))))
+
+  /** LSH band keys: `bands` bands × `rows` signatures concatenated. */
+  def bandKeysCol(shingles: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("|",
+        (lit(b.toString) +: (0 until rows).map(r =>
+          minhashSigCol(shingles, b * rows + r))): _*)
+    }: _*)
+
+  /** Candidate near-duplicate pairs (a < b) via MinHash LSH: explode band
+    * keys, equi-join on the key. The join is the only shuffle; band keys are
+    * ~uniform so no skew. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, bands: Int = 4, rows: Int = 2): DataFrame = {
+    val sig = df.select(col(idCol).cast("long").as("id"),
+      shinglesCol(col(textCol), n).as("sh"))
+      .withColumn("band", explode(bandKeysCol(col("sh"), bands, rows)))
+    val l = sig.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = sig.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Jaccard over shingle sets carried on the pair row (no explode). */
+  def jaccardCol(shA: Column, shB: Column): Column = {
+    val a = array_distinct(shA)
+    val b = array_distinct(shB)
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+  }
+
+  /** MinHash LSH candidates verified by exact shingle Jaccard ≥ threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, n: Int = 3,
+                      bands: Int = 4, rows: Int = 2): DataFrame =
+    minhashCandidates(df, idCol, textCol, n, bands, rows)
+      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Exact all-pairs n-gram Jaccard via a shingle inverted index (explode +
+    * self-equi-join on the shingle, then count). Quadratic only within
+    * identical-shingle groups — use for verification/small corpora; the LSH
+    * path is the scale route. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(shinglesCol(col(textCol), n)).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val inter = inv.alias("a").join(inv.alias("b"), Seq("shingle"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Hex char → 0..15 (portable: ascii arithmetic, no conv()). */
+  private def hexVal(c: Column): Column =
+    when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+
+  /** `bits`-bit SimHash over word tokens (bits ≤ 32, from the leading
+    * md5-hex chars of each token). Per-row narrow computation: an
+    * `aggregate` fold keeps one ±1 counter per bit position — no explode,
+    * no shuffle. Bit p is 1 iff its counter > 0. */
+  def simhashCol(text: Column, bits: Int = 16): Column = {
+    val nHex = (bits + 3) / 4
+    aggregate(
+      tokensCol(text),
+      array_repeat(lit(0), bits),
+      (acc, t) => {
+        val h = substring(md5(t), 1, nHex)
+        zip_with(acc, array((0 until bits).map { p =>
+          val hv = hexVal(substring(h, p / 4 + 1, 1))
+          val bit = shiftright(hv, 3 - (p % 4)) % 2
+          bit * 2 - 1
+        }: _*), (a, d) => a + d)
+      },
+      // finish: fold the ±1 counters into the bit code (bound ref — the
+      // accumulator array is evaluated once, not per bit)
+      acc => (0 until bits).map { p =>
+        when(element_at(acc, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _))
+  }
+
+  /** Hamming distance between two simhash codes (bit_count of xor). */
+  def hammingCol(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: identical code → candidate (for small
+    * `bits`); at 64 bits, band the code into 4×16-bit chunks and join per
+    * chunk (standard SimHash blocking). */
+  def simhashDups(df: DataFrame, idCol: String, textCol: String,
+                  bits: Int = 16): DataFrame = {
+    val codes = df.select(col(idCol).cast("long").as("id"),
+      simhashCol(col(textCol), bits).as("simhash"))
+    codes.groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min("id").as("keep_id"))
+      .filter(col("n_docs") > 1)
+  }
+}

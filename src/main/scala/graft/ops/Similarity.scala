@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`; the `embeddings` testdata table).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * compute similarity in a narrow projection, take per-query top-k with a
+  * window. Scale path: random-hyperplane LSH — per-row bucket signature
+  * (narrow), equi-join on bucket, top-k within bucket. Hyperplane
+  * coefficients come from a deterministic integer formula so any engine
+  * reproduces them (no `rand()`; SURVEY.md §7.5 oracle-determinism rule).
+  *
+  * Dot products are sequential `aggregate` folds over the array in element
+  * order, computed in double — bit-reproducible across engines for the
+  * oracle at small SF, and codegen'd (no UDF) at scale.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as an ordered double fold. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
+
+  /** Brute-force cosine top-k. `queries` must be small enough to broadcast
+    * (it is hint-broadcast); output: (query_id, neighbor_id, cosine_sim,
+    * rank). Ordering ties broken by neighbor id; similarity is rounded to 6
+    * decimals *before* ranking so rank order is reproducible across engines
+    * (raw double ULP differences can never flip a rounded comparison unless
+    * values truly tie — then the id breaks it). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("vec_c"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("vec_q"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", round(cosineCol(col("vec_q"), col("vec_c")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
+  /** Deterministic hyperplane coefficient for (bit j, dim i): a small
+    * centered integer — engine-portable, zero-mean-ish. */
+  private def planeCoef(j: Int, i: Int): Int = ((i * 131 + j * 137 + 7) % 19) - 9
+
+  /** `nBits`-bit random-hyperplane LSH bucket id for a vector. */
+  def lshBucketCol(vec: Column, nBits: Int = 8, dim: Int = 64): Column =
+    (0 until nBits).map { j =>
+      val dot = aggregate(
+        zip_with(vec, array((0 until dim).map(i => lit(planeCoef(j, i))): _*),
+          (x, c) => x.cast("double") * c.cast("double")),
+        lit(0.0), (s, v) => s + v)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k: bucket both sides with the same hyperplanes, join on bucket,
+    * rank within. Recall < 1 by construction (standard LSH trade); at scale
+    * use multiple tables (vary `tableSeed`) and union. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nBits: Int = 8, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("vec_c"), lshBucketCol(col(vecCol), nBits, dim).as("bucket"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("vec_q"), lshBucketCol(col(vecCol), nBits, dim).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", round(cosineCol(col("vec_q"), col("vec_c")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a<b, sim ≥ threshold) over LSH
+    * buckets — the embedding leg of the dedup suite. */
+  def cosineNearDups(df: DataFrame, threshold: Double, nBits: Int = 8,
+                     dim: Int = 64, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+      lshBucketCol(col(vecCol), nBits, dim).as("bucket"))
+    v.alias("a").join(v.alias("b"), Seq("bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosineCol(col("a.vec"), col("b.vec")), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+}

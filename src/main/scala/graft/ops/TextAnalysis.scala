@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token counting, document fingerprinting. All pure Column
+  * expressions (codegen'd, shuffle-free per row); md5-based fingerprints are
+  * engine-portable for the oracle.
+  */
+object TextAnalysis {
+
+  /** Lowercased word tokens. */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9']+"), t => t =!= "")
+
+  /** T7 — whitespace word count (Python `len(s.split())`). */
+  def wordCountCol(text: Column): Column =
+    size(filter(split(text, "\\s+"), w => w =!= ""))
+
+  /** BPE-ish token-count estimate: word-piece-style regex segments (letters
+    * run / digits run / single symbol), the standard pre-tokenizer shape. */
+  def bpeishCountCol(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Language marker words (tiny per-language stopword lists; n-gram
+    * heuristic stand-in — the container has no langid model). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "for"),
+    "es" -> Seq("el", "la", "los", "las", "es", "una", "por", "para"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zhe", "ni", "men"))
+
+  /** Marker-hit count for one language. */
+  def langScoreCol(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** Predicted language: argmax marker hits, ties → lexicographically first
+    * language ("und" when no marker hits at all). */
+  def langIdCol(text: Column): Column = {
+    val toks = tokensCol(text)
+    // greatest over struct(score, nlang, lang): max score first; `nlang`
+    // reverses the alphabet so ties resolve to the lexicographically first
+    // language (struct comparison is field-order lexicographic).
+    val inverted = LangMarkers.map { case (lang, ms) =>
+      struct(langScoreCol(toks, ms).as("score"),
+        lit(LangMarkers.size - LangMarkers.indexWhere(_._1 == lang)).as("nlang"),
+        lit(lang).as("lang"))
+    }
+    val top = greatest(inverted: _*)
+    when(top.getField("score") === 0, lit("und")).otherwise(top.getField("lang"))
+  }
+
+  /** Quality heuristics: length, punctuation ratio, stopword ratio, mean
+    * word length, uppercase ratio — composed into a [0,1] score. All
+    * arithmetic is engine-portable (no floats beyond double division). */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val toks = tokensCol(text)
+    val nWords = size(toks)
+    val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    val stops = langScoreCol(toks, LangMarkers.flatMap(_._2).distinct)
+    val meanLen = when(nWords > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+        nWords.cast("double")).otherwise(lit(0.0))
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_words" -> nWords.cast("long"),
+      "punct_ratio" -> round(punct.cast("double") /
+        greatest(lit(1), nChars).cast("double"), 6),
+      "stopword_ratio" -> round(stops.cast("double") /
+        greatest(lit(1), nWords).cast("double"), 6),
+      "mean_word_len" -> round(meanLen, 6))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, some
+    * stopwords, sane word lengths; penalizes punctuation soup. */
+  def qualityScoreCol(text: Column): Column = {
+    val cols = qualityColumns(text).toMap
+    val lenScore = least(cols("n_words").cast("double") / 100.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - cols("punct_ratio") * 5)
+    val stopScore = least(cols("stopword_ratio") * 4, lit(1.0))
+    val wordLenScore = when(cols("mean_word_len").between(3.0, 8.0), 1.0)
+      .otherwise(0.5)
+    round((lenScore + punctScore + stopScore + wordLenScore) / 4, 6)
+  }
+
+  /** Canonical document fingerprint: md5 of the normalized token stream. */
+  def fingerprintCol(text: Column): Column =
+    md5(array_join(tokensCol(text), " "))
+
+  /** Winnowing-style sketch: the `k` smallest md5s of word 4-grams —
+    * a compact rolling-hash fingerprint for containment checks. */
+  def winnowSketchCol(text: Column, k: Int = 8, n: Int = 4): Column =
+    slice(array_sort(transform(Dedup.shinglesCol(text, n), s => md5(s))), 1, k)
+
+  /** Full per-document profile. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val withQ = qualityColumns(t).foldLeft(
+      df.select(col(idCol), t.as("text"))) { case (d, (name, c)) =>
+      d.withColumn(name, c)
+    }
+    withQ
+      .withColumn("bpeish_tokens", bpeishCountCol(t).cast("long"))
+      .withColumn("lang_pred", langIdCol(t))
+      .withColumn("quality_score", qualityScoreCol(t))
+      .withColumn("fingerprint", fingerprintCol(t))
+      .drop("text")
+  }
+}
