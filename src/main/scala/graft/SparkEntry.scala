@@ -212,6 +212,161 @@ object SparkEntry {
       .orderBy("doc_id", "sit_id")
   }
 
+  /** P2/P3 — regex findall over the corpus (count + first match). */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val pat = "\\bs[a-z]+\\b"
+    t(s, dir, "documents")
+      .withColumn("ms", regexp_extract_all(col("text"), lit(pat), lit(0)))
+      .select(col("doc_id"),
+        size(col("ms")).cast("long").as("n_matches"),
+        when(size(col("ms")) > 0, element_at(col("ms"), 1))
+          .otherwise(lit(null).cast("string")).as("first_match"))
+      .orderBy("doc_id")
+  }
+
+  /** P5 — the placeholder heuristic over synthesized candidate values
+    * (library Column fn; the oracle re-states the 10 rules in SQL). */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("value",
+        when(col("o_orderkey") % 8 === 0, "0000 0000 0000 0000")
+          .when(col("o_orderkey") % 8 === 1, "XXX-XX-XXXX")
+          .when(col("o_orderkey") % 8 === 2,
+            concat(lit("Customer#"), lpad(col("o_orderkey").cast("string"), 9, "0")))
+          .when(col("o_orderkey") % 8 === 3, "sig=XXXXX")
+          .when(col("o_orderkey") % 8 === 4, "ab")
+          .when(col("o_orderkey") % 8 === 5, "abc123")
+          .when(col("o_orderkey") % 8 === 6, "--- ---")
+          .otherwise("841-269-960"))
+      .select(col("o_orderkey"), col("value"),
+        Placeholder.isPlaceholderCol(col("value")).as("is_placeholder"))
+      .orderBy("o_orderkey")
+
+  /** T6/T7 — word/char counts (Python `len(s.split())` semantics). */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        ContentGen.wordCountCol(col("text")).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  //  scale extensions — dedup / similarity / text analysis / multimodal
+  // ------------------------------------------------------------------
+
+  /** Exact dedup groups via content hash. */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("content_hash")
+
+  /** MinHash + LSH near-dup pairs, verified by exact shingle Jaccard. */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.4, n = 3, bands = 4, rows = 2)
+      .orderBy("id_a", "id_b")
+
+  /** Exact n-gram Jaccard pairs via shingle inverted index. */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** 16-bit SimHash signatures (per-row fold, no shuffle). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhashCol(col("text"), 16).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Language ID: marker-word argmax with deterministic tie-break. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langIdCol(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Quality profile + composite score. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    t(s, dir, "documents")
+      .select(col("doc_id") +:
+        (TextAnalysis.qualityColumns(text).map { case (n, c) => c.as(n) } :+
+          TextAnalysis.qualityScoreCol(text).as("quality_score")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Token statistics: word count + BPE-ish pre-tokenizer count. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"),
+        TextAnalysis.bpeishCountCol(col("text")).cast("long").as("bpeish_tokens"))
+      .orderBy("doc_id")
+
+  /** Brute-force cosine top-k (ANN baseline). */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN top-k (the scale path; recall < 1 by construction). */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.annTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 3,
+      nBits = 8, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal plumbing: binary column synthesis + byte-level metadata. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_md5"))
+      .orderBy("doc_id")
+
+  /** Event-time tumbling-window aggregate (batch form of the streaming
+    * validator shape: event_time bucketing + keyed counts). */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+    // rejects; read it as raw nanos and truncate with exact integer division.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    ev
+      .withColumn("window_start",
+        timestamp_seconds(expr("ts DIV 3600000000000") * 3600))
+      .groupBy("window_start", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** V1/V2 — Luhn check digit: Scala implementation vs SQL-arithmetic
+    * oracle (cross-checks the checksum kernel itself). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val luhnUdf = udf { body: String =>
+      val full = body + graft.expr.Checksums.luhnCheckDigit(body)
+      full.grouped(4).mkString(" ")
+    }
+    t(s, dir, "orders")
+      .withColumn("body",
+        concat(lit("4"), lpad((col("o_orderkey") % 100000000000000L).cast("string"), 14, "0")))
+      .select(col("o_orderkey"), luhnUdf(col("body")).as("ccn"))
+      .orderBy("o_orderkey")
+  }
+
+  /** V3/V4 — IBAN mod-97 check digits: Scala kernel vs HUGEINT oracle. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val ibanUdf = udf { bban: String =>
+      "GB" + graft.expr.Checksums.ibanCheckDigits("GB", bban) + bban
+    }
+    t(s, dir, "orders")
+      .withColumn("bban",
+        lpad((col("o_orderkey") % 10000000000000000L).cast("string"), 16, "0"))
+      .select(col("o_orderkey"), ibanUdf(col("bban")).as("iban"))
+      .orderBy("o_orderkey")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -229,7 +384,23 @@ object SparkEntry {
     "q10_bucket_sampler" -> (q10 _),
     "q11_confidence_case" -> (q11 _),
     "q12_filename_format" -> (q12 _),
-    "q13_split_zip_explode" -> (q13 _))
+    "q13_split_zip_explode" -> (q13 _),
+    "q14_regex_findall" -> (q14 _),
+    "q15_placeholder_rules" -> (q15 _),
+    "q16_word_count" -> (q16 _),
+    "q17_dedup_exact" -> (q17 _),
+    "q18_minhash_lsh" -> (q18 _),
+    "q19_ngram_jaccard" -> (q19 _),
+    "q20_simhash" -> (q20 _),
+    "q21_lang_id" -> (q21 _),
+    "q22_quality_score" -> (q22 _),
+    "q23_token_stats" -> (q23 _),
+    "q24_cosine_topk" -> (q24 _),
+    "q25_ann_lsh" -> (q25 _),
+    "q26_binary_meta" -> (q26 _),
+    "q27_events_window" -> (q27 _),
+    "q28_luhn_ccn" -> (q28 _),
+    "q29_iban_mod97" -> (q29 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -334,5 +505,248 @@ object SparkEntry {
          ['email','chat','document','pdf','email_with_attachment'][(o_orderkey % 5) + 1] AS format,
          printf('doc_%05d_%s.txt', o_orderkey,
            ['email','chat','document','pdf','email_with_attachment'][(o_orderkey % 5) + 1]) AS filename
-         FROM orders ORDER BY doc_id""")
+         FROM orders ORDER BY doc_id""",
+    "q14_regex_findall" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\bs[a-z]+\b')) AS BIGINT) AS n_matches,
+         CASE WHEN len(regexp_extract_all(text, '\bs[a-z]+\b')) > 0
+              THEN regexp_extract_all(text, '\bs[a-z]+\b')[1] ELSE NULL END AS first_match
+         FROM documents ORDER BY doc_id""",
+    "q15_placeholder_rules" ->
+      """WITH vals AS (
+           SELECT o_orderkey, CASE (o_orderkey % 8)
+             WHEN 0 THEN '0000 0000 0000 0000'
+             WHEN 1 THEN 'XXX-XX-XXXX'
+             WHEN 2 THEN 'Customer#' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0')
+             WHEN 3 THEN 'sig=XXXXX'
+             WHEN 4 THEN 'ab'
+             WHEN 5 THEN 'abc123'
+             WHEN 6 THEN '--- ---'
+             ELSE '841-269-960' END AS value
+           FROM orders),
+         pre AS (
+           SELECT o_orderkey, value, trim(value) AS sv, lower(trim(value)) AS low,
+             regexp_replace(trim(value), '[^0-9]', '', 'g') AS d,
+             regexp_replace(trim(value), '\s+', '', 'g') AS tok
+           FROM vals)
+         SELECT o_orderkey, value,
+           (sv = ''
+            OR contains(low,'xxx') OR contains(low,'xxxx') OR contains(low,'placeholder')
+            OR contains(low,'redacted') OR contains(low,'example') OR contains(low,'sample')
+            OR contains(low,'please') OR contains(low,'share') OR contains(low,'confidential')
+            OR contains(low,'document') OR contains(low,'subject') OR contains(low,'generated')
+            OR contains(low,'sig=xxxxx') OR contains(low,'fake') OR contains(low,'n/a')
+            OR contains(low,'number') OR contains(low,'account')
+            OR (contains(low,'sig=') AND (contains(low,'xxxxx') OR contains(low,'fake')))
+            OR regexp_full_match(sv, '[xX*\-_]{3,}')
+            OR (length(sv) >= 6 AND sv = repeat(substring(sv,1,1), length(sv)))
+            OR (d <> '' AND (regexp_full_match(d, '0+')
+                             OR (length(d) < 4 AND length(d) < length(sv))))
+            OR length(tok) <= 2
+            OR regexp_full_match(sv, '(?i)[a-z0-9._-]{1,6}')
+            OR CAST(length(regexp_replace(sv, '[a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+               / greatest(1, length(sv)) > 0.6
+            OR regexp_matches(sv, '[ilIoO0]{6,}')) AS is_placeholder
+         FROM pre ORDER BY o_orderkey""",
+    "q16_word_count" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents ORDER BY doc_id""",
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "q18_minhash_lsh" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+           FROM tok),
+         bands AS (SELECT doc_id,
+             ['0|' || list_min(list_transform(sh, s -> md5('0:' || s))) || '|' || list_min(list_transform(sh, s -> md5('1:' || s))),
+              '1|' || list_min(list_transform(sh, s -> md5('2:' || s))) || '|' || list_min(list_transform(sh, s -> md5('3:' || s))),
+              '2|' || list_min(list_transform(sh, s -> md5('4:' || s))) || '|' || list_min(list_transform(sh, s -> md5('5:' || s))),
+              '3|' || list_min(list_transform(sh, s -> md5('6:' || s))) || '|' || list_min(list_transform(sh, s -> md5('7:' || s)))] AS bk
+           FROM sh),
+         expd AS (SELECT doc_id, unnest(bk) AS band FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM expd a JOIN expd b ON a.band = b.band AND a.doc_id < b.doc_id),
+         dist AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+         j AS (SELECT id_a, id_b,
+                 CAST(len(list_intersect(da.s, db.s)) AS DOUBLE) /
+                 CAST(len(da.s) + len(db.s) - len(list_intersect(da.s, db.s)) AS DOUBLE) AS jaccard
+               FROM cand JOIN dist da ON id_a = da.doc_id JOIN dist db ON id_b = db.doc_id)
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4 ORDER BY id_a, id_b""",
+    "q19_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+           FROM tok),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+         FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.4
+         ORDER BY id_a, id_b""",
+    "q20_simhash" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+           FROM documents),
+         bits AS (SELECT doc_id, p,
+             ((CASE WHEN ascii(substring(md5(t), (p//4)+1, 1)) >= 97
+                    THEN ascii(substring(md5(t), (p//4)+1, 1)) - 87
+                    ELSE ascii(substring(md5(t), (p//4)+1, 1)) - 48 END)
+              >> (3 - (p % 4))) & 1 AS b
+           FROM tok, (SELECT unnest(generate_series(0, 15)) AS p)),
+         cnt AS (SELECT doc_id, p, sum(2*b - 1) AS c FROM bits GROUP BY doc_id, p)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN c > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS simhash
+         FROM cnt GROUP BY doc_id ORDER BY doc_id""",
+    "q21_lang_id" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+           FROM documents),
+         sc AS (SELECT doc_id,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','nicht','ist','ein','mit'))) AS s_de,
+             len(list_filter(toks, t -> t IN ('the','and','of','to','is','in','that','for'))) AS s_en,
+             len(list_filter(toks, t -> t IN ('el','la','los','las','es','una','por','para'))) AS s_es,
+             len(list_filter(toks, t -> t IN ('le','la','les','des','est','une','dans','pour'))) AS s_fr,
+             len(list_filter(toks, t -> t IN ('de','shi','le','bu','wo','zhe','ni','men'))) AS s_zh
+           FROM tok)
+         SELECT doc_id,
+           CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+         FROM sc ORDER BY doc_id""",
+    "q22_quality_score" ->
+      """WITH tok AS (SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+           FROM documents),
+         m AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(1, length(text)) AS DOUBLE), 6) AS punct_ratio,
+             round(CAST(len(list_filter(toks, t -> t IN (
+                 'der','die','das','und','nicht','ist','ein','mit',
+                 'the','and','of','to','is','in','that','for',
+                 'el','la','los','las','es','una','por','para',
+                 'le','les','des','est','une','dans','pour',
+                 'de','shi','bu','wo','zhe','ni','men'))) AS DOUBLE)
+                   / CAST(greatest(1, len(toks)) AS DOUBLE), 6) AS stopword_ratio,
+             round(CASE WHEN len(toks) > 0
+                   THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                   ELSE 0.0 END, 6) AS mean_word_len
+           FROM tok)
+         SELECT doc_id, n_chars, n_words, punct_ratio, stopword_ratio, mean_word_len,
+           round((least(n_words / 100.0, 1.0)
+                  + greatest(0.0, 1.0 - punct_ratio * 5)
+                  + least(stopword_ratio * 4, 1.0)
+                  + CASE WHEN mean_word_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) / 4,
+                 6) AS quality_score
+         FROM m ORDER BY doc_id""",
+    "q23_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+         FROM documents ORDER BY doc_id""",
+    "q24_cosine_topk" ->
+      """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         n AS (SELECT vec_id, sqrt(sum(embedding[idx.i]::DOUBLE * embedding[idx.i]::DOUBLE)) AS nrm
+               FROM embeddings, idx GROUP BY vec_id),
+         q AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id % 25 = 0),
+         d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                 sum(q.eq[idx.i]::DOUBLE * c.embedding[idx.i]::DOUBLE) AS dot
+               FROM q, embeddings c, idx
+               WHERE c.vec_id <> q.query_id GROUP BY 1, 2),
+         sc AS (SELECT query_id, neighbor_id,
+                 round(dot / (nq.nrm * nc.nrm), 6) AS cosine_sim
+                FROM d JOIN n nq ON nq.vec_id = query_id
+                       JOIN n nc ON nc.vec_id = neighbor_id),
+         r AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+               FROM sc)
+         SELECT query_id, neighbor_id, cosine_sim, rank FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q25_ann_lsh" ->
+      """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         jdx AS (SELECT unnest(generate_series(0, 7)) AS j),
+         dots AS (SELECT e.vec_id, jdx.j,
+                    sum(e.embedding[idx.i]::DOUBLE *
+                        CAST((((idx.i - 1) * 131 + jdx.j * 137 + 7) % 19) - 9 AS DOUBLE)) AS dj
+                  FROM embeddings e, idx, jdx GROUP BY e.vec_id, jdx.j),
+         b AS (SELECT vec_id,
+                 CAST(sum(CASE WHEN dj > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS bucket
+               FROM dots GROUP BY vec_id),
+         n AS (SELECT vec_id, sqrt(sum(embedding[idx.i]::DOUBLE * embedding[idx.i]::DOUBLE)) AS nrm
+               FROM embeddings, idx GROUP BY vec_id),
+         q AS (SELECT e.vec_id AS query_id, e.embedding AS eq, b.bucket
+               FROM embeddings e JOIN b ON e.vec_id = b.vec_id WHERE e.vec_id % 25 = 0),
+         c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS ec, b.bucket
+               FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+         d AS (SELECT query_id, neighbor_id,
+                 sum(eq[idx.i]::DOUBLE * ec[idx.i]::DOUBLE) AS dot
+               FROM q JOIN c USING (bucket), idx
+               WHERE neighbor_id <> query_id GROUP BY 1, 2),
+         sc AS (SELECT query_id, neighbor_id,
+                 round(dot / (nq.nrm * nc.nrm), 6) AS cosine_sim
+                FROM d JOIN n nq ON nq.vec_id = query_id
+                       JOIN n nc ON nc.vec_id = neighbor_id),
+         r AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+               FROM sc)
+         SELECT query_id, neighbor_id, cosine_sim, rank FROM r
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q26_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""",
+    "q27_events_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q28_luhn_ccn" ->
+      """WITH b AS (SELECT o_orderkey,
+             '4' || lpad(CAST(o_orderkey % 100000000000000 AS VARCHAR), 14, '0') AS body
+           FROM orders),
+         d AS (SELECT o_orderkey, body,
+             list_sum(list_transform(generate_series(1, 15), i ->
+               CASE WHEN (15 - i) % 2 = 0 THEN
+                 CASE WHEN 2 * CAST(substring(body, i, 1) AS INT) > 9
+                      THEN 2 * CAST(substring(body, i, 1) AS INT) - 9
+                      ELSE 2 * CAST(substring(body, i, 1) AS INT) END
+               ELSE CAST(substring(body, i, 1) AS INT) END)) AS total
+           FROM b),
+         f AS (SELECT o_orderkey,
+             body || CAST((10 - total % 10) % 10 AS VARCHAR) AS fullnum FROM d)
+         SELECT o_orderkey,
+           substring(fullnum,1,4) || ' ' || substring(fullnum,5,4) || ' ' ||
+           substring(fullnum,9,4) || ' ' || substring(fullnum,13,4) AS ccn
+         FROM f ORDER BY o_orderkey""",
+    "q29_iban_mod97" ->
+      """WITH b AS (SELECT o_orderkey,
+             lpad(CAST(o_orderkey % 10000000000000000 AS VARCHAR), 16, '0') AS bban
+           FROM orders),
+         c AS (SELECT o_orderkey, bban,
+             98 - CAST(bban || '161100' AS HUGEINT) % 97 AS chk FROM b)
+         SELECT o_orderkey,
+           'GB' || lpad(CAST(chk AS VARCHAR), 2, '0') || bban AS iban
+         FROM c ORDER BY o_orderkey""")
 }
