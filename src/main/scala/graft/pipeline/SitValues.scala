@@ -69,7 +69,10 @@ object SitValues {
   def tpValue(sitId: String, sitName: String, key: Long, slot: Long): String = {
     val s = slot * 64 // leave room for per-digit sub-slots
     sitId match {
-      case "SIT_CCN" | "SIT_EU_DEBIT" => ccn(key, s)
+      case "SIT_CCN"      => ccn(key, s)
+      // EU debit regex (config.json:86) wants contiguous digits — the
+      // reference's spaced CCN reuse can never match it (defect not inherited)
+      case "SIT_EU_DEBIT"  => ccn(key, s).replace(" ", "")
       case "SIT_SSN" | "SIT_ITIN"     => ssn(key, s)
       case "SIT_PASSPORT_US_UK" | "SIT_CAN_PASSPORT" =>
         letters(key, s, 1) + digits(key, s + 1, 7)
@@ -95,7 +98,14 @@ object SitValues {
       case "SIT_BR_RG" =>
         s"${digits(key, s, 2)}.${digits(key, s + 2, 3)}.${digits(key, s + 5, 3)}-${digits(key, s + 8, 1)}"
       case "SIT_UK_NINO" =>
-        letters(key, s, 2, NinoAllowed) + digits(key, s + 2, 6) + letters(key, s + 8, 1, "ABCD")
+        // regex (config.json:202) also bans specific prefixes the reference's
+        // per-letter filter misses (content_generator.py:116) — resample
+        // deterministically until the pair is allowed
+        val banned = Set("BG", "GB", "NK", "KN", "TN", "NT", "ZZ")
+        var bump = 0L
+        var pair = letters(key, s, 2, NinoAllowed)
+        while (banned(pair)) { bump += 16; pair = letters(key, s + bump, 2, NinoAllowed) }
+        pair + digits(key, s + 2, 6) + letters(key, s + 8, 1, "ABCD")
       case "SIT_FR_INSEE" => digits(key, s, 13)
       case "SIT_IP"       => ipv4(key, s)
       case _ => s"<${sitName.replace(' ', '_').toUpperCase}_VALUE>" // V13 generic

@@ -46,8 +46,8 @@ object Validator {
       .select(
         col("doc_id"), col("filename"),
         trim(col("sit_id_raw")).as("sit_id"),
-        coalesce(element_at(col("lab_arr"), col("pos") + 1), lit("TP")).as("label"),
-        coalesce(element_at(col("inst_arr"), col("pos") + 1), lit(1)).as("instances"))
+        coalesce(try_element_at(col("lab_arr"), col("pos") + 1), lit("TP")).as("label"),
+        coalesce(try_element_at(col("inst_arr"), col("pos") + 1), lit(1)).as("instances"))
   }
 
   /** Per-(doc,sit) verdicts: the narrow hot path. `corpus` is keyed by

@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup / Similarity / TextAnalysis / Multimodal operator semantics on
+  * hand-made inputs. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"),     // near dup
+    (3L, "completely different text about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy cat")      // near dup
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by content hash") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(col("n_docs") > 1).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_docs") == 2 && g(0).getAs[Long]("keep_id") == 0)
+    val drops = Dedup.exactDropIds(docs, "doc_id", "text").collect()
+    assert(drops.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("shingles: n-grams with short-text fallback") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "t")
+      .select(col("id"), Dedup.shinglesCol(col("t"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq("a b"))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val j = Seq(("a b c", "a b c"), ("a b c", "x y z"))
+      .toDF("t1", "t2")
+      .select(Dedup.jaccardCol(
+        Dedup.shinglesCol(col("t1"), 1), Dedup.shinglesCol(col("t2"), 1)).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(j(0) == 1.0 && j(1) == 0.0)
+  }
+
+  test("minhash LSH finds exact and near dups, not the unrelated doc") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.3, n = 2, bands = 8, rows = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))          // exact dup always collides
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard pairs: exact all-pairs path agrees on the dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) || pairs.contains((0L, 4L)))
+  }
+
+  test("simhash: identical texts equal codes; near dups within distance") {
+    val codes = docs.select(col("doc_id"),
+      Dedup.simhashCol(col("text"), 16).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes(0L) == codes(1L))
+    assert(codes.values.forall(h => h >= 0 && h < (1L << 16)))
+    val d02 = java.lang.Long.bitCount(codes(0L) ^ codes(2L))
+    val d03 = java.lang.Long.bitCount(codes(0L) ^ codes(3L))
+    assert(d02 < d03, s"near-dup distance $d02 should beat unrelated $d03")
+    val dups = Dedup.simhashDups(docs, "doc_id", "text", 16).collect()
+    assert(dups.exists(r => r.getAs[Long]("keep_id") == 0L))
+  }
+
+  test("cosine: self-similarity 1, orthogonal 0, topk ranks by similarity") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val self = vecs.select(Similarity.cosineCol(col("embedding"), col("embedding")))
+      .collect().map(_.getDouble(0))
+    self.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+    val topk = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").collect()
+    assert(topk.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(topk.head.getAs[Double]("cosine_sim") > 0.99)
+  }
+
+  test("LSH ANN: same vector lands in the same bucket; recall on clones") {
+    val base = (0 until 64).map(i => (i % 7 - 3) * 0.1f).toArray
+    val vecs = Seq((0L, base), (1L, base.map(x => x * 2)), // same direction
+      (2L, base.map(x => -x))).toDF("vec_id", "embedding")
+    val ann = Similarity.annTopK(vecs, vecs.filter(col("vec_id") === 0), 2,
+      nBits = 6, dim = 64).collect()
+    assert(ann.exists(r => r.getAs[Long]("neighbor_id") == 1L)) // scaled clone found
+  }
+
+  test("langId picks the marker language; 'und' with no markers") {
+    val df = Seq(
+      "the cat and the dog is in that house for fun",
+      "der hund und die katze ist ein tier mit fell",
+      "xyzzy qwerty 12345").toDF("text")
+      .select(TextAnalysis.langIdCol(col("text")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality: clean text scores above punctuation soup") {
+    val scores = Seq(
+      "the quick brown fox jumps over the lazy dog and runs for the hills",
+      ";;;;; !!!! ???? ,,,, ::: ;;; !!!").toDF("text")
+      .select(TextAnalysis.qualityScoreCol(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(scores(0) > scores(1))
+    scores.foreach(s => assert(s >= 0.0 && s <= 1.0))
+  }
+
+  test("token counting: word vs BPE-ish segments") {
+    val r = Seq("Hello, world! x2").toDF("text").select(
+      size(TextAnalysis.tokensCol(col("text"))).as("w"),
+      TextAnalysis.bpeishCountCol(col("text")).as("b")).collect()(0)
+    assert(r.getInt(0) == 3)      // hello, world, x2
+    assert(r.getInt(1) == 6)      // Hello , world ! x 2
+  }
+
+  test("fingerprint: whitespace/case-insensitive canonical form") {
+    val fp = Seq("The  QUICK fox", "the quick fox").toDF("t")
+      .select(TextAnalysis.fingerprintCol(col("t")).as("f"))
+      .collect().map(_.getString(0))
+    assert(fp(0) == fp(1))
+  }
+
+  test("multimodal: deterministic fake decode + feature extraction batches") {
+    val bin = Multimodal.synthesizeBinary(docs, "doc_id", "text")
+    val withMeta = Multimodal.withMediaMeta(bin, "media_bytes")
+    val m = withMeta.select("media_meta.*").collect()
+    m.foreach { r =>
+      assert(Seq("image", "audio", "video").contains(r.getAs[String]("media_type")))
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+    val feats = Multimodal.extractFeatures(bin, "id", "media_bytes", dim = 8)
+    val f = feats.collect()
+    assert(f.length == 5)
+    f.foreach { r =>
+      val v = r.getSeq[Double](3)
+      assert(v.length == 8)
+      assert(math.abs(v.sum - 1.0) < 1e-9) // normalized histogram
+    }
+    // determinism across partitionings
+    val again = Multimodal.extractFeatures(bin.repartition(3), "id", "media_bytes", 8)
+    assert(again.exceptAll(feats).count() == 0)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.sink.{Eml, MiniFormats}
+import org.apache.spark.sql.functions._
+
+/** Stage-3: header extraction, format codecs (round-trip), path columns. */
+class PostProcessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P9 header extraction: last matching line wins, defaults otherwise") {
+    val text = "From: a@x\nTo: b@y\nSubject: first\nbody\nsubject: second\n"
+    val df = Seq(text, "no headers here").toDF("text")
+      .select(
+        PostProcess.lastHeaderCol(col("text"), "subject", lit("DFLT")).as("subj"),
+        PostProcess.lastHeaderCol(col("text"), "from", lit("DF")).as("from"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "second") // last wins, case-insensitive
+    assert(rows(0).getString(1) == "a@x")
+    assert(rows(1).getString(0) == "DFLT")
+  }
+
+  test("docx round-trip: paragraphs split on blank lines") {
+    val text = "Para one\nline two\n\nPara two & <spécial>"
+    val bytes = MiniFormats.docxBytes(text)
+    val back = MiniFormats.docxText(bytes)
+    assert(back == "Para one line two\nPara two & <spécial>")
+  }
+
+  test("xlsx round-trip: inline strings incl. header row") {
+    val rows = Seq(Seq("a", "b"), Seq("1", "x & y"), Seq("2", ""))
+    assert(MiniFormats.xlsxRows(MiniFormats.xlsxBytes(rows)) == rows)
+  }
+
+  test("P11 wrap: ~100-char greedy lines + blank separator") {
+    val text = ("word " * 60).trim + "\n\nshort"
+    val lines = MiniFormats.wrapLines(text)
+    assert(lines.count(_.isEmpty) == 2) // one per paragraph
+    lines.filter(_.nonEmpty).foreach(l => assert(l.length <= 100))
+    assert(lines.last == "" && lines(lines.length - 2) == "short")
+  }
+
+  test("pdf round-trip: page text extraction, parens escaped") {
+    val text = "Hello (world) \\ test\n\n" + ("lorem ipsum " * 2000).trim
+    val bytes = MiniFormats.pdfBytes(text)
+    assert(new String(bytes.take(8), "UTF-8") == "%PDF-1.4")
+    val back = MiniFormats.pdfText(bytes)
+    assert(back.contains("Hello (world) \\ test"))
+    assert(back.contains("lorem ipsum"))
+    // long text paginates (61 lines/page at 12pt leading on A4)
+    val count = "/Count (\\d+)".r.findFirstMatchIn(new String(bytes, "UTF-8"))
+      .map(_.group(1).toInt).getOrElse(0)
+    assert(count >= 2, s"expected multi-page, got /Count $count")
+  }
+
+  test("eml round-trip: single part and multipart with attachment") {
+    val plain = Eml.build("s", "f@x", "t@y", "Thu, 01 Jan 1970 00:00:00 +0000",
+      "line1\nline2")
+    assert(Eml.textPlain(plain) == "line1\nline2")
+    val att = Eml.Attachment("r.xlsx", Eml.guessMime("r.xlsx"),
+      MiniFormats.xlsxBytes(Seq(Seq("h"), Seq("v"))))
+    val multi = Eml.build("s", "f@x", "t@y", "Thu, 01 Jan 1970 00:00:00 +0000",
+      "the body", Seq(att))
+    assert(multi.contains("multipart/mixed"))
+    assert(multi.contains("filename=\"r.xlsx\""))
+    assert(Eml.textPlain(multi) == "the body")
+  }
+
+  test("mimetype guess covers the export formats") {
+    assert(Eml.guessMime("a.pdf") == "application/pdf")
+    assert(Eml.guessMime("a.xlsx").contains("spreadsheetml"))
+    assert(Eml.guessMime("weird.bin") == "application/octet-stream")
+  }
+
+  test("derive: per-format artifacts and path/audit columns") {
+    val cfg = PipelineConfig.scaled(perSit = 1)
+    val corpus = ContentGen.corpus(MetaGen.docs(spark, cfg))
+    val d = PostProcess.derive(corpus).cache()
+    val emails = d.filter(col("format").isin("email", "email_with_attachment"))
+    assert(emails.filter(col("eml_text").isNull).count() == 0)
+    assert(d.filter(col("format") === "chat")
+      .filter(col("eml_text").isNotNull).count() == 0)
+    val r = d.filter(col("format") === "email_with_attachment").limit(1).collect()
+    r.foreach { row =>
+      assert(row.getAs[String]("eml_text").contains("base64"))
+      assert(row.getAs[String]("attachments").endsWith("_attachment.xlsx"))
+      assert(row.getAs[Array[Byte]]("docx_bytes").nonEmpty)
+      assert(row.getAs[Array[Byte]]("pdf_bytes").nonEmpty)
+      assert(row.getAs[String]("postprocessed_at") == "1970-01-01T00:00:00Z")
+    }
+    // docx bytes extract back to text containing a rendered SIT name
+    val (txt, bytes) = d.select(col("text"), col("docx_bytes")).limit(1)
+      .collect().map(x => (x.getString(0), x.getAs[Array[Byte]](1))).head
+    val extracted = MiniFormats.docxText(bytes)
+    assert(extracted.nonEmpty && txt.startsWith(extracted.take(10).replace("\n", "")))
+  }
+}
