@@ -94,4 +94,24 @@ object TextGen {
         transform(sequence(lit(1L), greatest(n.cast("long"), lit(1L))),
           i => loremWordCol(key, slotBase + i)),
         " "))
+
+  /** Precomputed deterministic lorem cycle — sized for the max word target
+    * (4000, `config.json:8`) plus the rotation window. */
+  private val MaxFill = 4000
+  private val Rotations = 61
+  val LoremCycle: IndexedSeq[String] =
+    (0 until (MaxFill + Rotations)).map(i => Lorem((i * 7 + i / Lorem.size) % Lorem.size))
+
+  /** Fast filler: `n` lorem words starting at a per-key rotation offset.
+    * Semantically the same role as [[loremWordsCol]] but evaluated as
+    * `slice` + `array_join` over a plan-constant array — stays inside
+    * whole-stage codegen instead of running one interpreted lambda per word
+    * (which dominated render time: ~40 ms/doc at a 4000-word target). */
+  def loremFillCol(key: Column, slot: Column, n: Column): Column = {
+    val cycle = array(LoremCycle.map(lit): _*)
+    val off = DetHash.nextIntCol(key, slot, Rotations)
+    when(n <= 0, lit(""))
+      .otherwise(array_join(
+        slice(cycle, off + 1, greatest(n.cast("int"), lit(1))), " "))
+  }
 }

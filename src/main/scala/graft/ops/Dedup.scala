@@ -51,32 +51,56 @@ object Dedup {
 
   /** MinHash signature: permutation `j` is approximated by
     * `min(md5(j || ':' || shingle))` — the lexicographic min of uniformly
-    * distributed hex strings is a valid min-hash, and is engine-portable. */
+    * distributed hex strings is a valid min-hash, and is engine-portable.
+    * (Per-row array form; the distributed path below uses the equivalent
+    * explode + partial-aggregated `min` instead, which whole-stage-codegens —
+    * higher-order lambdas are interpreted and dominate runtime otherwise.) */
   def minhashSigCol(shingles: Column, perm: Int): Column =
     array_min(transform(shingles, s => md5(concat(lit(perm + ":"), s))))
 
-  /** LSH band keys: `bands` bands × `rows` signatures concatenated. */
-  def bandKeysCol(shingles: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      concat_ws("|",
-        (lit(b.toString) +: (0 until rows).map(r =>
-          minhashSigCol(shingles, b * rows + r))): _*)
-    }: _*)
+  /** Per-doc LSH band keys, one row per (id, band): shingles are exploded
+    * once, the `bands*rows` md5s run inside codegen, and map-side partial
+    * aggregation collapses to one row per doc before any shuffle. */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, bands: Int, rows: Int): DataFrame = {
+    val perms = 0 until bands * rows
+    val exploded = df.select(col(idCol).cast("long").as("id"),
+      explode(shinglesCol(col(textCol), n)).as("sh"))
+    val sigs = exploded.groupBy("id").agg(
+      min(md5(concat(lit(perms.head + ":"), col("sh")))).as(s"sig${perms.head}"),
+      perms.tail.map(j =>
+        min(md5(concat(lit(j + ":"), col("sh")))).as(s"sig$j")): _*)
+    sigs.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        concat_ws("|", (lit(b.toString) +: (0 until rows).map(r =>
+          col(s"sig${b * rows + r}"))): _*)
+      }: _*)).as("band"))
+  }
 
-  /** Candidate near-duplicate pairs (a < b) via MinHash LSH: explode band
-    * keys, equi-join on the key. The join is the only shuffle; band keys are
-    * ~uniform so no skew. */
+  /** Candidate near-duplicate pairs (a < b) via MinHash LSH: equi-join on
+    * the band key. Only (id, band) rows are shuffled — shingle sets are
+    * re-attached per side after pair dedup, never carried through the join. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, bands: Int = 4, rows: Int = 2): DataFrame = {
-    val sig = df.select(col(idCol).cast("long").as("id"),
-      shinglesCol(col(textCol), n).as("sh"))
-      .withColumn("band", explode(bandKeysCol(col("sh"), bands, rows)))
-    val l = sig.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = sig.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band"))
+    val bandDf = minhashBands(df, idCol, textCol, n, bands, rows)
+    // pairs within a band bucket via in-group combinations — one pass over
+    // the band table (a self-join would evaluate the whole minhash pipeline
+    // twice) and no skew: bucket sizes are tiny for honest LSH parameters
+    val pairs = bandDf.groupBy("band").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
       .dropDuplicates("id_a", "id_b")
+    val dist = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(shinglesCol(col(textCol), n)).as("sh"))
+    pairs
+      .join(dist.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(dist.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
   }
 
   /** Jaccard over shingle sets carried on the pair row (no explode). */
@@ -102,10 +126,9 @@ object Dedup {
     * path is the scale route. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).cast("long").as("id"),
-      array_distinct(shinglesCol(col(textCol), n)).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val inv = df.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(shinglesCol(col(textCol), n))).as("shingle"))
+    val sizes = inv.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = inv.alias("a").join(inv.alias("b"), Seq("shingle"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -103,7 +103,7 @@ object ContentGen {
       .withColumn("text",
         when(needed > 0,
           concat(col("raw_text"), lit("\n\n"),
-            TextGen.loremWordsCol(docId, needed, lit(20000L))))
+            TextGen.loremFillCol(docId, lit(20000L), needed)))
           .otherwise(col("raw_text")))
       .withColumn("actual_word_count", wordCountCol(col("text")).cast("long"))
       .withColumn("actual_file_path",

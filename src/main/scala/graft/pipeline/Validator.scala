@@ -31,7 +31,8 @@ object Validator {
   /** P8 — split the `;`-joined parallel arrays and posexplode to one row per
     * (doc, sit) assignment. Missing labels default "TP", unparsable instance
     * counts default 1 (`modules/validator.py:253-273`). */
-  def explodeAssignments(mapping: DataFrame): DataFrame = {
+  def explodeAssignments(mapping: DataFrame,
+                         carry: Seq[String] = Seq("filename")): DataFrame = {
     val sitArr = filter(split(coalesce(col("sit_ids"), lit("")), ";"), s => s =!= "")
     val labArr = filter(split(coalesce(col("labels"), lit("")), ";"), s => s =!= "")
     val instArr = transform(split(coalesce(col("instances"), lit("")), ";"),
@@ -40,14 +41,14 @@ object Validator {
       .withColumn("sit_arr", sitArr)
       .withColumn("lab_arr", labArr)
       .withColumn("inst_arr", instArr)
-      .select(col("doc_id").cast("long").as("doc_id"), col("filename"),
-        col("sit_arr"), col("lab_arr"), col("inst_arr"),
-        posexplode(col("sit_arr")).as(Seq("pos", "sit_id_raw")))
+      .select(col("doc_id").cast("long").as("doc_id") +: carry.map(col) ++:
+        Seq(col("sit_arr"), col("lab_arr"), col("inst_arr"),
+          posexplode(col("sit_arr")).as(Seq("pos", "sit_id_raw"))): _*)
       .select(
-        col("doc_id"), col("filename"),
-        trim(col("sit_id_raw")).as("sit_id"),
-        coalesce(try_element_at(col("lab_arr"), col("pos") + 1), lit("TP")).as("label"),
-        coalesce(try_element_at(col("inst_arr"), col("pos") + 1), lit(1)).as("instances"))
+        col("doc_id") +: carry.map(col) ++: Seq(
+          trim(col("sit_id_raw")).as("sit_id"),
+          coalesce(try_element_at(col("lab_arr"), col("pos") + 1), lit("TP")).as("label"),
+          coalesce(try_element_at(col("inst_arr"), col("pos") + 1), lit(1)).as("instances")): _*)
   }
 
   /** Per-(doc,sit) verdicts: the narrow hot path. `corpus` is keyed by
