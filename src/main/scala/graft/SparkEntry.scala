@@ -367,6 +367,16 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Gap-based sessionization over the events stream (lag + cumulative-sum
+    * windows; the batch analog of session windows). */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    graft.ops.Sessions.sessionStats(ev, "user_id", "event_id", "ts",
+      gapNanos = 30L * 60 * 1000000000L)
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -400,7 +410,8 @@ object SparkEntry {
     "q26_binary_meta" -> (q26 _),
     "q27_events_window" -> (q27 _),
     "q28_luhn_ccn" -> (q28 _),
-    "q29_iban_mod97" -> (q29 _))
+    "q29_iban_mod97" -> (q29 _),
+    "q30_sessionize" -> (q30 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -748,5 +759,21 @@ object SparkEntry {
              98 - CAST(bban || '161100' AS HUGEINT) % 97 AS chk FROM b)
          SELECT o_orderkey,
            'GB' || lpad(CAST(chk AS VARCHAR), 2, '0') || bban AS iban
-         FROM c ORDER BY o_orderkey""")
+         FROM c ORDER BY o_orderkey""",
+    "q30_sessionize" ->
+      """WITH l AS (SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events),
+         n AS (SELECT user_id, event_id, ts,
+             CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+           FROM l),
+         s AS (SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM n)
+         SELECT user_id, session_id, count(*) AS n_events,
+           date_trunc('second', min(ts)) AS session_start,
+           date_trunc('second', max(ts)) AS session_end
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""")
 }

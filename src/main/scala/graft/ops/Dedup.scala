@@ -23,13 +23,22 @@ object Dedup {
   def tokensCol(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Word `n`-gram shingles as strings ("w1 w2 w3"). */
-  def shinglesCol(text: Column, n: Int = 3): Column = {
-    val toks = tokensCol(text)
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  /** Pure shingle kernel (n-gram windowing over lowercased word tokens;
+    * short texts collapse to one whole-text shingle). */
+  def shingles(text: String, n: Int): Seq[String] = {
+    if (text == null) return Seq("")
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < n) Seq(toks.mkString(" "))
+    else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
   }
+
+  private val shinglesUdf = udf((text: String, n: Int) => shingles(text, n))
+
+  /** Word `n`-gram shingles as strings ("w1 w2 w3"). Compiled UDF — the
+    * equivalent higher-order `transform`/`slice` expression is interpreted
+    * (CodegenFallback) and was the dominant cost of the dedup suite. */
+  def shinglesCol(text: Column, n: Int = 3): Column =
+    shinglesUdf(text, lit(n))
 
   /** Exact duplicate groups: groupBy on md5(text). Scales as a single
     * hash-partitioned shuffle; at 100 TB use the hash (16 bytes), never the
@@ -129,9 +138,17 @@ object Dedup {
     val inv = df.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(shinglesCol(col(textCol), n))).as("shingle"))
     val sizes = inv.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = inv.alias("a").join(inv.alias("b"), Seq("shingle"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // co-occurrence counting via per-shingle in-group combinations — one
+    // evaluation of the shingle pipeline (a self-join would run it twice);
+    // sorting ids first makes (id_a, id_b) ordered by construction
+    val inter = inv.groupBy("shingle")
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")

@@ -122,34 +122,48 @@ object MetaGen {
     docs.select(explode(col("sits.sit_id")).as("sit_id"))
       .groupBy("sit_id").count()
 
+  /** Scala mirror of [[nSitsCol]] — bit-identical (same xxhash64 draws), so
+    * coverage is computable on the driver without running a job. */
+  def nSitsScala(id: Long): Int = {
+    val p = graft.expr.DetHash.pct(id, 2)
+    if (p < 30) 1
+    else if (p < 60) 2 + graft.expr.DetHash.nextInt(id, 3, 2)
+    else if (p < 90) 4 + graft.expr.DetHash.nextInt(id, 3, 3)
+    else 7 + graft.expr.DetHash.nextInt(id, 3, 4)
+  }
+
+  /** Smallest doc count whose closed-form assignment covers every SIT
+    * ≥ `target` times. Pure driver-side arithmetic — the per-doc draws are
+    * deterministic functions of doc_id, so no cluster round-trip (the
+    * earlier implementation ran two coverage aggregates per top-up). */
+  def docsNeeded(cfg: PipelineConfig): Long = {
+    val nSits = cfg.sits.size
+    val target = cfg.perSitCount
+    val maxDocs = (nSits.toLong * target * 5) / 2 // reference cap, meta_generator.py:85
+    val counts = new Array[Long](nSits)
+    var covered = 0
+    var i = 0L
+    while (covered < nSits && i < maxDocs) {
+      i += 1
+      val base = ((i * 17) % nSits).toInt
+      var k = 0
+      val n = math.min(nSitsScala(i), nSits)
+      while (k < n) {
+        val idx = (base + k) % nSits
+        counts(idx) += 1
+        if (counts(idx) == target) covered += 1
+        k += 1
+      }
+    }
+    i
+  }
+
   /** Generate a plan meeting the coverage contract: every SIT in
     * ≥ `cfg.perSitCount` docs. `createdAt` is an injected clock (tests pass a
     * constant; `modules/meta_generator.py:143` uses wall-clock). */
   def docs(spark: SparkSession, cfg: PipelineConfig,
-           createdAt: String = "1970-01-01T00:00:00Z"): DataFrame = {
-    val target = cfg.perSitCount.toLong
-    val nSits = cfg.sits.size
-    val estimate = math.ceil(nSits * target / expectedSitsPerDoc(cfg) * 1.06).toLong
-    var n = math.max(estimate, 1L)
-    var plan = batch(spark, cfg, 0L, n, createdAt)
-    val maxDocs = (nSits.toLong * target * 5) / 2 // reference cap, meta_generator.py:85
-    var minCov = minCoverage(plan, nSits)
-    while (minCov < target && n < maxDocs) {
-      val deficitDocs = math.ceil(
-        (target - minCov) * nSits / expectedSitsPerDoc(cfg) * 1.2).toLong.max(64L)
-      val add = math.min(deficitDocs, maxDocs - n)
-      plan = plan.unionByName(batch(spark, cfg, n, add, createdAt))
-      n += add
-      minCov = minCoverage(plan, nSits)
-    }
-    plan
-  }
-
-  private def minCoverage(plan: DataFrame, nSits: Int): Long = {
-    val rows = coverage(plan).collect()
-    if (rows.length < nSits) 0L
-    else rows.map(_.getLong(1)).min
-  }
+           createdAt: String = "1970-01-01T00:00:00Z"): DataFrame =
+    batch(spark, cfg, 0L, docsNeeded(cfg), createdAt)
 
   /** §1.3 mapping table: one flat row per doc, parallel arrays `;`-joined at
     * the boundary (`modules/meta_generator.py:157-166`). `tcs` is the doc's
