@@ -377,6 +377,24 @@ object SparkEntry {
       gapNanos = 30L * 60 * 1000000000L)
   }
 
+  /** Salted two-phase aggregation on a skewed key (event_type has ~5
+    * values for 100k+ rows) — results identical to a plain groupBy, which
+    * is exactly what the oracle asserts. */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    graft.ops.Skew.saltedAgg(ev, "event_type", col("event_id"),
+      cents(col("value")), salts = 16)
+      .orderBy("event_type")
+  }
+
+  /** Embedding-cosine near-duplicate pairs over LSH buckets. */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.4,
+      nBits = 8, dim = 64)
+      .orderBy("id_a", "id_b")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -411,7 +429,9 @@ object SparkEntry {
     "q27_events_window" -> (q27 _),
     "q28_luhn_ccn" -> (q28 _),
     "q29_iban_mod97" -> (q29 _),
-    "q30_sessionize" -> (q30 _))
+    "q30_sessionize" -> (q30 _),
+    "q31_salted_agg" -> (q31 _),
+    "q32_cosine_near_dups" -> (q32 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -775,5 +795,35 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
            date_trunc('second', min(ts)) AS session_start,
            date_trunc('second', max(ts)) AS session_end
-         FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""")
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
+    "q31_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q32_cosine_near_dups" ->
+      """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         jdx AS (SELECT unnest(generate_series(0, 7)) AS j),
+         dots AS (SELECT e.vec_id, jdx.j,
+                    sum(e.embedding[idx.i]::DOUBLE *
+                        CAST((((idx.i - 1) * 131 + jdx.j * 137 + 7) % 19) - 9 AS DOUBLE)) AS dj
+                  FROM embeddings e, idx, jdx GROUP BY e.vec_id, jdx.j),
+         b AS (SELECT vec_id,
+                 CAST(sum(CASE WHEN dj > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS bucket
+               FROM dots GROUP BY vec_id),
+         n AS (SELECT vec_id, sqrt(sum(embedding[idx.i]::DOUBLE * embedding[idx.i]::DOUBLE)) AS nrm
+               FROM embeddings, idx GROUP BY vec_id),
+         pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+                   FROM (SELECT e.vec_id, b.bucket FROM embeddings e JOIN b ON e.vec_id = b.vec_id) a
+                   JOIN (SELECT e.vec_id, b.bucket FROM embeddings e JOIN b ON e.vec_id = b.vec_id) b2
+                   USING (bucket) WHERE a.vec_id < b2.vec_id),
+         d AS (SELECT id_a, id_b,
+                 sum(ea.embedding[idx.i]::DOUBLE * eb.embedding[idx.i]::DOUBLE) AS dot
+               FROM pairs JOIN embeddings ea ON ea.vec_id = id_a
+                          JOIN embeddings eb ON eb.vec_id = id_b, idx
+               GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(dot / (na.nrm * nb.nrm), 6) AS cosine_sim
+         FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+         WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
+         ORDER BY id_a, id_b""")
 }
