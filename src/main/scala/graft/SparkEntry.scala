@@ -117,10 +117,11 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Anti-join — the "needed SITs" filter shape. */
+  /** Anti-join — the "needed SITs" filter shape: customers with no URGENT
+    * order (non-empty on the testdata, unlike no-orders-at-all). */
   private def q08(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"),
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
@@ -480,7 +481,9 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q08_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
     "q09_coalesce_path" ->
       """SELECT o_orderkey,

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sessions + Skew operator semantics on hand-made inputs. */
+class SessionsSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val G = 1000000000L // 1s in nanos
+
+  test("sessionize: gap splits, per-user independence, tie determinism") {
+    val ev = Seq(
+      (1L, 10L, 0L * G), (1L, 11L, 60L * G), (1L, 12L, 5000L * G), // u1: 2 sessions
+      (2L, 20L, 0L * G), (2L, 21L, 0L * G),                        // u2: tie ts
+      (2L, 22L, 10000L * G)).toDF("user_id", "event_id", "ts")
+    val out = Sessions.sessionStats(ev, "user_id", "event_id", "ts",
+      gapNanos = 30L * 60 * G).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 1L)) == 2) // first session: events at 0s and 60s
+    assert(out((1L, 2L)) == 1)
+    assert(out((2L, 1L)) == 2) // tied timestamps stay in one session
+    assert(out((2L, 2L)) == 1)
+  }
+
+  test("salted aggregation equals the plain groupBy") {
+    val df = (1L to 5000L).map(i => (s"k${i % 3}", i, i.toDouble))
+      .toDF("key", "id", "v")
+    val salted = Skew.saltedAgg(df, "key", col("id"), col("v"), salts = 8)
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = df.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.map(t => (t._1, t._2)).toSeq == plain.map(t => (t._1, t._2)).toSeq)
+    salted.zip(plain).foreach { case (a, b) =>
+      assert(math.abs(a._3 - b._3) < 1e-6)
+    }
+    // the partial phase really fans out: |keys| x salts groups
+    val partialGroups = df
+      .withColumn("_salt", pmod(xxhash64(col("id")), lit(8)))
+      .groupBy("key", "_salt").count().count()
+    assert(partialGroups > 3 && partialGroups <= 24)
+  }
+}
