@@ -16,6 +16,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session once (executor spin-up, codegen compiler, parquet
+    // footers) so per-query numbers measure the queries, not JVM start.
+    try {
+      spark.range(1000).selectExpr("sum(id)").count()
+      Seq("lineitem", "orders", "documents", "embeddings", "events").foreach {
+        t => try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+        catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch {

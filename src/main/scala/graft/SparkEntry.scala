@@ -396,6 +396,11 @@ object SparkEntry {
       nBits = 8, dim = 64)
       .orderBy("id_a", "id_b")
 
+  /** TF-IDF top-3 terms per document (explode → two hash aggs → window). */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy("id", "rank")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -432,7 +437,8 @@ object SparkEntry {
     "q29_iban_mod97" -> (q29 _),
     "q30_sessionize" -> (q30 _),
     "q31_salted_agg" -> (q31 _),
-    "q32_cosine_near_dups" -> (q32 _))
+    "q32_cosine_near_dups" -> (q32 _),
+    "q33_tfidf_topk" -> (q33 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -828,5 +834,22 @@ object SparkEntry {
            round(dot / (na.nrm * nb.nrm), 6) AS cosine_sim
          FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
          WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
-         ORDER BY id_a, id_b""")
+         ORDER BY id_a, id_b""",
+    "q33_tfidf_topk" ->
+      """WITH terms AS (SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                    x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         nn AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT id, term, tf, df,
+                  round(tf * ln((nn.n + 1.0) / (df + 1.0)), 6) AS tfidf
+                FROM tf JOIN dfreq USING (term), nn),
+         r AS (SELECT id, term, tf, df, tfidf,
+                 CAST(row_number() OVER (PARTITION BY id
+                   ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+               FROM sc)
+         SELECT id, rank, term, tf, df, tfidf FROM r
+         WHERE rank <= 3 ORDER BY id, rank""")
 }

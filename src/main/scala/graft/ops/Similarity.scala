@@ -68,32 +68,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
-  /** Deterministic hyperplane coefficient for (bit j, dim i): a small
-    * centered integer — engine-portable, zero-mean-ish. */
-  private def planeCoef(j: Int, i: Int): Int = ((i * 131 + j * 137 + 7) % 19) - 9
+  /** Deterministic hyperplane coefficient for (table t, bit j, dim i): a
+    * small centered integer — engine-portable, zero-mean-ish. */
+  private def planeCoef(j: Int, i: Int, t: Int = 0): Int =
+    ((i * 131 + j * 137 + t * 977 + 7) % 19) - 9
 
-  /** `nBits`-bit random-hyperplane LSH bucket id for a vector. */
-  def lshBucketCol(vec: Column, nBits: Int = 8, dim: Int = 64): Column =
+  /** `nBits`-bit random-hyperplane LSH bucket id for a vector (table `t`). */
+  def lshBucketCol(vec: Column, nBits: Int = 8, dim: Int = 64, t: Int = 0): Column =
     (0 until nBits).map { j =>
       val dot = aggregate(
-        zip_with(vec, array((0 until dim).map(i => lit(planeCoef(j, i))): _*),
+        zip_with(vec, array((0 until dim).map(i => lit(planeCoef(j, i, t))): _*),
           (x, c) => x.cast("double") * c.cast("double")),
         lit(0.0), (s, v) => s + v)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** All-table bucket keys ("t:bucket"), one row per table after explode. */
+  private def bucketKeys(vec: Column, nBits: Int, dim: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      concat_ws(":", lit(t.toString), lshBucketCol(vec, nBits, dim, t))): _*)
+
   /** ANN top-k: bucket both sides with the same hyperplanes, join on bucket,
-    * rank within. Recall < 1 by construction (standard LSH trade); at scale
-    * use multiple tables (vary `tableSeed`) and union. */
+    * rank within. Single-table recall is the standard LSH trade
+    * (P[collide] = (1 - θ/π)^nBits); `tables > 1` unions candidates from
+    * independent hyperplane tables, recall 1-(1-p)^T at T× bucketing cost —
+    * still never all-pairs. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nBits: Int = 8, dim: Int = 64,
+              nBits: Int = 8, dim: Int = 64, tables: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      col(vecCol).as("vec_c"), lshBucketCol(col(vecCol), nBits, dim).as("bucket"))
+      col(vecCol).as("vec_c"),
+      explode(bucketKeys(col(vecCol), nBits, dim, tables)).as("bucket"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol).as("vec_q"), lshBucketCol(col(vecCol), nBits, dim).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      col(vecCol).as("vec_q"),
+      explode(bucketKeys(col(vecCol), nBits, dim, tables)).as("bucket"))
+    val candidates = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "vec_q", "vec_c")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
       .withColumn("cosine_sim", round(cosineCol(col("vec_q"), col("vec_c")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)

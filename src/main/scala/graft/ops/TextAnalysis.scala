@@ -95,6 +95,28 @@ object TextAnalysis {
   def winnowSketchCol(text: Column, k: Int = 8, n: Int = 4): Column =
     slice(array_sort(transform(Dedup.shinglesCol(text, n), s => md5(s))), 1, k)
 
+  /** TF-IDF top-`k` terms per document: token explode → (doc,term) counts →
+    * document frequencies → smoothed idf — two hash aggregations and a
+    * window, all partial-aggregated; no collect, no cross join.
+    * tf = term count in doc; idf = ln((N+1)/(df+1)); ties broken by term. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val terms = df.select(col(idCol).cast("long").as("id"),
+      explode(tokensCol(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val n = df.count() // one small job; N is a plan constant thereafter
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "rank", "term", "tf", "df", "tfidf")
+  }
+
   /** Full per-document profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -94,6 +94,23 @@ class OpsSpec extends SparkSpec {
     assert(ann.exists(r => r.getAs[Long]("neighbor_id") == 1L)) // scaled clone found
   }
 
+  test("ANN recall vs brute force on real embeddings (documented trade-off)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann1 = Similarity.annTopK(emb, queries, 3, nBits = 6, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annT = Similarity.annTopK(emb, queries, 3, nBits = 4, dim = 64,
+      tables = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall1 = (brute & ann1).size.toDouble / brute.size
+    val recallT = (brute & annT).size.toDouble / brute.size
+    // multi-table LSH must recover substantially more of the true top-k
+    // than a single table (1-(1-p)^T vs p), and clear a usable floor
+    assert(recallT > recall1, s"multi-table $recallT <= single $recall1")
+    assert(recallT > 0.35, s"recall $recallT")
+  }
+
   test("langId picks the marker language; 'und' with no markers") {
     val df = Seq(
       "the cat and the dog is in that house for fun",

@@ -36,6 +36,20 @@ class SinkSpec extends SparkSpec {
     assert(exploded.filter(col("instances") < 1).count() == 0)
   }
 
+  test("partitioned corpus layout: partition pruning reaches the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val cfg = PipelineConfig.scaled(perSit = 1)
+    val corpus = ContentGen.corpus(MetaGen.docs(spark, cfg))
+    corpus.write.mode("overwrite").partitionBy("format").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("format") === "chat")
+      .select("doc_id", "text")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("format"), plan.take(1500))
+    val n = read.count()
+    assert(n > 0 && n < corpus.count())
+  }
+
   test("S11-style binaryFile scan over exported docx") {
     val dir = Files.createTempDirectory("graft_docx").toString
     Files.write(java.nio.file.Paths.get(dir, "a.docx"),
