@@ -192,8 +192,7 @@ object Dedup {
   def hammingCol(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup candidates: identical code → candidate (for small
-    * `bits`); at 64 bits, band the code into 4×16-bit chunks and join per
-    * chunk (standard SimHash blocking). */
+    * `bits`). */
   def simhashDups(df: DataFrame, idCol: String, textCol: String,
                   bits: Int = 16): DataFrame = {
     val codes = df.select(col(idCol).cast("long").as("id"),
@@ -201,5 +200,42 @@ object Dedup {
     codes.groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min("id").as("keep_id"))
       .filter(col("n_docs") > 1)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` via standard
+    * chunk blocking: split the code into `chunks` equal bit-bands — any pair
+    * within distance `maxDist < chunks` must agree on ≥1 whole chunk
+    * (pigeonhole), so an equi-join per chunk finds every such pair without
+    * all-pairs work. Pairs are then verified with the exact bit distance. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 32, chunks: Int = 4,
+                      maxDist: Int = 3): DataFrame = {
+    require(maxDist < chunks, "pigeonhole needs maxDist < chunks")
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    val codes = df.select(col(idCol).cast("long").as("id"),
+      simhashCol(col(textCol), bits).as("simhash"))
+    val keyed = codes.select(col("id"), col("simhash"),
+      explode(array((0 until chunks).map { c =>
+        concat_ws(":", lit(c.toString),
+          shiftrightunsigned(col("simhash"), c * chunkBits).bitwiseAND(mask))
+      }: _*)).as("chunk_key"))
+    val pairs = keyed.groupBy("chunk_key")
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(
+          slice(col("members"), i + 2,
+            greatest(size(col("members")) - i - 1, lit(0))),
+          y => struct(
+            least(x.getField("id"), y.getField("id")).as("id_a"),
+            greatest(x.getField("id"), y.getField("id")).as("id_b"),
+            hammingCol(x.getField("simhash"), y.getField("simhash"))
+              .as("hamming")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
+      .filter(col("id_a") < col("id_b") && col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
+    pairs
   }
 }

@@ -70,6 +70,18 @@ class OpsSpec extends SparkSpec {
     assert(dups.exists(r => r.getAs[Long]("keep_id") == 0L))
   }
 
+  test("simhash banded near-dup pairs: pigeonhole blocking finds close codes") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text",
+      bits = 32, chunks = 8, maxDist = 6).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(pairs.get((0L, 1L)).contains(0)) // exact dup: distance 0
+    // near-dups (one word changed) should appear well inside maxDist when
+    // blocking admits them; the unrelated doc 3 must not pair with 0 at d<=6
+    assert(!pairs.contains((0L, 3L)))
+    // every reported pair respects the verification threshold
+    pairs.values.foreach(d => assert(d <= 6))
+  }
+
   test("cosine: self-similarity 1, orthogonal 0, topk ranks by similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -46,4 +46,34 @@ class StreamingValidatorSpec extends SparkSpec {
       assert(rows(("2026-01-01 10:10:00", "SIT_ABA")) == ((1L, 0L, 1L)))
     } finally q.stop()
   }
+
+  test("file-source stream: mapping CSVs landing in a dir produce windowed parquet") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    // two files "landing" with headers matching mappingStream's schema
+    val header = "doc_id,filename,format,word_count_target,sit_ids,labels," +
+      "instances,confidences,tcs,created_at,text"
+    def row(id: Long, ts: String, text: String) =
+      s"$id,d$id,email,100,SIT_CCN,TP,1,Low,Finance,$ts,$text"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "batch1.csv"),
+      header + "\n" + row(1, "2026-01-01T10:00:00Z", "card 5133 2181 9600 1338") +
+        "\n" + row(2, "2026-01-01T10:01:00Z", "nothing here"))
+    val q = StreamingValidator.run(spark, inDir, outDir, ckpt,
+      graft.pipeline.PipelineConfig.default.sitDim(spark).toDF())
+    try {
+      q.processAllAvailable()
+      // append mode: the first window is still open (no later watermark), so
+      // land a second file far in the future to close it
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "batch2.csv"),
+        header + "\n" + row(3, "2026-01-01T12:00:00Z", "x"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+      val rows = out.selectExpr("sit_id", "docs", "tp_docs").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows.get("SIT_CCN").exists(v => v._1 == 2 && v._2 == 1))
+    } finally q.stop()
+  }
 }
