@@ -401,6 +401,38 @@ object SparkEntry {
     TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
       .orderBy("id", "rank")
 
+  /** PII redaction (inverse of detection): plant SSN/IP-shaped values into
+    * the corpus deterministically, then scrub with portable patterns. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents")
+      .withColumn("text2",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" ssn "),
+            lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+            lit("-42-"),
+            lpad((col("doc_id") % 9000 + 1000).cast("string"), 4, "0")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" host 10.0."),
+              (col("doc_id") % 250).cast("string"), lit(".7")))
+          .otherwise(col("text")))
+    val pats = Seq(
+      "SSN" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+      "IP" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b")
+    planted.select(col("doc_id"),
+      graft.ops.Curation.redactionCountCol(col("text2"), pats).as("n_redactions"),
+      md5(graft.ops.Curation.redactCol(col("text2"), pats)).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split assignment + per-split stats. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("split", graft.ops.Curation.splitCol(col("doc_id")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"))
+      .orderBy("split")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -438,7 +470,9 @@ object SparkEntry {
     "q30_sessionize" -> (q30 _),
     "q31_salted_agg" -> (q31 _),
     "q32_cosine_near_dups" -> (q32 _),
-    "q33_tfidf_topk" -> (q33 _))
+    "q33_tfidf_topk" -> (q33 _),
+    "q34_redact" -> (q34 _),
+    "q35_dataset_split" -> (q35 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -851,5 +885,30 @@ object SparkEntry {
                    ORDER BY tfidf DESC, term ASC) AS INT) AS rank
                FROM sc)
          SELECT id, rank, term, tf, df, tfidf FROM r
-         WHERE rank <= 3 ORDER BY id, rank""")
+         WHERE rank <= 3 ORDER BY id, rank""",
+    "q34_redact" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+                    text || ' ssn ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+                         || '-42-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+                  WHEN doc_id % 3 = 1 THEN
+                    text || ' host 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                  ELSE text END AS text2
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '\b\d{3}-\d{2}-\d{4}\b'))
+                + len(regexp_extract_all(text2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT)
+             AS n_redactions,
+           md5(regexp_replace(regexp_replace(text2,
+                 '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')) AS redacted_md5
+         FROM planted ORDER BY doc_id""",
+    "q35_dataset_split" ->
+      """SELECT CASE WHEN (doc_id*2654435761) % 1000 < 800 THEN 'train'
+                     WHEN (doc_id*2654435761) % 1000 < 900 THEN 'val'
+                     ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM documents GROUP BY 1 ORDER BY split""")
 }

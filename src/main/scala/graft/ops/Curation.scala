@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data preparation: PII redaction
+  * (the inverse of the pipeline's detection stage — same SIT dimension),
+  * deterministic dataset splitting, and quality filtering. All narrow
+  * per-row expressions; the split is pure key arithmetic so it is
+  * reproducible across engines, runs and partitionings (never `rand()`).
+  */
+object Curation {
+
+  /** Redact every match of `patterns` (name → regex) with `[NAME]` tokens —
+    * a fold of `regexp_replace` over the pattern table (plan constants,
+    * compiled once per task). Returns (text', n_redactions) columns. */
+  def redactCol(text: Column, patterns: Seq[(String, String)]): Column =
+    patterns.foldLeft(text) { case (t, (name, regex)) =>
+      regexp_replace(t, regex, s"[$name]")
+    }
+
+  /** Number of redactions `redactCol` would make (sum of match counts). */
+  def redactionCountCol(text: Column, patterns: Seq[(String, String)]): Column =
+    patterns.map { case (_, regex) =>
+      size(regexp_extract_all(text, lit(regex), lit(0)))
+    }.reduce(_ + _).cast("long")
+
+  /** Redact the regex-bearing SITs of a dimension over `textCol`. */
+  def redactSits(df: DataFrame, textCol: String,
+                 sitDim: Seq[graft.pipeline.SitDef]): DataFrame = {
+    val pats = sitDim.filter(_.regex.nonEmpty).map(s => s.id -> s.regex)
+    df.withColumn("n_redactions", redactionCountCol(col(textCol), pats))
+      .withColumn("redacted_text", redactCol(col(textCol), pats))
+  }
+
+  /** Deterministic train/val/test assignment from key arithmetic:
+    * bucket = (key·2654435761) mod 1000; thresholds are per-mille weights.
+    * Engine-portable (plain integer arithmetic, no hash function). */
+  def splitCol(key: Column, trainPerMille: Int = 800,
+               valPerMille: Int = 100): Column = {
+    val b = pmod(key * 2654435761L, lit(1000L))
+    when(b < trainPerMille, "train")
+      .when(b < trainPerMille + valPerMille, "val")
+      .otherwise("test")
+  }
+
+  /** Quality gate: keep docs with score ≥ threshold and near-dup-free
+    * (callers pass drop ids from a Dedup variant). */
+  def qualityFilter(df: DataFrame, textCol: String, minScore: Double,
+                    dropIds: DataFrame = null, idCol: String = "doc_id"): DataFrame = {
+    val scored = df.withColumn("quality_score",
+      TextAnalysis.qualityScoreCol(col(textCol)))
+      .filter(col("quality_score") >= minScore)
+    if (dropIds == null) scored
+    else scored.join(
+      dropIds.select(col("id").cast("long").as(idCol)), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.pipeline.DefaultSits
+import org.apache.spark.sql.functions._
+
+/** Curation: redaction inverse-property, split determinism, quality gate. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactSits removes every detectable SIT value (inverse property)") {
+    val dim = DefaultSits.all
+    val text = "card 5133 2181 9600 1338 and iban GB82WEST12345698765432 " +
+      "ssn 472-51-2711 ip 192.168.43.17 end"
+    val out = Curation.redactSits(Seq((1L, text)).toDF("doc_id", "t"), "t", dim)
+      .select("redacted_text", "n_redactions").collect()(0)
+    val redacted = out.getString(0)
+    dim.filter(_.regex.nonEmpty).foreach { s =>
+      val p = java.util.regex.Pattern.compile(s.regex,
+        java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.MULTILINE)
+      // no SIT pattern may still match outside the inserted [SIT_*] tokens
+      val m = p.matcher(redacted.replaceAll("\\[SIT_[A-Z_0-9]+\\]", ""))
+      assert(!m.find() || s.regex.contains("(?=.*\\d)"),
+        s"${s.id} still matches: $redacted")
+    }
+    assert(out.getLong(1) >= 4)
+  }
+
+  test("splitCol: deterministic, complete, proportions roughly honored") {
+    val df = (1L to 20000L).toDF("id")
+      .withColumn("split", Curation.splitCol(col("id")))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 20000L)
+    assert(counts("train") > 15000 && counts("train") < 17000)
+    assert(counts("val") > 1500 && counts("val") < 2500)
+    // stable across partitionings
+    val again = (1L to 20000L).toDF("id").repartition(7)
+      .withColumn("split", Curation.splitCol(col("id")))
+    assert(again.exceptAll(df).count() == 0)
+  }
+
+  test("qualityFilter drops low-score docs and listed near-dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and more and more"),
+      (2L, ";;; !!! ,,,"),
+      (3L, "the quick brown fox jumps over the lazy dog and more and more"))
+      .toDF("doc_id", "text")
+    val drops = Seq(3L).toDF("id")
+    val kept = Curation.qualityFilter(docs, "text", 0.4, drops)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+}
