@@ -7,7 +7,7 @@ import graft.pipeline._
   * print the validation report — the library's user-facing entry point
   * (equivalent of running the reference's four `main()`s back-to-back).
   *
-  * Usage: runMain graft.PipelineDemo [perSitCount] [outDir]
+  * Usage: runMain graft.PipelineDemo [perSitCount] [outDir] [configJson]
   * With an outDir, also exports the corpus txt files, derived
   * docx/pdf/eml files, and the final mapping CSV + XLSX.
   */
@@ -26,7 +26,10 @@ object PipelineDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    val cfg = PipelineConfig.scaled(perSit)
+    val cfg = args.lift(2) match {
+      case Some(path) => PipelineConfig.fromJson(spark, path).copy(perSitCount = perSit)
+      case None       => PipelineConfig.scaled(perSit)
+    }
 
     // Stage 1: plan
     val docs = MetaGen.docs(spark, cfg).cache()

@@ -35,6 +35,81 @@ case class PipelineConfig(
 
 object PipelineConfig {
 
+  private val BucketOrder = Seq("1", "2-3", "4-6", ">6", "3-5", "6-10", ">10")
+
+  /** S1 — load a reference-format `config.json` (the file the reference's
+    * four stages all parse, `modules/meta_generator.py:55-57`). Uses Spark's
+    * multiLine JSON reader; distribution maps are re-ordered to the
+    * canonical bucket order (JSON objects are unordered, but inverse-CDF
+    * sampling walks buckets in sequence — `meta_generator.py:9-17`). */
+  def fromJson(spark: SparkSession, path: String): PipelineConfig = {
+    import org.apache.spark.sql.functions.col
+    val row = spark.read.option("multiLine", "true").json(path).collect()(0)
+    def mapOf(field: String): Seq[(String, Double)] = {
+      val r = row.getAs[org.apache.spark.sql.Row](field)
+      val pairs = r.schema.fieldNames.map(n => n -> r.getAs[Any](n) match {
+        case (n2, d: java.lang.Double) => n2 -> d.doubleValue()
+        case (n2, l: java.lang.Long)   => n2 -> l.doubleValue()
+        case (n2, b: java.math.BigDecimal) => n2 -> b.doubleValue()
+      }).toSeq
+      pairs.sortBy(p => BucketOrder.indexOf(p._1))
+    }
+    val sd = row.getAs[org.apache.spark.sql.Row]("size_distribution")
+    val sits = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sits")
+      .toList.map { s =>
+        SitDef(s.getAs[String]("id"), s.getAs[String]("name"),
+          Option(s.getAs[String]("regex")).getOrElse(""),
+          Option(s.getAs[scala.collection.Seq[String]]("tc"))
+            .map(_.toList).getOrElse(Nil))
+      }
+    PipelineConfig(
+      randomSeed = row.getAs[Long]("random_seed"),
+      perSitCount = row.getAs[Long]("per_sit_count").toInt,
+      tpRatio = row.getAs[Any]("tp_ratio") match {
+        case d: java.lang.Double => d
+        case b: java.math.BigDecimal => b.doubleValue()
+        case l: java.lang.Long => l.toDouble
+      },
+      formats = row.getAs[scala.collection.Seq[String]]("formats").toList,
+      sizeDistribution = SizeDist(
+        sd.getAs[Long]("min_words").toInt, sd.getAs[Long]("max_words").toInt,
+        sd.getAs[Long]("main_range_min").toInt, sd.getAs[Long]("main_range_max").toInt,
+        sd.getAs[Any]("main_range_share") match {
+          case d: java.lang.Double => d
+          case b: java.math.BigDecimal => b.doubleValue()
+          case l: java.lang.Long => l.toDouble
+        }),
+      sitCountDistribution = mapOf("sit_count_distribution"),
+      instanceCountDistribution = mapOf("instance_count_distribution"),
+      sits = sits)
+  }
+
+  /** Serialize a config to reference-format JSON (round-trip partner of
+    * [[fromJson]]; confidence_rules/output are hardcoded in the reference's
+    * modules and therefore not modeled — `SURVEY.md` §1.1). */
+  def toJson(cfg: PipelineConfig): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def dist(d: Seq[(String, Double)]) =
+      d.map { case (k, v) => s""""${esc(k)}": $v""" }.mkString("{", ", ", "}")
+    val sits = cfg.sits.map { s =>
+      s"""{"id": "${esc(s.id)}", "name": "${esc(s.name)}", """ +
+        s""""regex": "${esc(s.regex)}", "tc": ${s.tc.map(t => s""""${esc(t)}"""").mkString("[", ", ", "]")}}"""
+    }.mkString("[", ",\n", "]")
+    val sd = cfg.sizeDistribution
+    s"""{
+       |"random_seed": ${cfg.randomSeed},
+       |"per_sit_count": ${cfg.perSitCount},
+       |"tp_ratio": ${cfg.tpRatio},
+       |"formats": ${cfg.formats.map(f => s""""${esc(f)}"""").mkString("[", ", ", "]")},
+       |"size_distribution": {"min_words": ${sd.minWords}, "max_words": ${sd.maxWords},
+       |  "main_range_min": ${sd.mainRangeMin}, "main_range_max": ${sd.mainRangeMax},
+       |  "main_range_share": ${sd.mainRangeShare}},
+       |"sit_count_distribution": ${dist(cfg.sitCountDistribution)},
+       |"instance_count_distribution": ${dist(cfg.instanceCountDistribution)},
+       |"sits": $sits
+       |}""".stripMargin
+  }
+
   /** Defaults mirroring `config.json:1-29` (values are configuration data,
     * re-declared; semantics per `modules/meta_generator.py`). */
   def default: PipelineConfig = PipelineConfig(
