@@ -333,9 +333,12 @@ object SparkEntry {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = t(s, dir, "events")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    // string timestamps: representation-proof across engines/comparators
+    // (ns vs us timestamp physical types would otherwise differ)
     ev
       .withColumn("window_start",
-        timestamp_seconds(expr("ts DIV 3600000000000") * 3600))
+        date_format(timestamp_seconds(expr("ts DIV 3600000000000") * 3600),
+          "yyyy-MM-dd HH:mm:ss"))
       .groupBy("window_start", "event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(cents(col("value"))).as("value_cents"))
@@ -375,7 +378,11 @@ object SparkEntry {
     val ev = t(s, dir, "events")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     graft.ops.Sessions.sessionStats(ev, "user_id", "event_id", "ts",
-      gapNanos = 30L * 60 * 1000000000L)
+        gapNanos = 30L * 60 * 1000000000L)
+      .withColumn("session_start",
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("session_end",
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss"))
   }
 
   /** Salted two-phase aggregation on a skewed key (event_type has ~5
@@ -792,7 +799,7 @@ object SparkEntry {
          md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
     "q27_events_window" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
          count(*) AS n_events,
          sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
@@ -836,8 +843,8 @@ object SparkEntry {
                            ROWS UNBOUNDED PRECEDING) AS session_id
            FROM n)
          SELECT user_id, session_id, count(*) AS n_events,
-           date_trunc('second', min(ts)) AS session_start,
-           date_trunc('second', max(ts)) AS session_end
+           strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS session_end
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
     "q31_salted_agg" ->
       """SELECT event_type, count(*) AS n,
