@@ -196,16 +196,15 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("int").as("q"))
     val packed = li.groupBy(col("l_orderkey").as("doc_id"))
-      .agg(
-        array_join(transform(array_sort(collect_list(
-          struct(col("l_linenumber").as("ln")))),
+      .agg(array_sort(collect_list(
+        struct(col("l_linenumber").as("ln"), col("q")))).as("rows"))
+      .select(col("doc_id"),
+        array_join(transform(col("rows"),
           x => concat(lit("S"), x.getField("ln"))), ";").as("sit_ids"),
-        array_join(transform(array_sort(collect_list(
-          struct(col("l_linenumber").as("ln")))),
+        array_join(transform(col("rows"),
           x => when(x.getField("ln") % 2 === 0, "TP").otherwise("FP")), ";")
           .as("labels"),
-        array_join(transform(array_sort(collect_list(
-          struct(col("l_linenumber").as("ln"), col("q")))),
+        array_join(transform(col("rows"),
           x => x.getField("q").cast("string")), ";").as("instances"))
       .withColumn("filename", lit(""))
     Validator.explodeAssignments(packed)
