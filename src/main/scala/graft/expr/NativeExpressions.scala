@@ -75,7 +75,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => IbanValid(args.head)),
     (FunctionIdentifier("is_placeholder"),
       new ExpressionInfo(classOf[IsPlaceholder].getName, "is_placeholder"),
-      (args: Seq[Expression]) => IsPlaceholder(args.head)))
+      (args: Seq[Expression]) => IsPlaceholder(args.head)),
+    (FunctionIdentifier("regex_matches"),
+      new ExpressionInfo(classOf[RegexMatchesExpr].getName, "regex_matches"),
+      (args: Seq[Expression]) => RegexMatchesExpr(args(0), args(1))))
 
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
@@ -96,6 +99,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => IbanValid(args.head): Expression),
       (FunctionIdentifier("is_placeholder"),
         new ExpressionInfo(classOf[IsPlaceholder].getName, "is_placeholder"),
-        (args: Seq[Expression]) => IsPlaceholder(args.head): Expression))
+        (args: Seq[Expression]) => IsPlaceholder(args.head): Expression),
+      (FunctionIdentifier("regex_matches"),
+        new ExpressionInfo(classOf[RegexMatchesExpr].getName, "regex_matches"),
+        (args: Seq[Expression]) => RegexMatchesExpr(args(0), args(1)): Expression))
       .foreach(ext.injectFunction)
 }

@@ -63,7 +63,7 @@ object Validator {
 
     val matches = when(
       col("regex").isNotNull && col("regex") =!= "" && col("text").isNotNull,
-      RegexMatches.regexMatches(col("text"), col("regex")))
+      graft.expr.RegexMatchesExpr.regexMatchesNative(col("text"), col("regex")))
       .otherwise(array().cast("array<struct<value:string,start:int,excerpt:string>>"))
 
     joined

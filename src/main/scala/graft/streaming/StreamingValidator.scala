@@ -51,7 +51,7 @@ object StreamingValidator {
         Seq("sit_id"), "left")
     val matches = when(
       col("regex").isNotNull && col("regex") =!= "" && col("text").isNotNull,
-      RegexMatches.regexMatches(col("text"), col("regex")))
+      graft.expr.RegexMatchesExpr.regexMatchesNative(col("text"), col("regex")))
       .otherwise(array().cast("array<struct<value:string,start:int,excerpt:string>>"))
     joined
       .withColumn("found_real",
