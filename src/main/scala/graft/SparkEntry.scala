@@ -439,6 +439,15 @@ object SparkEntry {
         sum(length(col("text"))).as("total_chars"))
       .orderBy("split")
 
+  /** Grouped top-K via the typed Aggregator (bounded partial-agg state) —
+    * same oracle as the window form q02: the two implementations must be
+    * row-identical. */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TopK.grouped(t(s, dir, "orders"), "o_custkey", "o_orderkey",
+      "o_totalprice", k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+      .orderBy("o_custkey", "rank")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -478,7 +487,8 @@ object SparkEntry {
     "q32_cosine_near_dups" -> (q32 _),
     "q33_tfidf_topk" -> (q33 _),
     "q34_redact" -> (q34 _),
-    "q35_dataset_split" -> (q35 _))
+    "q35_dataset_split" -> (q35 _),
+    "q36_topk_aggregator" -> (q36 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -916,5 +926,12 @@ object SparkEntry {
                      ELSE 'test' END AS split,
            count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS total_chars
-         FROM documents GROUP BY 1 ORDER BY split""")
+         FROM documents GROUP BY 1 ORDER BY split""",
+    "q36_topk_aggregator" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+           FROM orders) WHERE rank <= 3
+         ORDER BY o_custkey, rank""")
 }
