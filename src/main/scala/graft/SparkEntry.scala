@@ -448,6 +448,23 @@ object SparkEntry {
       .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
       .orderBy("o_custkey", "rank")
 
+  /** As-of join: each click event enriched with the latest prior purchase
+    * value per user (oracled against DuckDB's native ASOF JOIN). */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value", "event_id")
+    graft.ops.AsOf.joinAsOf(clicks, purchases, "user_id", "ts", "value",
+      "event_id", asofCol = "last_purchase_value")
+      .select(col("event_id"), col("user_id"),
+        round(col("last_purchase_value"), 6).as("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -488,7 +505,8 @@ object SparkEntry {
     "q33_tfidf_topk" -> (q33 _),
     "q34_redact" -> (q34 _),
     "q35_dataset_split" -> (q35 _),
-    "q36_topk_aggregator" -> (q36 _))
+    "q36_topk_aggregator" -> (q36 _),
+    "q37_asof_join" -> (q37 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -933,5 +951,13 @@ object SparkEntry {
              row_number() OVER (PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
            FROM orders) WHERE rank <= 3
-         ORDER BY o_custkey, rank""")
+         ORDER BY o_custkey, rank""",
+    "q37_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+           round(r.value, 6) AS last_purchase_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""")
 }
