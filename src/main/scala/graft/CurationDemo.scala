@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
+
+/** End-to-end training-data curation over a document corpus — the composed
+  * form of the ops suite (what a data-curation user actually runs):
+  *
+  *   exact dedup → near-dup dedup (MinHash LSH) → quality gate →
+  *   PII redaction → language/quality profile → deterministic split →
+  *   partitioned parquet by split.
+  *
+  * Usage: runMain graft.CurationDemo [sfDir] [outDir]
+  */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-curation")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+    val n0 = docs.count()
+
+    // 1. exact dedup: drop all but the first doc of each identical text
+    val exactDrops = Dedup.exactDropIds(docs, "doc_id", "text")
+      .select(col("id")).cache()
+    val nExact = exactDrops.count()
+
+    // 2. near-dup dedup: MinHash-LSH pairs at Jaccard >= 0.5, drop the
+    //    higher id of each pair
+    val nearDrops = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5).select(col("id_b").as("id")).distinct().cache()
+    val nNear = nearDrops.count()
+
+    // 3+4. quality gate + drop lists (exact and near lists can overlap)
+    val allDrops = exactDrops.unionByName(nearDrops).distinct().cache()
+    val nDrops = allDrops.count()
+    val curated = Curation.qualityFilter(docs, "text", minScore = 0.3,
+      dropIds = allDrops)
+    // 5. redact + profile + split
+    val finalDf = Curation
+      .redactSits(curated, "text", graft.pipeline.DefaultSits.all)
+      .withColumn("lang_pred", TextAnalysis.langIdCol(col("text")))
+      .withColumn("n_tokens", size(TextAnalysis.tokensCol(col("text"))))
+      .withColumn("fingerprint", TextAnalysis.fingerprintCol(col("text")))
+      .withColumn("split", Curation.splitCol(col("doc_id")))
+      .select("doc_id", "split", "lang_pred", "quality_score", "n_tokens",
+        "n_redactions", "fingerprint", "redacted_text")
+      .cache()
+    val perSplit = finalDf.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    outDir.foreach { dir =>
+      finalDf.write.mode("overwrite").partitionBy("split").parquet(dir)
+    }
+
+    val kept = finalDf.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[curation] $n0 docs -> removed $nDrops dup docs " +
+      f"($nExact exact, $nNear near-dup, lists overlap), " +
+      f"${n0 - nDrops - kept} low-quality; " +
+      f"kept $kept (${perSplit.getOrElse("train", 0L)} train / " +
+      f"${perSplit.getOrElse("val", 0L)} val / ${perSplit.getOrElse("test", 0L)} test) " +
+      f"in $secs%.1f s")
+    spark.stop()
+  }
+}
