@@ -36,7 +36,7 @@ object AsOf {
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col(valueCol).as("_rv"), col(idCol).cast("long").as("_rid"),
           lit(0).as("_side"))): _*)
-      .select(l.columns.map(col): _*) // align column order
+      .select(l.columns.toIndexedSeq.map(col): _*) // align column order
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("_side"), col("_rid"))
       .rowsBetween(Window.unboundedPreceding, 0)

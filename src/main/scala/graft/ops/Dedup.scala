@@ -65,7 +65,7 @@ object Dedup {
     * explode + partial-aggregated `min` instead, which whole-stage-codegens —
     * higher-order lambdas are interpreted and dominate runtime otherwise.) */
   def minhashSigCol(shingles: Column, perm: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(perm + ":"), s))))
+    array_min(transform(shingles, s => md5(concat(lit(s"$perm:"), s))))
 
   /** Per-doc LSH band keys, one row per (id, band): shingles are exploded
     * once, the `bands*rows` md5s run inside codegen, and map-side partial
@@ -76,9 +76,9 @@ object Dedup {
     val exploded = df.select(col(idCol).cast("long").as("id"),
       explode(shinglesCol(col(textCol), n)).as("sh"))
     val sigs = exploded.groupBy("id").agg(
-      min(md5(concat(lit(perms.head + ":"), col("sh")))).as(s"sig${perms.head}"),
+      min(md5(concat(lit(s"${perms.head}:"), col("sh")))).as(s"sig${perms.head}"),
       perms.tail.map(j =>
-        min(md5(concat(lit(j + ":"), col("sh")))).as(s"sig$j")): _*)
+        min(md5(concat(lit(s"$j:"), col("sh")))).as(s"sig$j")): _*)
     sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         concat_ws("|", (lit(b.toString) +: (0 until rows).map(r =>
