@@ -26,13 +26,21 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Isolate each query: a fresh child session (same SparkContext, clean
+      // catalog/temp-view/conf state) and a post-query cache clear + GC so the
+      // ContextCleaner reclaims broadcasts/shuffles before the next timing —
+      // otherwise late-running queries inherit ~30 queries of accumulated
+      // driver state and their recorded times drift far above isolated runs.
+      val qSession = spark.newSession()
       val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() } catch {
+      val n = try { fn(qSession, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
           -1L
       }
       val secs = (System.nanoTime() - t0) / 1e9
+      qSession.catalog.clearCache()
+      System.gc()
       System.err.println(f"[bench] $name: $secs%.2f s ($n rows)")
       name -> secs
     }

@@ -536,7 +536,7 @@ object SparkEntry {
          count(*) AS n FROM lineitem GROUP BY 1 ORDER BY label""",
     "q06_star_join" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-         sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS revenue_cents
+         CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -571,10 +571,10 @@ object SparkEntry {
          SELECT CASE WHEN r < 30 THEN '1' WHEN r < 60 THEN '2-3'
                      WHEN r < 90 THEN '4-6' ELSE '>6' END AS bucket,
            count(*) AS n_docs,
-           sum(CASE WHEN r < 30 THEN 1
+           CAST(sum(CASE WHEN r < 30 THEN 1
                     WHEN r < 60 THEN 2 + (o_orderkey*16807)%2
                     WHEN r < 90 THEN 4 + (o_orderkey*69621)%3
-                    ELSE 7 + (o_orderkey*40692)%4 END) AS total_sits
+                    ELSE 7 + (o_orderkey*40692)%4 END) AS BIGINT) AS total_sits
          FROM r GROUP BY 1 ORDER BY bucket""",
     "q11_confidence_case" ->
       """SELECT label,
@@ -828,7 +828,7 @@ object SparkEntry {
     "q27_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
          count(*) AS n_events,
-         sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q28_luhn_ccn" ->
       """WITH b AS (SELECT o_orderkey,
@@ -866,8 +866,8 @@ object SparkEntry {
                   THEN 1 ELSE 0 END AS ns
            FROM l),
          s AS (SELECT user_id, ts,
-             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM n)
          SELECT user_id, session_id, count(*) AS n_events,
            strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -875,7 +875,7 @@ object SparkEntry {
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
     "q31_salted_agg" ->
       """SELECT event_type, count(*) AS n,
-         sum(CAST(floor(value * 100) AS BIGINT)) AS total
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q32_cosine_near_dups" ->
       """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora (BASELINE.json
@@ -22,6 +23,34 @@ object Dedup {
   /** Lowercased word tokens (ASCII word chars). */
   def tokensCol(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Drop rows whose `keyCol` bucket has more than `maxBucket` members.
+    *
+    * Every pair generator below collapses a bucket into one row and emits
+    * its member combinations — O(n²) in bucket size. Honest LSH parameters
+    * keep buckets tiny, but at 100 TB one degenerate bucket (millions of
+    * empty/boilerplate docs sharing a band) would materialize an
+    * O(n²)-element array in a single task and OOM it. This guard counts per
+    * bucket with a window aggregate — which hash-partitions on `keyCol`,
+    * exactly the distribution the downstream groupBy requires, so
+    * EnsureRequirements inserts no second exchange — and drops oversized
+    * buckets before any pair array exists. Members of a dropped bucket are
+    * by construction near-identical under the sketch; route them through
+    * `exactGroups` instead of pairwise comparison. Use [[oversizedBuckets]]
+    * to account for what was dropped. */
+  private[ops] def capBuckets(df: DataFrame, keyCol: String,
+                              maxBucket: Int): DataFrame =
+    df.withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+
+  /** Accounting twin of the `maxBucket` guard: every bucket of `keyCol`
+    * that the capped pair generators would drop, with its member count.
+    * Feed it the same keyed frame (e.g. [[minhashBands]] output on "band"). */
+  def oversizedBuckets(df: DataFrame, keyCol: String,
+                       maxBucket: Int): DataFrame =
+    df.groupBy(keyCol).agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
 
   /** Pure shingle kernel (n-gram windowing over lowercased word tokens;
     * short texts collapse to one whole-text shingle). */
@@ -90,12 +119,14 @@ object Dedup {
     * the band key. Only (id, band) rows are shuffled — shingle sets are
     * re-attached per side after pair dedup, never carried through the join. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, bands: Int = 4, rows: Int = 2): DataFrame = {
+                        n: Int = 3, bands: Int = 4, rows: Int = 2,
+                        maxBucket: Int = 10000): DataFrame = {
     val bandDf = minhashBands(df, idCol, textCol, n, bands, rows)
     // pairs within a band bucket via in-group combinations — one pass over
     // the band table (a self-join would evaluate the whole minhash pipeline
-    // twice) and no skew: bucket sizes are tiny for honest LSH parameters
-    val pairs = bandDf.groupBy("band").agg(collect_list(col("id")).as("ids"))
+    // twice); `capBuckets` bounds the per-bucket pair blowup at scale
+    val pairs = capBuckets(bandDf, "band", maxBucket)
+      .groupBy("band").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(
@@ -123,8 +154,9 @@ object Dedup {
   /** MinHash LSH candidates verified by exact shingle Jaccard ≥ threshold. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
-                      bands: Int = 4, rows: Int = 2): DataFrame =
-    minhashCandidates(df, idCol, textCol, n, bands, rows)
+                      bands: Int = 4, rows: Int = 2,
+                      maxBucket: Int = 10000): DataFrame =
+    minhashCandidates(df, idCol, textCol, n, bands, rows, maxBucket)
       .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -134,14 +166,20 @@ object Dedup {
     * identical-shingle groups — use for verification/small corpora; the LSH
     * path is the scale route. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxBucket: Int = 10000): DataFrame = {
     val inv = df.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(shinglesCol(col(textCol), n))).as("shingle"))
     val sizes = inv.groupBy("id").agg(count(lit(1)).as("n_sh"))
     // co-occurrence counting via per-shingle in-group combinations — one
     // evaluation of the shingle pipeline (a self-join would run it twice);
-    // sorting ids first makes (id_a, id_b) ordered by construction
-    val inter = inv.groupBy("shingle")
+    // sorting ids first makes (id_a, id_b) ordered by construction.
+    // NOTE the cap here drops *shingles* shared by too many docs — stopword
+    // shingles carry no Jaccard signal anyway, so this doubles as the
+    // standard frequent-shingle filter (undercounts n_common for pairs that
+    // shared only ultra-common shingles; their jaccard was ≈0 regardless)
+    val inter = capBuckets(inv, "shingle", maxBucket)
+      .groupBy("shingle")
       .agg(array_sort(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -209,7 +247,7 @@ object Dedup {
     * all-pairs work. Pairs are then verified with the exact bit distance. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       bits: Int = 32, chunks: Int = 4,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
     require(maxDist < chunks, "pigeonhole needs maxDist < chunks")
     val chunkBits = bits / chunks
     val mask = (1L << chunkBits) - 1
@@ -220,7 +258,8 @@ object Dedup {
         concat_ws(":", lit(c.toString),
           shiftrightunsigned(col("simhash"), c * chunkBits).bitwiseAND(mask))
       }: _*)).as("chunk_key"))
-    val pairs = keyed.groupBy("chunk_key")
+    val pairs = capBuckets(keyed, "chunk_key", maxBucket)
+      .groupBy("chunk_key")
       .agg(collect_list(struct(col("id"), col("simhash"))).as("members"))
       .filter(size(col("members")) > 1)
       .select(explode(flatten(transform(col("members"), (x, i) =>

@@ -117,16 +117,36 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (a<b, sim ≥ threshold) over LSH
-    * buckets — the embedding leg of the dedup suite. */
+    * buckets — the embedding leg of the dedup suite.
+    *
+    * Shaped for 100 TB: the pair candidates come from in-bucket id
+    * combinations over a narrow (id, bucket) frame — a capped bucket
+    * (`maxBucket`, guarding against one hot bucket going quadratic in a
+    * single task) of 8-byte ids, never a self-join carrying full embedding
+    * vectors. Vectors are re-attached per pair side only after the
+    * candidate set is fixed, so each embedding crosses the wire once per
+    * pair membership instead of once per bucket sibling. */
   def cosineNearDups(df: DataFrame, threshold: Double, nBits: Int = 8,
                      dim: Int = 64, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+                     vecCol: String = "embedding",
+                     maxBucket: Int = 10000): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val keyed = df.select(col(idCol).cast("long").as("id"),
       lshBucketCol(col(vecCol), nBits, dim).as("bucket"))
-    v.alias("a").join(v.alias("b"), Seq("bucket"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosineCol(col("a.vec"), col("b.vec")), 6).as("cosine_sim"))
+    // one bucket per id (single table) → combinations are already distinct
+    val pairs = Dedup.capBuckets(keyed, "bucket", maxBucket)
+      .groupBy("bucket").agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    pairs
+      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosineCol(col("vec_a"), col("vec_b")), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 }

@@ -82,6 +82,40 @@ class OpsSpec extends SparkSpec {
     pairs.values.foreach(d => assert(d <= 6))
   }
 
+  test("bucket cap: 10k identical docs complete, dropped buckets accounted") {
+    // a degenerate corpus where every doc shares every LSH bucket — without
+    // the cap each pair generator would materialize ~50M pairs in one task
+    val clones = spark.range(10000)
+      .select(col("id"), lit("same text everywhere again and again").as("text"))
+    assert(Dedup.minhashNearDups(clones, "id", "text", threshold = 0.5,
+      n = 2, bands = 2, rows = 2, maxBucket = 100).count() == 0)
+    assert(Dedup.ngramJaccardPairs(clones, "id", "text", n = 2,
+      threshold = 0.5, maxBucket = 100).count() == 0)
+    assert(Dedup.simhashNearDups(clones, "id", "text", bits = 32, chunks = 8,
+      maxDist = 6, maxBucket = 100).count() == 0)
+    // accounting twin reports exactly what was dropped
+    val over = Dedup.oversizedBuckets(
+      Dedup.minhashBands(clones, "id", "text", 2, 2, 2), "band", 100).collect()
+    assert(over.nonEmpty && over.forall(_.getAs[Long]("n_members") == 10000L))
+    // members of a dropped bucket are identical → the exact-dedup route
+    // recovers them without pairwise work
+    assert(Dedup.exactGroups(clones, "id", "text")
+      .filter(col("n_docs") === 10000).count() == 1)
+    // embedding leg: one hot bucket of 10k identical vectors is capped too
+    val vecs = spark.range(10000).select(col("id").as("vec_id"),
+      array((0 until 64).map(i => lit(0.1f * ((i % 7) - 3))): _*).as("embedding"))
+    assert(Similarity.cosineNearDups(vecs, 0.9, nBits = 8, dim = 64,
+      maxBucket = 100).count() == 0)
+  }
+
+  test("bucket cap leaves normal corpora unchanged") {
+    def pairsOf(maxBucket: Int) =
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3,
+        n = 2, bands = 8, rows = 1, maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(10000) == pairsOf(5)) // 5-doc corpus: no bucket near cap
+  }
+
   test("cosine: self-similarity 1, orthogonal 0, topk ranks by similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
