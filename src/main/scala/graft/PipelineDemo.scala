@@ -50,10 +50,22 @@ object PipelineDemo {
       PostProcess.export(derived, s"$dir/files")
       finalMapping.coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(s"$dir/mapping_csv")
-      val rows = finalMapping.columns.toSeq +:
-        finalMapping.collect().map(_.toSeq.map(v => if (v == null) "" else v.toString)).toSeq
-      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "mapping_final.xlsx"),
-        graft.sink.MiniFormats.xlsxBytes(rows))
+      // XLSX is a single zip stream by format, so it is built in ONE task —
+      // but on an executor via foreachPartition, not via a driver collect:
+      // driver memory stays flat no matter how large the mapping grows
+      // (same single-object caveat as the reference's meta.json envelope,
+      // see MetaJson; the JSONL/CSV sinks are the true distributed paths).
+      val header = finalMapping.columns.toSeq
+      val xlsxPath = java.nio.file.Paths.get(dir, "mapping_final.xlsx")
+        .toAbsolutePath.toString
+      finalMapping.coalesce(1).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          val rows = header +: it.map(_.toSeq.map(v =>
+            if (v == null) "" else v.toString)).toSeq
+          java.nio.file.Files.write(java.nio.file.Paths.get(xlsxPath),
+            graft.sink.MiniFormats.xlsxBytes(rows))
+          ()
+      }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(dir, "validation_report.txt"), reportText)
     }

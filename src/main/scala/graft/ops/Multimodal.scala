@@ -23,10 +23,52 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** ======== STUB: deterministic fake decoder ========
-    * Real implementation would dispatch on magic bytes to an image/audio
+  /** REAL image header decode — dimensions straight from the container
+    * header bytes, no codec library required. Handles PNG (IHDR), JPEG
+    * (SOFn frame header, skipping entropy-free segments), and GIF (logical
+    * screen descriptor). Returns None for anything else. */
+  def imageHeaderMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes == null || bytes.length < 10) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1) // big-endian (PNG/JPEG)
+    def u16le(i: Int) = u8(i) | (u8(i + 1) << 8) // little-endian (GIF)
+    def u32(i: Int) = (u16(i) << 16) | u16(i + 2)
+    if (u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G') {
+      // PNG signature, then the IHDR chunk is mandatory-first:
+      // length(4) "IHDR"(4) width(4) height(4)
+      if (bytes.length >= 24 &&
+        new String(bytes, 12, 4, "US-ASCII") == "IHDR")
+        Some(("png", u32(16), u32(20)))
+      else None
+    } else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8') {
+      // GIF87a/89a: 6-byte version then LE width/height
+      Some(("gif", u16le(6), u16le(8)))
+    } else if (u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first SOFn (C0..CF minus the
+      // non-frame C4/C8/CC); SOF payload = precision(1) height(2) width(2)
+      var i = 2
+      while (i + 9 < bytes.length) {
+        if (u8(i) != 0xff) return None // desynced — not a valid stream
+        val marker = u8(i + 1)
+        if (marker == 0xff) { i += 1 } // fill byte
+        else if ((marker >= 0xd0 && marker <= 0xd9) || marker == 0x01) {
+          i += 2 // standalone marker, no length field
+        } else if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return Some(("jpeg", u16(i + 7), u16(i + 5)))
+        } else {
+          i += 2 + u16(i + 2) // skip segment by its declared length
+        }
+      }
+      None
+    } else None
+  }
+
+  /** ======== STUB: deterministic fake decoder (non-image formats) ========
+    * Real implementation would dispatch on magic bytes to an audio/video
     * codec. The fake derives metadata purely from the byte content so tests
-    * are reproducible. */
+    * are reproducible. Image formats never reach this — [[imageHeaderMeta]]
+    * handles them for real. */
   def fakeDecodeMeta(bytes: Array[Byte]): (String, Long, Int, Int, Long) = {
     if (bytes == null || bytes.isEmpty) return ("empty", 0L, 0, 0, 0L)
     val b0 = bytes(0) & 0xff
@@ -36,8 +78,16 @@ object Multimodal {
     (mediaType, bytes.length.toLong, w, h, bytes.length.toLong * 10)
   }
 
+  /** Metadata decode: real header parse for recognized image containers,
+    * deterministic fake for everything else (no audio/video libs here). */
+  def decodeMeta(bytes: Array[Byte]): (String, Long, Int, Int, Long) =
+    imageHeaderMeta(bytes) match {
+      case Some((_, w, h)) => ("image", bytes.length.toLong, w, h, 0L)
+      case None            => fakeDecodeMeta(bytes)
+    }
+
   private val decodeMetaUdf = udf { (bytes: Array[Byte]) =>
-    val (t, n, w, h, d) = fakeDecodeMeta(bytes)
+    val (t, n, w, h, d) = decodeMeta(bytes)
     (t, n, w, h, d)
   }
 
@@ -79,7 +129,7 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val (t, n, _, _, _) = fakeDecodeMeta(bytes)
+        val (t, n, _, _, _) = decodeMeta(bytes)
         // STUB feature: byte-histogram projection, deterministic
         val feat = new Array[Double](dim)
         if (bytes != null) bytes.foreach { b => feat((b & 0xff) % dim) += 1.0 }

@@ -97,21 +97,28 @@ object TextAnalysis {
 
   /** TF-IDF top-`k` terms per document: token explode → (doc,term) counts →
     * document frequencies → smoothed idf — two hash aggregations and a
-    * window, all partial-aggregated; no collect, no cross join.
-    * tf = term count in doc; idf = ln((N+1)/(df+1)); ties broken by term. */
+    * window, all partial-aggregated; no collect, no driver-side count.
+    * tf = term count in doc; idf = ln((N+1)/(df+1)); ties broken by term.
+    *
+    * Scale shape: N folds into the DAG as a broadcast 1-row aggregate
+    * (no extra `df.count()` job at plan-construction), and `dfreq` — the
+    * vocabulary, which Heaps' law keeps orders of magnitude smaller than
+    * the corpus — is broadcast, so the big (doc,term) side never shuffles
+    * on term; its (id,term) exchange is also reused for the dfreq branch.
+    * The only full shuffles are the tf aggregation and the per-doc window. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
-    val spark = df.sparkSession
     val terms = df.select(col(idCol).cast("long").as("id"),
       explode(tokensCol(col(textCol))).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val n = df.count() // one small job; N is a plan constant thereafter
+    val nDf = df.agg(count(lit(1)).cast("double").as("n_docs"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
-        round(col("tf") * log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)), 6))
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("id", "rank", "term", "tf", "df", "tfidf")

@@ -145,15 +145,49 @@ object MiniFormats {
       "xl/worksheets/sheet1.xml" -> sheet.getBytes(UTF_8)))
   }
 
-  /** Rows of inline-string cells (S7 scan: inverse of [[xlsxBytes]]). */
+  private def xmlUnescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
+  /** Rows of cells (S7 scan). Reads BOTH dialects: our own inline-string
+    * output (inverse of [[xlsxBytes]]) and externally-produced workbooks in
+    * the shared-strings + cell-reference style (openpyxl/Excel — the
+    * reference's `modules/validator.py:29-30` reads `mapping_final.xlsx`
+    * with openpyxl, so scan parity requires this). Cell positions honor the
+    * `r="A1"` reference so omitted empty cells keep columns aligned; rich
+    *-text shared strings concatenate their `<t>` runs. */
   def xlsxRows(bytes: Array[Byte]): Seq[Seq[String]] =
     unzipEntry(bytes, "xl/worksheets/sheet1.xml").map { xml =>
       val s = new String(xml, UTF_8)
-      "<row>(.*?)</row>".r.findAllMatchIn(s).map { r =>
-        "<t[^>]*>(.*?)</t>".r.findAllMatchIn(r.group(1)).map { c =>
-          c.group(1).replace("&amp;", "&").replace("&lt;", "<")
-            .replace("&gt;", ">").replace("&quot;", "\"")
-        }.toSeq
+      val shared: IndexedSeq[String] =
+        unzipEntry(bytes, "xl/sharedStrings.xml").map { sx =>
+          "(?s)<si>(.*?)</si>".r.findAllMatchIn(new String(sx, UTF_8)).map { m =>
+            "(?s)<t[^>]*>(.*?)</t>".r.findAllMatchIn(m.group(1))
+              .map(t => xmlUnescape(t.group(1))).mkString
+          }.toIndexedSeq
+        }.getOrElse(IndexedSeq.empty)
+      def inlineText(body: String): String =
+        "(?s)<t[^>]*>(.*?)</t>".r.findAllMatchIn(body)
+          .map(t => xmlUnescape(t.group(1))).mkString
+      "(?s)<row[^>]*>(.*?)</row>".r.findAllMatchIn(s).map { r =>
+        val cells = scala.collection.mutable.ArrayBuffer[String]()
+        "(?s)<c\\b([^>]*?)(?:/>|>(.*?)</c>)".r.findAllMatchIn(r.group(1))
+          .foreach { c =>
+            val attrs = c.group(1)
+            val body = Option(c.group(2)).getOrElse("")
+            val colIdx = "r=\"([A-Z]+)[0-9]+\"".r.findFirstMatchIn(attrs)
+              .map(_.group(1).foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1)
+              .getOrElse(cells.length)
+            while (cells.length <= colIdx) cells += ""
+            cells(colIdx) =
+              if (attrs.contains("t=\"s\""))
+                "<v>([0-9]+)</v>".r.findFirstMatchIn(body)
+                  .map(m => shared(m.group(1).toInt)).getOrElse("")
+              else if (attrs.contains("t=\"inlineStr\"")) inlineText(body)
+              else "(?s)<v>(.*?)</v>".r.findFirstMatchIn(body)
+                .map(m => xmlUnescape(m.group(1))).getOrElse(inlineText(body))
+          }
+        cells.toSeq
       }.toSeq
     }.getOrElse(Seq.empty)
 
@@ -217,17 +251,131 @@ object MiniFormats {
     sb.toString.getBytes(UTF_8)
   }
 
-  /** Per-page text, pages joined with `\n` (read_pdf semantics — works on
-    * uncompressed Tj streams like ours). */
+  /** Adobe ASCII85 decode ('z' = four zero bytes, terminator `~>`,
+    * whitespace ignored) — PDF `/ASCII85Decode` filter. */
+  private[sink] def ascii85Decode(in: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Int](5)
+    var n = 0
+    val body = in.stripPrefix("<~").takeWhile(_ != '~')
+    body.foreach { c =>
+      if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        buf(n) = c - '!'; n += 1
+        if (n == 5) {
+          var v = 0L; buf.foreach(d => v = v * 85 + d)
+          out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+          out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+          n = 0
+        }
+      } // anything else (whitespace) is ignored per spec
+    }
+    if (n > 1) { // partial group: pad with 'u', emit n-1 bytes
+      var i = n
+      while (i < 5) { buf(i) = 84; i += 1 }
+      var v = 0L; buf.foreach(d => v = v * 85 + d)
+      val bs = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bs, 0, n - 1)
+    }
+    out.toByteArray
+  }
+
+  /** zlib inflate (PDF `/FlateDecode`); retries raw-deflate for producers
+    * that omit the zlib wrapper. */
+  private[sink] def inflate(in: Array[Byte]): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      inf.setInput(in)
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = inf.inflate(buf)
+      while (n > 0) {
+        out.write(buf, 0, n)
+        n = if (inf.finished()) 0 else inf.inflate(buf)
+      }
+      inf.end()
+      out.toByteArray
+    }
+    try run(false)
+    catch { case _: java.util.zip.DataFormatException => run(true) }
+  }
+
+  /** PDF string-literal unescape: \(, \), \\, \n, \r, \t, \b, \f, \ooo
+    * octal, and line-continuation backslash. */
+  private def pdfUnescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'b' => sb += '\b'; i += 2
+          case 'f' => sb += '\f'; i += 2
+          case '\n' => i += 2
+          case o if o >= '0' && o <= '7' =>
+            var j = i + 1; var v = 0
+            while (j < s.length && j < i + 4 &&
+              s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+              v = v * 8 + (s.charAt(j) - '0'); j += 1
+            }
+            sb += v.toChar; i = j
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private val PdfStrLit = "\\((?:[^()\\\\]|\\\\.)*\\)"
+
+  /** Text shown by one decoded content stream: every `(…) Tj` / `(…)'`
+    * line plus `[…] TJ` arrays (pieces concatenated), in operator order.
+    * None when the stream contains no text operator at all (so callers can
+    * drop non-text streams without dropping genuinely blank pages). */
+  private def pdfStreamText(content: String): Option[String] = {
+    val op = (s"($PdfStrLit)\\s*(?:Tj|')" +
+      s"|\\[((?:$PdfStrLit|[^\\]])*)\\]\\s*TJ").r
+    val lit = PdfStrLit.r
+    val pieces = op.findAllMatchIn(content).map { m =>
+      if (m.group(1) != null)
+        pdfUnescape(m.group(1).stripPrefix("(").stripSuffix(")"))
+      else
+        lit.findAllIn(m.group(2))
+          .map(x => pdfUnescape(x.stripPrefix("(").stripSuffix(")"))).mkString
+    }.toSeq
+    if (pieces.isEmpty) None else Some(pieces.mkString("\n"))
+  }
+
+  /** Per-stream text, streams joined with `\n` (read_pdf semantics,
+    * `modules/validator.py:73-87` parity). Handles our own uncompressed
+    * Tj output AND externally-produced PDFs whose content streams are
+    * `/FlateDecode` and/or `/ASCII85Decode` encoded (e.g. ReportLab, the
+    * reference's own writer) — filters are applied in pipeline order from
+    * the stream dictionary; image/XObject streams and undecodable data are
+    * skipped rather than leaking binary garbage into the text. */
   def pdfText(bytes: Array[Byte]): String = {
-    val s = new String(bytes, UTF_8)
-    val stream = "(?s)stream\n(.*?)\nendstream".r
-    val tj = "\\((?:[^()\\\\]|\\\\.)*\\) Tj".r
-    stream.findAllMatchIn(s).map { m =>
-      tj.findAllIn(m.group(1)).map { t =>
-        t.stripSuffix(" Tj").stripPrefix("(").stripSuffix(")")
-          .replace("\\(", "(").replace("\\)", ")").replace("\\\\", "\\")
-      }.mkString("\n")
+    // ISO-8859-1 is byte-preserving both ways: regex over the chars, then
+    // getBytes recovers the exact raw stream bytes for the inflater
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val stream = "(?s)stream\r?\n(.*?)endstream".r
+    stream.findAllMatchIn(s).flatMap { m =>
+      val dictStart = math.max(0, s.lastIndexOf("obj", m.start))
+      val dict = s.substring(dictStart, m.start)
+      if (dict.contains("/Image") || dict.contains("/XObject")) None
+      else try {
+        var data = m.group(1)
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (dict.contains("/ASCII85Decode"))
+          data = ascii85Decode(new String(data,
+            java.nio.charset.StandardCharsets.ISO_8859_1))
+        if (dict.contains("/FlateDecode")) data = inflate(data)
+        pdfStreamText(new String(data,
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+      } catch { case _: Exception => None }
     }.mkString("\n")
   }
 }

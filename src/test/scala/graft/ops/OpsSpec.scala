@@ -184,11 +184,50 @@ class OpsSpec extends SparkSpec {
     assert(r.getInt(1) == 6)      // Hello , world ! x 2
   }
 
+  test("tfidf: vocabulary broadcast and N folded into the DAG (no extra job)") {
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"no broadcast in:\n$plan")
+    // correctness smoke: top term of the unrelated doc is one of its own words
+    val top3 = out.filter(col("id") === 3L && col("rank") === 1)
+      .collect()(0).getAs[String]("term")
+    assert("completely different text about spark engines".split(" ").contains(top3))
+  }
+
   test("fingerprint: whitespace/case-insensitive canonical form") {
     val fp = Seq("The  QUICK fox", "the quick fox").toDF("t")
       .select(TextAnalysis.fingerprintCol(col("t")).as("f"))
       .collect().map(_.getString(0))
     assert(fp(0) == fp(1))
+  }
+
+  test("multimodal: real PNG/JPEG/GIF header decode yields true dimensions") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR chunk, width=640 height=480
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 6, 0, 0, 0)
+    // JPEG: SOI, APP0 (JFIF), SOF0 with height=100 width=200
+    val jpeg = bytes(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xc0, 0x00, 0x11, 8, 0x00, 0x64, 0x00, 0xc8,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    // GIF89a: little-endian 320x200 logical screen
+    val gif = bytes('G', 'I', 'F', '8', '9', 'a',
+      0x40, 0x01, 0xc8, 0x00, 0xf7, 0, 0)
+    assert(Multimodal.imageHeaderMeta(png).contains(("png", 640, 480)))
+    assert(Multimodal.imageHeaderMeta(jpeg).contains(("jpeg", 200, 100)))
+    assert(Multimodal.imageHeaderMeta(gif).contains(("gif", 320, 200)))
+    assert(Multimodal.imageHeaderMeta("plain text".getBytes("UTF-8")).isEmpty)
+    // and through the Spark UDF path
+    val df = Seq((1L, png), (2L, jpeg), (3L, gif)).toDF("id", "media_bytes")
+    val m = Multimodal.withMediaMeta(df, "media_bytes")
+      .select(col("id"), col("media_meta.media_type"),
+        col("media_meta.width"), col("media_meta.height"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(m(1L) == (("image", 640, 480)))
+    assert(m(2L) == (("image", 200, 100)))
+    assert(m(3L) == (("image", 320, 200)))
   }
 
   test("multimodal: deterministic fake decode + feature extraction batches") {

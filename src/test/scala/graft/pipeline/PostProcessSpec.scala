@@ -53,6 +53,35 @@ class PostProcessSpec extends SparkSpec {
     assert(count >= 2, s"expected multi-page, got /Count $count")
   }
 
+  test("S13 parity: reads a ReportLab (ASCII85+Flate) PDF from the reference") {
+    val dir = java.nio.file.Paths.get("/root/reference/output/files")
+    assume(java.nio.file.Files.exists(dir.resolve("doc_00001_email.pdf")))
+    val text = MiniFormats.pdfText(
+      java.nio.file.Files.readAllBytes(dir.resolve("doc_00001_email.pdf")))
+    assert(text.contains("From:") && text.contains("Subject:"))
+    // the PDF is the sibling .txt rendered with line wrapping only — a
+    // faithful extractor recovers the same words in the same order
+    val txt = java.nio.file.Files.readString(dir.resolve("doc_00001_email.txt"))
+    val pdfWords = text.split("\\s+").filter(_.nonEmpty).toSeq
+    val txtWords = txt.split("\\s+").filter(_.nonEmpty).toSeq
+    assert(pdfWords == txtWords,
+      s"first divergence: ${pdfWords.zip(txtWords).find(p => p._1 != p._2)}")
+  }
+
+  test("S7 parity: reads the reference's openpyxl shared-strings workbook") {
+    val p = java.nio.file.Paths.get("/root/reference/output/mapping_final.xlsx")
+    assume(java.nio.file.Files.exists(p))
+    val rows = MiniFormats.xlsxRows(java.nio.file.Files.readAllBytes(p))
+    assert(rows.length == 1473)
+    assert(rows.head.take(8) == Seq("doc_id", "filename", "format",
+      "word_count_target", "sit_ids", "labels", "instances", "confidences"))
+    // spot rows match what the same pipeline wrote to its CSV
+    assert(rows(1).take(8) == Seq("1", "doc_00001_email.txt", "email",
+      "3071", "SIT_CCN", "TP", "1", "Low"))
+    assert(rows(2).take(8) == Seq("2", "doc_00002_email_with_attachment.txt",
+      "email_with_attachment", "1017", "SIT_SSN", "TP", "1", "Low"))
+  }
+
   test("eml round-trip: single part and multipart with attachment") {
     val plain = Eml.build("s", "f@x", "t@y", "Thu, 01 Jan 1970 00:00:00 +0000",
       "line1\nline2")

@@ -47,6 +47,59 @@ class StreamingValidatorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source round-trip at reference-corpus scale converges to batch") {
+    import graft.pipeline.{ContentGen, MetaGen, Validator}
+    // perSit=100 ≈ the reference's full corpus (~1,500 docs) — the same
+    // scale BASELINE.md's end-to-end numbers are quoted at
+    val cfg = PipelineConfig.scaled(perSit = 100)
+    val corpus = ContentGen.corpus(MetaGen.docs(spark, cfg)).cache()
+    val mapping = ContentGen.mappingFromCorpus(corpus)
+    val sitDim = cfg.sitDim(spark).toDF()
+    // newlines flattened so the CSV exchange stays single-line; the batch
+    // ground truth runs on the identical flattened text
+    val flatCorpus = corpus.select(col("filename"),
+      regexp_replace(col("text"), "\n", " ").as("text"))
+    val (batchReport, _, _) = Validator.run(mapping, flatCorpus, sitDim)
+    val expected = batchReport.collect().map(r => r.getAs[String]("sit_id") ->
+      ((r.getAs[Long]("docs"), r.getAs[Long]("tp_docs"),
+        r.getAs[Long]("fp_flagged"), r.getAs[Long]("total_instances")))).toMap
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sfstream_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sfstream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sfstream_ck").toString
+    // land the whole mapping (with inline text) as CSV files, every doc in
+    // the same 10-minute event-time window
+    mapping.join(flatCorpus, "filename")
+      .select(col("doc_id"), col("filename"), col("format"),
+        col("word_count_target"), col("sit_ids"), col("labels"),
+        col("instances"), col("confidences"), col("tcs"),
+        lit("2026-01-01 10:00:00").cast("timestamp").as("created_at"),
+        col("text"))
+      .coalesce(4)
+      .write.option("header", "true").mode("overwrite").csv(inDir)
+    val q = StreamingValidator.run(spark, inDir, outDir, ckpt, sitDim)
+    try {
+      q.processAllAvailable()
+      // append mode emits a window only once the watermark passes it —
+      // land one late sentinel far in the future to close window 1
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "sentinel.csv"),
+        "doc_id,filename,format,word_count_target,sit_ids,labels," +
+          "instances,confidences,tcs,created_at,text\n" +
+          "-1,sentinel,email,1,SIT_CCN,TP,1,Low,Finance,2026-01-01 12:00:00,x")
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .filter(col("window.start").cast("string") === "2026-01-01 10:00:00")
+        .collect().map(r => r.getAs[String]("sit_id") ->
+          ((r.getAs[Long]("docs"), r.getAs[Long]("tp_docs"),
+            r.getAs[Long]("fp_flagged"), r.getAs[Long]("total_instances")))).toMap
+      assert(got.size == expected.size, s"${got.size} SITs vs ${expected.size}")
+      expected.foreach { case (sit, v) =>
+        assert(got.get(sit).contains(v), s"$sit: got ${got.get(sit)}, want $v")
+      }
+    } finally q.stop()
+  }
+
   test("file-source stream: mapping CSVs landing in a dir produce windowed parquet") {
     val inDir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
