@@ -683,12 +683,21 @@ object SparkEntry {
                   ELSE list_transform(generate_series(1, len(toks)-2),
                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
            FROM tok),
-         bands AS (SELECT doc_id,
-             ['0|' || list_min(list_transform(sh, s -> md5('0:' || s))) || '|' || list_min(list_transform(sh, s -> md5('1:' || s))),
-              '1|' || list_min(list_transform(sh, s -> md5('2:' || s))) || '|' || list_min(list_transform(sh, s -> md5('3:' || s))),
-              '2|' || list_min(list_transform(sh, s -> md5('4:' || s))) || '|' || list_min(list_transform(sh, s -> md5('5:' || s))),
-              '3|' || list_min(list_transform(sh, s -> md5('6:' || s))) || '|' || list_min(list_transform(sh, s -> md5('7:' || s)))] AS bk
+         hx AS (SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h1s,
+             list_transform(sh, s -> (('0x' || substr(md5(s), 9, 8))::BIGINT | 1)) AS h2s
            FROM sh),
+         sg AS (SELECT doc_id,
+             list_transform(generate_series(0, 7), j ->
+               list_min(list_transform(generate_series(1, len(h1s)), i ->
+                 (h1s[i] + j * h2s[i]) % 4294967296))) AS sig
+           FROM hx),
+         bands AS (SELECT doc_id,
+             ['0|' || sig[1] || '|' || sig[2],
+              '1|' || sig[3] || '|' || sig[4],
+              '2|' || sig[5] || '|' || sig[6],
+              '3|' || sig[7] || '|' || sig[8]] AS bk
+           FROM sg),
          expd AS (SELECT doc_id, unnest(bk) AS band FROM bands),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM expd a JOIN expd b ON a.band = b.band AND a.doc_id < b.doc_id),

@@ -87,27 +87,45 @@ object Dedup {
       .select("id", "content_hash")
   }
 
-  /** MinHash signature: permutation `j` is approximated by
-    * `min(md5(j || ':' || shingle))` — the lexicographic min of uniformly
-    * distributed hex strings is a valid min-hash, and is engine-portable.
-    * (Per-row array form; the distributed path below uses the equivalent
-    * explode + partial-aggregated `min` instead, which whole-stage-codegens —
-    * higher-order lambdas are interpreted and dominate runtime otherwise.) */
+  /** Kirsch–Mitzenmacher permutation value for one shingle hash: permutation
+    * `j` is `(h1 + j·h2) mod 2³²` where h1/h2 are the two 32-bit halves of
+    * the shingle's md5 (h2 forced odd). ONE digest per shingle serves every
+    * permutation — ~k× cheaper than md5-per-permutation with the same
+    * minhash collision guarantee (Kirsch & Mitzenmacher, ESA 2006) — and
+    * the arithmetic is engine-portable for the oracle. */
+  private val PermMod = 4294967296L // 2^32
+  private def kmPerm(h1: Column, h2: Column, j: Int): Column =
+    (h1 + lit(j.toLong) * h2) % PermMod
+
+  private def hex32(h: Column, start: Int): Column =
+    conv(substring(h, start, 8), 16, 10).cast("long")
+
+  /** MinHash signature for permutation `perm` (per-row array form; the
+    * distributed path below uses the equivalent explode +
+    * partial-aggregated `min`, which whole-stage-codegens). */
   def minhashSigCol(shingles: Column, perm: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(s"$perm:"), s))))
+    array_min(transform(shingles, { s =>
+      val h = md5(s)
+      kmPerm(hex32(h, 1), hex32(h, 9).bitwiseOR(lit(1L)), perm)
+    }))
 
   /** Per-doc LSH band keys, one row per (id, band): shingles are exploded
-    * once, the `bands*rows` md5s run inside codegen, and map-side partial
-    * aggregation collapses to one row per doc before any shuffle. */
+    * once, each is md5'd ONCE (all `bands*rows` permutations derive from
+    * that digest via [[kmPerm]]), and map-side partial aggregation
+    * collapses to one row per doc before any shuffle. */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    n: Int, bands: Int, rows: Int): DataFrame = {
     val perms = 0 until bands * rows
     val exploded = df.select(col(idCol).cast("long").as("id"),
       explode(shinglesCol(col(textCol), n)).as("sh"))
-    val sigs = exploded.groupBy("id").agg(
-      min(md5(concat(lit(s"${perms.head}:"), col("sh")))).as(s"sig${perms.head}"),
+    val hashed = exploded.select(col("id"), md5(col("sh")).as("h"))
+    val halves = hashed.select(col("id"),
+      hex32(col("h"), 1).as("h1"),
+      hex32(col("h"), 9).bitwiseOR(lit(1L)).as("h2"))
+    val sigs = halves.groupBy("id").agg(
+      min(kmPerm(col("h1"), col("h2"), perms.head)).as(s"sig${perms.head}"),
       perms.tail.map(j =>
-        min(md5(concat(lit(s"$j:"), col("sh")))).as(s"sig$j")): _*)
+        min(kmPerm(col("h1"), col("h2"), j)).as(s"sig$j")): _*)
     sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         concat_ws("|", (lit(b.toString) +: (0 until rows).map(r =>
