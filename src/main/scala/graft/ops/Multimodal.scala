@@ -64,6 +64,69 @@ object Multimodal {
     } else None
   }
 
+  /** REAL audio/video container header decode: WAV (RIFF `fmt `/`data`
+    * chunks → sample rate, channels, duration) and MP4 (ISO BMFF box walk
+    * to `moov/mvhd` → timescale, duration). Pure byte parsing, no codec
+    * library. Returns (kind, durationMs); None for unrecognized bytes. */
+  def avHeaderMeta(bytes: Array[Byte]): Option[(String, Long)] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def ascii(i: Int, n: Int) = new String(bytes, i, n, "US-ASCII")
+    def u32be(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def u32le(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (ascii(0, 4) == "RIFF" && bytes.length >= 12 && ascii(8, 4) == "WAVE") {
+      // chunk walk: each chunk is id(4) size(4 LE) payload(size, word-aligned)
+      var i = 12
+      var byteRate = 0L
+      var dataSize = -1L
+      while (i + 8 <= bytes.length && (byteRate == 0L || dataSize < 0L)) {
+        val id = ascii(i, 4)
+        val sz = u32le(i + 4)
+        if (id == "fmt " && i + 16 + 4 <= bytes.length) byteRate = u32le(i + 16)
+        if (id == "data") dataSize = sz
+        i += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      if (byteRate > 0 && dataSize >= 0)
+        Some(("wav", dataSize * 1000L / byteRate))
+      else if (byteRate > 0) Some(("wav", 0L))
+      else None
+    } else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") {
+      // MP4/ISO BMFF: walk top-level size(4 BE)+type(4) boxes to moov,
+      // then moov's children to mvhd: version(1)+flags(3), then v0 =
+      // ctime(4) mtime(4) timescale(4) duration(4); v1 = 8/8/4/8
+      def findBox(from: Int, to: Int, name: String): Option[(Int, Int)] = {
+        var i = from
+        while (i + 8 <= to) {
+          val sz = u32be(i)
+          if (sz < 8) return None // malformed / 64-bit sizes unsupported
+          if (ascii(i + 4, 4) == name)
+            return Some((i + 8, math.min(to, i + sz.toInt)))
+          i += sz.toInt
+        }
+        None
+      }
+      for {
+        (moovStart, moovEnd) <- findBox(0, bytes.length, "moov")
+        (mvhd, _) <- findBox(moovStart, moovEnd, "mvhd")
+        if mvhd + 4 <= bytes.length
+      } yield {
+        val version = u8(mvhd)
+        val (timescale, duration) =
+          if (version == 1 && mvhd + 32 <= bytes.length)
+            (u32be(mvhd + 20),
+              (u32be(mvhd + 24) << 32) | u32be(mvhd + 28))
+          else if (mvhd + 20 <= bytes.length)
+            (u32be(mvhd + 12), u32be(mvhd + 16))
+          else (0L, 0L)
+        ("mp4", if (timescale > 0) duration * 1000L / timescale else 0L)
+      }
+    } else None
+  }
+
   /** ======== STUB: deterministic fake decoder (non-image formats) ========
     * Real implementation would dispatch on magic bytes to an audio/video
     * codec. The fake derives metadata purely from the byte content so tests
@@ -78,12 +141,17 @@ object Multimodal {
     (mediaType, bytes.length.toLong, w, h, bytes.length.toLong * 10)
   }
 
-  /** Metadata decode: real header parse for recognized image containers,
-    * deterministic fake for everything else (no audio/video libs here). */
+  /** Metadata decode: real header parse for recognized image (PNG/JPEG/
+    * GIF) and audio/video (WAV/MP4) containers, deterministic fake for
+    * everything else (full-stream decode needs codec libs absent here). */
   def decodeMeta(bytes: Array[Byte]): (String, Long, Int, Int, Long) =
     imageHeaderMeta(bytes) match {
       case Some((_, w, h)) => ("image", bytes.length.toLong, w, h, 0L)
-      case None            => fakeDecodeMeta(bytes)
+      case None => avHeaderMeta(bytes) match {
+        case Some(("wav", ms)) => ("audio", bytes.length.toLong, 0, 0, ms)
+        case Some((_, ms))     => ("video", bytes.length.toLong, 0, 0, ms)
+        case None              => fakeDecodeMeta(bytes)
+      }
     }
 
   private val decodeMetaUdf = udf { (bytes: Array[Byte]) =>

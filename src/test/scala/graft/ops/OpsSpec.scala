@@ -230,6 +230,31 @@ class OpsSpec extends SparkSpec {
     assert(m(3L) == (("image", 320, 200)))
   }
 
+  test("multimodal: real WAV/MP4 header decode yields true durations") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // WAV: RIFF/WAVE, fmt chunk with byteRate=16000 B/s, data chunk 32000 B
+    // → 2000 ms
+    val wav = bytes('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, 1, 0, 0x80, 0x3e, 0, 0, 0x80, 0x3e, 0, 0, 2, 0, 16, 0) ++
+      bytes('d', 'a', 't', 'a', 0x00, 0x7d, 0, 0) // 32000 LE
+    assert(Multimodal.avHeaderMeta(wav).contains(("wav", 2000L)))
+    // MP4: ftyp box then moov>mvhd v0 with timescale=600, duration=1800
+    // → 3000 ms
+    val ftyp = bytes(0, 0, 0, 16, 'f', 't', 'y', 'p',
+      'i', 's', 'o', 'm', 0, 0, 0, 1)
+    val mvhd = bytes(0, 0, 0, 32, 'm', 'v', 'h', 'd',
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0x02, 0x58, 0, 0, 0x07, 0x08) // timescale 600, duration 1800
+    val moov = bytes(0, 0, 0, 8 + 32, 'm', 'o', 'o', 'v') ++ mvhd
+    assert(Multimodal.avHeaderMeta(ftyp ++ moov).contains(("mp4", 3000L)))
+    assert(Multimodal.avHeaderMeta("not media at all".getBytes("UTF-8")).isEmpty)
+    // through decodeMeta: typed as audio/video with duration populated
+    assert(Multimodal.decodeMeta(wav) == (("audio", wav.length.toLong, 0, 0, 2000L)))
+    val mp4 = ftyp ++ moov
+    assert(Multimodal.decodeMeta(mp4) == (("video", mp4.length.toLong, 0, 0, 3000L)))
+  }
+
   test("multimodal: deterministic fake decode + feature extraction batches") {
     val bin = Multimodal.synthesizeBinary(docs, "doc_id", "text")
     val withMeta = Multimodal.withMediaMeta(bin, "media_bytes")
