@@ -95,31 +95,34 @@ object TextAnalysis {
   def winnowSketchCol(text: Column, k: Int = 8, n: Int = 4): Column =
     slice(array_sort(transform(Dedup.shinglesCol(text, n), s => md5(s))), 1, k)
 
-  /** TF-IDF top-`k` terms per document: token explode → (doc,term) counts →
-    * document frequencies → smoothed idf — two hash aggregations and a
-    * window, all partial-aggregated; no collect, no driver-side count.
+  /** TF-IDF top-`k` terms per document, in ONE pass over the corpus:
+    * token explode → (doc,term) counts → document frequency as a window
+    * count over the tf frame itself → smoothed idf — no self-join, no
+    * second scan, no collect, no driver-side count.
     * tf = term count in doc; idf = ln((N+1)/(df+1)); ties broken by term.
     *
-    * Scale shape: N folds into the DAG as a broadcast 1-row aggregate
-    * (no extra `df.count()` job at plan-construction), and `dfreq` — the
-    * vocabulary, which Heaps' law keeps orders of magnitude smaller than
-    * the corpus — is broadcast, so the big (doc,term) side never shuffles
-    * on term; its (id,term) exchange is also reused for the dfreq branch.
-    * The only full shuffles are the tf aggregation and the per-doc window. */
+    * Scale shape: tf rows are distinct per (doc,term), so df(term) is
+    * exactly `count(*) over (partition by term)` on tf — a shuffle of the
+    * compact tf table rather than a join against a separately-computed
+    * vocabulary (a dfreq branch is NOT plan-shared: column pruning turns
+    * it into a distinct-aggregate subtree that defeats ReuseExchange, so
+    * the corpus would be scanned and exploded twice — verified in
+    * PlanAuditSpec, which pins the single-scan shape). N folds in as a
+    * broadcast 1-row aggregate over a footer-only row-count scan. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     val terms = df.select(col(idCol).cast("long").as("id"),
       explode(tokensCol(col(textCol))).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val nDf = df.agg(count(lit(1)).cast("double").as("n_docs"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select("id", "rank", "term", "tf", "df", "tfidf")
   }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: pins the scale-critical plan properties (pushdown,
+  * broadcasts, shuffle counts, exchange reuse) as regression tests, so a
+  * future refactor that silently de-optimizes a plan fails CI instead of
+  * only showing up at cluster scale.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, needle: String): Int =
+    s.sliding(needle.length).count(_ == needle)
+
+  test("parquet scan: filter and projection reach the scan") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_totalprice")
+    val plan = physical(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderpriority), " +
+      "EqualTo(o_orderpriority,1-URGENT)]"), s"no pushed filter in:\n$plan")
+    // pruned read schema: only the referenced columns, not all 9
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint," +
+      "o_totalprice:double,o_orderpriority:string>"),
+      s"projection not pruned in:\n$plan")
+  }
+
+  test("star join: every dimension side is broadcast, fact never shuffles") {
+    val q06 = SparkEntry.queries("q06_star_join")(spark, sf)
+    val plan = physical(q06)
+    assert(countOccurrences(plan, "BroadcastHashJoin") == 3,
+      s"expected 3 broadcast joins in:\n$plan")
+    // the only exchanges are the 3 dim broadcasts + the final agg/sort —
+    // no shuffle-hash or sort-merge join of the fact table
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"fact table shuffled for a join in:\n$plan")
+  }
+
+  test("exact dedup: exactly one shuffle, keyed on the 16-byte hash") {
+    val plan = physical(graft.ops.Dedup.exactGroups(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text"))
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
+      s"expected exactly 1 shuffle in:\n$plan")
+    assert(plan.contains("hashpartitioning(content_hash"),
+      s"shuffle not keyed on content_hash in:\n$plan")
+    // partial aggregation runs before the exchange (map-side combine)
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"no map-side partial aggregation in:\n$plan")
+  }
+
+  test("capBuckets guard: the window count adds NO second exchange") {
+    // minhashCandidates groups by band after the window-count cap; both
+    // need hashpartitioning(band) — EnsureRequirements must plan ONE
+    // band exchange, proving the documented no-extra-shuffle claim
+    val cand = graft.ops.Dedup.minhashCandidates(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      n = 3, bands = 4, rows = 2, maxBucket = 1000)
+    val plan = physical(cand)
+    assert(countOccurrences(plan, "hashpartitioning(band") <= 2, // exchange + its reuse mention
+      s"extra band exchange introduced by capBuckets in:\n$plan")
+    val bandExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(band"))
+      .size
+    assert(bandExchanges == 1,
+      s"expected exactly 1 band exchange, got $bandExchanges in:\n$plan")
+  }
+
+  test("tfidf: single corpus scan — df via window, N via broadcast") {
+    val plan = physical(graft.ops.TextAnalysis.tfidfTopTerms(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", k = 3))
+    // exactly ONE scan reads the text column (the N-count scan is
+    // footer-only, ReadSchema struct<>) and nothing joins the tf table
+    assert(countOccurrences(plan, "ReadSchema: struct<doc_id:bigint,text:string>") == 1,
+      s"corpus scanned more than once in:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"N not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"tf table shuffled for a join in:\n$plan")
+  }
+
+  test("as-of join: single shuffle on the union, no nested-loop join") {
+    val q37 = SparkEntry.queries("q37_asof_join")(spark, sf)
+    val plan = physical(q37)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"as-of join degenerated to a product join in:\n$plan")
+  }
+
+  test("validator DAG: dim joins broadcast, no driver collect in plan") {
+    val cfg = graft.pipeline.PipelineConfig.scaled(perSit = 2)
+    val corpus = graft.pipeline.ContentGen.corpus(
+      graft.pipeline.MetaGen.docs(spark, cfg))
+    val mapping = graft.pipeline.ContentGen.mappingFromCorpus(corpus)
+    val (report, _, _) = graft.pipeline.Validator.run(
+      mapping, corpus.select("filename", "text"), cfg.sitDim(spark).toDF())
+    val plan = physical(report)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sit dim not broadcast in:\n$plan")
+  }
+}
