@@ -475,6 +475,20 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Exact grouped quantiles (the oracle-able twin of the approx_percentile
+    * sketch path — `ops/Sketches`): per-priority order-value quartiles,
+    * exploded to scalar rows for the hash compare. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val probs = Seq(0.25, 0.5, 0.75)
+    graft.ops.Sketches.exactQuantiles(
+      t(s, dir, "orders"), "o_orderpriority", "o_totalprice", probs)
+      .select(col("o_orderpriority"),
+        posexplode(col("quantiles")).as(Seq("pos", "q")))
+      .select(col("o_orderpriority"),
+        element_at(lit(probs.toArray), col("pos") + 1).as("p"), col("q"))
+      .orderBy("o_orderpriority", "p")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -516,7 +530,8 @@ object SparkEntry {
     "q34_redact" -> (q34 _),
     "q35_dataset_split" -> (q35 _),
     "q36_topk_aggregator" -> (q36 _),
-    "q37_asof_join" -> (q37 _))
+    "q37_asof_join" -> (q37 _),
+    "q38_quantiles" -> (q38 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -978,5 +993,12 @@ object SparkEntry {
          ASOF LEFT JOIN
               (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
-         ORDER BY l.event_id""")
+         ORDER BY l.event_id""",
+    "q38_quantiles" ->
+      """WITH qs AS (SELECT o_orderpriority,
+             list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
+               x -> round(x, 6)) AS ql
+           FROM orders GROUP BY 1)
+         SELECT o_orderpriority, unnest([0.25, 0.5, 0.75]) AS p, unnest(ql) AS q
+         FROM qs ORDER BY o_orderpriority, p""")
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Approximate-aggregate sketches: error bounded against the exact twins
+  * on real testdata. */
+class SketchesSpec extends SparkSpec {
+
+  private lazy val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("approx distinct within rsd of exact on real keys") {
+    val exact = Sketches.exactDistinct(orders, "o_orderpriority", "o_custkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.approxDistinct(orders, "o_orderpriority", "o_custkey",
+      rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k).toDouble
+      // 3-sigma bound on HLL++ at rsd=0.05
+      assert(math.abs(a - n) <= math.max(3.0, 0.15 * n),
+        s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("approx quantiles within rank tolerance of exact") {
+    val probs = Seq(0.25, 0.5, 0.75)
+    val exact = Sketches.exactQuantiles(orders, "o_orderpriority",
+      "o_totalprice", probs)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approx = Sketches.approxQuantiles(orders, "o_orderpriority",
+      "o_totalprice", probs, accuracy = 10000)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val (lo, hi) = orders.agg(min("o_totalprice"), max("o_totalprice"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).head
+    val range = hi - lo
+    exact.foreach { case (k, qs) =>
+      qs.zip(approx(k)).foreach { case (e, a) =>
+        // approx_percentile guarantees rank error; translate loosely into
+        // a value tolerance of 5% of the value range at test cardinality
+        assert(math.abs(e - a) <= 0.05 * range, s"$k: $a vs $e")
+      }
+    }
+  }
+
+  test("exact quantiles interpolate (non-member values possible)") {
+    val qs = Sketches.exactQuantiles(
+      spark.range(5).selectExpr("'g' AS g", "CAST(id AS DOUBLE) AS v"),
+      "g", "v", Seq(0.5, 0.875)).collect()(0).getSeq[Double](1)
+    assert(qs == Seq(2.0, 3.5)) // linear interpolation at p*(n-1)
+  }
+}
