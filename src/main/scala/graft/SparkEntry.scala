@@ -489,6 +489,27 @@ object SparkEntry {
       .orderBy("o_orderpriority", "p")
   }
 
+  /** Near-dup cluster assignment: connected components (min-label
+    * propagation) over the q18 LSH candidate graph — oracled against a
+    * DuckDB recursive-CTE transitive closure. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.dupClusters(
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 4, rows = 2)
+        .select("id_a", "id_b"))
+      .orderBy("id")
+
+  /** Benchmark decontamination: corpus docs sharing ≥5 distinct word
+    * 3-grams with the "benchmark" slice (every 20th doc). */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Curation.decontaminationFlags(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 3, minHits = 5)
+      .orderBy("id")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -531,7 +552,9 @@ object SparkEntry {
     "q35_dataset_split" -> (q35 _),
     "q36_topk_aggregator" -> (q36 _),
     "q37_asof_join" -> (q37 _),
-    "q38_quantiles" -> (q38 _))
+    "q38_quantiles" -> (q38 _),
+    "q39_dup_clusters" -> (q39 _),
+    "q40_decontaminate" -> (q40 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1000,5 +1023,53 @@ object SparkEntry {
                x -> round(x, 6)) AS ql
            FROM orders GROUP BY 1)
          SELECT o_orderpriority, unnest([0.25, 0.5, 0.75]) AS p, unnest(ql) AS q
-         FROM qs ORDER BY o_orderpriority, p""")
+         FROM qs ORDER BY o_orderpriority, p""",
+    "q39_dup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+           FROM tok),
+         hx AS (SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h1s,
+             list_transform(sh, s -> (('0x' || substr(md5(s), 9, 8))::BIGINT | 1)) AS h2s
+           FROM sh),
+         sg AS (SELECT doc_id,
+             list_transform(generate_series(0, 7), j ->
+               list_min(list_transform(generate_series(1, len(h1s)), i ->
+                 (h1s[i] + j * h2s[i]) % 4294967296))) AS sig
+           FROM hx),
+         bands AS (SELECT doc_id,
+             ['0|' || sig[1] || '|' || sig[2],
+              '1|' || sig[3] || '|' || sig[4],
+              '2|' || sig[5] || '|' || sig[6],
+              '3|' || sig[7] || '|' || sig[8]] AS bk
+           FROM sg),
+         expd AS (SELECT doc_id, unnest(bk) AS band FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM expd a JOIN expd b ON a.band = b.band AND a.doc_id < b.doc_id),
+         edges AS (SELECT id_a AS s, id_b AS d FROM cand
+                   UNION SELECT id_b, id_a FROM cand),
+         reach AS (SELECT s, d FROM edges
+                   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         SELECT s AS id, least(s, min(d)) AS cluster
+         FROM reach GROUP BY s ORDER BY id""",
+    "q40_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+           FROM tok),
+         corpus AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM sh WHERE doc_id % 20 <> 0),
+         bench AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 20 = 0)
+         SELECT c.id, count(*) AS n_contaminated,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+         FROM corpus c JOIN bench b USING (shingle)
+         GROUP BY c.id HAVING count(*) >= 5 ORDER BY id""")
 }

@@ -44,6 +44,38 @@ object Curation {
       .otherwise("test")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing ≥ `minHits`
+    * word `n`-grams with any benchmark document — the standard guard
+    * against evaluation-set leakage into training data.
+    *
+    * Scale shape: both sides explode to distinct (id, shingle) rows; the
+    * benchmark side (eval suites — small by definition) is broadcast, so
+    * the corpus never shuffles. Output: (id, n_contaminated, benchmark
+    * doc count it overlaps) per flagged corpus doc. */
+  def decontaminationFlags(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String, n: Int = 3,
+                           minHits: Int = 1): DataFrame = {
+    val corpusInv = corpus.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(Dedup.shinglesCol(col(textCol), n))).as("shingle"))
+    val benchInv = benchmark.select(
+      col(idCol).cast("long").as("bench_id"),
+      explode(array_distinct(Dedup.shinglesCol(col(textCol), n))).as("shingle"))
+    corpusInv.join(broadcast(benchInv), "shingle")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_contaminated"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .filter(col("n_contaminated") >= minHits)
+  }
+
+  /** The clean corpus: everything not flagged by [[decontaminationFlags]]. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3,
+                    minHits: Int = 1): DataFrame =
+    corpus.join(
+      decontaminationFlags(corpus, benchmark, idCol, textCol, n, minHits)
+        .select(col("id").cast("long").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Quality gate: keep docs with score ≥ threshold and near-dup-free
     * (callers pass drop ids from a Dedup variant). */
   def qualityFilter(df: DataFrame, textCol: String, minScore: Double,

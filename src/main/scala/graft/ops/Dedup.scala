@@ -216,6 +216,47 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Duplicate-cluster assignment: connected components over a near-dup
+    * pair graph ((id_a, id_b) rows from any pair generator above), labeling
+    * every member with the minimum doc id reachable through pairs — the
+    * canonical keep-one-per-cluster key that per-pair output cannot give
+    * when duplicates chain (a≈b, b≈c, a!≈c).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own and its neighbors' labels — converges in O(log diameter)
+    * rounds (near-dup clusters are dense, diameter is tiny). Each round is
+    * one join + one aggregate, both on the edge key; `localCheckpoint`
+    * truncates the lineage so the plan stays flat across iterations. The
+    * driver loop carries only a scalar per round (the change count), never
+    * data. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nlabel").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changes = updated.alias("u")
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      converged = changes == 0
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Hex char → 0..15 (portable: ascii arithmetic, no conv()). */
   private def hexVal(c: Column): Column =
     when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)

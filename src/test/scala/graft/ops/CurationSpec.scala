@@ -41,6 +41,34 @@ class CurationSpec extends SparkSpec {
     assert(again.exceptAll(df).count() == 0)
   }
 
+  test("decontamination flags docs overlapping the benchmark, spares clean ones") {
+    val corpus = Seq(
+      (1L, "the capital of france is paris and it is on the seine river"),
+      (2L, "completely unrelated text about spark physical plans and shuffles"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "question: the capital of france is paris answer: true"))
+      .toDF("doc_id", "text")
+    val flags = Curation.decontaminationFlags(corpus, benchmark,
+      "doc_id", "text", n = 3, minHits = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(flags.contains(1L) && !flags.contains(2L))
+    assert(flags(1L)._1 >= 2 && flags(1L)._2 == 1)
+    val clean = Curation.decontaminate(corpus, benchmark, "doc_id", "text",
+      n = 3, minHits = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+
+  test("dup clusters: transitive chains collapse to the min id") {
+    import spark.implicits._
+    // a≈b, b≈c chain (a and c never pair directly) + an island pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("qualityFilter drops low-score docs and listed near-dups") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and more and more"),
