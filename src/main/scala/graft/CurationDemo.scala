@@ -7,9 +7,10 @@ import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 /** End-to-end training-data curation over a document corpus — the composed
   * form of the ops suite (what a data-curation user actually runs):
   *
-  *   exact dedup → near-dup dedup (MinHash LSH) → quality gate →
-  *   PII redaction → language/quality profile → deterministic split →
-  *   partitioned parquet by split.
+  *   exact dedup → near-dup clustering (MinHash LSH + connected
+  *   components, keep one doc per cluster) → benchmark decontamination →
+  *   quality gate → PII redaction → language/quality profile →
+  *   deterministic split → partitioned parquet by split.
   *
   * Usage: runMain graft.CurationDemo [sfDir] [outDir]
   */
@@ -36,14 +37,28 @@ object CurationDemo {
       .select(col("id")).cache()
     val nExact = exactDrops.count()
 
-    // 2. near-dup dedup: MinHash-LSH pairs at Jaccard >= 0.5, drop the
-    //    higher id of each pair
-    val nearDrops = Dedup.minhashNearDups(docs, "doc_id", "text",
-      threshold = 0.5).select(col("id_b").as("id")).distinct().cache()
+    // 2. near-dup dedup: MinHash-LSH pairs at Jaccard >= 0.5, clustered
+    //    into connected components — duplicate CHAINS (a≈b≈c with a!≈c)
+    //    collapse to one kept doc (the min id), which per-pair dropping
+    //    cannot guarantee
+    val nearPairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5).select("id_a", "id_b")
+    val nearDrops = Dedup.dupClusters(nearPairs)
+      .filter(col("id") =!= col("cluster")).select(col("id")).cache()
     val nNear = nearDrops.count()
 
-    // 3+4. quality gate + drop lists (exact and near lists can overlap)
-    val allDrops = exactDrops.unionByName(nearDrops).distinct().cache()
+    // 3. benchmark decontamination: drop corpus docs overlapping a
+    //    held-out benchmark slice (demo benchmark: every 20th doc) on
+    //    ≥5 distinct word 3-grams
+    val contamDrops = Curation.decontaminationFlags(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 3, minHits = 5).select(col("id")).cache()
+    val nContam = contamDrops.count()
+
+    // 4. quality gate + merged drop list (the lists can overlap)
+    val allDrops = exactDrops.unionByName(nearDrops)
+      .unionByName(contamDrops).distinct().cache()
     val nDrops = allDrops.count()
     val curated = Curation.qualityFilter(docs, "text", minScore = 0.3,
       dropIds = allDrops)
@@ -66,8 +81,9 @@ object CurationDemo {
 
     val kept = finalDf.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[curation] $n0 docs -> removed $nDrops dup docs " +
-      f"($nExact exact, $nNear near-dup, lists overlap), " +
+    println(f"[curation] $n0 docs -> removed $nDrops docs " +
+      f"($nExact exact-dup, $nNear near-dup-clustered, $nContam contaminated; " +
+      f"lists overlap), " +
       f"${n0 - nDrops - kept} low-quality; " +
       f"kept $kept (${perSplit.getOrElse("train", 0L)} train / " +
       f"${perSplit.getOrElse("val", 0L)} val / ${perSplit.getOrElse("test", 0L)} test) " +
