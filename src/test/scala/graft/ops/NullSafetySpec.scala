@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input hardening: every ops entry point must tolerate null
+  * text, empty text, and empty frames without throwing — at 100 TB some
+  * partition always contains the pathological row. */
+class NullSafetySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val degenerate = Seq(
+    (1L, null.asInstanceOf[String]),
+    (2L, ""),
+    (3L, "   "),
+    (4L, "normal text with several words in it"))
+    .toDF("doc_id", "text")
+
+  private lazy val empty =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("dedup suite survives null/empty/blank text and empty frames") {
+    assert(Dedup.exactGroups(degenerate.filter(col("text").isNotNull),
+      "doc_id", "text").count() == 3)
+    Dedup.minhashNearDups(degenerate, "doc_id", "text", 0.5).count()
+    Dedup.ngramJaccardPairs(degenerate, "doc_id", "text").count()
+    Dedup.simhashNearDups(degenerate, "doc_id", "text",
+      bits = 32, chunks = 8, maxDist = 3).count()
+    assert(Dedup.minhashNearDups(empty, "doc_id", "text", 0.5).count() == 0)
+    assert(Dedup.dupClusters(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+  }
+
+  test("text analysis survives null/empty/blank text") {
+    val profiled = TextAnalysis.profile(degenerate, "doc_id", "text")
+    assert(profiled.count() == 4)
+    assert(TextAnalysis.tfidfTopTerms(degenerate, "doc_id", "text").count() > 0)
+    val langs = degenerate.select(TextAnalysis.langIdCol(col("text")))
+      .collect().map(_.getString(0))
+    assert(langs.count(_ == "und") >= 2) // blank-ish docs → undetermined
+  }
+
+  test("curation survives null/empty text and empty benchmark") {
+    Curation.decontaminationFlags(degenerate, empty, "doc_id", "text").count()
+    Curation.decontaminationFlags(degenerate, degenerate.limit(1),
+      "doc_id", "text").count()
+    assert(Curation.decontaminate(degenerate, empty, "doc_id", "text")
+      .count() == 4) // empty benchmark contaminates nothing
+  }
+
+  test("multimodal decode survives null/empty binary") {
+    assert(Multimodal.decodeMeta(null)._1 == "empty")
+    assert(Multimodal.decodeMeta(Array.emptyByteArray)._1 == "empty")
+    assert(Multimodal.imageHeaderMeta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.avHeaderMeta(Array[Byte](1, 2, 3)).isEmpty)
+    // truncated containers must not throw
+    assert(Multimodal.imageHeaderMeta(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 0, 0)).isEmpty)
+    Multimodal.avHeaderMeta("RIFFxxxxWAVE".getBytes("US-ASCII"))
+  }
+
+  test("format readers survive garbage bytes") {
+    assert(graft.sink.MiniFormats.pdfText("not a pdf".getBytes("UTF-8")) == "")
+    assert(graft.sink.MiniFormats.xlsxRows("not a zip".getBytes("UTF-8")).isEmpty)
+    assert(graft.sink.MiniFormats.docxText("junk".getBytes("UTF-8")) == "")
+  }
+}
