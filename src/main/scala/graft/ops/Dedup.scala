@@ -222,10 +222,12 @@ object Dedup {
     * canonical keep-one-per-cluster key that per-pair output cannot give
     * when duplicates chain (a≈b, b≈c, a!≈c).
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * of its own and its neighbors' labels — converges in O(log diameter)
-    * rounds (near-dup clusters are dense, diameter is tiny). Each round is
-    * one join + one aggregate, both on the edge key; `localCheckpoint`
+    * Iterative min-label propagation with pointer jumping: each round
+    * every node takes the min of its own, its neighbors', and its label's
+    * label (shortcutting) — the jump makes convergence O(log n) rounds
+    * even for a worst-case duplicate CHAIN (plain propagation needs
+    * O(diameter) rounds, which a long chain would exhaust). Each round is
+    * two joins + one aggregate, all on node keys; `localCheckpoint`
     * truncates the lineage so the plan stays flat across iterations. The
     * driver loop carries only a scalar per round (the change count), never
     * data. */
@@ -243,11 +245,18 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src").as("id")).agg(min("nlabel").as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jump: follow my label to ITS label (labels are node ids,
+      // so the lookup table is the label frame itself)
+      val updated = propagated.alias("a")
+        .join(propagated.select(col("id").as("label"),
+          col("label").as("plabel")).alias("p"), Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .localCheckpoint()
-      val changes = updated.alias("u")
+      val changes = updated
         .join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old")).count()
       labels = updated

@@ -69,6 +69,17 @@ class CurationSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dup clusters: a 100-node chain converges within the round budget") {
+    import spark.implicits._
+    // worst case for plain propagation (needs diameter=99 rounds);
+    // pointer jumping must close it in O(log n)
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 100)
+    assert(clusters.values.forall(_ == 1L), s"unconverged: ${clusters.filter(_._2 != 1L)}")
+  }
+
   test("qualityFilter drops low-score docs and listed near-dups") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and more and more"),
