@@ -510,6 +510,16 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Gopher/C4-style repetition + structure quality flags (published
+    * pre-training corpus filters) per document. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val cols = graft.ops.TextAnalysis.repetitionColumns(col("text"))
+    t(s, dir, "documents").select(
+      (col("doc_id") +: cols.map { case (n, c) => c.as(n) }) :+
+        graft.ops.TextAnalysis.gopherKeepCol(col("text")).as("keep"): _*)
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -554,7 +564,8 @@ object SparkEntry {
     "q37_asof_join" -> (q37 _),
     "q38_quantiles" -> (q38 _),
     "q39_dup_clusters" -> (q39 _),
-    "q40_decontaminate" -> (q40 _))
+    "q40_decontaminate" -> (q40 _),
+    "q41_repetition_flags" -> (q41 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1071,5 +1082,33 @@ object SparkEntry {
          SELECT c.id, count(*) AS n_contaminated,
            count(DISTINCT b.bench_id) AS n_bench_docs
          FROM corpus c JOIN bench b USING (shingle)
-         GROUP BY c.id HAVING count(*) >= 5 ORDER BY id""")
+         GROUP BY c.id HAVING count(*) >= 5 ORDER BY id""",
+    "q41_repetition_flags" ->
+      """WITH ls AS (SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                 x -> x <> '')) AS n_words
+           FROM documents),
+         m AS (SELECT doc_id,
+             len(ls) AS n_lines,
+             CASE WHEN len(ls) > 0 THEN
+               round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 6)
+               ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN len(ls) > 0 THEN
+               round(len(list_filter(ls, l -> ends_with(trim(l), '...')
+                 OR ends_with(trim(l), '…')))::DOUBLE / len(ls), 6)
+               ELSE 0.0 END AS ellipsis_line_frac,
+             round((length(regexp_replace(text, '[^#…]', '', 'g')) +
+               (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+               / greatest(1, n_words), 6) AS symbol_word_ratio,
+             CASE WHEN len(ls) > 0 THEN
+               round(list_sum(list_transform(ls, l -> length(l)))::DOUBLE
+                 / len(ls), 6)
+               ELSE 0.0 END AS mean_line_len
+           FROM ls)
+         SELECT doc_id, n_lines, dup_line_frac, ellipsis_line_frac,
+           symbol_word_ratio, mean_line_len,
+           (dup_line_frac <= 0.3 AND ellipsis_line_frac <= 0.3
+            AND symbol_word_ratio <= 0.1) AS keep
+         FROM m ORDER BY doc_id""")
 }

@@ -86,6 +86,51 @@ object TextAnalysis {
     round((lenScore + punctScore + stopScore + wordLenScore) / 4, 6)
   }
 
+  /** Repetition / structure heuristics in the style of the published
+    * Gopher (Rae et al. 2021, §A1.1) and C4 (Raffel et al. 2020) cleaning
+    * rules — the standard pre-training corpus filters. All pure Column
+    * expressions over the raw text (narrow, codegen'd, engine-portable):
+    *   - dup_line_frac: 1 − distinct/total non-empty lines
+    *   - ellipsis_line_frac: lines ending in "..." or "…"
+    *   - symbol_word_ratio: #/… symbol count per word
+    *   - mean_line_len: mean characters per non-empty line
+    */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val nLines = size(lines)
+    val nWords = size(tokensCol(text))
+    val dupFrac = when(nLines > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") /
+        nLines.cast("double")).otherwise(0.0)
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(lines, l =>
+        endswith(trim(l), lit("...")) || endswith(trim(l), lit("…"))))
+        .cast("double") / nLines.cast("double")).otherwise(0.0)
+    val symbols = length(regexp_replace(text, "[^#…]", "")) +
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = symbols.cast("double") /
+      greatest(lit(1), nWords).cast("double")
+    val meanLineLen = when(nLines > 0,
+      aggregate(lines, lit(0L), (a, l) => a + length(l)).cast("double") /
+        nLines.cast("double")).otherwise(0.0)
+    Seq(
+      "n_lines" -> nLines.cast("long"),
+      "dup_line_frac" -> round(dupFrac, 6),
+      "ellipsis_line_frac" -> round(ellipsisFrac, 6),
+      "symbol_word_ratio" -> round(symbolRatio, 6),
+      "mean_line_len" -> round(meanLineLen, 6))
+  }
+
+  /** Keep/drop verdict from the published thresholds (Gopher §A1.1:
+    * drop if >30% duplicate lines, >30% ellipsis lines, or symbol ratio
+    * >0.1). Returns true when the document passes. */
+  def gopherKeepCol(text: Column): Column = {
+    val cols = repetitionColumns(text).toMap
+    cols("dup_line_frac") <= 0.3 &&
+      cols("ellipsis_line_frac") <= 0.3 &&
+      cols("symbol_word_ratio") <= 0.1
+  }
+
   /** Canonical document fingerprint: md5 of the normalized token stream. */
   def fingerprintCol(text: Column): Column =
     md5(array_join(tokensCol(text), " "))

@@ -194,6 +194,26 @@ class OpsSpec extends SparkSpec {
     assert("completely different text about spark engines".split(" ").contains(top3))
   }
 
+  test("repetition flags: Gopher-style rules on hand vectors") {
+    val df = Seq(
+      (1L, "unique one\nunique two\nunique three"),          // clean
+      (2L, "same line\nsame line\nsame line\nother"),        // 50% dup lines
+      (3L, "to be continued...\nmore...\nend...\nok..."),    // all ellipsis
+      (4L, "### ## # lots of #### symbols # here #")         // symbol soup
+    ).toDF("doc_id", "text")
+    val cols = TextAnalysis.repetitionColumns(col("text"))
+    val out = df.select((col("doc_id") +: cols.map { case (n, c) => c.as(n) })
+      :+ TextAnalysis.gopherKeepCol(col("text")).as("keep"): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Double]("dup_line_frac") == 0.5)
+    assert(!out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Double]("ellipsis_line_frac") == 1.0)
+    assert(!out(3L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Double]("symbol_word_ratio") > 0.1)
+    assert(!out(4L).getAs[Boolean]("keep"))
+  }
+
   test("fingerprint: whitespace/case-insensitive canonical form") {
     val fp = Seq("The  QUICK fox", "the quick fox").toDF("t")
       .select(TextAnalysis.fingerprintCol(col("t")).as("f"))
