@@ -520,6 +520,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling: per-priority keep rates (corpus
+    * mixing), reproducible from key arithmetic alone. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.stratifiedSample(t(s, dir, "orders"),
+      "o_orderkey", "o_orderpriority",
+      Map("1-URGENT" -> 500, "2-HIGH" -> 200), defaultPerMille = 50)
+      .select("o_orderkey", "o_orderpriority")
+      .orderBy("o_orderkey")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -565,7 +574,8 @@ object SparkEntry {
     "q38_quantiles" -> (q38 _),
     "q39_dup_clusters" -> (q39 _),
     "q40_decontaminate" -> (q40 _),
-    "q41_repetition_flags" -> (q41 _))
+    "q41_repetition_flags" -> (q41 _),
+    "q42_stratified_sample" -> (q42 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1110,5 +1120,12 @@ object SparkEntry {
            symbol_word_ratio, mean_line_len,
            (dup_line_frac <= 0.3 AND ellipsis_line_frac <= 0.3
             AND symbol_word_ratio <= 0.1) AS keep
-         FROM m ORDER BY doc_id""")
+         FROM m ORDER BY doc_id""",
+    "q42_stratified_sample" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE (o_orderkey * 2654435761 + 40503) % 1000 <
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 500
+                WHEN o_orderpriority = '2-HIGH' THEN 200
+                ELSE 50 END
+         ORDER BY o_orderkey""")
 }

@@ -76,6 +76,28 @@ object Curation {
         .select(col("id").cast("long").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Deterministic stratified Bernoulli sampling: keep a row iff its
+    * key's hash bucket falls under its stratum's per-mille rate —
+    * down/up-weighting data sources or languages is the standard corpus
+    * mixing step. Pure key arithmetic (portable, retry-safe, no rand());
+    * the multiplier is offset from [[splitCol]]'s so sampling is
+    * decorrelated from split assignment. */
+  def stratifiedSampleCol(key: Column, stratum: Column,
+                          ratesPerMille: Map[String, Int],
+                          defaultPerMille: Int = 0): Column = {
+    val bucket = pmod(key * 2654435761L + 40503L, lit(1000L))
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
+    }
+    bucket < rate
+  }
+
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       ratesPerMille: Map[String, Int],
+                       defaultPerMille: Int = 0): DataFrame =
+    df.filter(stratifiedSampleCol(col(keyCol), col(stratumCol),
+      ratesPerMille, defaultPerMille))
+
   /** Quality gate: keep docs with score ≥ threshold and near-dup-free
     * (callers pass drop ids from a Dedup variant). */
   def qualityFilter(df: DataFrame, textCol: String, minScore: Double,

@@ -1,0 +1,41 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale-aware parquet writing: at 100 TB the dominant sink failure modes
+  * are the SMALL-FILES problem (one file per task × thousands of tasks ×
+  * hundreds of partitions murders the namenode and every later scan) and
+  * its inverse (one giant task writing one giant file serializes the job).
+  *
+  * `writeSized` bounds both: rows are hash-distributed into
+  * ceil(rowEstimate / targetRowsPerFile) shuffle partitions before the
+  * write, and `maxRecordsPerFile` caps any residual straggler file. With
+  * `partitionBy` columns the repartition keys on them too, so each
+  * Hive-style output partition is written by the tasks that own it rather
+  * than every task appending a sliver to every partition. */
+object ParquetSink {
+
+  def writeSized(df: DataFrame, path: String,
+                 partitionCols: Seq[String] = Seq.empty,
+                 targetRowsPerFile: Long = 1000000L,
+                 rowEstimate: Option[Long] = None,
+                 mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val rows = rowEstimate.getOrElse(df.count())
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val shaped =
+      if (partitionCols.nonEmpty)
+        // co-locate each output partition's rows; spread within a
+        // partition by a stable row hash so one hot partition still
+        // parallelizes instead of landing in a single task
+        df.repartition(nFiles,
+          partitionCols.map(col) :+
+            pmod(xxhash64(df.columns.map(col): _*), lit(nFiles.toLong)): _*)
+      else df.repartition(nFiles)
+    val writer = shaped.write
+      .mode(mode)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(path)
+  }
+}
