@@ -37,7 +37,13 @@ object Dedup {
     * buckets before any pair array exists. Members of a dropped bucket are
     * by construction near-identical under the sketch; route them through
     * `exactGroups` instead of pairwise comparison. Use [[oversizedBuckets]]
-    * to account for what was dropped. */
+    * to account for what was dropped.
+    *
+    * The default cap of 1000 IS the per-task memory bound: a full bucket
+    * emits ≤ maxBucket²/2 pair structs from one row (1000 → ≤500k ≈ 12 MB),
+    * so the cap must stay well under sqrt(task heap / struct size) — a
+    * 10000 cap (50M pairs ≈ 1.2 GB in one task) OOMs a default executor,
+    * observed on a 50k-doc clone-heavy corpus. */
   private[ops] def capBuckets(df: DataFrame, keyCol: String,
                               maxBucket: Int): DataFrame =
     df.withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(keyCol)))
@@ -138,7 +144,7 @@ object Dedup {
     * re-attached per side after pair dedup, never carried through the join. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, bands: Int = 4, rows: Int = 2,
-                        maxBucket: Int = 10000): DataFrame = {
+                        maxBucket: Int = 1000): DataFrame = {
     val bandDf = minhashBands(df, idCol, textCol, n, bands, rows)
     // pairs within a band bucket via in-group combinations — one pass over
     // the band table (a self-join would evaluate the whole minhash pipeline
@@ -173,7 +179,7 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
                       bands: Int = 4, rows: Int = 2,
-                      maxBucket: Int = 10000): DataFrame =
+                      maxBucket: Int = 1000): DataFrame =
     minhashCandidates(df, idCol, textCol, n, bands, rows, maxBucket)
       .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -185,7 +191,7 @@ object Dedup {
     * path is the scale route. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxBucket: Int = 10000): DataFrame = {
+                        maxBucket: Int = 1000): DataFrame = {
     val inv = df.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(shinglesCol(col(textCol), n))).as("shingle"))
     val sizes = inv.groupBy("id").agg(count(lit(1)).as("n_sh"))
@@ -315,7 +321,7 @@ object Dedup {
     * all-pairs work. Pairs are then verified with the exact bit distance. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       bits: Int = 32, chunks: Int = 4,
-                      maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
+                      maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxDist < chunks, "pigeonhole needs maxDist < chunks")
     val chunkBits = bits / chunks
     val mask = (1L << chunkBits) - 1

@@ -129,7 +129,7 @@ object Similarity {
   def cosineNearDups(df: DataFrame, threshold: Double, nBits: Int = 8,
                      dim: Int = 64, idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     maxBucket: Int = 10000): DataFrame = {
+                     maxBucket: Int = 1000): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val keyed = df.select(col(idCol).cast("long").as("id"),
       lshBucketCol(col(vecCol), nBits, dim).as("bucket"))

@@ -89,6 +89,10 @@ class OpsSpec extends SparkSpec {
       .select(col("id"), lit("same text everywhere again and again").as("text"))
     assert(Dedup.minhashNearDups(clones, "id", "text", threshold = 0.5,
       n = 2, bands = 2, rows = 2, maxBucket = 100).count() == 0)
+    // the DEFAULT cap must also keep a degenerate corpus memory-safe
+    // (10k-member buckets > default 1000 → dropped, not materialized)
+    assert(Dedup.minhashNearDups(clones, "id", "text", threshold = 0.5,
+      n = 2, bands = 2, rows = 2).count() == 0)
     assert(Dedup.ngramJaccardPairs(clones, "id", "text", n = 2,
       threshold = 0.5, maxBucket = 100).count() == 0)
     assert(Dedup.simhashNearDups(clones, "id", "text", bits = 32, chunks = 8,
