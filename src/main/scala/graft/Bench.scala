@@ -20,6 +20,11 @@ object Bench {
     // footers) so per-query numbers measure the queries, not JVM start.
     try {
       spark.range(1000).selectExpr("sum(id)").count()
+      // warm the typed-UDAF path too: its encoder/codegen compile otherwise
+      // lands entirely on the first aggregator query's recorded time
+      graft.ops.TopK.grouped(
+        spark.range(100).selectExpr("id % 10 AS g", "id", "CAST(id AS DOUBLE) AS v"),
+        "g", "id", "v", k = 2).count()
       Seq("lineitem", "orders", "documents", "embeddings", "events").foreach {
         t => try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
         catch { case _: Throwable => () }
