@@ -160,11 +160,23 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // re-attach shingle sets for verification through ONE join against one
+    // shingled frame (explode each pair into its two member ids, join,
+    // fold back) — joining a dist frame once per side would scan and
+    // shingle the corpus once per side, and Catalyst cannot plan-share the
+    // two branches
     val dist = df.select(col(idCol).cast("long").as("id"),
       array_distinct(shinglesCol(col(textCol), n)).as("sh"))
     pairs
-      .join(dist.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(dist.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .join(dist, "id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("id") === col("id_a"), col("sh")), ignoreNulls = true)
+          .as("sh_a"),
+        first(when(col("id") === col("id_b"), col("sh")), ignoreNulls = true)
+          .as("sh_b"))
   }
 
   /** Jaccard over shingle sets carried on the pair row (no explode). */
@@ -192,29 +204,33 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxBucket: Int = 1000): DataFrame = {
-    val inv = df.select(col(idCol).cast("long").as("id"),
-      explode(array_distinct(shinglesCol(col(textCol), n))).as("shingle"))
-    val sizes = inv.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    // co-occurrence counting via per-shingle in-group combinations — one
-    // evaluation of the shingle pipeline (a self-join would run it twice);
-    // sorting ids first makes (id_a, id_b) ordered by construction.
-    // NOTE the cap here drops *shingles* shared by too many docs — stopword
-    // shingles carry no Jaccard signal anyway, so this doubles as the
-    // standard frequent-shingle filter (undercounts n_common for pairs that
-    // shared only ultra-common shingles; their jaccard was ≈0 regardless)
-    val inter = capBuckets(inv, "shingle", maxBucket)
+    // per-doc set size is computed BEFORE the explode and carried on every
+    // inverted-index row (one extra int) — the corpus is scanned and
+    // shingled exactly once, and no size-lookup joins are needed later
+    val withSh = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(shinglesCol(col(textCol), n)).as("shs"))
+    val inv = withSh.select(col("id"), size(col("shs")).cast("long").as("n_sh"),
+      explode(col("shs")).as("shingle"))
+    // co-occurrence counting via per-shingle in-group combinations — a
+    // self-join would run the shingle pipeline twice; sorting the member
+    // structs (by id — first struct field) makes (id_a, id_b) ordered by
+    // construction. NOTE the cap drops *shingles* shared by too many docs —
+    // stopword shingles carry no Jaccard signal anyway, so this doubles as
+    // the standard frequent-shingle filter (undercounts n_common only for
+    // pairs sharing solely ultra-common shingles; their jaccard was ≈0)
+    capBuckets(inv, "shingle", maxBucket)
       .groupBy("shingle")
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
+      .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(
-          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+          slice(col("ms"), i + 2, greatest(size(col("ms")) - i - 1, lit(0))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            x.getField("n_sh").as("n_a"), y.getField("n_sh").as("n_b"))))))
+        .as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))

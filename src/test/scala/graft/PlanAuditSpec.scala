@@ -83,6 +83,21 @@ class PlanAuditSpec extends SparkSpec {
       s"tf table shuffled for a join in:\n$plan")
   }
 
+  test("dedup pair generators: corpus scan counts stay minimal") {
+    def scans(plan: String) =
+      plan.linesIterator.count(_.contains("FileScan parquet"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // minhash: one scan for the band/signature side + one for the shingle
+    // re-attach (both pair sides fold back through a single joined frame)
+    val q18 = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(scans(q18) == 2, s"minhash scans=${scans(q18)}:\n$q18")
+    // n-gram jaccard: set sizes carried through the explode — ONE scan
+    val q19 = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(scans(q19) == 1, s"jaccard scans=${scans(q19)}:\n$q19")
+  }
+
   test("as-of join: single shuffle on the union, no nested-loop join") {
     val q37 = SparkEntry.queries("q37_asof_join")(spark, sf)
     val plan = physical(q37)
