@@ -31,7 +31,14 @@ object Similarity {
   /** Pairwise-cosine kernel as a compiled UDF: higher-order Catalyst folds
     * are interpreted (CodegenFallback) and dominate the N×M scoring loop —
     * a primitive while-loop is ~5× faster and computes the *same* ordered
-    * double sums, so oracle results are unchanged. */
+    * double sums, so oracle results are unchanged.
+    *
+    * Measured negative result (keep fused): precomputing per-side norms and
+    * reducing the hot loop to dot-only was ~2.3× SLOWER at dim=64
+    * (2.8s vs 1.2s warm, sf0.1 brute force) — the UDF boundary cost
+    * (ArrayData→Seq conversion of both vectors) dominates, not flops, and
+    * it is paid identically by a dot-only call. Fewer UDF invocations beat
+    * fewer multiplications. */
   private val cosUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)
