@@ -261,6 +261,7 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    var labelSum: Option[Long] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -278,11 +279,15 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .localCheckpoint()
-      val changes = updated
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
+      // labels are monotonically non-increasing, so the label sum strictly
+      // decreases until the fixpoint — equal sums ⟺ converged. One cheap
+      // aggregate instead of a per-round full join against the old labels.
+      val sum = updated.agg(coalesce(
+        org.apache.spark.sql.functions.sum("label"), lit(0L)))
+        .collect()(0).getLong(0)
+      converged = labelSum.contains(sum)
+      labelSum = Some(sum)
       labels = updated
-      converged = changes == 0
       i += 1
     }
     labels.select(col("id"), col("label").as("cluster"))
