@@ -170,6 +170,16 @@ object Multimodal {
     if (bytes == null) null
     else bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
 
+  /** Resize kernel: REAL pixel resampling for PNG inputs (decode →
+    * nearest-neighbor → re-encode, `ops/Png`), deterministic byte
+    * subsample for formats whose codecs need native libs. */
+  def resizeMedia(bytes: Array[Byte], factor: Int): Array[Byte] =
+    Png.decode(bytes) match {
+      case Some(img) => Png.encode(Png.resize(img,
+        math.max(1, img.width / factor), math.max(1, img.height / factor)))
+      case None => fakeResize(bytes, factor)
+    }
+
   /** ======== STUB kernel: frame sampling = fixed-stride byte windows ==== */
   def fakeFrameSample(bytes: Array[Byte], nFrames: Int): Seq[Array[Byte]] = {
     if (bytes == null || bytes.isEmpty) return Seq.empty
@@ -198,11 +208,18 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         val (t, n, _, _, _) = decodeMeta(bytes)
-        // STUB feature: byte-histogram projection, deterministic
-        val feat = new Array[Double](dim)
-        if (bytes != null) bytes.foreach { b => feat((b & 0xff) % dim) += 1.0 }
-        val total = math.max(1.0, if (bytes == null) 1.0 else bytes.length.toDouble)
-        Row(id, t, n, feat.map(v => v / total).toSeq)
+        // REAL feature for PNG inputs: luminance histogram over decoded
+        // pixels; deterministic byte-histogram stand-in otherwise
+        val feat = Png.decode(bytes) match {
+          case Some(img) => Png.lumaHistogram(img, dim).toSeq
+          case None =>
+            val f = new Array[Double](dim)
+            if (bytes != null) bytes.foreach { b => f((b & 0xff) % dim) += 1.0 }
+            val total = math.max(1.0,
+              if (bytes == null) 1.0 else bytes.length.toDouble)
+            f.map(v => v / total).toSeq
+        }
+        Row(id, t, n, feat)
       }
     }
     spark.createDataFrame(rows, outSchema)
