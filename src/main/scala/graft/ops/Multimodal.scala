@@ -127,6 +127,66 @@ object Multimodal {
     } else None
   }
 
+  /** REAL WAV PCM decode — the `data` chunk of a PCM WAV IS the raw
+    * samples, no codec needed. Returns normalized mono samples in [-1, 1]
+    * (channels averaged; 8-bit unsigned and 16-bit signed LE supported).
+    * None for non-WAV or compressed (non-PCM) WAV. */
+  def wavSamples(bytes: Array[Byte]): Option[Array[Double]] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def ascii(i: Int, n: Int) = new String(bytes, i, n, "US-ASCII")
+    def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    var i = 12
+    var fmtCode = -1; var channels = 0; var bits = 0
+    var dataAt = -1; var dataLen = 0
+    while (i + 8 <= bytes.length) {
+      val id = ascii(i, 4)
+      val sz = u32le(i + 4).toInt
+      if (id == "fmt " && i + 24 <= bytes.length) {
+        fmtCode = u16le(i + 8); channels = u16le(i + 10); bits = u16le(i + 22)
+      }
+      if (id == "data") { dataAt = i + 8; dataLen = sz }
+      i += 8 + sz + (sz & 1)
+    }
+    if (fmtCode != 1 || channels < 1 || dataAt < 0) return None // PCM only
+    val bytesPerSample = bits / 8
+    if (bytesPerSample != 1 && bytesPerSample != 2) return None
+    val frameBytes = bytesPerSample * channels
+    val nFrames = math.min(dataLen, bytes.length - dataAt) / frameBytes
+    val out = new Array[Double](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        val at = dataAt + f * frameBytes + c * bytesPerSample
+        acc += (if (bytesPerSample == 1) (u8(at) - 128) / 128.0
+                else (u8(at) | (bytes(at + 1).toInt << 8)) / 32768.0)
+        c += 1
+      }
+      out(f) = acc / channels
+      f += 1
+    }
+    Some(out)
+  }
+
+  /** Real audio features from decoded PCM: (n_samples, RMS energy,
+    * zero-crossing rate). */
+  def wavFeatures(samples: Array[Double]): (Long, Double, Double) = {
+    if (samples.isEmpty) return (0L, 0.0, 0.0)
+    var sq = 0.0; var zc = 0; var i = 0
+    while (i < samples.length) {
+      sq += samples(i) * samples(i)
+      if (i > 0 && (samples(i) >= 0) != (samples(i - 1) >= 0)) zc += 1
+      i += 1
+    }
+    (samples.length.toLong, math.sqrt(sq / samples.length),
+      zc.toDouble / samples.length)
+  }
+
   /** ======== STUB: deterministic fake decoder (non-image formats) ========
     * Real implementation would dispatch on magic bytes to an audio/video
     * codec. The fake derives metadata purely from the byte content so tests

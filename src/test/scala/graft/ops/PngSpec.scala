@@ -103,6 +103,34 @@ class PngSpec extends SparkSpec {
     assert(math.abs(h.sum - 1.0) < 1e-9)
   }
 
+  test("WAV PCM decode: real samples, RMS and zero-crossing features") {
+    // 16-bit mono PCM: a full-scale square wave alternating every sample
+    val n = 1000
+    val data = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until n) {
+      val v = if (i % 2 == 0) 16384 else -16384 // half scale
+      data.write(v & 0xff); data.write((v >> 8) & 0xff)
+    }
+    val d = data.toByteArray
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val wav = "RIFF".getBytes ++ le32(36 + d.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
+      le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(d.length) ++ d
+    val samples = Multimodal.wavSamples(wav).get
+    assert(samples.length == n)
+    assert(math.abs(samples(0) - 0.5) < 1e-3)    // 16384/32768
+    val (cnt, rms, zcr) = Multimodal.wavFeatures(samples)
+    assert(cnt == n)
+    assert(math.abs(rms - 0.5) < 1e-3)           // constant magnitude
+    assert(math.abs(zcr - 1.0) < 2.0 / n)        // crosses every sample
+    assert(Multimodal.wavSamples("not audio".getBytes("UTF-8")).isEmpty)
+    // header-meta path agrees on duration: 1000 frames / 16kHz = 62 ms
+    assert(Multimodal.avHeaderMeta(wav).contains(("wav", 62L)))
+  }
+
   test("Spark feature path: PNG rows get real pixel features") {
     val img = gradient(8, 8, 3)
     val df = Seq((1L, Png.encode(img)),
