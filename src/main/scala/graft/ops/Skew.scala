@@ -30,4 +30,23 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("_cnt")).as("n"), sum(col("_sum")).as("total"))
   }
+
+  /** Salted equi-join for a skewed LEFT side against a small-but-not-
+    * broadcastable right side: every left row gets a deterministic salt in
+    * [0, salts), the right side is replicated once per salt value, and the
+    * join key becomes (key, salt) — a hot key's rows spread over `salts`
+    * reducers instead of one. Row-identical to `left.join(right, key)`.
+    *
+    * Use when AQE skew-join can't help: AQE splits oversized partitions of
+    * a sort-merge join, but a single key whose rows exceed one partition
+    * (or a broadcast-ineligible right side under shuffled-hash join) still
+    * funnels through one task without pre-salting. The salt source is a
+    * column expression (never rand()) — deterministic and retry-safe. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltSource: Column, salts: Int = 16): DataFrame = {
+    val l = left.withColumn("_salt", pmod(xxhash64(saltSource), lit(salts)))
+    val r = right.withColumn("_salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -41,4 +41,20 @@ class SessionsSkewSpec extends SparkSpec {
       .groupBy("key", "_salt").count().count()
     assert(partialGroups > 3 && partialGroups <= 24)
   }
+
+  test("salted join equals the plain join on a 90%-hot key") {
+    val fact = (1L to 20000L).map(i =>
+      (if (i % 10 != 0) "hot" else s"k${i % 7}", i)).toDF("key", "id")
+    val dim = Seq(("hot", "H"), ("k0", "A"), ("k3", "B"), ("k6", "C"))
+      .toDF("key", "label")
+    val salted = Skew.saltedJoin(fact, dim, "key", col("id"), salts = 8)
+    val plain = fact.join(dim, "key")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    // the join key really fans out: hot rows spread over the salt range
+    val spread = fact.withColumn("_salt", pmod(xxhash64(col("id")), lit(8)))
+      .filter(col("key") === "hot").select("_salt").distinct().count()
+    assert(spread == 8)
+  }
 }
