@@ -49,11 +49,14 @@ object CurationDemo {
 
     // 3. benchmark decontamination: drop corpus docs overlapping a
     //    held-out benchmark slice (demo benchmark: every 20th doc) on
-    //    ≥5 distinct word 3-grams
+    //    ≥5 distinct word 3-grams — AND the benchmark docs themselves,
+    //    which must never reach training output
+    val benchDocs = docs.filter(col("doc_id") % 20 === 0)
     val contamDrops = Curation.decontaminationFlags(
-      docs.filter(col("doc_id") % 20 =!= 0),
-      docs.filter(col("doc_id") % 20 === 0),
-      "doc_id", "text", n = 3, minHits = 5).select(col("id")).cache()
+      docs.filter(col("doc_id") % 20 =!= 0), benchDocs,
+      "doc_id", "text", n = 3, minHits = 5).select(col("id"))
+      .unionByName(benchDocs.select(col("doc_id").as("id")))
+      .cache()
     val nContam = contamDrops.count()
 
     // 4. quality gate + merged drop list (the lists can overlap)

@@ -55,16 +55,22 @@ object PipelineDemo {
       // driver memory stays flat no matter how large the mapping grows
       // (same single-object caveat as the reference's meta.json envelope,
       // see MetaJson; the JSONL/CSV sinks are the true distributed paths).
+      // The write goes through the Hadoop FileSystem API so the path
+      // resolves on the CLUSTER filesystem (hdfs://, s3a://, file://) —
+      // a java.nio write would land on whichever executor ran the task.
       val header = finalMapping.columns.toSeq
-      val xlsxPath = java.nio.file.Paths.get(dir, "mapping_final.xlsx")
-        .toAbsolutePath.toString
+      val xlsxPath = if (dir.contains("://")) s"$dir/mapping_final.xlsx"
+        else java.nio.file.Paths.get(dir, "mapping_final.xlsx")
+          .toAbsolutePath.toString
       finalMapping.coalesce(1).foreachPartition {
         (it: Iterator[org.apache.spark.sql.Row]) =>
           val rows = header +: it.map(_.toSeq.map(v =>
             if (v == null) "" else v.toString)).toSeq
-          java.nio.file.Files.write(java.nio.file.Paths.get(xlsxPath),
-            graft.sink.MiniFormats.xlsxBytes(rows))
-          ()
+          val p = new org.apache.hadoop.fs.Path(xlsxPath)
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(p, true)
+          try out.write(graft.sink.MiniFormats.xlsxBytes(rows))
+          finally out.close()
       }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(dir, "validation_report.txt"), reportText)

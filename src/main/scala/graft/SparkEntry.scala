@@ -775,8 +775,11 @@ object SparkEntry {
                   ELSE list_transform(generate_series(1, len(toks)-2),
                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
            FROM tok),
-         sz AS (SELECT doc_id, len(s) AS n FROM sh),
-         inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         freq AS (SELECT shingle, count(*) AS df FROM inv0 GROUP BY shingle),
+         inv AS (SELECT doc_id, i.shingle FROM inv0 i
+                 JOIN freq USING (shingle) WHERE df <= 1000),
+         sz AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
                    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
@@ -1089,10 +1092,10 @@ object SparkEntry {
            FROM tok),
          corpus AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM sh WHERE doc_id % 20 <> 0),
          bench AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 20 = 0)
-         SELECT c.id, count(*) AS n_contaminated,
+         SELECT c.id, count(DISTINCT c.shingle) AS n_contaminated,
            count(DISTINCT b.bench_id) AS n_bench_docs
          FROM corpus c JOIN bench b USING (shingle)
-         GROUP BY c.id HAVING count(*) >= 5 ORDER BY id""",
+         GROUP BY c.id HAVING count(DISTINCT c.shingle) >= 5 ORDER BY id""",
     "q41_repetition_flags" ->
       """WITH ls AS (SELECT doc_id, text,
              list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls,

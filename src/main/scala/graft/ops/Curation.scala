@@ -62,7 +62,7 @@ object Curation {
       explode(array_distinct(Dedup.shinglesCol(col(textCol), n))).as("shingle"))
     corpusInv.join(broadcast(benchInv), "shingle")
       .groupBy("id")
-      .agg(count(lit(1)).as("n_contaminated"),
+      .agg(countDistinct(col("shingle")).as("n_contaminated"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
       .filter(col("n_contaminated") >= minHits)
   }

@@ -204,21 +204,22 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxBucket: Int = 1000): DataFrame = {
-    // per-doc set size is computed BEFORE the explode and carried on every
-    // inverted-index row (one extra int) — the corpus is scanned and
-    // shingled exactly once, and no size-lookup joins are needed later
-    val withSh = df.select(col(idCol).cast("long").as("id"),
-      array_distinct(shinglesCol(col(textCol), n)).as("shs"))
-    val inv = withSh.select(col("id"), size(col("shs")).cast("long").as("n_sh"),
-      explode(col("shs")).as("shingle"))
-    // co-occurrence counting via per-shingle in-group combinations — a
-    // self-join would run the shingle pipeline twice; sorting the member
-    // structs (by id — first struct field) makes (id_a, id_b) ordered by
-    // construction. NOTE the cap drops *shingles* shared by too many docs —
-    // stopword shingles carry no Jaccard signal anyway, so this doubles as
-    // the standard frequent-shingle filter (undercounts n_common only for
-    // pairs sharing solely ultra-common shingles; their jaccard was ≈0)
-    capBuckets(inv, "shingle", maxBucket)
+    // the metric is Jaccard over the FREQUENT-SHINGLE-FILTERED universe:
+    // shingles with document frequency > maxBucket (boilerplate/stopword
+    // n-grams, which carry no similarity signal and would go quadratic in
+    // the bucket collapse) are removed from BOTH the intersections and the
+    // per-doc set sizes, so the ratio stays a true Jaccard of the filtered
+    // sets — and the oracle applies the identical df filter. One corpus
+    // scan; the df window, the size window, and the bucket groupBy are the
+    // shuffles
+    val inv = df.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(shinglesCol(col(textCol), n))).as("shingle"))
+    val sized = capBuckets(inv, "shingle", maxBucket)
+      .withColumn("n_sh", count(lit(1))
+        .over(Window.partitionBy("id")))
+    // sorting the member structs (by id — first struct field) makes
+    // (id_a, id_b) ordered by construction
+    sized
       .groupBy("shingle")
       .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ms"))
       .filter(size(col("ms")) > 1)

@@ -83,12 +83,16 @@ object Multimodal {
       var i = 12
       var byteRate = 0L
       var dataSize = -1L
-      while (i + 8 <= bytes.length && (byteRate == 0L || dataSize < 0L)) {
+      var ok = true
+      while (ok && i + 8 <= bytes.length && (byteRate == 0L || dataSize < 0L)) {
         val id = ascii(i, 4)
         val sz = u32le(i + 4)
         if (id == "fmt " && i + 16 + 4 <= bytes.length) byteRate = u32le(i + 16)
         if (id == "data") dataSize = sz
-        i += 8 + sz.toInt + (sz.toInt & 1)
+        // a size field that can't advance the walk (0xFFFFFFxx reads as a
+        // negative Int) marks the blob malformed — bail, never spin
+        if (sz < 0 || sz > bytes.length) ok = false
+        else i += 8 + sz.toInt + (sz.toInt & 1)
       }
       if (byteRate > 0 && dataSize >= 0)
         Some(("wav", dataSize * 1000L / byteRate))
@@ -102,7 +106,9 @@ object Multimodal {
         var i = from
         while (i + 8 <= to) {
           val sz = u32be(i)
-          if (sz < 8) return None // malformed / 64-bit sizes unsupported
+          // reject 64-bit/overflowing sizes: sz is read as Long, anything
+          // outside [8, remaining] cannot advance the walk safely
+          if (sz < 8 || sz > to - i) return None
           if (ascii(i + 4, 4) == name)
             return Some((i + 8, math.min(to, i + sz.toInt)))
           i += sz.toInt
@@ -142,16 +148,22 @@ object Multimodal {
     var i = 12
     var fmtCode = -1; var channels = 0; var bits = 0
     var dataAt = -1; var dataLen = 0
-    while (i + 8 <= bytes.length) {
+    var walking = true
+    while (walking && i + 8 <= bytes.length) {
       val id = ascii(i, 4)
-      val sz = u32le(i + 4).toInt
-      if (id == "fmt " && i + 24 <= bytes.length) {
-        fmtCode = u16le(i + 8); channels = u16le(i + 10); bits = u16le(i + 22)
+      val szL = u32le(i + 4)
+      if (szL < 0 || szL > bytes.length) walking = false // malformed size
+      else {
+        val sz = szL.toInt
+        if (id == "fmt " && i + 24 <= bytes.length) {
+          fmtCode = u16le(i + 8); channels = u16le(i + 10); bits = u16le(i + 22)
+        }
+        if (id == "data") { dataAt = i + 8; dataLen = sz }
+        i += 8 + sz + (sz & 1)
       }
-      if (id == "data") { dataAt = i + 8; dataLen = sz }
-      i += 8 + sz + (sz & 1)
     }
-    if (fmtCode != 1 || channels < 1 || dataAt < 0) return None // PCM only
+    if (fmtCode != 1 || channels < 1 || dataAt < 0 || dataLen < 0)
+      return None // PCM only, sane sizes only
     val bytesPerSample = bits / 8
     if (bytesPerSample != 1 && bytesPerSample != 2) return None
     val frameBytes = bytesPerSample * channels

@@ -47,6 +47,10 @@ object Png {
       val idat = new ByteArrayOutputStream()
       while (i + 8 <= bytes.length) {
         val len = u32(i)
+        // chunk length is unsigned in the spec; a value that reads
+        // negative or runs past the buffer cannot advance the walk — stop
+        // (decode of whatever IDAT accumulated so far will fail cleanly)
+        if (len < 0 || i + 8 + len + 4 > bytes.length) return None
         val typ = new String(bytes, i + 4, 4, "US-ASCII")
         val dataAt = i + 8
         typ match {

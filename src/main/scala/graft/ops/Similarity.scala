@@ -149,9 +149,20 @@ object Similarity {
           slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // re-attach embeddings through ONE join (explode each pair into its
+    // member ids, join, fold back) — a join per side would scan and
+    // shuffle the wide vector table once per side, and Catalyst cannot
+    // plan-share the two branches (same pattern as Dedup.minhashCandidates)
     pairs
-      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .join(v, "id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("id") === col("id_a"), col("vec")), ignoreNulls = true)
+          .as("vec_a"),
+        first(when(col("id") === col("id_b"), col("vec")), ignoreNulls = true)
+          .as("vec_b"))
       .select(col("id_a"), col("id_b"),
         round(cosineCol(col("vec_a"), col("vec_b")), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)

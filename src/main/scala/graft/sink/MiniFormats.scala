@@ -182,7 +182,10 @@ object MiniFormats {
             cells(colIdx) =
               if (attrs.contains("t=\"s\""))
                 "<v>([0-9]+)</v>".r.findFirstMatchIn(body)
-                  .map(m => shared(m.group(1).toInt)).getOrElse("")
+                  // unresolvable reference (missing/under-parsed
+                  // sharedStrings) degrades to "" like every other
+                  // malformed-input path in this reader
+                  .flatMap(m => shared.lift(m.group(1).toInt)).getOrElse("")
               else if (attrs.contains("t=\"inlineStr\"")) inlineText(body)
               else "(?s)<v>(.*?)</v>".r.findFirstMatchIn(body)
                 .map(m => xmlUnescape(m.group(1))).getOrElse(inlineText(body))

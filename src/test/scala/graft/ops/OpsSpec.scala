@@ -267,10 +267,10 @@ class OpsSpec extends SparkSpec {
     // → 3000 ms
     val ftyp = bytes(0, 0, 0, 16, 'f', 't', 'y', 'p',
       'i', 's', 'o', 'm', 0, 0, 0, 1)
-    val mvhd = bytes(0, 0, 0, 32, 'm', 'v', 'h', 'd',
+    val mvhd = bytes(0, 0, 0, 28, 'm', 'v', 'h', 'd',
       0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
       0, 0, 0x02, 0x58, 0, 0, 0x07, 0x08) // timescale 600, duration 1800
-    val moov = bytes(0, 0, 0, 8 + 32, 'm', 'o', 'o', 'v') ++ mvhd
+    val moov = bytes(0, 0, 0, 8 + 28, 'm', 'o', 'o', 'v') ++ mvhd
     assert(Multimodal.avHeaderMeta(ftyp ++ moov).contains(("mp4", 3000L)))
     assert(Multimodal.avHeaderMeta("not media at all".getBytes("UTF-8")).isEmpty)
     // through decodeMeta: typed as audio/video with duration populated
