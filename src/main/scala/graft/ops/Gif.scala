@@ -1,0 +1,185 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+
+/** REAL GIF decode in pure JVM: logical-screen/image descriptors, color
+  * tables, and the LZW-compressed index stream (variable-width codes,
+  * clear/end handling). Supports the common shape — single-frame,
+  * non-interlaced, global or local palette; anything else (interlace,
+  * missing palette) returns None and callers fall back to header-only
+  * metadata. Completes the image trio with `ops/Png` (JPEG stays
+  * header-only — a baseline Huffman+IDCT decoder is out of scope).
+  */
+object Gif {
+
+  /** Decode the first frame to RGB samples (via [[Png.Image]], channels=3). */
+  def decode(bytes: Array[Byte]): Option[Png.Image] = {
+    if (bytes == null || bytes.length < 14) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (new String(bytes, 0, 4, "US-ASCII") != "GIF8") return None
+    try {
+      val gctFlag = (u8(10) & 0x80) != 0
+      val gctSize = 2 << (u8(10) & 0x07)
+      var i = 13
+      val gct = if (gctFlag) {
+        val t = bytes.slice(i, i + gctSize * 3); i += gctSize * 3; t
+      } else Array.emptyByteArray
+      // walk blocks to the first image descriptor
+      while (i < bytes.length) {
+        u8(i) match {
+          case 0x3b => return None // trailer before any image
+          case 0x21 => // extension: label + sub-blocks
+            i += 2
+            while (i < bytes.length && u8(i) != 0) i += 1 + u8(i)
+            i += 1
+          case 0x2c =>
+            val w = u16le(i + 5); val h = u16le(i + 7)
+            val flags = u8(i + 9)
+            if ((flags & 0x40) != 0) return None // interlaced unsupported
+            i += 10
+            val lct = if ((flags & 0x80) != 0) {
+              val n = 2 << (flags & 0x07)
+              val t = bytes.slice(i, i + n * 3); i += n * 3; t
+            } else gct
+            if (lct.isEmpty || w <= 0 || h <= 0) return None
+            val minCodeSize = u8(i); i += 1
+            val data = new ByteArrayOutputStream()
+            while (i < bytes.length && u8(i) != 0) {
+              val n = u8(i)
+              data.write(bytes, i + 1, n)
+              i += 1 + n
+            }
+            val indices = lzwDecode(data.toByteArray, minCodeSize, w * h)
+              .getOrElse(return None)
+            val px = new Array[Byte](w * h * 3)
+            var p = 0
+            while (p < w * h) {
+              val idx = math.min(indices(p) & 0xff, lct.length / 3 - 1)
+              px(p * 3) = lct(idx * 3)
+              px(p * 3 + 1) = lct(idx * 3 + 1)
+              px(p * 3 + 2) = lct(idx * 3 + 2)
+              p += 1
+            }
+            return Some(Png.Image(w, h, 3, px))
+          case _ => return None // desynced
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** GIF LZW: variable-width codes starting at minCodeSize+1, dictionary
+    * grows to 4095, CLEAR resets, END stops. Returns exactly `expected`
+    * indices or None. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                        expected: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val out = new ByteArrayOutputStream()
+    // dictionary: each entry is (prefix code, appended byte)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var dictSize = end + 1
+    var codeWidth = minCodeSize + 1
+    var prev = -1
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def readCode(): Int = {
+      if (bitPos + codeWidth > totalBits) return -1
+      var v = 0
+      var b = 0
+      while (b < codeWidth) {
+        val bit = (data((bitPos + b) >> 3) >> ((bitPos + b) & 7)) & 1
+        v |= bit << b
+        b += 1
+      }
+      bitPos += codeWidth
+      v
+    }
+    def expand(code: Int): Array[Byte] = {
+      val sb = new ByteArrayOutputStream()
+      var c = code
+      while (c >= clear) { sb.write(suffix(c)); c = prefix(c) }
+      sb.write(c)
+      sb.toByteArray.reverse
+    }
+    var running = true
+    while (running && out.size() < expected) {
+      val code = readCode()
+      if (code < 0 || code == end) running = false
+      else if (code == clear) {
+        dictSize = end + 1; codeWidth = minCodeSize + 1; prev = -1
+      } else {
+        val entry: Array[Byte] =
+          if (code < clear) Array(code.toByte)
+          else if (code < dictSize) expand(code)
+          else if (prev >= 0 && code == dictSize) {
+            val pe = if (prev < clear) Array(prev.toByte) else expand(prev)
+            pe :+ pe(0)
+          } else return None // invalid code
+        out.write(entry)
+        if (prev >= 0 && dictSize < 4096) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = entry(0)
+          dictSize += 1
+          if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+        prev = code
+      }
+    }
+    if (out.size() == expected) Some(out.toByteArray) else None
+  }
+
+  /** Minimal single-frame GIF encoder (for round-trip tests and demo
+    * synthesis): global palette from the distinct colors (≤256 required),
+    * LZW stream written as literal codes with a CLEAR before each code so
+    * the code width never grows — valid, if uncompressed, GIF89a. */
+  def encode(img: Png.Image): Array[Byte] = {
+    require(img.channels == 3, "GIF encoder expects RGB")
+    val colors = img.pixels.grouped(3).map(c =>
+      ((c(0) & 0xff) << 16) | ((c(1) & 0xff) << 8) | (c(2) & 0xff))
+      .toArray
+    val palette = colors.distinct
+    require(palette.length <= 256, "more than 256 distinct colors")
+    val palIdx = palette.zipWithIndex.toMap
+    val bits = math.max(2, 32 - Integer.numberOfLeadingZeros(
+      math.max(1, palette.length - 1)))
+    val palSlots = 1 << bits
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(img.width); le16(img.height)
+    out.write(0x80 | (bits - 1)); out.write(0); out.write(0) // GCT flag+size
+    for (s <- 0 until palSlots) {
+      val c = if (s < palette.length) palette(s) else 0
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    out.write(0x2c); le16(0); le16(0); le16(img.width); le16(img.height)
+    out.write(0) // no local table, not interlaced
+    val minCode = bits
+    out.write(minCode)
+    val clear = 1 << minCode
+    // bit-pack (CLEAR, literal) pairs at fixed width minCode+1
+    val bitBuf = new ByteArrayOutputStream()
+    var acc = 0L; var nBits = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nBits; nBits += minCode + 1
+      while (nBits >= 8) { bitBuf.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+    }
+    colors.foreach { c => emit(clear); emit(palIdx(c)) }
+    emit(clear + 1) // END
+    if (nBits > 0) bitBuf.write((acc & 0xff).toInt)
+    val lzw = bitBuf.toByteArray
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+}

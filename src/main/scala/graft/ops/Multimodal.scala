@@ -249,7 +249,13 @@ object Multimodal {
     Png.decode(bytes) match {
       case Some(img) => Png.encode(Png.resize(img,
         math.max(1, img.width / factor), math.max(1, img.height / factor)))
-      case None => fakeResize(bytes, factor)
+      case None => Gif.decode(bytes) match {
+        // nearest-neighbor keeps palette colors, so the result is
+        // re-encodable as GIF (≤256 distinct colors preserved)
+        case Some(img) => Gif.encode(Png.resize(img,
+          math.max(1, img.width / factor), math.max(1, img.height / factor)))
+        case None => fakeResize(bytes, factor)
+      }
     }
 
   /** ======== STUB kernel: frame sampling = fixed-stride byte windows ==== */
@@ -280,9 +286,9 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         val (t, n, _, _, _) = decodeMeta(bytes)
-        // REAL feature for PNG inputs: luminance histogram over decoded
-        // pixels; deterministic byte-histogram stand-in otherwise
-        val feat = Png.decode(bytes) match {
+        // REAL feature for PNG/GIF inputs: luminance histogram over
+        // decoded pixels; deterministic byte-histogram stand-in otherwise
+        val feat = Png.decode(bytes).orElse(Gif.decode(bytes)) match {
           case Some(img) => Png.lumaHistogram(img, dim).toSeq
           case None =>
             val f = new Array[Double](dim)

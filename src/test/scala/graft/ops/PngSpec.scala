@@ -103,6 +103,54 @@ class PngSpec extends SparkSpec {
     assert(math.abs(h.sum - 1.0) < 1e-9)
   }
 
+  test("GIF round-trip: LZW decode recovers encoded palette pixels") {
+    // a 6x4 image with 5 distinct colors
+    val px = (0 until 24).flatMap { i =>
+      val c = i % 5
+      Seq((c * 50).toByte, (c * 40).toByte, (255 - c * 30).toByte)
+    }.toArray
+    val img = Png.Image(6, 4, 3, px)
+    val gif = Gif.encode(img)
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
+    // header metadata path agrees
+    assert(Multimodal.imageHeaderMeta(gif).contains(("gif", 6, 4)))
+    val back = Gif.decode(gif).get
+    assert(back.width == 6 && back.height == 4 && back.channels == 3)
+    assert(back.pixels.sameElements(px))
+    // real kernels over GIF content
+    val resized = Multimodal.resizeMedia(gif, 2)
+    val r = Gif.decode(resized).get
+    assert(r.width == 3 && r.height == 2)
+    assert(Gif.decode("GIF8 but junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("GIF LZW: dictionary-built codes decode (compressed producer)") {
+    // hand-build a 4x1, 2-color GIF whose LZW stream uses a dictionary
+    // code (the KwKwK case): indices 0,1,0,1 with codes
+    // CLEAR,0,1,<first dict code = "0,1">,END at width 3
+    def pack(codes: Seq[Int], width: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var n = 0
+      codes.foreach { c =>
+        acc |= c.toLong << n; n += width
+        while (n >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; n -= 8 }
+      }
+      if (n > 0) out.write((acc & 0xff).toInt)
+      out.toByteArray
+    }
+    val lzw = pack(Seq(4, 0, 1, 6, 5), 3) // clear=4, end=5, dict 6 = [0,1]
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 1, 0) ++ // 4x1 screen
+      Array[Byte](0x80.toByte, 0, 0) ++ // GCT, 2 entries
+      Array[Byte](0, 0, 0, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++ // palette
+      Array[Byte](0x2c, 0, 0, 0, 0, 4, 0, 1, 0, 0) ++ // image descriptor
+      Array[Byte](2, lzw.length.toByte) ++ lzw ++ Array[Byte](0, 0x3b)
+    val img = Gif.decode(gif).get
+    assert(img.width == 4 && img.height == 1)
+    val lumas = (0 until 4).map(x => img.luma(x, 0))
+    assert(lumas == Seq(0, 255, 0, 255), s"got $lumas")
+  }
+
   test("WAV PCM decode: real samples, RMS and zero-crossing features") {
     // 16-bit mono PCM: a full-scale square wave alternating every sample
     val n = 1000
