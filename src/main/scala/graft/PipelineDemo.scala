@@ -62,12 +62,18 @@ object PipelineDemo {
       val xlsxPath = if (dir.contains("://")) s"$dir/mapping_final.xlsx"
         else java.nio.file.Paths.get(dir, "mapping_final.xlsx")
           .toAbsolutePath.toString
+      // ship the DRIVER's hadoop conf into the task — a bare
+      // `new Configuration()` loads only classpath XML and would drop
+      // spark.hadoop.* session settings (s3a credentials, endpoints,
+      // fs.defaultFS), breaking exactly the cluster filesystems above
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
       finalMapping.coalesce(1).foreachPartition {
         (it: Iterator[org.apache.spark.sql.Row]) =>
           val rows = header +: it.map(_.toSeq.map(v =>
             if (v == null) "" else v.toString)).toSeq
           val p = new org.apache.hadoop.fs.Path(xlsxPath)
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = p.getFileSystem(hconf.value)
           val out = fs.create(p, true)
           try out.write(graft.sink.MiniFormats.xlsxBytes(rows))
           finally out.close()

@@ -291,6 +291,11 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // partially-propagated labels would make keep-one-per-cluster dedup
+    // silently drop the wrong docs — fail loudly instead
+    require(converged,
+      s"dupClusters did not reach the label fixpoint in $maxIter rounds; " +
+        "raise maxIter (pointer jumping needs ~log2(cluster diameter) + 2)")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

@@ -149,6 +149,11 @@ object Similarity {
           slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // duplicate ids in the INPUT put the same id in a bucket list twice,
+      // which the sorted combinations turn into self-pairs (cosine 1.0)
+      // and repeated rows — same guards as Dedup.minhashCandidates
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
     // re-attach embeddings through ONE join (explode each pair into its
     // member ids, join, fold back) — a join per side would scan and
     // shuffle the wide vector table once per side, and Catalyst cannot

@@ -16,12 +16,22 @@ import org.apache.spark.sql.functions._
   * than every task appending a sliver to every partition. */
 object ParquetSink {
 
+  /** COST NOTE: with `rowEstimate = None` the row count is resolved, in
+    * order, from (a) the caller, (b) Catalyst plan statistics when the
+    * optimizer can bound them exactly (CBO / cached relations), and only
+    * then (c) a `df.count()` — which executes the ENTIRE upstream plan a
+    * second time. At the 100 TB scale this sink targets, pass
+    * `rowEstimate` (any within-2× figure is fine — it only sizes files)
+    * or cache the frame before calling; the count() fallback doubles the
+    * job for an uncached pipeline. */
   def writeSized(df: DataFrame, path: String,
                  partitionCols: Seq[String] = Seq.empty,
                  targetRowsPerFile: Long = 1000000L,
                  rowEstimate: Option[Long] = None,
                  mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val rows = rowEstimate.getOrElse(df.count())
+    val rows = rowEstimate
+      .orElse(df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+      .getOrElse(df.count())
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val shaped =
       if (partitionCols.nonEmpty)

@@ -80,6 +80,15 @@ class CurationSpec extends SparkSpec {
     assert(clusters.values.forall(_ == 1L), s"unconverged: ${clusters.filter(_._2 != 1L)}")
   }
 
+  test("dup clusters: exhausting maxIter without the fixpoint fails loudly") {
+    // partially-propagated labels would silently dedup the WRONG docs
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(chain, maxIter = 1).count()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("qualityFilter drops low-score docs and listed near-dups") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and more and more"),

@@ -112,6 +112,19 @@ class OpsSpec extends SparkSpec {
       maxBucket = 100).count() == 0)
   }
 
+  test("cosineNearDups: duplicate input ids yield no self-pairs or repeats") {
+    // the same vec_id appearing twice lands twice in its bucket list;
+    // the pair generator must not emit (id, id) or repeated (a, b) rows
+    val v = array((0 until 64).map(i => lit(0.1f * ((i % 5) - 2))): _*)
+    val vecs = spark.range(3).select(col("id").as("vec_id"), v.as("embedding"))
+      .union(spark.range(1).select(col("id").as("vec_id"), v.as("embedding")))
+    val pairs = Similarity.cosineNearDups(vecs, 0.9, nBits = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+    assert(pairs.toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
   test("bucket cap leaves normal corpora unchanged") {
     def pairsOf(maxBucket: Int) =
       Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3,
