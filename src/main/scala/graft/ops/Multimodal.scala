@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * The actual codec work (JPEG decode, resampling, frame extraction) needs
-  * native libraries this container does not ship — those kernels are STUBBED
-  * with deterministic fakes (clearly marked below). Everything Spark-side is
-  * real and tested: schemas, batch iteration via `mapPartitions` on the
-  * binary column (the Scala analog of `mapInPandas` batch shape),
-  * partitioning, and the metadata contract.
+  * The IMAGE lane is fully real: PNG ([[Png]]), GIF ([[Gif]]), and baseline
+  * JPEG ([[Jpeg]]) decode to actual pixels and re-encode, pure JVM. The
+  * AUDIO lane decodes WAV PCM samples for real; compressed audio and video
+  * frame extraction genuinely need native codec libraries this container
+  * does not ship — those kernels are STUBBED with deterministic fakes
+  * (clearly marked below). Everything Spark-side is real and tested:
+  * schemas, batch iteration via `mapPartitions` on the binary column (the
+  * Scala analog of `mapInPandas` batch shape), partitioning, and the
+  * metadata contract.
   */
 object Multimodal {
 
@@ -242,9 +245,10 @@ object Multimodal {
     if (bytes == null) null
     else bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
 
-  /** Resize kernel: REAL pixel resampling for PNG inputs (decode →
-    * nearest-neighbor → re-encode, `ops/Png`), deterministic byte
-    * subsample for formats whose codecs need native libs. */
+  /** Resize kernel: REAL pixel resampling for PNG/GIF/JPEG inputs (decode
+    * → nearest-neighbor → re-encode in the source format, `ops/Png`,
+    * `ops/Gif`, `ops/Jpeg`), deterministic byte subsample only for
+    * formats whose codecs genuinely need native libs (video). */
   def resizeMedia(bytes: Array[Byte], factor: Int): Array[Byte] =
     Png.decode(bytes) match {
       case Some(img) => Png.encode(Png.resize(img,
@@ -254,7 +258,11 @@ object Multimodal {
         // re-encodable as GIF (≤256 distinct colors preserved)
         case Some(img) => Gif.encode(Png.resize(img,
           math.max(1, img.width / factor), math.max(1, img.height / factor)))
-        case None => fakeResize(bytes, factor)
+        case None => Jpeg.decode(bytes) match {
+          case Some(img) => Jpeg.encode(Png.resize(img,
+            math.max(1, img.width / factor), math.max(1, img.height / factor)))
+          case None => fakeResize(bytes, factor)
+        }
       }
     }
 
@@ -286,9 +294,10 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         val (t, n, _, _, _) = decodeMeta(bytes)
-        // REAL feature for PNG/GIF inputs: luminance histogram over
+        // REAL feature for PNG/GIF/JPEG inputs: luminance histogram over
         // decoded pixels; deterministic byte-histogram stand-in otherwise
-        val feat = Png.decode(bytes).orElse(Gif.decode(bytes)) match {
+        val feat = Png.decode(bytes).orElse(Gif.decode(bytes))
+          .orElse(Jpeg.decode(bytes)) match {
           case Some(img) => Png.lumaHistogram(img, dim).toSeq
           case None =>
             val f = new Array[Double](dim)
