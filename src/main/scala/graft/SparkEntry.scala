@@ -529,6 +529,42 @@ object SparkEntry {
       .select("o_orderkey", "o_orderpriority")
       .orderBy("o_orderkey")
 
+  /** Interval (attribution-window) join: for each purchase, the number of
+    * clicks by the same user in the preceding 30 minutes — time-bucketed
+    * hash equi-join, never a nested loop. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts")
+    graft.ops.IntervalJoin.countPreceding(purchases, clicks, "user_id",
+        "ts", "ts", window = 30L * 60 * 1000000000L, countAlias = "n_clicks")
+      .select("event_id", "user_id", "n_clicks")
+      .orderBy("event_id")
+  }
+
+  /** Corpus-unigram-LM surprisal per document (micro-nat integer
+    * arithmetic — engine-exact sums). */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id")
+
+  /** Bigram LM count table: top-3 next tokens per leading token. */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramTopNext(t(s, dir, "documents"), "text", k = 3)
+      .orderBy("a", "rank")
+
+  /** IVF ANN top-3: deterministic coarse codebook (every 50th vector),
+    * nProbe=2 cells per query, exact cosine re-rank within cells. */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"),
+      t(s, dir, "embeddings").filter(col("vec_id") % 25 === 0),
+      k = 3, centroidStride = 50, nProbe = 2)
+      .orderBy("query_id", "rank")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -575,7 +611,11 @@ object SparkEntry {
     "q39_dup_clusters" -> (q39 _),
     "q40_decontaminate" -> (q40 _),
     "q41_repetition_flags" -> (q41 _),
-    "q42_stratified_sample" -> (q42 _))
+    "q42_stratified_sample" -> (q42 _),
+    "q43_interval_join" -> (q43 _),
+    "q44_unigram_surprisal" -> (q44 _),
+    "q45_bigram_lm" -> (q45 _),
+    "q46_ivf_ann" -> (q46 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1130,5 +1170,84 @@ object SparkEntry {
            CASE WHEN o_orderpriority = '1-URGENT' THEN 500
                 WHEN o_orderpriority = '2-HIGH' THEN 200
                 ELSE 50 END
-         ORDER BY o_orderkey""")
+         ORDER BY o_orderkey""",
+    "q43_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id,
+           CAST(count(c.ts) AS BIGINT) AS n_clicks
+         FROM p LEFT JOIN c ON c.user_id = p.user_id
+           AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+         GROUP BY 1, 2 ORDER BY event_id""",
+    "q44_unigram_surprisal" ->
+      """WITH terms AS (SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                    x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         c AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+         doc AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(sum(tf * CAST(round(ln(c.c) * 1000000) AS BIGINT)) AS BIGINT)
+               AS partial
+           FROM tf JOIN c USING (term) GROUP BY id),
+         tot AS (SELECT CAST(round(ln(count(*)) * 1000000) AS BIGINT) AS rt
+                 FROM terms)
+         SELECT id, n_tokens,
+           round((n_tokens * tot.rt - partial) / n_tokens / 1e6, 6)
+             AS avg_surprisal
+         FROM doc, tot ORDER BY id""",
+    "q45_bigram_lm" ->
+      """WITH tok AS (SELECT
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         x -> x <> '') AS toks
+           FROM documents),
+         bg AS (SELECT unnest(toks[1:len(toks)-1]) AS a,
+                       unnest(toks[2:len(toks)]) AS b
+                FROM tok WHERE len(toks) >= 2),
+         pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS pair_n
+                FROM bg GROUP BY 1, 2),
+         r AS (SELECT a, b, pair_n,
+                 CAST(row_number() OVER (PARTITION BY a
+                   ORDER BY pair_n DESC, b ASC) AS INT) AS rank
+               FROM pc)
+         SELECT a, b, pair_n, rank FROM r WHERE rank <= 3 ORDER BY a, rank""",
+    "q46_ivf_ann" ->
+      """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id % 50 = 0),
+         ad AS (SELECT e.vec_id, c.cid,
+                  round(sum(e.embedding[idx.i]::DOUBLE * c.ce[idx.i]::DOUBLE), 6)
+                    AS dot
+                FROM embeddings e, cent c, idx GROUP BY 1, 2),
+         asn AS (SELECT vec_id, cid AS cell FROM
+                   (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dot DESC, cid ASC) AS rn FROM ad)
+                 WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cid AS cell FROM
+                      (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dot DESC, cid ASC) AS rn
+                       FROM ad WHERE vec_id % 25 = 0)
+                    WHERE rn <= 2),
+         n AS (SELECT vec_id,
+                 sqrt(sum(embedding[idx.i]::DOUBLE * embedding[idx.i]::DOUBLE)) AS nrm
+               FROM embeddings, idx GROUP BY vec_id),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                  FROM probes p JOIN asn a ON a.cell = p.cell
+                  WHERE a.vec_id <> p.query_id),
+         d AS (SELECT query_id, neighbor_id,
+                 sum(eq.embedding[idx.i]::DOUBLE * ec.embedding[idx.i]::DOUBLE) AS dot
+               FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+                         JOIN embeddings ec ON ec.vec_id = neighbor_id, idx
+               GROUP BY 1, 2),
+         sc AS (SELECT query_id, neighbor_id,
+                 round(dot / (nq.nrm * nc.nrm), 6) AS cosine_sim
+                FROM d JOIN n nq ON nq.vec_id = query_id
+                       JOIN n nc ON nc.vec_id = neighbor_id),
+         r AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+               FROM sc)
+         SELECT query_id, neighbor_id, cosine_sim, rank FROM r
+         WHERE rank <= 3 ORDER BY query_id, rank""")
 }

@@ -123,6 +123,63 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the codebook-quantizer scale path next to
+    * the hyperplane-LSH one: every corpus vector is assigned to its
+    * nearest coarse centroid (one cell each, cells are disjoint), queries
+    * probe their `nProbe` nearest cells, and exact cosine re-ranks only
+    * the vectors in the probed cells.
+    *
+    * The codebook here is deterministic — every `centroidStride`-th
+    * vector — so any engine reproduces it (oracle rule: no rand()). A
+    * production 100 TB run would train/sample the codebook instead; the
+    * shape is identical: a codebook small enough to broadcast (collected
+    * once on the driver — ≤ tens of thousands of rows BY CONSTRUCTION,
+    * never corpus-sized), cell assignment as one narrow pass over the
+    * corpus (no shuffle), then a hash equi-join on cell id against the
+    * broadcast probe set. Assignment dots are rounded to 6 decimals
+    * before the argmax so ULP noise can never flip a cell choice between
+    * engines (ties → lowest centroid id). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidStride: Long = 50, nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = corpus
+      .filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids: no $idCol divisible by $centroidStride")
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // nearest-cells kernel: rounded dot against every centroid, top-n by
+    // (dot desc, centroid id asc) — same fused-UDF rationale as cosUdf
+    def nearestCells(v: Seq[Double], n: Int): Seq[Long] =
+      cents.map { case (cid, ce) =>
+        var dot = 0.0; var i = 0
+        val len = math.min(v.length, ce.length)
+        while (i < len) { dot += v(i) * ce(i); i += 1 }
+        (round6(dot), cid)
+      }.sortBy { case (d, cid) => (-d, cid) }.take(n).map(_._2).toSeq
+    val cellUdf = udf { (v: Seq[Double]) => nearestCells(v, 1).head }
+    val probesUdf = udf { (v: Seq[Double]) => nearestCells(v, nProbe) }
+    val cells = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("vec_c"),
+      cellUdf(col(vecCol).cast("array<double>")).as("cell"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("vec_q"),
+      explode(probesUdf(col(vecCol).cast("array<double>"))).as("cell"))
+    // cells are disjoint → a (query, neighbor) pair appears at most once
+    val scored = cells.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", round(cosineCol(col("vec_q"), col("vec_c")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (a<b, sim ≥ threshold) over LSH
     * buckets — the embedding leg of the dedup suite.
     *

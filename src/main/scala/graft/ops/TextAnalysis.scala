@@ -172,6 +172,72 @@ object TextAnalysis {
       .select("id", "rank", "term", "tf", "df", "tfidf")
   }
 
+  /** Corpus-unigram-LM surprisal scoring — the classic cheap "perplexity"
+    * quality signal: each token's surprisal is −ln p(token) under the
+    * corpus's own unigram distribution; a document full of rare tokens
+    * (gibberish, boilerplate IDs) scores high, natural prose scores low.
+    *
+    * Determinism contract (oracle-hashable): per-token surprisal is the
+    * exact integer `round(ln T·1e6) − round(ln c·1e6)` (micro-nats), so
+    * per-doc sums are integer arithmetic — no float-summation-order drift
+    * between engines. Output: (id, n_tokens, avg_surprisal).
+    *
+    * Scale shape: explode → (doc,term) counts → corpus term count as a
+    * window sum over the compact tf frame (same single-shuffle trick as
+    * [[tfidfTopTerms]], verified no extra exchange in PlanAuditSpec) →
+    * doc-level aggregate. The total token count T is one extra NARROW
+    * scan (map-side partial count, no shuffle) folded in as a broadcast
+    * 1-row frame — re-deriving it from the doc aggregate would re-execute
+    * the whole explode+shuffle pipeline (Catalyst does not plan-share
+    * pruned aggregate branches). */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol).cast("long").as("id"),
+      explode(tokensCol(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val doc = tf
+      .withColumn("c", sum("tf").over(wTerm))
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * round(log(col("c")) * 1e6).cast("long")).as("partial"))
+    val tot = terms.agg(
+      round(log(count(lit(1))) * 1e6).cast("long").as("rt"))
+    doc.crossJoin(broadcast(tot))
+      .select(col("id"), col("n_tokens"),
+        round((col("n_tokens") * col("rt") - col("partial")) /
+          col("n_tokens") / 1e6, 6).as("avg_surprisal"))
+  }
+
+  /** Bigram count table — the n-gram LM training-prep operator: counts of
+    * consecutive lowercase token pairs across the corpus. Pairs are built
+    * per row with a narrow `zip_with` over two slices (no self-join, no
+    * window over token position); the only shuffle is the final count. */
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    df.select(
+        when(size(toks) >= 2,
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (x, y) => struct(x.as("a"), y.as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+          .as("bgs"))
+      .select(explode(col("bgs")).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("pair_n"))
+  }
+
+  /** Top-`k` next tokens per leading token by bigram count (ties → token
+    * order) — the greedy conditional-probability view of [[bigramCounts]]. */
+  def bigramTopNext(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
+      .orderBy(col("pair_n").desc, col("b").asc)
+    bigramCounts(df, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("a", "b", "pair_n", "rank")
+  }
+
   /** Full per-document profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

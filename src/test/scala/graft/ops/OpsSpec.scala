@@ -112,6 +112,56 @@ class OpsSpec extends SparkSpec {
       maxBucket = 100).count() == 0)
   }
 
+  test("unigram surprisal: rare tokens score higher, values hand-checked") {
+    // corpus: "a a a b" + "c" → T=5; c(a)=3, c(b)=1, c(c)=1
+    val docs = Seq((1L, "a a a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def micro(x: Double) = math.round(x * 1e6)
+    val rt = micro(math.log(5))
+    val exp1 = (4 * rt - (3 * micro(math.log(3)) + 1 * micro(math.log(1)))) / 4.0 / 1e6
+    val exp2 = (1 * rt - micro(math.log(1))) / 1.0 / 1e6
+    assert(out(1L)._1 == 4 && out(2L)._1 == 1)
+    assert(math.abs(out(1L)._2 - BigDecimal(exp1).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(2L)._2 > out(1L)._2, "all-rare doc must score higher")
+    assert(math.abs(out(2L)._2 - BigDecimal(exp2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bigram LM: counts and top-next ranking hand-checked") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"),
+      (4L, "x")). // single token → no bigrams
+      toDF("doc_id", "text")
+    val counts = TextAnalysis.bigramCounts(docs, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(("the", "cat") -> 2L, ("the", "dog") -> 1L,
+      ("cat", "sat") -> 1L, ("cat", "ran") -> 1L, ("dog", "sat") -> 1L))
+    val top = TextAnalysis.bigramTopNext(docs, "text", k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // ties broken by token order: cat → ran (not sat)
+    assert(top == Map("the" -> "cat", "cat" -> "ran", "dog" -> "sat"))
+  }
+
+  test("IVF ANN: disjoint cells, self excluded, recall vs brute force") {
+    val vecs = spark.range(200).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        sin(i * (col("id") % 7 + 1) * 0.37 + col("id") * 0.11).cast("float"))
+        .as("embedding"))
+    val queries = vecs.filter(col("vec_id") % 40 === 0)
+    val ivf = Similarity.ivfTopK(vecs, queries, k = 3,
+      centroidStride = 20, nProbe = 3)
+    val rows = ivf.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-match")
+    assert(rows.groupBy(r => (r.getLong(0), r.getLong(1))).forall(_._2.length == 1))
+    val bf = Similarity.bruteForceTopK(vecs, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect got).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF nProbe=3 recall $recall vs brute force")
+  }
+
   test("cosineNearDups: duplicate input ids yield no self-pairs or repeats") {
     // the same vec_id appearing twice lands twice in its bucket list;
     // the pair generator must not emit (id, id) or repeated (a, b) rows
