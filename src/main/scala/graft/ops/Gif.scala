@@ -4,45 +4,79 @@ import java.io.ByteArrayOutputStream
 
 /** REAL GIF decode in pure JVM: logical-screen/image descriptors, color
   * tables, and the LZW-compressed index stream (variable-width codes,
-  * clear/end handling). Supports the common shape — single-frame,
-  * non-interlaced, global or local palette; anything else (interlace,
-  * missing palette) returns None and callers fall back to header-only
-  * metadata. Completes the image trio with `ops/Png` (JPEG stays
-  * header-only — a baseline Huffman+IDCT decoder is out of scope).
+  * clear/end handling). Multi-frame (animated) streams are composited
+  * frame by frame on the logical screen — graphic-control transparency,
+  * disposal methods 0–3, and 4-pass interlacing honored — so frame
+  * SAMPLING operates on real pixels. Palette-less streams return None and
+  * callers fall back to header-only metadata. With `ops/Png` and
+  * `ops/Jpeg` this completes the fully-decoding image trio.
   */
 object Gif {
 
   /** Decode the first frame to RGB samples (via [[Png.Image]], channels=3). */
-  def decode(bytes: Array[Byte]): Option[Png.Image] = {
+  def decode(bytes: Array[Byte]): Option[Png.Image] =
+    decodeFrames(bytes, maxFrames = 1).flatMap(_.headOption)
+
+  /** Decode up to `maxFrames` composited frames (each the full logical
+    * screen). None for malformed/unsupported streams; Some(Seq()) for a
+    * well-formed stream with no image data. */
+  def decodeFrames(bytes: Array[Byte],
+                   maxFrames: Int = Int.MaxValue): Option[Seq[Png.Image]] = {
     if (bytes == null || bytes.length < 14) return None
     def u8(i: Int) = bytes(i) & 0xff
     def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
     if (new String(bytes, 0, 4, "US-ASCII") != "GIF8") return None
     try {
+      val sw = u16le(6); val sh = u16le(8)
+      if (sw <= 0 || sh <= 0) return None
       val gctFlag = (u8(10) & 0x80) != 0
       val gctSize = 2 << (u8(10) & 0x07)
+      val bgIndex = u8(11)
       var i = 13
       val gct = if (gctFlag) {
         val t = bytes.slice(i, i + gctSize * 3); i += gctSize * 3; t
       } else Array.emptyByteArray
-      // walk blocks to the first image descriptor
-      while (i < bytes.length) {
+      // canvas starts as the background color (black without a palette)
+      val canvas = new Array[Byte](sw * sh * 3)
+      if (gct.nonEmpty && bgIndex < gct.length / 3) {
+        var p = 0
+        while (p < sw * sh) {
+          canvas(p * 3) = gct(bgIndex * 3)
+          canvas(p * 3 + 1) = gct(bgIndex * 3 + 1)
+          canvas(p * 3 + 2) = gct(bgIndex * 3 + 2)
+          p += 1
+        }
+      }
+      val frames = Seq.newBuilder[Png.Image]
+      var nFrames = 0
+      var transparent = -1
+      var disposal = 0
+      while (i < bytes.length && nFrames < maxFrames) {
         u8(i) match {
-          case 0x3b => return None // trailer before any image
-          case 0x21 => // extension: label + sub-blocks
+          case 0x3b => return Some(frames.result()) // trailer
+          case 0x21 => // extension
+            val label = u8(i + 1)
+            if (label == 0xf9 && i + 6 < bytes.length && u8(i + 2) >= 4) {
+              // graphic control: disposal + transparency for the NEXT image
+              val flags = u8(i + 3)
+              disposal = (flags >> 2) & 7
+              transparent = if ((flags & 1) != 0) u8(i + 6) else -1
+            }
             i += 2
             while (i < bytes.length && u8(i) != 0) i += 1 + u8(i)
             i += 1
           case 0x2c =>
+            val left = u16le(i + 1); val top = u16le(i + 3)
             val w = u16le(i + 5); val h = u16le(i + 7)
             val flags = u8(i + 9)
-            if ((flags & 0x40) != 0) return None // interlaced unsupported
+            val interlaced = (flags & 0x40) != 0
             i += 10
             val lct = if ((flags & 0x80) != 0) {
               val n = 2 << (flags & 0x07)
               val t = bytes.slice(i, i + n * 3); i += n * 3; t
             } else gct
-            if (lct.isEmpty || w <= 0 || h <= 0) return None
+            if (lct.isEmpty || w <= 0 || h <= 0 ||
+              left + w > sw || top + h > sh) return None
             val minCodeSize = u8(i); i += 1
             val data = new ByteArrayOutputStream()
             while (i < bytes.length && u8(i) != 0) {
@@ -50,24 +84,74 @@ object Gif {
               data.write(bytes, i + 1, n)
               i += 1 + n
             }
-            val indices = lzwDecode(data.toByteArray, minCodeSize, w * h)
+            i += 1 // block terminator
+            val raw = lzwDecode(data.toByteArray, minCodeSize, w * h)
               .getOrElse(return None)
-            val px = new Array[Byte](w * h * 3)
-            var p = 0
-            while (p < w * h) {
-              val idx = math.min(indices(p) & 0xff, lct.length / 3 - 1)
-              px(p * 3) = lct(idx * 3)
-              px(p * 3 + 1) = lct(idx * 3 + 1)
-              px(p * 3 + 2) = lct(idx * 3 + 2)
-              p += 1
+            // interlaced frames store rows in 4 passes (8/8/4/2 stride)
+            val indices = if (!interlaced) raw else {
+              val out = new Array[Byte](raw.length)
+              var src = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                   y <- start until h by step) {
+                System.arraycopy(raw, src * w, out, y * w, w)
+                src += 1
+              }
+              out
             }
-            return Some(Png.Image(w, h, 3, px))
+            val snapshot = if (disposal == 3) canvas.clone() else null
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val idx = indices(y * w + x) & 0xff
+                if (idx != transparent) {
+                  val ci = math.min(idx, lct.length / 3 - 1)
+                  val o = ((top + y) * sw + left + x) * 3
+                  canvas(o) = lct(ci * 3)
+                  canvas(o + 1) = lct(ci * 3 + 1)
+                  canvas(o + 2) = lct(ci * 3 + 2)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            frames += Png.Image(sw, sh, 3, canvas.clone())
+            nFrames += 1
+            // disposal AFTER the frame is emitted (affects the next one)
+            disposal match {
+              case 2 => // restore rect to background
+                val bg = if (gct.nonEmpty && bgIndex < gct.length / 3)
+                  Array(gct(bgIndex * 3), gct(bgIndex * 3 + 1), gct(bgIndex * 3 + 2))
+                else Array[Byte](0, 0, 0)
+                var yy = 0
+                while (yy < h) {
+                  var xx = 0
+                  while (xx < w) {
+                    val o = ((top + yy) * sw + left + xx) * 3
+                    canvas(o) = bg(0); canvas(o + 1) = bg(1); canvas(o + 2) = bg(2)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+              case 3 => System.arraycopy(snapshot, 0, canvas, 0, canvas.length)
+              case _ => // 0/1: leave in place
+            }
+            transparent = -1; disposal = 0 // GCE applies to one image only
           case _ => return None // desynced
         }
       }
-      None
+      Some(frames.result())
     } catch { case _: Exception => None }
   }
+
+  /** Evenly-spaced sample of `n` composited frames — real video-style
+    * frame sampling for animated GIFs (the only animation container
+    * decodable without native codec libraries). */
+  def frameSample(bytes: Array[Byte], n: Int): Option[Seq[Png.Image]] =
+    decodeFrames(bytes).filter(_.nonEmpty).map { all =>
+      if (all.length <= n) all
+      else (0 until n).map(j => all(j * all.length / n))
+    }
 
   /** GIF LZW: variable-width codes starting at minCodeSize+1, dictionary
     * grows to 4095, CLEAR resets, END stops. Returns exactly `expected`

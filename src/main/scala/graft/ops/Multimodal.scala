@@ -275,6 +275,16 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: REAL for animated GIF — the only animation container
+    * decodable without native codec libs — (decode → composite → evenly
+    * sample → PNG-encode each frame); fixed-stride byte windows for
+    * true video formats. */
+  def sampleFrames(bytes: Array[Byte], nFrames: Int): Seq[Array[Byte]] =
+    Gif.frameSample(bytes, nFrames) match {
+      case Some(frames) => frames.map(Png.encode)
+      case None => fakeFrameSample(bytes, nFrames)
+    }
+
   /** Batch feature extraction over partitions — the `mapInPandas` analog:
     * one iterator pass per partition, batching amortizes codec setup. Output
     * schema: id, media_type, n_bytes, feature (fixed-width double vector

@@ -106,6 +106,53 @@ class PlanAuditSpec extends SparkSpec {
       s"as-of join degenerated to a product join in:\n$plan")
   }
 
+  test("interval join: hash equi-join on (key, bucket), never a nested loop") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val plan = physical(graft.ops.IntervalJoin.countPreceding(
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "click").select("user_id", "ts"),
+      "user_id", "ts", "ts", window = 30L * 60 * 1000000000L))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join degenerated to a product join in:\n$plan")
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"),
+      s"no join found in:\n$plan")
+  }
+
+  test("brute-force cosine: no join operator at all (per-row kernel)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = physical(graft.ops.Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") % 25 === 0), k = 5))
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    // the only exchange is the rank window's query_id shuffle
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
+      s"expected exactly 1 shuffle in:\n$plan")
+  }
+
+  test("IVF ANN: corpus assignment is shuffle-free, probe side broadcast") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = physical(graft.ops.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") % 25 === 0), k = 3,
+      centroidStride = 50, nProbe = 2))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe side not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the cell join in:\n$plan")
+  }
+
+  test("surprisal: corpus term pipeline shuffles, total-count scan is narrow") {
+    val plan = physical(graft.ops.TextAnalysis.unigramSurprisal(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text"))
+    // the T branch must be a partial-count (map-side) aggregate folded in
+    // as a broadcast, not a third shuffle
+    assert(plan.contains("BroadcastExchange"), s"T not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"unexpected join in:\n$plan")
+  }
+
   test("validator DAG: dim joins broadcast, no driver collect in plan") {
     val cfg = graft.pipeline.PipelineConfig.scaled(perSit = 2)
     val corpus = graft.pipeline.ContentGen.corpus(
