@@ -646,6 +646,18 @@ object SparkEntry {
         col("gid"), col("n_rows"), col("revenue_cents"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
+  /** Cross-corpus incremental dedup: incoming docs (doc_id % 20 ≠ 0)
+    * near-dup-matched against the existing corpus (doc_id % 20 = 0) via
+    * the band join — neither corpus is paired against itself. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Dedup.crossCorpusNearDups(
+      docs.filter(col("doc_id") % 20 === 0),
+      docs.filter(col("doc_id") % 20 =!= 0),
+      "doc_id", "text", threshold = 0.4)
+      .orderBy("id_in", "id_ex")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -701,7 +713,8 @@ object SparkEntry {
     "q48_rolling_stats" -> (q48 _),
     "q49_zscore_outliers" -> (q49 _),
     "q50_pivot" -> (q50 _),
-    "q51_rollup" -> (q51 _))
+    "q51_rollup" -> (q51 _),
+    "q52_cross_corpus_dedup" -> (q52 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1385,5 +1398,41 @@ object SparkEntry {
            CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
              AS revenue_cents
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY gid, l_returnflag, l_linestatus""")
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    "q52_cross_corpus_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+           FROM tok),
+         hx AS (SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h1s,
+             list_transform(sh, s -> (('0x' || substr(md5(s), 9, 8))::BIGINT | 1)) AS h2s
+           FROM sh),
+         sg AS (SELECT doc_id,
+             list_transform(generate_series(0, 7), j ->
+               list_min(list_transform(generate_series(1, len(h1s)), i ->
+                 (h1s[i] + j * h2s[i]) % 4294967296))) AS sig
+           FROM hx),
+         bands AS (SELECT doc_id,
+             ['0|' || sig[1] || '|' || sig[2],
+              '1|' || sig[3] || '|' || sig[4],
+              '2|' || sig[5] || '|' || sig[6],
+              '3|' || sig[7] || '|' || sig[8]] AS bk
+           FROM sg),
+         expd AS (SELECT doc_id, unnest(bk) AS band FROM bands),
+         cand AS (SELECT DISTINCT b.doc_id AS id_in, a.doc_id AS id_ex
+                  FROM expd a JOIN expd b ON a.band = b.band
+                  WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0),
+         dist AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+         j AS (SELECT id_in, id_ex,
+                 CAST(len(list_intersect(di.s, de.s)) AS DOUBLE) /
+                 CAST(len(di.s) + len(de.s) - len(list_intersect(di.s, de.s)) AS DOUBLE) AS jaccard
+               FROM cand JOIN dist di ON id_in = di.doc_id
+                         JOIN dist de ON id_ex = de.doc_id)
+         SELECT id_in, id_ex, jaccard FROM j WHERE jaccard >= 0.4
+         ORDER BY id_in, id_ex""")
 }

@@ -197,6 +197,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Cross-corpus near-dup join — the INCREMENTAL dedup shape: match an
+    * incoming shard against an existing corpus without re-pairing either
+    * corpus internally (a continuously-ingesting pipeline dedups each new
+    * crawl against the accumulated corpus; re-running the full self-join
+    * would be quadratic in history).
+    *
+    * Both sides band once (at scale the existing corpus's band table is
+    * the thing you PERSIST, bucketed by band, so each increment only
+    * shuffles its own bands); candidates come from the band equi-join,
+    * capped per band on the existing side against hot boilerplate
+    * buckets. Shingle sets re-attach per side against that side's own
+    * frame — id spaces of the two corpora may overlap freely. Output:
+    * (id_in, id_ex, jaccard ≥ threshold). */
+  def crossCorpusNearDups(existing: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String, threshold: Double,
+                          n: Int = 3, bands: Int = 4, rows: Int = 2,
+                          maxBucket: Int = 1000): DataFrame = {
+    val bandsEx = capBuckets(
+      minhashBands(existing, idCol, textCol, n, bands, rows), "band", maxBucket)
+      .select(col("id").as("id_ex"), col("band"))
+    val bandsIn = minhashBands(incoming, idCol, textCol, n, bands, rows)
+      .select(col("id").as("id_in"), col("band"))
+    val pairs = bandsIn.join(bandsEx, "band")
+      .select("id_in", "id_ex").dropDuplicates("id_in", "id_ex")
+    val distEx = existing.select(col(idCol).cast("long").as("id_ex"),
+      array_distinct(shinglesCol(col(textCol), n)).as("sh_ex"))
+    val distIn = incoming.select(col(idCol).cast("long").as("id_in"),
+      array_distinct(shinglesCol(col(textCol), n)).as("sh_in"))
+    pairs
+      .join(distIn, "id_in").join(distEx, "id_ex")
+      .withColumn("jaccard", jaccardCol(col("sh_in"), col("sh_ex")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_in", "id_ex", "jaccard")
+  }
+
   /** Exact all-pairs n-gram Jaccard via a shingle inverted index (explode +
     * self-equi-join on the shingle, then count). Quadratic only within
     * identical-shingle groups — use for verification/small corpora; the LSH

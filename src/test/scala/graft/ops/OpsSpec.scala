@@ -112,6 +112,24 @@ class OpsSpec extends SparkSpec {
       maxBucket = 100).count() == 0)
   }
 
+  test("cross-corpus dedup: finds cross pairs only, id spaces may collide") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark physical plans"),
+      (3L, "another unrelated document mentioning parquet readers")) // in-corpus unique
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // ≈ existing 1; SAME id
+      (7L, "fresh unseen text with no counterpart whatsoever here"),
+      (8L, "fresh unseen text with no counterpart whatsoever here")) // in-corpus dup pair
+      .toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNearDups(existing, incoming, "doc_id", "text",
+        threshold = 0.4, n = 3, bands = 4, rows = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the cross-corpus match — never the incoming 7≈8 in-corpus pair
+    assert(got == Set((1L, 1L)), s"got $got")
+  }
+
   test("unigram surprisal: rare tokens score higher, values hand-checked") {
     // corpus: "a a a b" + "c" → T=5; c(a)=3, c(b)=1, c(c)=1
     val docs = Seq((1L, "a a a b"), (2L, "c")).toDF("doc_id", "text")
