@@ -21,7 +21,46 @@ object Gif {
     * screen). None for malformed/unsupported streams; Some(Seq()) for a
     * well-formed stream with no image data. */
   def decodeFrames(bytes: Array[Byte],
-                   maxFrames: Int = Int.MaxValue): Option[Seq[Png.Image]] = {
+                   maxFrames: Int = Int.MaxValue): Option[Seq[Png.Image]] =
+    walkFrames(bytes, _ => true, maxFrames)
+
+  /** Structural frame count — block walk only, no LZW decode, no pixels. */
+  def countFrames(bytes: Array[Byte]): Option[Int] = {
+    if (bytes == null || bytes.length < 14) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    if (new String(bytes, 0, 4, "US-ASCII") != "GIF8") return None
+    try {
+      var i = 13
+      if ((u8(10) & 0x80) != 0) i += 3 * (2 << (u8(10) & 0x07))
+      var n = 0
+      while (i < bytes.length) {
+        u8(i) match {
+          case 0x3b => return Some(n)
+          case 0x21 =>
+            i += 2
+            while (i < bytes.length && u8(i) != 0) i += 1 + u8(i)
+            i += 1
+          case 0x2c =>
+            val flags = u8(i + 9)
+            i += 10
+            if ((flags & 0x80) != 0) i += 3 * (2 << (flags & 0x07))
+            i += 1 // min code size
+            while (i < bytes.length && u8(i) != 0) i += 1 + u8(i)
+            i += 1
+            n += 1
+          case _ => return None
+        }
+      }
+      Some(n)
+    } catch { case _: Exception => None }
+  }
+
+  /** Composite frames in order, RETAINING only those `keep` selects and
+    * stopping after `maxKept` are retained — compositing must still
+    * decode every prior frame, but heap stays O(canvas + kept frames),
+    * not O(total frames × canvas). */
+  private def walkFrames(bytes: Array[Byte], keep: Int => Boolean,
+                         maxKept: Int): Option[Seq[Png.Image]] = {
     if (bytes == null || bytes.length < 14) return None
     def u8(i: Int) = bytes(i) & 0xff
     def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -48,10 +87,11 @@ object Gif {
         }
       }
       val frames = Seq.newBuilder[Png.Image]
-      var nFrames = 0
+      var frameIdx = 0
+      var nKept = 0
       var transparent = -1
       var disposal = 0
-      while (i < bytes.length && nFrames < maxFrames) {
+      while (i < bytes.length && nKept < maxKept) {
         u8(i) match {
           case 0x3b => return Some(frames.result()) // trailer
           case 0x21 => // extension
@@ -115,8 +155,11 @@ object Gif {
               }
               y += 1
             }
-            frames += Png.Image(sw, sh, 3, canvas.clone())
-            nFrames += 1
+            if (keep(frameIdx)) {
+              frames += Png.Image(sw, sh, 3, canvas.clone())
+              nKept += 1
+            }
+            frameIdx += 1
             // disposal AFTER the frame is emitted (affects the next one)
             disposal match {
               case 2 => // restore rect to background
@@ -146,11 +189,16 @@ object Gif {
 
   /** Evenly-spaced sample of `n` composited frames — real video-style
     * frame sampling for animated GIFs (the only animation container
-    * decodable without native codec libraries). */
+    * decodable without native codec libraries). A cheap structural pass
+    * counts frames first, then only the sampled frames are retained
+    * (heap O(n × canvas), not O(total frames × canvas) — a 500-frame
+    * crawl GIF must not materialize 500 canvases in one task). */
   def frameSample(bytes: Array[Byte], n: Int): Option[Seq[Png.Image]] =
-    decodeFrames(bytes).filter(_.nonEmpty).map { all =>
-      if (all.length <= n) all
-      else (0 until n).map(j => all(j * all.length / n))
+    countFrames(bytes).filter(_ > 0).flatMap { total =>
+      val wanted =
+        if (total <= n) (0 until total).toSet
+        else (0 until n).map(j => j * total / n).toSet
+      walkFrames(bytes, wanted, wanted.size)
     }
 
   /** GIF LZW: variable-width codes starting at minCodeSize+1, dictionary

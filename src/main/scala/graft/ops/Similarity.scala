@@ -78,9 +78,13 @@ object Similarity {
       if (v == null) Seq.empty[(Long, Double)]
       else {
         val vv = v.toArray
-        var nv = 0.0
+        // corpus norm hoisted out of the query loop — valid whenever the
+        // pair truncates to vv.length; recomputed over min(len) otherwise
+        // so ragged lengths score exactly like cosUdf (both norms over
+        // the first min(len) elements)
+        var nvFull = 0.0
         var i = 0
-        while (i < vv.length) { nv += vv(i) * vv(i); i += 1 }
+        while (i < vv.length) { nvFull += vv(i) * vv(i); i += 1 }
         val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](qArr.length)
         var qi = 0
         while (qi < qArr.length) {
@@ -89,6 +93,11 @@ object Similarity {
             var dot = 0.0; var nq = 0.0; var j = 0
             val n = math.min(vv.length, qv.length)
             while (j < n) { dot += vv(j) * qv(j); nq += qv(j) * qv(j); j += 1 }
+            val nv = if (n == vv.length) nvFull else {
+              var s = 0.0; var jj = 0
+              while (jj < n) { s += vv(jj) * vv(jj); jj += 1 }
+              s
+            }
             out += ((qid, dot / (math.sqrt(nq) * math.sqrt(nv))))
           }
           qi += 1

@@ -110,15 +110,37 @@ object Sketches {
     best
   }
 
-  /** Approximate top-`k`: candidate keys from a cheap exact pre-pass over
-    * a CAPPED candidate pool (`poolSize` most frequent per partition),
-    * re-scored against the sketch — the standard CMS + candidate-set
-    * heavy-hitter shape when the key space is too wide to shuffle fully. */
+  /** Approximate top-`k` without EVER shuffling the key space: candidate
+    * keys come from a Misra–Gries summary per partition (at most
+    * `poolSize` counters each — any key with partition frequency >
+    * partition_rows/poolSize is guaranteed to survive its partition),
+    * then the candidates (≤ poolSize × partitions strings, collected)
+    * are re-scored against the one-pass CMS. This is the standard
+    * sketch + candidate-set heavy-hitter shape for key spaces too wide
+    * for [[exactTopK]]'s full distinct-key shuffle. */
   def cmsTopK(df: DataFrame, keyCol: String, k: Int,
-              depth: Int = 4, width: Int = 1024): Seq[(String, Long)] = {
+              depth: Int = 4, width: Int = 1024,
+              poolSize: Int = 1024): Seq[(String, Long)] = {
     val sketch = cmsSketch(df, keyCol, depth, width)
-    val candidates = exactTopK(df, keyCol, k * 4)
-      .collect().map(_.getString(0))
+    import df.sparkSession.implicits._
+    val candidates = df.select(col(keyCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        // Misra–Gries: bounded counters; decrement-all on overflow is
+        // amortized O(1) (each sweep retires >= size count mass)
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { key =>
+          counts.get(key) match {
+            case Some(c) => counts.update(key, c + 1)
+            case None if counts.size < poolSize => counts.update(key, 1L)
+            case None =>
+              counts.toArray.foreach { case (k2, c2) => // snapshot: safe sweep
+                if (c2 <= 1L) counts.remove(k2) else counts.update(k2, c2 - 1)
+              }
+          }
+        }
+        counts.keysIterator
+      }
+      .distinct().collect()
     candidates.map(key => key -> cmsEstimate(sketch, key, depth, width))
       .sortBy { case (key, n) => (-n, key) }
       .take(k).toSeq

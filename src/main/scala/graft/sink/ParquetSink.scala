@@ -29,8 +29,15 @@ object ParquetSink {
                  targetRowsPerFile: Long = 1000000L,
                  rowEstimate: Option[Long] = None,
                  mode: SaveMode = SaveMode.Overwrite): Unit = {
+    // plan-stats shortcut only without CBO: the size-only estimator sets
+    // rowCount just where it is exact (cached/local/range relations, hive
+    // stats); CBO's Filter/Join estimation fills it with selectivity
+    // GUESSES that can be orders of magnitude off — never size files on those
+    val cboOn = df.sparkSession.conf
+      .get("spark.sql.cbo.enabled", "false").toBoolean
     val rows = rowEstimate
-      .orElse(df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+      .orElse(if (cboOn) None
+              else df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
       .getOrElse(df.count())
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val shaped =

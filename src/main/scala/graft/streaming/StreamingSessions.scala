@@ -75,8 +75,19 @@ object StreamingSessions {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs && s.n < maxEvents =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t),
-                    lastId = e.event_id, n = s.n + 1))
+                  // a LATE event (above watermark, below lastMs) extends the
+                  // session backwards: first/last are by (ts, id), not by
+                  // arrival order — keep every field consistent with that
+                  val isNewLast = t > s.lastMs ||
+                    (t == s.lastMs && e.event_id > s.lastId)
+                  val isNewFirst = t < s.startMs ||
+                    (t == s.startMs && e.event_id < s.firstId)
+                  cur = Some(SessionState(
+                    startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t),
+                    firstId = if (isNewFirst) e.event_id else s.firstId,
+                    lastId = if (isNewLast) e.event_id else s.lastId,
+                    n = s.n + 1))
                 case Some(s) =>
                   closed += close(s,
                     if (s.n >= maxEvents) "cap" else "gap")

@@ -31,8 +31,26 @@ class GifFramesSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  /** The image-descriptor interlace bit of the first frame (proves which
+    * decoder path the fixture exercises). */
+  private def isInterlaced(gif: Array[Byte]): Boolean = {
+    var i = 13
+    if ((gif(10) & 0x80) != 0) i += 3 * (2 << (gif(10) & 0x07))
+    while ((gif(i) & 0xff) == 0x21) { // skip extensions
+      i += 2
+      while ((gif(i) & 0xff) != 0) i += 1 + (gif(i) & 0xff)
+      i += 1
+    }
+    assert((gif(i) & 0xff) == 0x2c, "expected image descriptor")
+    (gif(i + 9) & 0x40) != 0
+  }
+
   test("decodeFrames composites every frame of an ImageIO-written GIF") {
     val gif = animatedGif(4)
+    // ImageIO's GIF writer interlaces by default — this fixture must
+    // exercise the 4-pass deinterlacing path, not just sequential rows
+    assert(isInterlaced(gif), "fixture unexpectedly non-interlaced")
+    assert(Gif.countFrames(gif).contains(4))
     val frames = Gif.decodeFrames(gif).get
     assert(frames.length == 4)
     frames.zipWithIndex.foreach { case (img, f) =>

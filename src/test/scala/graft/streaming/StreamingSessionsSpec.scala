@@ -54,6 +54,35 @@ class StreamingSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom-state sessionizer: late cross-batch event keeps fields consistent") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val sessions = sessionizeWithState(
+      stream.toDF().withWatermark("ts", "2 hours").as[SessionEvent],
+      gapMs = 30L * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      stream.addData(SessionEvent(1L, 5L, ts(10)))
+      q.processAllAvailable()
+      // LATE but above-watermark: extends the open session BACKWARDS
+      stream.addData(SessionEvent(1L, 3L, ts(5)))
+      q.processAllAvailable()
+      stream.addData(flush)
+      q.processAllAvailable()
+      val rows = spark.table("sess_late").filter(col("user_id") === 1)
+        .select("session_start", "session_end", "n_events",
+          "first_event_id", "last_event_id")
+        .collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(r.getTimestamp(0) == ts(5) && r.getTimestamp(1) == ts(10),
+        s"start/end ${r.getTimestamp(0)}/${r.getTimestamp(1)}")
+      assert(r.getLong(2) == 2 && r.getLong(3) == 3L && r.getLong(4) == 5L,
+        s"n/first/last ${r.getLong(2)}/${r.getLong(3)}/${r.getLong(4)}")
+    } finally q.stop()
+  }
+
   test("custom-state sessionizer: gap close, cap close, event ids") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[SessionEvent]
