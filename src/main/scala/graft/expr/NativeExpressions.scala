@@ -78,7 +78,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => IsPlaceholder(args.head)),
     (FunctionIdentifier("regex_matches"),
       new ExpressionInfo(classOf[RegexMatchesExpr].getName, "regex_matches"),
-      (args: Seq[Expression]) => RegexMatchesExpr(args(0), args(1))))
+      (args: Seq[Expression]) => RegexMatchesExpr(args(0), args(1))),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
 
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
@@ -102,6 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => IsPlaceholder(args.head): Expression),
       (FunctionIdentifier("regex_matches"),
         new ExpressionInfo(classOf[RegexMatchesExpr].getName, "regex_matches"),
-        (args: Seq[Expression]) => RegexMatchesExpr(args(0), args(1)): Expression))
+        (args: Seq[Expression]) => RegexMatchesExpr(args(0), args(1)): Expression),
+      (FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+        (args: Seq[Expression]) => CosineSimExpr(args(0), args(1)): Expression))
       .foreach(ext.injectFunction)
 }

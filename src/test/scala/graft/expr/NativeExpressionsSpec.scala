@@ -34,4 +34,39 @@ class NativeExpressionsSpec extends SparkSpec {
       .filter(col("native") =!= col("composed")).count()
     assert(disagree == 0)
   }
+
+  test("cosine_sim native expression: bit-identical to the UDF twin, codegen'd") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 300L).map { i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val both = vecs.select(
+      graft.ops.Similarity.cosineCol(col("a"), col("b")).as("native"),
+      graft.ops.Similarity.cosineUdfCol(col("a"), col("b")).as("udf"))
+    assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)),
+      "native and UDF cosine diverge")
+    // double arrays and ragged lengths too
+    val ragged = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val rr = ragged.select(
+      graft.ops.Similarity.cosineCol(col("a"), col("b")).as("n"),
+      graft.ops.Similarity.cosineUdfCol(col("a"), col("b")).as("u")).collect()(0)
+    assert(rr.getDouble(0) == rr.getDouble(1))
+    // stays inside codegen: no ScalaUDF node in the plan
+    val plan = vecs.select(
+      graft.ops.Similarity.cosineCol(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"native form fell back to UDF:\n$plan")
+    // null input → null, like any binary expression
+    val withNull = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(withNull.select(
+      graft.ops.Similarity.cosineCol(col("a"), col("b"))).collect()(0).isNullAt(0))
+    // registered for SQL users
+    GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+      .collect()(0).getDouble(0) == 1.0)
+  }
 }
