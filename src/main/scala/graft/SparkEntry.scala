@@ -658,6 +658,32 @@ object SparkEntry {
       .orderBy("id_in", "id_ex")
   }
 
+  /** HTML boilerplate strip: wrap each doc in a deterministic HTML shell
+    * (script/style/comments/entities included), extract, fingerprint. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>t</title><script>if (a<b) { spam(); }" +
+        "</script><style>p { color: red }</style></head><body>" +
+        "<!-- nav --><h1>Doc</h1><p>"),
+      col("text"),
+      lit("</p><div class=\"footer\">&amp;copy; 2026 Example &lt;corp&gt;" +
+        "&nbsp;&#39;q&#39;</div></body></html>"))
+    t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.htmlToTextCol(html).as("extracted"))
+      .select(col("doc_id"),
+        length(col("extracted")).cast("long").as("n_chars"),
+        md5(col("extracted")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing (concat-and-chunk, per shard of 100 docs, 512-token
+    * sequences). */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+      maxTokens = 512, docsPerShard = 100)
+      .select("doc_id", "shard", "n_tokens", "seq_in_shard", "seq_offset")
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -714,7 +740,9 @@ object SparkEntry {
     "q49_zscore_outliers" -> (q49 _),
     "q50_pivot" -> (q50 _),
     "q51_rollup" -> (q51 _),
-    "q52_cross_corpus_dedup" -> (q52 _))
+    "q52_cross_corpus_dedup" -> (q52 _),
+    "q53_html_extract" -> (q53 _),
+    "q54_sequence_pack" -> (q54 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1434,5 +1462,48 @@ object SparkEntry {
                FROM cand JOIN dist di ON id_in = di.doc_id
                          JOIN dist de ON id_ex = de.doc_id)
          SELECT id_in, id_ex, jaccard FROM j WHERE jaccard >= 0.4
-         ORDER BY id_in, id_ex""")
+         ORDER BY id_in, id_ex""",
+    "q53_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+             '<html><head><title>t</title><script>if (a<b) { spam(); }' ||
+             '</script><style>p { color: red }</style></head><body>' ||
+             '<!-- nav --><h1>Doc</h1><p>' || text ||
+             '</p><div class="footer">&amp;copy; 2026 Example &lt;corp&gt;' ||
+             '&nbsp;&#39;q&#39;</div></body></html>' AS html
+           FROM documents),
+         x AS (SELECT doc_id, regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(
+               html,
+               '(?is)<script.*?</script>', ' ', 'g'),
+               '(?is)<style.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               '&lt;', '<', 'g'),
+               '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+               '&#39;', '''', 'g'),
+               '&nbsp;', ' ', 'g'),
+               '&amp;', '&', 'g') AS e0
+           FROM h),
+         e AS (SELECT doc_id,
+             trim(regexp_replace(e0, '\s+', ' ', 'g')) AS extracted
+           FROM x)
+         SELECT doc_id, CAST(length(extracted) AS BIGINT) AS n_chars,
+           md5(extracted) AS text_md5
+         FROM e ORDER BY doc_id""",
+    "q54_sequence_pack" ->
+      """WITH tk AS (SELECT doc_id, doc_id // 100 AS shard,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM tk)
+         SELECT doc_id, shard, n_tokens,
+           (cum - n_tokens) // 512 AS seq_in_shard,
+           (cum - n_tokens) % 512 AS seq_offset
+         FROM c ORDER BY doc_id""")
 }

@@ -244,6 +244,44 @@ object TextAnalysis {
       .select("a", "b", "pair_n", "rank")
   }
 
+  /** HTML → text extraction (the CommonCrawl-style boilerplate strip, the
+    * first transform of every web-scale corpus): drop script/style blocks,
+    * strip tags, decode the common entities, collapse whitespace. Pure
+    * codegen'd regexp chain — narrow, shuffle-free, engine-portable (RE2
+    * `(?is)` non-greedy block matches work identically in DuckDB). */
+  def htmlToTextCol(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST so &amp;lt; decodes once
+    ).foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Sequence packing — the GPT-style concat-and-chunk shape: documents
+    * are packed greedily in id order into fixed-`maxTokens` training
+    * sequences, PER SHARD (a global packing order would be a single
+    * sequential cumsum; per-shard packing is what production pipelines do
+    * — embarrassingly parallel, one window shuffle on the shard key).
+    * Output per doc: shard, seq_in_shard (which sequence the doc STARTS
+    * in), seq_offset (token offset inside it). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    maxTokens: Long, docsPerShard: Long = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol), col(textCol))
+      .withColumn("n_tokens", size(tokensCol(col(textCol))).cast("long"))
+      .withColumn("shard", expr(s"CAST($idCol AS BIGINT) div ${docsPerShard}L"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${maxTokens}L").as("seq_in_shard"),
+        ((col("cum") - col("n_tokens")) % maxTokens).as("seq_offset"))
+  }
+
   /** Full per-document profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
