@@ -22,6 +22,15 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` with its nanosecond `ts` read as raw epoch-nanos LONGs —
+    * double arithmetic on 1e18-scale values would lose sub-256ns precision
+    * (> 2^53), so every consumer works in exact integer nanos. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try t(s, dir, "events")
+    finally s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+  }
+
   /** Exact, engine-portable money sum: Σ floor(x·100) as BIGINT cents. */
   private def cents(c: Column): Column = floor(c * 100).cast("long")
 
@@ -339,9 +348,7 @@ object SparkEntry {
   private def q27(s: SparkSession, dir: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
     // rejects; read it as raw nanos and truncate with exact integer division.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, dir, "events")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val ev = events(s, dir)
     // string timestamps: representation-proof across engines/comparators
     // (ns vs us timestamp physical types would otherwise differ)
     ev
@@ -383,9 +390,7 @@ object SparkEntry {
   /** Gap-based sessionization over the events stream (lag + cumulative-sum
     * windows; the batch analog of session windows). */
   private def q30(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, dir, "events")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val ev = events(s, dir)
     graft.ops.Sessions.sessionStats(ev, "user_id", "event_id", "ts",
         gapNanos = 30L * 60 * 1000000000L)
       .withColumn("session_start",
@@ -398,9 +403,7 @@ object SparkEntry {
     * values for 100k+ rows) — results identical to a plain groupBy, which
     * is exactly what the oracle asserts. */
   private def q31(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, dir, "events")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val ev = events(s, dir)
     graft.ops.Skew.saltedAgg(ev, "event_type", col("event_id"),
       cents(col("value")), salts = 16)
       .orderBy("event_type")
@@ -461,9 +464,7 @@ object SparkEntry {
   /** As-of join: each click event enriched with the latest prior purchase
     * value per user (oracled against DuckDB's native ASOF JOIN). */
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, dir, "events")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val ev = events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -533,9 +534,7 @@ object SparkEntry {
     * clicks by the same user in the preceding 30 minutes — time-bucketed
     * hash equi-join, never a nested loop. */
   private def q43(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, dir, "events")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val ev = events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts")
     val clicks = ev.filter(col("event_type") === "click")
@@ -576,9 +575,7 @@ object SparkEntry {
   /** Rolling window stats: per-user trailing-5-event value sum/avg over
     * event time (ROWS frame — bounded state, reuses the user partition). */
   private def q48(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, dir, "events")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val ev = events(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(-4, 0)
@@ -595,9 +592,7 @@ object SparkEntry {
     * summation order differs): per event_type mean/std and the count of
     * |z| > 2 events. */
   private def q49(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, dir, "events")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val ev = events(s, dir)
     val x = ev.select(col("event_type"), cents(col("value")).as("xc"))
     val stats = x.groupBy("event_type").agg(
       count(lit(1)).as("n"),
@@ -620,9 +615,7 @@ object SparkEntry {
   /** Pivot (crosstab): events per (user decile bucket × event type) —
     * fixed pivot values so the schema is deterministic. */
   private def q50(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, dir, "events")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val ev = events(s, dir)
     ev.withColumn("user_bucket", col("user_id") % 10)
       .groupBy("user_bucket")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
@@ -684,6 +677,20 @@ object SparkEntry {
       .select("doc_id", "shard", "n_tokens", "seq_in_shard", "seq_offset")
       .orderBy("doc_id")
 
+  /** Set operators (INTERSECT / EXCEPT, distinct semantics): customers
+    * with urgent-and-high orders vs urgent-only. */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val high = o.filter(col("o_orderpriority") === "2-HIGH")
+      .select("o_custkey")
+    urgent.intersect(high).withColumn("tag", lit("both"))
+      .unionByName(urgent.except(high).withColumn("tag", lit("urgent_only")))
+      .select("tag", "o_custkey")
+      .orderBy("tag", "o_custkey")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -742,7 +749,8 @@ object SparkEntry {
     "q51_rollup" -> (q51 _),
     "q52_cross_corpus_dedup" -> (q52 _),
     "q53_html_extract" -> (q53 _),
-    "q54_sequence_pack" -> (q54 _))
+    "q54_sequence_pack" -> (q54 _),
+    "q55_set_ops" -> (q55 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1505,5 +1513,12 @@ object SparkEntry {
          SELECT doc_id, shard, n_tokens,
            (cum - n_tokens) // 512 AS seq_in_shard,
            (cum - n_tokens) % 512 AS seq_offset
-         FROM c ORDER BY doc_id""")
+         FROM c ORDER BY doc_id""",
+    "q55_set_ops" ->
+      """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         h AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+         SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM u INTERSECT SELECT * FROM h)
+         UNION ALL
+         SELECT 'urgent_only' AS tag, o_custkey FROM (SELECT * FROM u EXCEPT SELECT * FROM h)
+         ORDER BY tag, o_custkey""")
 }
