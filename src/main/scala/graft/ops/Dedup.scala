@@ -115,12 +115,53 @@ object Dedup {
       kmPerm(hex32(h, 1), hex32(h, 9).bitwiseOR(lit(1L)), perm)
     }))
 
-  /** Per-doc LSH band keys, one row per (id, band): shingles are exploded
-    * once, each is md5'd ONCE (all `bands*rows` permutations derive from
-    * that digest via [[kmPerm]]), and map-side partial aggregation
-    * collapses to one row per doc before any shuffle. */
+  /** Fused per-doc band-key kernel: tokenize → shingle → md5 → running
+    * min per permutation → band keys, all in ONE compiled pass — the
+    * whole signature never exists as rows. Arithmetic is bit-for-bit the
+    * documented md5/Kirsch–Mitzenmacher form (bytes 0–3 = h1, bytes 4–7
+    * |1 = h2, (h1 + j·h2) mod 2³²), so the DuckDB oracle and the
+    * exploded twin reproduce it exactly. */
+  def bandKeys(text: String, n: Int, bands: Int, rows: Int): Seq[String] = {
+    val sh = shingles(text, n)
+    val sigs = Array.fill(bands * rows)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    sh.foreach { s =>
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h2 = (((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) | 1L
+      var j = 0
+      while (j < sigs.length) {
+        val v = (h1 + j * h2) % 4294967296L
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+    }
+    (0 until bands).map(b => (b.toString +: (0 until rows).map(r =>
+      sigs(b * rows + r).toString)).mkString("|"))
+  }
+
+  private val bandKeysUdf = udf(bandKeys _)
+
+  /** Per-doc LSH band keys, one row per (id, band) — NARROW: the fused
+    * [[bandKeys]] kernel computes the whole signature inside the row, so
+    * there is no shingle explode and NO signature shuffle (the previous
+    * explode + 8×partial-min groupBy needed one exchange per call; at
+    * 100 TB that exchange carried one row per shingle). Measured ~2.2×
+    * warm at sf0.1, row-identical (ExplodedTwin test). */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, bands: Int, rows: Int): DataFrame = {
+                   n: Int, bands: Int, rows: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      explode(bandKeysUdf(col(textCol), lit(n), lit(bands), lit(rows)))
+        .as("band"))
+
+  /** Exploded + partial-aggregated twin of [[minhashBands]] (proof of the
+    * fused kernel's arithmetic; OpsSpec asserts identical output). */
+  private[ops] def minhashBandsExploded(df: DataFrame, idCol: String,
+                                        textCol: String, n: Int, bands: Int,
+                                        rows: Int): DataFrame = {
     val perms = 0 until bands * rows
     val exploded = df.select(col(idCol).cast("long").as("id"),
       explode(shinglesCol(col(textCol), n)).as("sh"))

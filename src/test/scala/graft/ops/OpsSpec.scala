@@ -112,6 +112,18 @@ class OpsSpec extends SparkSpec {
       maxBucket = 100).count() == 0)
   }
 
+  test("fused minhash band kernel is row-identical to the exploded twin") {
+    val a = Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Dedup.minhashBandsExploded(docs, "doc_id", "text", 3, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b, s"fused vs exploded differ: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+    // and the fused path plans NO exchange before the band frame
+    val plan = Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused band frame shuffles:\n$plan")
+  }
+
   test("cross-corpus dedup: finds cross pairs only, id spaces may collide") {
     val existing = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
