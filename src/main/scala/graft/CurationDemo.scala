@@ -78,8 +78,33 @@ object CurationDemo {
     val perSplit = finalDf.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+    // 6. sequence packing over the train split (concat-and-chunk, per
+    //    shard — the dataloader-facing layout)
+    val packed = TextAnalysis.packSequences(
+        finalDf.filter(col("split") === "train")
+          .select(col("doc_id"), col("redacted_text").as("text")),
+        "doc_id", "text", maxTokens = 512, docsPerShard = 100)
+      .cache()
+    val nSeqs = packed.select("shard", "seq_in_shard").distinct().count()
+
     outDir.foreach { dir =>
       finalDf.write.mode("overwrite").partitionBy("split").parquet(dir)
+      // 7. WebDataset tar shards for the train split: {id}.txt + {id}.json
+      //    per sample, one byte-deterministic tar per packing shard
+      val samples = finalDf.filter(col("split") === "train")
+        .join(packed.select(col("doc_id"), col("shard"),
+          col("seq_in_shard"), col("seq_offset")), "doc_id")
+        .select(col("shard"),
+          explode(array(
+            struct(format_string("%08d.txt", col("doc_id")).as("name"),
+              encode(col("redacted_text"), "UTF-8").as("bytes")),
+            struct(format_string("%08d.json", col("doc_id")).as("name"),
+              encode(to_json(struct(col("doc_id"), col("lang_pred"),
+                col("n_tokens"), col("seq_in_shard"), col("seq_offset"))),
+                "UTF-8").as("bytes")))).as("e"))
+        .select(col("shard"), col("e.name").as("name"), col("e.bytes").as("bytes"))
+      graft.sink.TarShards.writeShards(samples, s"$dir/train_wds",
+        "shard", "name", "bytes")
     }
 
     val kept = finalDf.count()
@@ -89,7 +114,8 @@ object CurationDemo {
       f"lists overlap), " +
       f"${n0 - nDrops - kept} low-quality; " +
       f"kept $kept (${perSplit.getOrElse("train", 0L)} train / " +
-      f"${perSplit.getOrElse("val", 0L)} val / ${perSplit.getOrElse("test", 0L)} test) " +
+      f"${perSplit.getOrElse("val", 0L)} val / ${perSplit.getOrElse("test", 0L)} test); " +
+      f"train packed into $nSeqs 512-token sequences " +
       f"in $secs%.1f s")
     spark.stop()
   }
