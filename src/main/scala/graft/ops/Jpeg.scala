@@ -506,77 +506,130 @@ object Jpeg {
     }
   }
 
-  /** Encode to baseline JPEG: grayscale for 1-channel input, 4:4:4 YCbCr
-    * otherwise (alpha dropped). `restartInterval` > 0 emits DRI + RSTn
-    * every that many MCUs (what a parallel encoder would emit per stripe). */
+  /** Encode to baseline JPEG: grayscale for 1-channel input, YCbCr
+    * otherwise (alpha dropped) at the requested chroma `sampling` —
+    * (1,1) = 4:4:4, (2,1) = 4:2:2, (2,2) = 4:2:0 (the shape mainstream
+    * encoders ship; chroma is box-filtered). `restartInterval` > 0 emits
+    * DRI + RSTn every that many MCUs (what a parallel encoder would emit
+    * per stripe). */
   def encode(img: Png.Image, quality: Int = 90,
-             restartInterval: Int = 0): Array[Byte] = {
+             restartInterval: Int = 0,
+             sampling: (Int, Int) = (1, 1)): Array[Byte] = {
     val gray = img.channels == 1
     val nComp = if (gray) 1 else 3
+    val (hY, vY) = if (gray) (1, 1) else sampling
+    require(hY >= 1 && hY <= 2 && vY >= 1 && vY <= 2, s"sampling $sampling")
     val lumaQ = scaleQuant(LumaQuant, quality)
     val chromaQ = scaleQuant(ChromaQuant, quality)
-    // natural-order tables for the math; DQT payload wants zigzag order
-    val blocksX = (img.width + 7) / 8
-    val blocksY = (img.height + 7) / 8
+    val mcuW = 8 * hY; val mcuH = 8 * vY
+    val mcusX = (img.width + mcuW - 1) / mcuW
+    val mcusY = (img.height + mcuH - 1) / mcuH
 
-    // pass 0: color-convert into per-component planes (edge-replicated)
-    val pw = blocksX * 8; val ph = blocksY * 8
-    val planes = Array.fill(nComp)(new Array[Double](pw * ph))
+    // pass 0: color-convert into per-component planes, edge-replicated to
+    // whole MCUs; chroma box-filtered down by (hY, vY)
+    val lw = mcusX * mcuW; val lh = mcusY * mcuH
+    val cw = mcusX * 8; val ch = mcusY * 8
+    val planeW = Array(lw, cw, cw)
+    val luma = new Array[Double](lw * lh)
+    val cb = if (gray) null else new Array[Double](cw * ch)
+    val cr = if (gray) null else new Array[Double](cw * ch)
     var y = 0
-    while (y < ph) {
+    while (y < lh) {
       val sy = math.min(y, img.height - 1)
       var x = 0
-      while (x < pw) {
+      while (x < lw) {
         val sx = math.min(x, img.width - 1)
-        if (gray) planes(0)(y * pw + x) = img.sample(sx, sy, 0) - 128.0
+        if (gray) luma(y * lw + x) = img.sample(sx, sy, 0) - 128.0
         else {
           val r = img.sample(sx, sy, 0).toDouble
           val g = img.sample(sx, sy, 1).toDouble
           val b = img.sample(sx, sy, 2).toDouble
-          planes(0)(y * pw + x) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
-          planes(1)(y * pw + x) = -0.168736 * r - 0.331264 * g + 0.5 * b
-          planes(2)(y * pw + x) = 0.5 * r - 0.418688 * g - 0.081312 * b
+          luma(y * lw + x) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
         }
         x += 1
       }
       y += 1
     }
+    if (!gray) {
+      var cy = 0
+      while (cy < ch) {
+        var cx = 0
+        while (cx < cw) {
+          var sb = 0.0; var sr = 0.0
+          var dy = 0
+          while (dy < vY) {
+            var dx = 0
+            while (dx < hY) {
+              val sy = math.min(cy * vY + dy, img.height - 1)
+              val sx = math.min(cx * hY + dx, img.width - 1)
+              val r = img.sample(sx, sy, 0).toDouble
+              val g = img.sample(sx, sy, 1).toDouble
+              val b = img.sample(sx, sy, 2).toDouble
+              sb += -0.168736 * r - 0.331264 * g + 0.5 * b
+              sr += 0.5 * r - 0.418688 * g - 0.081312 * b
+              dx += 1
+            }
+            dy += 1
+          }
+          cb(cy * cw + cx) = sb / (hY * vY)
+          cr(cy * cw + cx) = sr / (hY * vY)
+          cx += 1
+        }
+        cy += 1
+      }
+    }
+    val planes: Array[Array[Double]] =
+      if (gray) Array(luma) else Array(luma, cb, cr)
 
-    // pass 1: DCT+quantize every block once; collect Huffman symbol stats
-    val nBlocks = blocksX * blocksY
-    val coeffs = Array.ofDim[Int](nComp * nBlocks, 64)
+    // pass 1: DCT+quantize every block in SCAN ORDER (per MCU: hY×vY luma
+    // blocks then one block per chroma component); collect Huffman stats
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
     val dcFreq = Array.fill(if (gray) 1 else 2)(new Array[Long](256))
     val acFreq = Array.fill(if (gray) 1 else 2)(new Array[Long](256))
     val block = new Array[Double](64)
     val dcPred = new Array[Int](nComp)
+    val totalMcus = mcusX * mcusY
     var mcu = 0
-    while (mcu < nBlocks) {
+    while (mcu < totalMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0)
         java.util.Arrays.fill(dcPred, 0)
-      val bx = mcu % blocksX; val by = mcu / blocksX
+      val mx = mcu % mcusX; val my = mcu / mcusX
       var c = 0
       while (c < nComp) {
         val cls = if (c == 0) 0 else 1
-        var j = 0
-        while (j < 64) {
-          block(j) = planes(c)((by * 8 + j / 8) * pw + bx * 8 + j % 8)
-          j += 1
-        }
-        val zz = coeffs(c * nBlocks + mcu)
-        fdctQuant(block, if (c == 0) lumaQ else chromaQ, zz)
-        val diff = zz(0) - dcPred(c); dcPred(c) = zz(0)
-        dcFreq(cls)(category(diff)) += 1
-        var k = 1; var run = 0
-        while (k < 64) {
-          if (zz(k) == 0) run += 1
-          else {
-            while (run > 15) { acFreq(cls)(0xf0) += 1; run -= 16 }
-            acFreq(cls)((run << 4) | category(zz(k))) += 1
-            run = 0
+        val (ch2, cv2) = if (c == 0) (hY, vY) else (1, 1)
+        val pw = planeW(c)
+        var by = 0
+        while (by < cv2) {
+          var bx = 0
+          while (bx < ch2) {
+            val px0 = (mx * ch2 + bx) * 8
+            val py0 = (my * cv2 + by) * 8
+            var j = 0
+            while (j < 64) {
+              block(j) = planes(c)((py0 + j / 8) * pw + px0 + j % 8)
+              j += 1
+            }
+            val zz = new Array[Int](64)
+            fdctQuant(block, if (c == 0) lumaQ else chromaQ, zz)
+            emitted += ((c, zz))
+            val diff = zz(0) - dcPred(c); dcPred(c) = zz(0)
+            dcFreq(cls)(category(diff)) += 1
+            var k = 1; var run = 0
+            while (k < 64) {
+              if (zz(k) == 0) run += 1
+              else {
+                while (run > 15) { acFreq(cls)(0xf0) += 1; run -= 16 }
+                acFreq(cls)((run << 4) | category(zz(k))) += 1
+                run = 0
+              }
+              k += 1
+            }
+            if (run > 0) acFreq(cls)(0x00) += 1 // EOB
+            bx += 1
           }
-          k += 1
+          by += 1
         }
-        if (run > 0) acFreq(cls)(0x00) += 1 // EOB
         c += 1
       }
       mcu += 1
@@ -621,7 +674,9 @@ object Jpeg {
     w16(img.height); w16(img.width); w8(nComp)
     var c = 0
     while (c < nComp) {
-      w8(c + 1); w8(0x11); w8(if (c == 0) 0 else 1) // 1×1 sampling (4:4:4)
+      w8(c + 1)
+      w8(if (c == 0) (hY << 4) | vY else 0x11) // sampling factors
+      w8(if (c == 0) 0 else 1)
       c += 1
     }
     def writeDht(tc: Int, th: Int, t: (Array[Int], Array[Int])): Unit = {
@@ -642,41 +697,40 @@ object Jpeg {
 
     val bw = new BitWriter(out)
     java.util.Arrays.fill(dcPred, 0)
-    mcu = 0
+    val blocksPerMcu = hY * vY + (nComp - 1)
     var rstN = 0
-    while (mcu < nBlocks) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+    var bi = 0
+    while (bi < emitted.length) {
+      val mcuIdx = bi / blocksPerMcu
+      if (bi % blocksPerMcu == 0 && restartInterval > 0 && mcuIdx > 0 &&
+        mcuIdx % restartInterval == 0) {
         bw.flush()
         marker(0xd0 | rstN); rstN = (rstN + 1) & 7
         java.util.Arrays.fill(dcPred, 0)
       }
-      c = 0
-      while (c < nComp) {
-        val cls = if (c == 0) 0 else 1
-        val zz = coeffs(c * nBlocks + mcu)
-        val diff = zz(0) - dcPred(c); dcPred(c) = zz(0)
-        val t = category(diff)
-        bw.put(dcCodes(cls)._1(t), dcCodes(cls)._2(t))
-        if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
-        var k = 1; var run = 0
-        while (k < 64) {
-          if (zz(k) == 0) run += 1
-          else {
-            while (run > 15) {
-              bw.put(acCodes(cls)._1(0xf0), acCodes(cls)._2(0xf0)); run -= 16
-            }
-            val s = category(zz(k))
-            val rs = (run << 4) | s
-            bw.put(acCodes(cls)._1(rs), acCodes(cls)._2(rs))
-            bw.put(if (zz(k) >= 0) zz(k) else zz(k) + (1 << s) - 1, s)
-            run = 0
+      val (comp, zz) = emitted(bi)
+      val cls = if (comp == 0) 0 else 1
+      val diff = zz(0) - dcPred(comp); dcPred(comp) = zz(0)
+      val t = category(diff)
+      bw.put(dcCodes(cls)._1(t), dcCodes(cls)._2(t))
+      if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      var k = 1; var run = 0
+      while (k < 64) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run > 15) {
+            bw.put(acCodes(cls)._1(0xf0), acCodes(cls)._2(0xf0)); run -= 16
           }
-          k += 1
+          val s = category(zz(k))
+          val rs = (run << 4) | s
+          bw.put(acCodes(cls)._1(rs), acCodes(cls)._2(rs))
+          bw.put(if (zz(k) >= 0) zz(k) else zz(k) + (1 << s) - 1, s)
+          run = 0
         }
-        if (run > 0) bw.put(acCodes(cls)._1(0x00), acCodes(cls)._2(0x00))
-        c += 1
+        k += 1
       }
-      mcu += 1
+      if (run > 0) bw.put(acCodes(cls)._1(0x00), acCodes(cls)._2(0x00))
+      bi += 1
     }
     bw.flush()
     marker(0xd9) // EOI

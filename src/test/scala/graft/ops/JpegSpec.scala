@@ -129,6 +129,35 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:0 and 4:2:2 encodes: our decoder and ImageIO agree on both") {
+    // smooth ramps: subsampled chroma reconstructs closely
+    val px = new Array[Byte](33 * 22 * 3)
+    for (y <- 0 until 22; x <- 0 until 33; c <- 0 until 3)
+      px((y * 33 + x) * 3 + c) = (50 + x * 2 + y * 3 + c * 30).toByte
+    val img = Png.Image(33, 22, 3, px)
+    for ((s, label) <- Seq((2, 2) -> "4:2:0", (2, 1) -> "4:2:2")) {
+      val jpeg = Jpeg.encode(img, quality = 92, sampling = s)
+      val ours = Jpeg.decode(jpeg).get
+      assert(ours.width == 33 && ours.height == 22, label)
+      val ref = ImageIO.read(new ByteArrayInputStream(jpeg))
+      assert(ref != null && ref.getWidth == 33, s"$label unreadable by ImageIO")
+      var maxVsSrc = 0; var maxVsRef = 0
+      for (y <- 0 until 22; x <- 0 until 33) {
+        val rgb = ref.getRGB(x, y)
+        for ((c, refV) <- Seq((0, (rgb >> 16) & 0xff), (1, (rgb >> 8) & 0xff),
+          (2, rgb & 0xff))) {
+          maxVsSrc = math.max(maxVsSrc, math.abs(ours.sample(x, y, c) -
+            img.sample(x, y, c)))
+          maxVsRef = math.max(maxVsRef, math.abs(ours.sample(x, y, c) - refV))
+        }
+      }
+      // chroma loss on a smooth ramp stays small; fancy-vs-nearest
+      // upsampling differences dominate the ImageIO delta
+      assert(maxVsSrc <= 12, s"$label vs source max diff $maxVsSrc")
+      assert(maxVsRef <= 16, s"$label vs ImageIO max diff $maxVsRef")
+    }
+  }
+
   test("restart intervals: our DRI stream decodes and ImageIO agrees") {
     val px = new Array[Byte](48 * 16 * 3)
     for (y <- 0 until 16; x <- 0 until 48; c <- 0 until 3)
