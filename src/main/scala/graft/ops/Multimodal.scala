@@ -101,6 +101,49 @@ object Multimodal {
         Some(("wav", dataSize * 1000L / byteRate))
       else if (byteRate > 0) Some(("wav", 0L))
       else None
+    } else if (ascii(0, 4) == "fLaC") {
+      // FLAC: STREAMINFO is the mandatory first metadata block —
+      // header(4) then minBlock(2) maxBlock(2) minFrame(3) maxFrame(3)
+      // sampleRate(20 bits) channels(3) bits(5) totalSamples(36)
+      val b = 8 // skip "fLaC" + block header (type/len)
+      if (bytes.length < b + 18) None
+      else {
+        val sampleRate = (u8(b + 10).toLong << 12) | (u8(b + 11).toLong << 4) |
+          (u8(b + 12) >> 4)
+        val totalSamples = ((u8(b + 13) & 0x0fL) << 32) |
+          (u8(b + 14).toLong << 24) | (u8(b + 15).toLong << 16) |
+          (u8(b + 16).toLong << 8) | u8(b + 17).toLong
+        if (sampleRate > 0) Some(("flac", totalSamples * 1000L / sampleRate))
+        else None
+      }
+    } else if ((u8(0) == 0xff && (u8(1) & 0xe0) == 0xe0) ||
+      ascii(0, 3) == "ID3") {
+      // MP3: optional ID3v2 tag, then MPEG audio frame headers. Duration
+      // estimated from the first frame's bitrate (exact for CBR).
+      var p = 0
+      if (ascii(0, 3) == "ID3" && bytes.length >= 10) {
+        // syncsafe 28-bit tag size
+        p = 10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+      }
+      if (p + 4 > bytes.length || u8(p) != 0xff || (u8(p + 1) & 0xe0) != 0xe0)
+        None
+      else {
+        val versionBits = (u8(p + 1) >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layerBits = (u8(p + 1) >> 1) & 3   // 1=III, 2=II, 3=I
+        val bitrateIdx = (u8(p + 2) >> 4) & 0xf
+        val mpeg1 = versionBits == 3
+        // Layer III bitrate tables (kbps); 0/15 are invalid
+        val br = if (mpeg1)
+          Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+        else
+          Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+        if (layerBits != 1 || bitrateIdx == 0 || bitrateIdx == 15) None
+        else {
+          val kbps = br(bitrateIdx)
+          val audioBytes = bytes.length - p
+          Some(("mp3", audioBytes * 8L / kbps)) // bytes*8 bits / kbits/s = ms
+        }
+      }
     } else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") {
       // MP4/ISO BMFF: walk top-level size(4 BE)+type(4) boxes to moov,
       // then moov's children to mvhd: version(1)+flags(3), then v0 =
@@ -223,9 +266,10 @@ object Multimodal {
     imageHeaderMeta(bytes) match {
       case Some((_, w, h)) => ("image", bytes.length.toLong, w, h, 0L)
       case None => avHeaderMeta(bytes) match {
-        case Some(("wav", ms)) => ("audio", bytes.length.toLong, 0, 0, ms)
-        case Some((_, ms))     => ("video", bytes.length.toLong, 0, 0, ms)
-        case None              => fakeDecodeMeta(bytes)
+        case Some((k, ms)) if k == "wav" || k == "flac" || k == "mp3" =>
+          ("audio", bytes.length.toLong, 0, 0, ms)
+        case Some((_, ms)) => ("video", bytes.length.toLong, 0, 0, ms)
+        case None          => fakeDecodeMeta(bytes)
       }
     }
 

@@ -370,6 +370,23 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeMeta(wav) == (("audio", wav.length.toLong, 0, 0, 2000L)))
     val mp4 = ftyp ++ moov
     assert(Multimodal.decodeMeta(mp4) == (("video", mp4.length.toLong, 0, 0, 3000L)))
+    // FLAC: STREAMINFO with sampleRate 44100, totalSamples 88200 → 2000 ms
+    val flac = bytes('f', 'L', 'a', 'C', 0x00, 0, 0, 34) ++
+      bytes(0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0) ++ // block/frame sizes
+      bytes(0x0a, 0xc4, 0x42, // 44100 in 20 bits + channels/bps
+        0x00, 0x00, 0x01, 0x58, 0x88) ++ // bps low | samples 88200 (36-bit)
+      new Array[Byte](18)
+    assert(Multimodal.avHeaderMeta(flac).contains(("flac", 2000L)))
+    assert(Multimodal.decodeMeta(flac)._1 == "audio")
+    // MP3 CBR: MPEG1 Layer III 128 kbps frame header + 15996 byte body
+    // → 16000 bytes total = 1000 ms at 128 kbps
+    val mp3 = bytes(0xff, 0xfb, 0x90, 0x00) ++ new Array[Byte](15996)
+    assert(Multimodal.avHeaderMeta(mp3).contains(("mp3", 1000L)))
+    // the same stream behind an ID3v2 tag (syncsafe size 100)
+    val id3 = bytes('I', 'D', '3', 3, 0, 0, 0, 0, 0, 100) ++
+      new Array[Byte](100) ++ mp3
+    assert(Multimodal.avHeaderMeta(id3).exists(_._1 == "mp3"))
+    assert(Multimodal.decodeMeta(mp3)._1 == "audio")
   }
 
   test("multimodal: deterministic fake decode + feature extraction batches") {
