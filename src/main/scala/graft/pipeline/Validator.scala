@@ -70,7 +70,7 @@ object Validator {
       .withColumn("matches", matches)
       .withColumn("found_real",
         size(filter(col("matches"),
-          m => !Placeholder.isPlaceholderCol(m.getField("value")))))
+          m => !Placeholder.isPlaceholderFast(m.getField("value")))))
       .withColumn("need", greatest(lit(1), col("instances")))
       .withColumn("tp_ok", col("label") === "TP" && col("found_real") >= col("need"))
       .withColumn("fp_flagged", col("label") =!= "TP" && col("found_real") > 0)

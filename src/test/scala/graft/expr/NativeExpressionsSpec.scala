@@ -35,6 +35,23 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(disagree == 0)
   }
 
+  test("native expressions survive executor task serialization") {
+    // unit tests mostly evaluate LocalRelations DRIVER-side — a parquet
+    // scan forces the plan (expressions included) through Java
+    // serialization into real tasks, which catches non-serializable
+    // expression superclasses ("no valid constructor")
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .repartition(4)
+    val n = orders.select(
+        Placeholder.isPlaceholderFast(col("o_orderstatus")).as("p"),
+        graft.ops.Similarity.cosineCol(
+          array(lit(1.0), lit(0.0)), array(lit(1.0), lit(0.0))).as("c"))
+      .filter(col("c") > 0.5 || col("p"))
+      .count()
+    assert(n > 0)
+  }
+
   test("cosine_sim native expression: bit-identical to the UDF twin, codegen'd") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

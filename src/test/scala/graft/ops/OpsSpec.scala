@@ -112,6 +112,40 @@ class OpsSpec extends SparkSpec {
       maxBucket = 100).count() == 0)
   }
 
+  test("fused langid and quality kernels match their Column twins") {
+    val lang = docs.select(
+        TextAnalysis.langIdCol(col("text")).as("k"),
+        TextAnalysis.langIdColExpr(col("text")).as("e")).collect()
+    assert(lang.forall(r => r.getString(0) == r.getString(1)),
+      "langid kernel diverges from Column twin")
+    val qCols = TextAnalysis.qualityColumns(col("text"))
+    val qExpr = TextAnalysis.qualityColumnsExpr(col("text"))
+    val q = docs.select(
+      (qCols.map { case (n, c) => c.as("k_" + n) } ++
+        qExpr.map { case (n, c) => c.as("e_" + n) } :+
+        TextAnalysis.qualityScoreCol(col("text")).as("k_score") :+
+        TextAnalysis.qualityScoreColExpr(col("text")).as("e_score")): _*)
+      .collect()
+    val nm = qCols.length // k metrics [0,nm), e metrics [nm,2nm), scores last
+    q.foreach { r =>
+      qCols.map(_._1).zipWithIndex.foreach { case (n, i) =>
+        assert(r.get(i) == r.get(i + nm),
+          s"quality '$n': kernel ${r.get(i)} vs twin ${r.get(i + nm)}")
+      }
+      assert(r.get(2 * nm) == r.get(2 * nm + 1),
+        s"score: kernel ${r.get(2 * nm)} vs twin ${r.get(2 * nm + 1)}")
+    }
+  }
+
+  test("fused simhash kernel is code-identical to the Column twin") {
+    val a = docs.select(col("doc_id"), Dedup.simhashCol(col("text"), 16).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = docs.select(col("doc_id"),
+        Dedup.simhashColExpr(col("text"), 16).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, s"fused vs Column simhash differ")
+  }
+
   test("fused minhash band kernel is row-identical to the exploded twin") {
     val a = Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
