@@ -316,7 +316,7 @@ object SparkEntry {
   private def q23(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
-        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"),
+        TextAnalysis.tokenCountCol(col("text")).as("n_tokens"),
         TextAnalysis.bpeishCountCol(col("text")).cast("long").as("bpeish_tokens"))
       .orderBy("doc_id")
 

@@ -18,9 +18,38 @@ object TextAnalysis {
   def wordCountCol(text: Column): Column =
     size(filter(split(text, "\\s+"), w => w =!= ""))
 
+  /** Counting kernels: the Column forms materialize every match/token
+    * into an array only to take its size — these count in one compiled
+    * scan (same java.util.regex semantics Spark's regexp functions use).
+    * Column twins retained below; OpsSpec pins equality. */
+  private val BpeishPattern =
+    java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+
+  def bpeishCount(text: String): Long = {
+    if (text == null) return 0L
+    val m = BpeishPattern.matcher(text)
+    var n = 0L
+    while (m.find()) n += 1
+    n
+  }
+
+  def tokenCount(text: String): Long =
+    if (text == null) 0L
+    else text.toLowerCase.split("[^a-z0-9']+").count(_.nonEmpty).toLong
+
+  private val bpeishUdf = udf(bpeishCount _)
+  private val tokenCountUdf = udf(tokenCount _)
+
   /** BPE-ish token-count estimate: word-piece-style regex segments (letters
-    * run / digits run / single symbol), the standard pre-tokenizer shape. */
-  def bpeishCountCol(text: Column): Column =
+    * run / digits run / single symbol), the standard pre-tokenizer shape —
+    * served by the counting kernel. */
+  def bpeishCountCol(text: Column): Column = bpeishUdf(text)
+
+  /** Count of [[tokensCol]] tokens without materializing the array. */
+  def tokenCountCol(text: Column): Column = tokenCountUdf(text)
+
+  /** Column twin of [[bpeishCountCol]] (array-materializing form). */
+  private[ops] def bpeishCountColExpr(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Language marker words (tiny per-language stopword lists; n-gram

@@ -137,6 +137,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("counting kernels match the array-materializing Column forms") {
+    val r = docs.select(
+        TextAnalysis.bpeishCountCol(col("text")).as("k_bpe"),
+        TextAnalysis.bpeishCountColExpr(col("text")).cast("long").as("e_bpe"),
+        TextAnalysis.tokenCountCol(col("text")).as("k_tok"),
+        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("e_tok"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getLong(0) == row.getLong(1), "bpeish count diverges")
+      assert(row.getLong(2) == row.getLong(3), "token count diverges")
+    }
+  }
+
   test("fused simhash kernel is code-identical to the Column twin") {
     val a = docs.select(col("doc_id"), Dedup.simhashCol(col("text"), 16).as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -312,7 +325,7 @@ class OpsSpec extends SparkSpec {
       size(TextAnalysis.tokensCol(col("text"))).as("w"),
       TextAnalysis.bpeishCountCol(col("text")).as("b")).collect()(0)
     assert(r.getInt(0) == 3)      // hello, world, x2
-    assert(r.getInt(1) == 6)      // Hello , world ! x 2
+    assert(r.getLong(1) == 6)     // Hello , world ! x 2 (kernel: long)
   }
 
   test("tfidf: vocabulary broadcast and N folded into the DAG (no extra job)") {
