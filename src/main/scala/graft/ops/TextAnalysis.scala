@@ -52,6 +52,27 @@ object TextAnalysis {
   private[ops] def bpeishCountColExpr(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Per-doc term-frequency kernel: one compiled tokenize+count pass —
+    * the (doc, term, tf) frame is NARROW (no token-instance explode, no
+    * groupBy(id, term) shuffle; at 100 TB that shuffle carried one row
+    * per token instance where this carries one per distinct term). */
+  private val termCountsUdf = udf { (text: String) =>
+    if (text == null) Seq.empty[(String, Long)]
+    else {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      text.toLowerCase.split("[^a-z0-9']+").foreach { t =>
+        if (t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
+      }
+      m.toSeq
+    }
+  }
+
+  /** (id, term, tf) rows — one per DISTINCT term per doc, shuffle-free. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        explode(termCountsUdf(col(textCol))).as("tf0"))
+      .select(col("id"), col("tf0._1").as("term"), col("tf0._2").as("tf"))
+
   /** Language marker words (tiny per-language stopword lists; n-gram
     * heuristic stand-in — the container has no langid model). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -266,9 +287,7 @@ object TextAnalysis {
     * broadcast 1-row aggregate over a footer-only row-count scan. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
-    val terms = df.select(col(idCol).cast("long").as("id"),
-      explode(tokensCol(col(textCol))).as("term"))
-    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(df, idCol, textCol) // narrow, no tf shuffle
     val nDf = df.agg(count(lit(1)).cast("double").as("n_docs"))
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val wRank = org.apache.spark.sql.expressions.Window.partitionBy("id")
@@ -301,17 +320,15 @@ object TextAnalysis {
     * the whole explode+shuffle pipeline (Catalyst does not plan-share
     * pruned aggregate branches). */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val terms = df.select(col(idCol).cast("long").as("id"),
-      explode(tokensCol(col(textCol))).as("term"))
-    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(df, idCol, textCol) // narrow, no tf shuffle
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val doc = tf
       .withColumn("c", sum("tf").over(wTerm))
       .groupBy("id")
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * round(log(col("c")) * 1e6).cast("long")).as("partial"))
-    val tot = terms.agg(
-      round(log(count(lit(1))) * 1e6).cast("long").as("rt"))
+    val tot = tf.agg(
+      round(log(sum(col("tf"))) * 1e6).cast("long").as("rt"))
     doc.crossJoin(broadcast(tot))
       .select(col("id"), col("n_tokens"),
         round((col("n_tokens") * col("rt") - col("partial")) /
