@@ -691,6 +691,20 @@ object SparkEntry {
       .orderBy("tag", "o_custkey")
   }
 
+  /** Ordered string aggregation (the list-agg export shape): per customer,
+    * their order keys as a sorted comma-joined string + count. Sorting
+    * INSIDE the aggregate makes collect_list's arrival order irrelevant —
+    * the only way string aggregation can be deterministic distributed. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        array_join(array_sort(collect_list(col("o_orderkey").cast("string"))),
+          ",").as("order_keys"))
+      .orderBy("o_custkey")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -750,7 +764,8 @@ object SparkEntry {
     "q52_cross_corpus_dedup" -> (q52 _),
     "q53_html_extract" -> (q53 _),
     "q54_sequence_pack" -> (q54 _),
-    "q55_set_ops" -> (q55 _))
+    "q55_set_ops" -> (q55 _),
+    "q56_string_agg" -> (q56 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1520,5 +1535,11 @@ object SparkEntry {
          SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM u INTERSECT SELECT * FROM h)
          UNION ALL
          SELECT 'urgent_only' AS tag, o_custkey FROM (SELECT * FROM u EXCEPT SELECT * FROM h)
-         ORDER BY tag, o_custkey""")
+         ORDER BY tag, o_custkey""",
+    "q56_string_agg" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+             ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_custkey ORDER BY o_custkey""")
 }
