@@ -227,6 +227,55 @@ object TextAnalysis {
     *   - mean_line_len: mean characters per non-empty line
     */
   def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val q = repetitionStruct(text)
+    Seq(
+      "n_lines" -> q.getField("_1"),
+      "dup_line_frac" -> q.getField("_2"),
+      "ellipsis_line_frac" -> q.getField("_3"),
+      "symbol_word_ratio" -> q.getField("_4"),
+      "mean_line_len" -> q.getField("_5"))
+  }
+
+  /** Fused repetition kernel — one pass over lines and tokens per doc
+    * (the Column twin folds lines through interpreted filter/aggregate
+    * HOFs). Semantics identical to the twin field for field:
+    * distinctness over the UNtrimmed kept lines, "..." counted
+    * non-overlapping left-to-right, rounding HALF_UP. */
+  def repetitionMetrics(text: String): (Long, Double, Double, Double, Double) = {
+    val t = if (text == null) "" else text
+    val lines = t.split("\n", -1).filter(_.trim.nonEmpty)
+    val nLines = lines.length.toLong
+    val dupFrac =
+      if (nLines > 0) 1.0 - lines.distinct.length.toDouble / nLines else 0.0
+    val nEll = lines.count { l =>
+      val s = l.trim
+      s.endsWith("...") || s.endsWith("…")
+    }
+    val ellFrac = if (nLines > 0) nEll.toDouble / nLines else 0.0
+    var hashEll = 0
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '#' || c == '…') hashEll += 1
+      i += 1
+    }
+    var triples = 0
+    var at = t.indexOf("...")
+    while (at >= 0) { triples += 1; at = t.indexOf("...", at + 3) }
+    val nWords = t.toLowerCase.split("[^a-z0-9']+").count(_.nonEmpty)
+    val symbolRatio = (hashEll + triples.toDouble) / math.max(1, nWords)
+    val meanLineLen =
+      if (nLines > 0)
+        lines.map(l => l.codePointCount(0, l.length).toLong).sum.toDouble / nLines
+      else 0.0
+    (nLines, r6(dupFrac), r6(ellFrac), r6(symbolRatio), r6(meanLineLen))
+  }
+
+  private val repetitionUdf = udf { (text: String) => repetitionMetrics(text) }
+  private def repetitionStruct(text: Column): Column = repetitionUdf(text)
+
+  /** Interpreted-Column twin of [[repetitionColumns]] (OpsSpec equality). */
+  private[ops] def repetitionColumnsExpr(text: Column): Seq[(String, Column)] = {
     val lines = filter(split(text, "\n"), l => trim(l) =!= "")
     val nLines = size(lines)
     val nWords = size(tokensCol(text))
@@ -256,10 +305,9 @@ object TextAnalysis {
     * drop if >30% duplicate lines, >30% ellipsis lines, or symbol ratio
     * >0.1). Returns true when the document passes. */
   def gopherKeepCol(text: Column): Column = {
-    val cols = repetitionColumns(text).toMap
-    cols("dup_line_frac") <= 0.3 &&
-      cols("ellipsis_line_frac") <= 0.3 &&
-      cols("symbol_word_ratio") <= 0.1
+    val q = repetitionStruct(text)
+    q.getField("_2") <= 0.3 && q.getField("_3") <= 0.3 &&
+      q.getField("_4") <= 0.1
   }
 
   /** Canonical document fingerprint: md5 of the normalized token stream. */

@@ -137,6 +137,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("fused repetition kernel matches the Column twin") {
+    val kCols = TextAnalysis.repetitionColumns(col("text"))
+    val eCols = TextAnalysis.repetitionColumnsExpr(col("text"))
+    val r = docs.select(
+      (kCols.map { case (n, c) => c.as("k_" + n) } ++
+        eCols.map { case (n, c) => c.as("e_" + n) }): _*).collect()
+    val nm = kCols.length
+    r.foreach { row =>
+      kCols.map(_._1).zipWithIndex.foreach { case (n, i) =>
+        // twin n_lines is int, kernel long — compare as values
+        val (k, e) = (row.get(i), row.get(i + nm))
+        assert(k.toString == e.toString,
+          s"repetition '$n': kernel $k vs twin $e")
+      }
+    }
+  }
+
   test("counting kernels match the array-materializing Column forms") {
     val r = docs.select(
         TextAnalysis.bpeishCountCol(col("text")).as("k_bpe"),
