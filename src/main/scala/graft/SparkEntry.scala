@@ -705,6 +705,69 @@ object SparkEntry {
           ",").as("order_keys"))
       .orderBy("o_custkey")
 
+  /** Corpus-frequent n-gram boilerplate profile: per doc, the share of its
+    * distinct 3-gram shingles that appear in ≥ 5 documents (exact integer
+    * per-mille — no cross-engine double division). */
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.boilerplateProfile(t(s, dir, "documents"),
+      "doc_id", "text", n = 3, minDf = 5)
+      .orderBy("id")
+
+  /** Unicode normalization: NFC + accent strip + ROOT lowercase +
+    * non-alphanumeric collapse, over docs decorated with a diacritic-heavy
+    * prefix so the kernel's unicode path is actually exercised (the corpus
+    * itself is ASCII). Gated byte-for-byte via md5 against DuckDB's
+    * nfc_normalize/strip_accents pipeline. */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Curation.normalizeTextCol(
+          concat(lit("Café Ångström Ñoño ÜBER Ärgernis—ﬁ "), col("text")))
+          .as("norm"))
+      .select(col("doc_id"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        md5(col("norm")).as("norm_md5"))
+      .orderBy("doc_id")
+
+  /** Sliding-window chunking with overlap (64-token chunks, stride 48):
+    * the long-document → training-window split, chunk text fingerprinted
+    * for downstream chunk-level dedup. */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+      .orderBy("id", "chunk_idx")
+
+  /** Temperature-weighted (α = 0.5) language rebalancing: lang d keeps
+    * floor(10·√n_d) docs in deterministic md5 order — the square-root
+    * corpus-mixing step that up-weights tail languages. */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.sqrtQuotaMix(t(s, dir, "documents"),
+      "doc_id", "lang", scale = 10.0)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** Product-quantization codes (m=4 subspaces × k=8 centroids over the
+    * 64-dim embeddings; deterministic codebook, exact integer distances). */
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(t(s, dir, "embeddings"), m = 4, k = 8,
+      centroidStride = 50)
+      .orderBy("vec_id")
+
+  /** Bloom-runtime-filtered star join: lineitem pruned against URGENT
+    * orders' keys before the join shuffle; FPs die in the join, so the
+    * result is exactly the plain join the oracle runs. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      cents(col("l_extendedprice")).as("price_cents"), col("l_returnflag"))
+    graft.ops.RuntimeFilter.bloomPruneJoin(li, urgent,
+        "l_orderkey", "o_orderkey", expectedItems = 20000, fpp = 0.01)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"))
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -765,7 +828,13 @@ object SparkEntry {
     "q53_html_extract" -> (q53 _),
     "q54_sequence_pack" -> (q54 _),
     "q55_set_ops" -> (q55 _),
-    "q56_string_agg" -> (q56 _))
+    "q56_string_agg" -> (q56 _),
+    "q57_boilerplate" -> (q57 _),
+    "q58_normalize" -> (q58 _),
+    "q59_chunk_overlap" -> (q59 _),
+    "q60_temperature_mix" -> (q60 _),
+    "q61_pq_codes" -> (q61 _),
+    "q62_bloom_join" -> (q62 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1541,5 +1610,88 @@ object SparkEntry {
            string_agg(CAST(o_orderkey AS VARCHAR), ','
              ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys
          FROM orders WHERE o_orderpriority = '1-URGENT'
-         GROUP BY o_custkey ORDER BY o_custkey""")
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    "q57_boilerplate" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+           FROM tok),
+         dist AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+         fr AS (SELECT s FROM dist GROUP BY s HAVING count(*) >= 5),
+         hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+                  FROM dist JOIN fr USING (s) GROUP BY doc_id),
+         base AS (SELECT doc_id, CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles
+                  FROM sh)
+         SELECT b.doc_id AS id, b.n_shingles,
+           CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CAST((1000 * coalesce(h.n_boiler, 0)) // b.n_shingles AS BIGINT) AS boiler_pm
+         FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id ORDER BY id""",
+    "q58_normalize" ->
+      """WITH d AS (SELECT doc_id,
+             'Café Ångström Ñoño ÜBER Ärgernis—ﬁ ' || text AS t FROM documents),
+         n AS (SELECT doc_id,
+             trim(regexp_replace(lower(strip_accents(nfc_normalize(t))),
+               '[^a-z0-9]+', ' ', 'g')) AS norm
+           FROM d)
+         SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           md5(norm) AS norm_md5
+         FROM n ORDER BY doc_id""",
+    "q59_chunk_overlap" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+           FROM documents),
+         st AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS ntok FROM tok),
+         ex AS (SELECT doc_id, toks, ntok,
+             unnest(generate_series(0, ntok - 1, 48)) AS start_tok
+           FROM st WHERE ntok > 0)
+         SELECT doc_id AS id, start_tok // 48 AS chunk_idx, start_tok,
+           CAST(least(64, ntok - start_tok) AS BIGINT) AS n_tok,
+           md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 64), ' '))
+             AS chunk_md5
+         FROM ex ORDER BY id, chunk_idx""",
+    "q60_temperature_mix" ->
+      """WITH n AS (SELECT lang,
+             CAST(floor(10 * sqrt(count(*))) AS BIGINT) AS quota
+           FROM documents GROUP BY lang),
+         r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, lang FROM r JOIN n USING (lang)
+         WHERE rn <= quota ORDER BY doc_id""",
+    "q61_pq_codes" ->
+      """WITH iv AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+           FROM embeddings),
+         cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx,
+             v AS cv
+           FROM iv WHERE vec_id % 50 = 0 AND vec_id < 400),
+         sub AS (SELECT vec_id, v, s
+           FROM iv CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+         dist AS (SELECT vec_id, s, cidx,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+               i -> (v[s*16+i] - cv[s*16+i]) * (v[s*16+i] - cv[s*16+i]))) AS BIGINT) AS d
+           FROM sub CROSS JOIN cb),
+         best AS (SELECT vec_id, s, cidx, d,
+             row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cidx) AS rn
+           FROM dist)
+         SELECT vec_id,
+           CAST(max(CASE WHEN s = 0 THEN cidx END) AS INTEGER) AS c0,
+           CAST(max(CASE WHEN s = 1 THEN cidx END) AS INTEGER) AS c1,
+           CAST(max(CASE WHEN s = 2 THEN cidx END) AS INTEGER) AS c2,
+           CAST(max(CASE WHEN s = 3 THEN cidx END) AS INTEGER) AS c3,
+           CAST(sum(d) AS BIGINT) AS distortion
+         FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
+    "q62_bloom_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

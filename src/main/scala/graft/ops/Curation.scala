@@ -98,6 +98,87 @@ object Curation {
     df.filter(stratifiedSampleCol(col(keyCol), col(stratumCol),
       ratesPerMille, defaultPerMille))
 
+  /** Corpus-frequent n-gram ("boilerplate") profile: per document, how many
+    * of its distinct word `n`-grams occur in ≥ `minDf` documents — the
+    * standard template/boilerplate-text signal (C4 and friends drop or
+    * down-weight docs dominated by corpus-frequent spans).
+    *
+    * Scale shape: one distinct (doc, shingle) explode feeds both the
+    * document-frequency aggregate and the hit join; docs join only against
+    * the FREQUENT shingle set (tiny by construction — df ≥ minDf shrinks it
+    * by orders of magnitude), and a left join keeps boilerplate-free docs.
+    * The fraction is exact integer per-mille — no double division whose
+    * rounding an engine could disagree on. */
+  def boilerplateProfile(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, minDf: Int = 5): DataFrame = {
+    val inv = df.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(Dedup.shinglesCol(col(textCol), n))).as("shingle"))
+    val frequent = inv.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("shingle")
+    val hits = inv.join(frequent, "shingle")
+      .groupBy("id").agg(count(lit(1)).as("n_boiler"))
+    df.select(col(idCol).cast("long").as("id"),
+        size(array_distinct(Dedup.shinglesCol(col(textCol), n)))
+          .cast("long").as("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .withColumn("boiler_pm",
+        floor(lit(1000L) * col("n_boiler") / col("n_shingles")).cast("long"))
+  }
+
+  private val NonAlnumRun = java.util.regex.Pattern.compile("[^a-z0-9]+")
+  private val CombiningMarks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  /** Unicode text-normalization kernel: NFC → strip combining marks
+    * (NFD-decompose, drop \p{M}, recompose) → ROOT lowercase → collapse
+    * non-alphanumeric runs to single spaces → trim. For Latin diacritics
+    * this is byte-identical to DuckDB's
+    * `trim(regexp_replace(lower(strip_accents(nfc_normalize(x))), '[^a-z0-9]+', ' '))`
+    * (probe-verified), so the oracle hash-gates it. One compiled pass per
+    * row; narrow. */
+  def normalizeText(s: String): String = {
+    if (s == null) return null
+    import java.text.Normalizer
+    val nfc = Normalizer.normalize(s, Normalizer.Form.NFC)
+    val stripped = Normalizer.normalize(
+      CombiningMarks.matcher(Normalizer.normalize(nfc, Normalizer.Form.NFD))
+        .replaceAll(""),
+      Normalizer.Form.NFC)
+    NonAlnumRun.matcher(stripped.toLowerCase(java.util.Locale.ROOT))
+      .replaceAll(" ").trim
+  }
+
+  private val normalizeUdf = udf(normalizeText _)
+
+  def normalizeTextCol(text: Column): Column = normalizeUdf(text)
+
+  /** Temperature-weighted domain rebalancing (α = 0.5 — the "square-root
+    * sampling" mix multilingual-corpus work uses to up-weight tail
+    * domains): domain d keeps `floor(scale · √n_d)` documents, chosen in
+    * deterministic md5 order. √ is IEEE-correctly-rounded, so quotas are
+    * engine-identical — unlike `pow(n, α)` for general α, whose libm
+    * rounding can flip a floor at the boundary.
+    *
+    * Scale shape: the per-domain count is a tiny broadcast aggregate; the
+    * selection is one row_number window partitioned by domain. With one
+    * dominant domain, pre-thin it with [[stratifiedSampleCol]] before the
+    * window (the window itself must see a domain on one partition). */
+  def sqrtQuotaMix(df: DataFrame, idCol: String, domainCol: String,
+                   scale: Double): DataFrame = {
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__dom"),
+        floor(lit(scale) * sqrt(col("__n"))).cast("long").as("__quota"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(counts), col(domainCol) === col("__dom"))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__dom", "__quota", "__rn")
+  }
+
   /** Quality gate: keep docs with score ≥ threshold and near-dup-free
     * (callers pass drop ids from a Dedup variant). */
   def qualityFilter(df: DataFrame, textCol: String, minScore: Double,

@@ -236,6 +236,74 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  /** Product-quantization (PQ) codes: split each vector into `m` equal
+    * subvectors and assign each to its nearest of `k` codebook centroids
+    * (squared L2; ties → lowest centroid index). Output: the m-digit code
+    * plus total quantization distortion — the memory side of IVF-PQ, where
+    * an m=8/k=256 code stores a 64-dim float vector in 8 bytes (32×) and
+    * asymmetric-distance search scans codes, not vectors.
+    *
+    * The codebook is deterministic — the k vectors at ids 0, stride, …,
+    * (k-1)·stride — so any engine reproduces it (oracle rule: no rand());
+    * production would k-means per subspace, with the identical shape: a
+    * codebook small enough to ship in the closure (k·dim values BY
+    * CONSTRUCTION, never corpus-sized), then assignment as ONE narrow pass
+    * over the corpus — no shuffle anywhere.
+    *
+    * Distances are EXACT integer arithmetic: components scale to
+    * `floor(x·10⁶)` longs first (float→double cast and one multiply are
+    * correctly rounded, hence engine-identical), so the argmin can never
+    * depend on double summation order. */
+  def pqEncode(df: DataFrame, m: Int = 4, k: Int = 8,
+               centroidStride: Long = 50, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    def toInts(v: Seq[Double]): Array[Long] = {
+      val a = new Array[Long](v.length)
+      var i = 0
+      while (i < v.length) { a(i) = math.floor(v(i) * 1e6).toLong; i += 1 }
+      a
+    }
+    val cents: Array[Array[Long]] = df
+      .filter(col(idCol) % centroidStride === 0 &&
+        col(idCol) < centroidStride * k)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => toInts(r.getSeq[Double](1)))
+    require(cents.length == k,
+      s"expected $k codebook vectors at $idCol = 0, $centroidStride, …; got ${cents.length}")
+    val codeUdf = udf { (v: Seq[Double]) =>
+      val iv = toInts(v)
+      val sub = iv.length / m
+      val codes = new Array[Int](m)
+      var total = 0L
+      var s = 0
+      while (s < m) {
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < k) {
+          val ce = cents(c)
+          var d = 0L
+          var i = s * sub
+          val end = math.min(math.min((s + 1) * sub, iv.length), ce.length)
+          while (i < end) { val x = iv(i) - ce(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest c
+          c += 1
+        }
+        codes(s) = best
+        total += bestD
+        s += 1
+      }
+      (codes.toSeq, total)
+    }
+    val coded = df.select(col(idCol).cast("long").as("vec_id"),
+      codeUdf(col(vecCol).cast("array<double>")).as("pq"))
+    coded.select(
+      col("vec_id") +:
+        (0 until m).map(i => col("pq._1")(i).as(s"c$i")) :+
+        col("pq._2").as("distortion"): _*)
+  }
+
   /** Embedding-cosine near-duplicate pairs (a<b, sim ≥ threshold) over LSH
     * buckets — the embedding leg of the dedup suite.
     *

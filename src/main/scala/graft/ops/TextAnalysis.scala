@@ -457,6 +457,34 @@ object TextAnalysis {
         ((col("cum") - col("n_tokens")) % maxTokens).as("seq_offset"))
   }
 
+  /** Sliding-window token chunking with overlap — the long-document →
+    * training-window split (chunk `chunkSize` tokens, step `stride`, the
+    * tail chunk may be short). A chunk starts every `stride` tokens while
+    * tokens remain, so every token is covered and consecutive chunks
+    * overlap by `chunkSize - stride`.
+    *
+    * Narrow: tokenize + `sequence`/`explode` + `slice`, no shuffle — at
+    * 100 TB this is a pure map stage whose output feeds chunk-level dedup
+    * or packing. Chunk text is re-joined and md5-fingerprinted (the
+    * engine-portable hash). */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    df.select(col(idCol).cast("long").as("id"), tokensCol(col(textCol)).as("toks"))
+      .withColumn("ntok", size(col("toks")).cast("long"))
+      .select(col("id"), col("toks"), col("ntok"),
+        explode(when(col("ntok") > 0,
+            sequence(lit(0L), col("ntok") - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<long>"))).as("start_tok"))
+      .select(col("id"),
+        (col("start_tok") / stride).cast("long").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(chunkSize.toLong), col("ntok") - col("start_tok")).as("n_tok"),
+        md5(array_join(
+          slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(chunkSize)),
+          " ")).as("chunk_md5"))
+  }
+
   /** Full per-document profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

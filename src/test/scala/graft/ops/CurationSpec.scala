@@ -100,4 +100,53 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L))
   }
+
+  test("boilerplateProfile: hand-counted frequent-shingle shares") {
+    // "a b c" appears in docs 1-3 (df=3 ≥ minDf); every other shingle is rare
+    val docs = Seq(
+      (1L, "a b c x1 y1"), // shingles: {a b c, b c x1, c x1 y1} → 1/3 boiler
+      (2L, "a b c x2"),    // {a b c, b c x2}                    → 1/2
+      (3L, "a b c"),       // {a b c}                            → 1/1
+      (4L, "p q"))         // short fallback {p q}               → 0/1
+      .toDF("doc_id", "text")
+    val out = Curation.boilerplateProfile(docs, "doc_id", "text", n = 3, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 1L, 333L)))
+    assert(out(2L) == ((2L, 1L, 500L)))
+    assert(out(3L) == ((1L, 1L, 1000L)))
+    assert(out(4L) == ((1L, 0L, 0L)))
+  }
+
+  test("normalizeText: accents stripped, case folded, runs collapsed") {
+    assert(Curation.normalizeText("Café Ångström Ñoño ÜBER") ==
+      "cafe angstrom nono uber")
+    // the ﬁ ligature is NOT decomposed by NFC/NFD (that's NFKC) — it must
+    // fall to the non-alphanumeric collapse, exactly as DuckDB's
+    // strip_accents leaves it for the regex
+    assert(Curation.normalizeText("Ärgernis—ﬁn") == "argernis n")
+    assert(Curation.normalizeText("  Tabs\tand\nlines  ") == "tabs and lines")
+    assert(Curation.normalizeText("") == "")
+    assert(Curation.normalizeText(null) == null)
+    // Column form serves the same kernel
+    val got = Seq("Café—ﬁn").toDF("t")
+      .select(Curation.normalizeTextCol(col("t"))).collect()(0).getString(0)
+    assert(got == "cafe n")
+  }
+
+  test("sqrtQuotaMix: per-domain quota floor(scale*sqrt(n)), deterministic") {
+    // domains: a→100 rows (quota floor(3*10)=30), b→9 (quota 9: floor(3*3)=9
+    // keeps all), c→4 (quota 6 > n keeps all 4)
+    val df = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 109L).map(i => (i, "b")) ++
+      (110L to 113L).map(i => (i, "c"))).toDF("id", "dom")
+    val out = Curation.sqrtQuotaMix(df, "id", "dom", scale = 3.0)
+    val counts = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 30L, "b" -> 9L, "c" -> 4L))
+    // repartitioning must not change WHICH rows are kept (md5 order, not
+    // arrival order)
+    val again = Curation.sqrtQuotaMix(df.repartition(7), "id", "dom", 3.0)
+    assert(out.select("id").exceptAll(again.select("id")).count() == 0)
+  }
 }

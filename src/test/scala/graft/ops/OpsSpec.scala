@@ -473,4 +473,62 @@ class OpsSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(bin.repartition(3), "id", "media_bytes", 8)
     assert(again.exceptAll(feats).count() == 0)
   }
+
+  test("chunkTokens: overlapping windows cover every token; tail is short") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b"),                           // shorter than one chunk
+      (3L, ""))                              // no tokens → no chunks
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: starts 0,3,6,9 → lengths 4,4,4,1
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L), (1L, 3L, 9L, 1L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 2L)))
+    assert(!out.exists(_._1 == 3L))
+    // fingerprint covers exactly the window: chunk (start 3, len 4) of doc 1
+    val md5s = TextAnalysis.chunkTokens(df, "doc_id", "text", 4, 3)
+      .filter(col("id") === 1 && col("chunk_idx") === 1)
+      .select("chunk_md5").collect()(0).getString(0)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("t3 t4 t5 t6".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5s == expect)
+  }
+
+  test("pqEncode: centroid-equal vectors get their own code, distortion 0") {
+    // 4 codebook vectors at ids 0,10,20,30 (stride 10, k=4), dim 8, m=2
+    def vec(base: Float): Seq[Float] = (0 until 8).map(i => base + i * 0.01f)
+    val rows = Seq(
+      (0L, vec(0f)), (10L, vec(1f)), (20L, vec(2f)), (30L, vec(3f)),
+      (5L, vec(1f)),           // equals centroid 1 exactly → codes (1,1), d=0
+      (6L, vec(2.9f)))         // nearest centroid 3 in both halves
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(rows, m = 2, k = 4, centroidStride = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(5L) == ((1, 1, 0L)))
+    assert(out(0L) == ((0, 0, 0L)))
+    assert(out(6L)._1 == 3 && out(6L)._2 == 3 && out(6L)._3 > 0L)
+    // determinism across partitionings
+    val again = Similarity.pqEncode(rows.repartition(3), 2, 4, 10)
+    assert(again.exceptAll(Similarity.pqEncode(rows, 2, 4, 10)).count() == 0)
+  }
+
+  test("bloom-prune join: exact join result, fact side actually pruned") {
+    val dim = (1L to 50L).filter(_ % 10 == 0).toDF("k")
+    val fact = (1L to 1000L).map(i => (i % 60, i)).toDF("fk", "payload")
+    val plain = fact.join(dim, col("fk") === col("k"))
+    val pruned = RuntimeFilter.bloomPruneJoin(fact, dim, "fk", "k",
+      expectedItems = 100, fpp = 0.01)
+    assert(pruned.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(pruned).count() == 0)
+    // the prefilter alone must pass matches and cut most non-matches
+    val bf = dim.stat.bloomFilter("k", 100, 0.01)
+    val kept = (0L until 60L).count(bf.mightContainLong)
+    assert(kept >= 5 && kept < 20) // 5 true keys + ≤ fpp-ish slip-through
+  }
 }
