@@ -768,6 +768,14 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** PQ asymmetric-distance top-3 (the search half of IVF-PQ): corpus
+    * scanned as codes, per-query centroid LUTs, exact integer distances. */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(t(s, dir, "embeddings"),
+      t(s, dir, "embeddings").filter(col("vec_id") % 25 === 0),
+      k = 3, m = 4, nCent = 8, centroidStride = 50)
+      .orderBy("query_id", "rank")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -834,7 +842,8 @@ object SparkEntry {
     "q59_chunk_overlap" -> (q59 _),
     "q60_temperature_mix" -> (q60 _),
     "q61_pq_codes" -> (q61 _),
-    "q62_bloom_join" -> (q62 _))
+    "q62_bloom_join" -> (q62 _),
+    "q63_pq_adc" -> (q63 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1693,5 +1702,35 @@ object SparkEntry {
              AS revenue_cents
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'
-         GROUP BY l_returnflag ORDER BY l_returnflag""")
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q63_pq_adc" ->
+      """WITH iv AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+           FROM embeddings),
+         cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx,
+             v AS cv
+           FROM iv WHERE vec_id % 50 = 0 AND vec_id < 400),
+         sub AS (SELECT vec_id, v, s
+           FROM iv CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+         dist AS (SELECT vec_id, s, cidx,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+               i -> (v[s*16+i] - cv[s*16+i]) * (v[s*16+i] - cv[s*16+i]))) AS BIGINT) AS d
+           FROM sub CROSS JOIN cb),
+         codes AS (SELECT vec_id, s, cidx FROM (
+             SELECT vec_id, s, cidx,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cidx) AS rn
+             FROM dist) WHERE rn = 1),
+         qd AS (SELECT vec_id AS query_id, s, cidx, d
+           FROM dist WHERE vec_id % 25 = 0),
+         ad AS (SELECT qd.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(qd.d) AS BIGINT) AS adist
+           FROM codes c JOIN qd ON qd.s = c.s AND qd.cidx = c.cidx
+           WHERE c.vec_id <> qd.query_id
+           GROUP BY qd.query_id, c.vec_id),
+         r AS (SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+           FROM ad)
+         SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS rank
+         FROM r WHERE rn <= 3 ORDER BY query_id, rank""")
 }

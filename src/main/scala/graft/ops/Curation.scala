@@ -104,11 +104,13 @@ object Curation {
     * down-weight docs dominated by corpus-frequent spans).
     *
     * Scale shape: one distinct (doc, shingle) explode feeds both the
-    * document-frequency aggregate and the hit join; docs join only against
-    * the FREQUENT shingle set (tiny by construction — df ≥ minDf shrinks it
-    * by orders of magnitude), and a left join keeps boilerplate-free docs.
-    * The fraction is exact integer per-mille — no double division whose
-    * rounding an engine could disagree on. */
+    * document-frequency aggregate and the hit join; the doc side
+    * LEFT-joins the FREQUENT shingle set (tiny by construction — df ≥
+    * minDf shrinks it by orders of magnitude) and ONE per-doc aggregate
+    * computes both counts, so no third pass re-tokenizes the corpus (every
+    * doc has ≥ 1 shingle, so the left join loses none). The fraction is
+    * exact integer per-mille — no double division whose rounding an
+    * engine could disagree on. */
   def boilerplateProfile(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, minDf: Int = 5): DataFrame = {
     val inv = df.select(col(idCol).cast("long").as("id"),
@@ -116,14 +118,10 @@ object Curation {
     val frequent = inv.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .select("shingle")
-    val hits = inv.join(frequent, "shingle")
-      .groupBy("id").agg(count(lit(1)).as("n_boiler"))
-    df.select(col(idCol).cast("long").as("id"),
-        size(array_distinct(Dedup.shinglesCol(col(textCol), n)))
-          .cast("long").as("n_shingles"))
-      .join(hits, Seq("id"), "left")
-      .na.fill(0L, Seq("n_boiler"))
+      .select(col("shingle"), lit(1).as("__boiler"))
+    inv.join(frequent, Seq("shingle"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__boiler")).as("n_boiler"))
       .withColumn("boiler_pm",
         floor(lit(1000L) * col("n_boiler") / col("n_shingles")).cast("long"))
   }

@@ -254,46 +254,69 @@ object Similarity {
     * `floor(x·10⁶)` longs first (float→double cast and one multiply are
     * correctly rounded, hence engine-identical), so the argmin can never
     * depend on double summation order. */
-  def pqEncode(df: DataFrame, m: Int = 4, k: Int = 8,
-               centroidStride: Long = 50, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    def toInts(v: Seq[Double]): Array[Long] = {
-      val a = new Array[Long](v.length)
-      var i = 0
-      while (i < v.length) { a(i) = math.floor(v(i) * 1e6).toLong; i += 1 }
-      a
-    }
-    val cents: Array[Array[Long]] = df
+  private def toPqInts(v: Seq[Double]): Array[Long] = {
+    val a = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) { a(i) = math.floor(v(i) * 1e6).toLong; i += 1 }
+    a
+  }
+
+  /** Deterministic PQ codebook: the `k` vectors at ids 0, stride, …,
+    * (k-1)·stride, as scaled-integer arrays (sorted by id → centroid index
+    * = rank). */
+  private def pqCodebook(df: DataFrame, k: Int, centroidStride: Long,
+                         idCol: String, vecCol: String): Array[Array[Long]] = {
+    val cents = df
       .filter(col(idCol) % centroidStride === 0 &&
         col(idCol) < centroidStride * k)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().sortBy(_.getLong(0))
-      .map(r => toInts(r.getSeq[Double](1)))
+      .map(r => toPqInts(r.getSeq[Double](1)))
     require(cents.length == k,
       s"expected $k codebook vectors at $idCol = 0, $centroidStride, …; got ${cents.length}")
-    val codeUdf = udf { (v: Seq[Double]) =>
-      val iv = toInts(v)
-      val sub = iv.length / m
-      val codes = new Array[Int](m)
-      var total = 0L
-      var s = 0
-      while (s < m) {
-        var best = 0
-        var bestD = Long.MaxValue
-        var c = 0
-        while (c < k) {
-          val ce = cents(c)
-          var d = 0L
-          var i = s * sub
-          val end = math.min(math.min((s + 1) * sub, iv.length), ce.length)
-          while (i < end) { val x = iv(i) - ce(i); d += x * x; i += 1 }
-          if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest c
-          c += 1
-        }
-        codes(s) = best
-        total += bestD
-        s += 1
+    cents
+  }
+
+  /** Integer squared-L2 between `iv[s·sub until end)` and centroid `ce`. */
+  private def pqSubDist(iv: Array[Long], ce: Array[Long], s: Int,
+                        sub: Int): Long = {
+    var d = 0L
+    var i = s * sub
+    val end = math.min(math.min((s + 1) * sub, iv.length), ce.length)
+    while (i < end) { val x = iv(i) - ce(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Per-subspace nearest-centroid codes (+ total distortion) for one
+    * scaled-integer vector. Ties keep the lowest centroid index. */
+  private def pqCodes(iv: Array[Long], cents: Array[Array[Long]],
+                      m: Int): (Array[Int], Long) = {
+    val sub = iv.length / m
+    val codes = new Array[Int](m)
+    var total = 0L
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val d = pqSubDist(iv, cents(c), s, sub)
+        if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest c
+        c += 1
       }
+      codes(s) = best
+      total += bestD
+      s += 1
+    }
+    (codes, total)
+  }
+
+  def pqEncode(df: DataFrame, m: Int = 4, k: Int = 8,
+               centroidStride: Long = 50, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val cents = pqCodebook(df, k, centroidStride, idCol, vecCol)
+    val codeUdf = udf { (v: Seq[Double]) =>
+      val (codes, total) = pqCodes(toPqInts(v), cents, m)
       (codes.toSeq, total)
     }
     val coded = df.select(col(idCol).cast("long").as("vec_id"),
@@ -302,6 +325,63 @@ object Similarity {
       col("vec_id") +:
         (0 until m).map(i => col("pq._1")(i).as(s"c$i")) :+
         col("pq._2").as("distortion"): _*)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k — the search half of IVF-PQ: the
+    * corpus is scanned as CODES (m small ints per vector), never vectors;
+    * each query precomputes an m×k lookup table of exact integer distances
+    * to every centroid subvector, and a corpus vector's approximate
+    * distance is m table lookups summed. At 100 TB this is why PQ exists:
+    * the scan touches k·dim centroid values + m bytes per corpus row
+    * instead of dim floats per row.
+    *
+    * Shape mirrors [[bruteForceTopK]]: queries (small by contract) ship in
+    * the closure as LUTs, ONE kernel call per corpus row scores every
+    * query (the row's codes are computed once), then a per-query window
+    * takes the top k. All arithmetic is scaled-integer — engine-exact, so
+    * ranks can never flip between engines (ties → lowest neighbor id). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+             nCent: Int = 8, centroidStride: Long = 50,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = pqCodebook(corpus, nCent, centroidStride, idCol, vecCol)
+    val qLuts: Array[(Long, Array[Array[Long]])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map { r =>
+        val iv = toPqInts(r.getSeq[Double](1))
+        val sub = iv.length / m
+        val lut = Array.tabulate(m, cents.length)((s, c) =>
+          pqSubDist(iv, cents(c), s, sub))
+        (r.getLong(0), lut)
+      }
+      .sortBy(_._1)
+    val scoreAll = udf { (id: Long, v: Seq[Double]) =>
+      val (codes, _) = pqCodes(toPqInts(v), cents, m)
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](qLuts.length)
+      var qi = 0
+      while (qi < qLuts.length) {
+        val (qid, lut) = qLuts(qi)
+        if (qid != id) {
+          var adist = 0L
+          var s = 0
+          while (s < m) { adist += lut(s)(codes(s)); s += 1 }
+          out += ((qid, adist))
+        }
+        qi += 1
+      }
+      out.toSeq
+    }
+    val scored = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        explode(scoreAll(col(idCol).cast("long"),
+          col(vecCol).cast("array<double>"))).as("s"))
+      .select(col("s._1").as("query_id"), col("neighbor_id"),
+        col("s._2").as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
   }
 
   /** Embedding-cosine near-duplicate pairs (a<b, sim ≥ threshold) over LSH

@@ -518,6 +518,30 @@ class OpsSpec extends SparkSpec {
     assert(again.exceptAll(Similarity.pqEncode(rows, 2, 4, 10)).count() == 0)
   }
 
+  test("pqTopK: ADC distance equals the hand-computed LUT sum; clusters rank first") {
+    def vec(base: Float): Seq[Float] = (0 until 8).map(i => base + i * 0.01f)
+    // codebook ids 0,10,20,30 → centroids 0..3; clones sit exactly on
+    // centroids so their codes are their cluster and ADC(query, clone) is
+    // the exact integer distance query→centroid
+    val corpus = Seq(
+      (0L, vec(0f)), (10L, vec(1f)), (20L, vec(2f)), (30L, vec(3f)),
+      (41L, vec(1f)), (42L, vec(2f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, vec(1.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(corpus, queries, k = 3, m = 2, nCent = 4,
+        centroidStride = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // nearest cluster is centroid 1 (base 1.0 vs query 1.1): id 10 and its
+    // clone 41 tie on adist, id order breaks the tie
+    assert(out.map(_._1).take(2).toSeq == Seq(10L, 41L))
+    // exact ADC value: integer L2 between scaled query and centroid 1
+    val qi = vec(1.1f).map(x => math.floor(x.toDouble * 1e6).toLong)
+    val ci = vec(1f).map(x => math.floor(x.toDouble * 1e6).toLong)
+    val expect = qi.zip(ci).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(out.head._2 == expect)
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("bloom-prune join: exact join result, fact side actually pruned") {
     val dim = (1L to 50L).filter(_ % 10 == 0).toDF("k")
     val fact = (1L to 1000L).map(i => (i % 60, i)).toDF("fk", "payload")
