@@ -776,6 +776,38 @@ object SparkEntry {
       k = 3, m = 4, nCent = 8, centroidStride = 50)
       .orderBy("query_id", "rank")
 
+  /** Ordered funnel (view → click → purchase): cascading running-window
+    * mins qualify each stage only after the previous stage's earliest
+    * qualifying event — ONE shuffle on the user key serves both window
+    * passes and the final per-user aggregate (the sequential-pattern
+    * analytics shape; a per-stage self-join would shuffle events three
+    * times). Exact integer-nanos comparisons. */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessions.funnelUserTimes(
+      events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts")),
+      "user_id", "event_type", "ts", "event_id",
+      Seq("view", "click", "purchase"))
+      .agg(
+        count(col("t0")).as("n_view"),
+        count(col("t1")).as("n_view_click"),
+        count(col("t2")).as("n_view_click_purchase"))
+
+  /** Retention cohorts: users grouped by first-activity day, distinct
+    * active users per (cohort day, day offset) — the standard retention
+    * triangle. The cohort assignment is a window min over the SAME user
+    * partitioning the distinct-count shuffle needs. Day buckets by exact
+    * integer division of epoch nanos. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -843,7 +875,9 @@ object SparkEntry {
     "q60_temperature_mix" -> (q60 _),
     "q61_pq_codes" -> (q61 _),
     "q62_bloom_join" -> (q62 _),
-    "q63_pq_adc" -> (q63 _))
+    "q63_pq_adc" -> (q63 _),
+    "q64_funnel" -> (q64 _),
+    "q65_retention" -> (q65 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1732,5 +1766,33 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
            FROM ad)
          SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS rank
-         FROM r WHERE rn <= 3 ORDER BY query_id, rank""")
+         FROM r WHERE rn <= 3 ORDER BY query_id, rank""",
+    "q64_funnel" ->
+      """WITH w1 AS (SELECT user_id, event_id, event_type, ts,
+             min(CASE WHEN event_type = 'view' THEN ts END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS v1
+           FROM events),
+         w2 AS (SELECT *, CASE WHEN event_type = 'click' AND v1 IS NOT NULL
+             AND ts >= v1 THEN ts END AS c2 FROM w1),
+         w3 AS (SELECT *, min(c2) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS v2 FROM w2),
+         w4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND v2 IS NOT NULL
+             AND ts >= v2 THEN ts END AS c3 FROM w3),
+         u AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+             min(c2) AS t2, min(c3) AS t3
+           FROM w4 GROUP BY user_id)
+         SELECT CAST(count(t1) AS BIGINT) AS n_view,
+           CAST(count(t2) AS BIGINT) AS n_view_click,
+           CAST(count(t3) AS BIGINT) AS n_view_click_purchase
+         FROM u""",
+    "q65_retention" ->
+      """WITH e AS (SELECT user_id,
+             epoch_ns(ts) // 86400000000000 AS day FROM events),
+         c AS (SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS cohort_day FROM e)
+         SELECT cohort_day, day - cohort_day AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM c GROUP BY 1, 2 ORDER BY cohort_day, day_offset""")
 }

@@ -9,7 +9,9 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE lane is fully real: PNG ([[Png]]), GIF ([[Gif]]), and baseline
   * JPEG ([[Jpeg]]) decode to actual pixels and re-encode, pure JVM. The
-  * AUDIO lane decodes WAV PCM samples for real; compressed audio and video
+  * AUDIO lane decodes WAV for real across PCM, G.711 µ-law, and mono IMA
+  * ADPCM ([[Adpcm]] — real integer codecs, µ-law cross-validated against
+  * javax.sound). Perceptual codecs (MP3/AAC/Vorbis payloads) and video
   * frame extraction genuinely need native codec libraries this container
   * does not ship — those kernels are STUBBED with deterministic fakes
   * (clearly marked below). Everything Spark-side is real and tested:
@@ -179,10 +181,12 @@ object Multimodal {
     } else None
   }
 
-  /** REAL WAV PCM decode — the `data` chunk of a PCM WAV IS the raw
-    * samples, no codec needed. Returns normalized mono samples in [-1, 1]
-    * (channels averaged; 8-bit unsigned and 16-bit signed LE supported).
-    * None for non-WAV or compressed (non-PCM) WAV. */
+  /** REAL WAV decode. PCM (fmt 1): the `data` chunk IS the raw samples.
+    * µ-law (fmt 7) and mono IMA ADPCM (fmt 0x11) decompress through the
+    * [[Adpcm]] codecs (real integer codecs, no native libs). Returns
+    * normalized mono samples in [-1, 1] (channels averaged for PCM/µ-law;
+    * ADPCM is mono-only here — multi-channel IMA interleaves per 4-byte
+    * word and is out of scope). None for other formats. */
   def wavSamples(bytes: Array[Byte]): Option[Array[Double]] = {
     if (bytes == null || bytes.length < 44) return None
     def u8(i: Int) = bytes(i) & 0xff
@@ -192,8 +196,8 @@ object Multimodal {
       (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
     var i = 12
-    var fmtCode = -1; var channels = 0; var bits = 0
-    var dataAt = -1; var dataLen = 0
+    var fmtCode = -1; var channels = 0; var bits = 0; var blockAlign = 0
+    var dataAt = -1; var dataLen = 0; var factSamples = -1
     var walking = true
     while (walking && i + 8 <= bytes.length) {
       val id = ascii(i, 4)
@@ -202,33 +206,59 @@ object Multimodal {
       else {
         val sz = szL.toInt
         if (id == "fmt " && i + 24 <= bytes.length) {
-          fmtCode = u16le(i + 8); channels = u16le(i + 10); bits = u16le(i + 22)
+          fmtCode = u16le(i + 8); channels = u16le(i + 10)
+          blockAlign = u16le(i + 20); bits = u16le(i + 22)
         }
+        if (id == "fact" && i + 12 <= bytes.length)
+          factSamples = u32le(i + 8).toInt // exact count (compressed fmts)
         if (id == "data") { dataAt = i + 8; dataLen = sz }
         i += 8 + sz + (sz & 1)
       }
     }
-    if (fmtCode != 1 || channels < 1 || dataAt < 0 || dataLen < 0)
-      return None // PCM only, sane sizes only
-    val bytesPerSample = bits / 8
-    if (bytesPerSample != 1 && bytesPerSample != 2) return None
-    val frameBytes = bytesPerSample * channels
-    val nFrames = math.min(dataLen, bytes.length - dataAt) / frameBytes
-    val out = new Array[Double](nFrames)
-    var f = 0
-    while (f < nFrames) {
-      var acc = 0.0
-      var c = 0
-      while (c < channels) {
-        val at = dataAt + f * frameBytes + c * bytesPerSample
-        acc += (if (bytesPerSample == 1) (u8(at) - 128) / 128.0
-                else (u8(at) | (bytes(at + 1).toInt << 8)) / 32768.0)
-        c += 1
-      }
-      out(f) = acc / channels
-      f += 1
+    if (channels < 1 || dataAt < 0 || dataLen < 0) return None
+    val avail = math.min(dataLen, bytes.length - dataAt)
+    fmtCode match {
+      case 1 => // PCM
+        val bytesPerSample = bits / 8
+        if (bytesPerSample != 1 && bytesPerSample != 2) return None
+        val frameBytes = bytesPerSample * channels
+        val nFrames = avail / frameBytes
+        val out = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val at = dataAt + f * frameBytes + c * bytesPerSample
+            acc += (if (bytesPerSample == 1) (u8(at) - 128) / 128.0
+                    else (u8(at) | (bytes(at + 1).toInt << 8)) / 32768.0)
+            c += 1
+          }
+          out(f) = acc / channels
+          f += 1
+        }
+        Some(out)
+      case 7 => // G.711 µ-law: 1 byte per sample per channel
+        val nFrames = avail / channels
+        val out = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            acc += Adpcm.muLawDecode(bytes(dataAt + f * channels + c)) / 32768.0
+            c += 1
+          }
+          out(f) = acc / channels
+          f += 1
+        }
+        Some(out)
+      case 0x11 if channels == 1 && blockAlign >= 8 && blockAlign % 4 == 0 =>
+        val payload = java.util.Arrays.copyOfRange(bytes, dataAt, dataAt + avail)
+        val dec = Adpcm.decodeIma(payload, blockAlign, factSamples)
+        Some(dec.map(_ / 32768.0))
+      case _ => None
     }
-    Some(out)
   }
 
   /** Real audio features from decoded PCM: (n_samples, RMS energy,

@@ -39,4 +39,34 @@ object Sessions {
         expr(s"timestamp_seconds(min($tsCol) DIV 1000000000)").as("session_start"),
         expr(s"timestamp_seconds(max($tsCol) DIV 1000000000)").as("session_end"))
       .orderBy(col(userCol), col("session_id"))
+
+  /** Ordered N-stage funnel, per user: `t{i}` = the earliest `stages(i)`
+    * event at/after the user's earliest stage-(i-1) qualifier (null once
+    * a stage is never reached — later stages stay null too).
+    *
+    * Shape: cascading running-window minimums — stage i's qualifier
+    * condition reads the running min of stage i-1's qualifiers on the SAME
+    * (user, ts, order) window, so all N stages and the final per-user
+    * aggregate share ONE shuffle. The per-stage self-join alternative
+    * shuffles the event table once per stage. `orderCol` breaks timestamp
+    * ties deterministically. */
+  def funnelUserTimes(df: DataFrame, userCol: String, typeCol: String,
+                      tsCol: String, orderCol: String,
+                      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    var cur = df
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val cond =
+        if (i == 0) col(typeCol) === st
+        else col(typeCol) === st && col(s"__v${i - 1}").isNotNull &&
+          col(tsCol) >= col(s"__v${i - 1}")
+      cur = cur.withColumn(s"__c$i", when(cond, col(tsCol)))
+      if (i < stages.length - 1)
+        cur = cur.withColumn(s"__v$i", min(col(s"__c$i")).over(w))
+    }
+    val aggs = stages.indices.map(i => min(col(s"__c$i")).as(s"t$i"))
+    cur.groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

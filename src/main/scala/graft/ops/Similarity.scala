@@ -271,7 +271,7 @@ object Similarity {
         col(idCol) < centroidStride * k)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().sortBy(_.getLong(0))
-      .map(r => toPqInts(r.getSeq[Double](1)))
+      .map(r => toPqInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty)))
     require(cents.length == k,
       s"expected $k codebook vectors at $idCol = 0, $centroidStride, …; got ${cents.length}")
     cents
@@ -316,7 +316,10 @@ object Similarity {
                vecCol: String = "embedding"): DataFrame = {
     val cents = pqCodebook(df, k, centroidStride, idCol, vecCol)
     val codeUdf = udf { (v: Seq[Double]) =>
-      val (codes, total) = pqCodes(toPqInts(v), cents, m)
+      // null/empty vectors: every subspace is empty → distance 0 to every
+      // centroid → code 0 per subspace, distortion 0 (degenerate but total)
+      val (codes, total) = pqCodes(toPqInts(if (v == null) Seq.empty else v),
+        cents, m)
       (codes.toSeq, total)
     }
     val coded = df.select(col(idCol).cast("long").as("vec_id"),
@@ -348,7 +351,7 @@ object Similarity {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
       .map { r =>
-        val iv = toPqInts(r.getSeq[Double](1))
+        val iv = toPqInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty))
         val sub = iv.length / m
         val lut = Array.tabulate(m, cents.length)((s, c) =>
           pqSubDist(iv, cents(c), s, sub))
@@ -356,7 +359,8 @@ object Similarity {
       }
       .sortBy(_._1)
     val scoreAll = udf { (id: Long, v: Seq[Double]) =>
-      val (codes, _) = pqCodes(toPqInts(v), cents, m)
+      val (codes, _) = pqCodes(toPqInts(if (v == null) Seq.empty else v),
+        cents, m)
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](qLuts.length)
       var qi = 0
       while (qi < qLuts.length) {

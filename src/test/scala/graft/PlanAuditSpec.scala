@@ -153,6 +153,46 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected join in:\n$plan")
   }
 
+  test("chunking and PQ scans are narrow: no exchange except the top-k window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val chunkPlan = physical(graft.ops.TextAnalysis.chunkTokens(
+      docs, "doc_id", "text", 64, 48))
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunking must be a pure map stage:\n$chunkPlan")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val encPlan = physical(graft.ops.Similarity.pqEncode(emb))
+    assert(!encPlan.contains("Exchange"),
+      s"PQ encode must be a pure map stage (codebook in closure):\n$encPlan")
+    val adcPlan = physical(graft.ops.Similarity.pqTopK(
+      emb, emb.filter(col("vec_id") % 25 === 0), k = 3))
+    // one window shuffle on query_id; never a join (LUTs ride the closure)
+    assert(countOccurrences(adcPlan, "Exchange hashpartitioning") == 1 &&
+      !adcPlan.contains("Join"),
+      s"ADC search must be kernel + one window shuffle:\n$adcPlan")
+  }
+
+  test("temperature mix: quota side broadcast, one window shuffle on domain") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = physical(graft.ops.Curation.sqrtQuotaMix(
+      docs, "doc_id", "lang", 10.0))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quota table not broadcast in:\n$plan")
+    assert(countOccurrences(plan, "Exchange hashpartitioning") <= 2,
+      s"expected the window shuffle (+quota agg) only in:\n$plan")
+  }
+
+  test("bloom-prune join: the filter sits in the fact scan stage, below the join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val plan = physical(graft.ops.RuntimeFilter.bloomPruneJoin(
+      li, orders, "l_orderkey", "o_orderkey", 1000, 0.01))
+    val joinAt = plan.indexOf("Join")
+    val filterAt = plan.indexOf("Filter")
+    assert(joinAt >= 0 && filterAt > joinAt, // child plans print BELOW parents
+      s"bloom filter not beneath the join in:\n$plan")
+  }
+
   test("validator DAG: dim joins broadcast, no driver collect in plan") {
     val cfg = graft.pipeline.PipelineConfig.scaled(perSit = 2)
     val corpus = graft.pipeline.ContentGen.corpus(

@@ -84,4 +84,25 @@ class NullSafetySpec extends SparkSpec {
     assert(graft.sink.MiniFormats.xlsxRows("not a zip".getBytes("UTF-8")).isEmpty)
     assert(graft.sink.MiniFormats.docxText("junk".getBytes("UTF-8")) == "")
   }
+
+  test("new curation/chunk/PQ ops survive null/empty rows") {
+    assert(Curation.boilerplateProfile(degenerate, "doc_id", "text").count() == 4)
+    assert(Curation.normalizeText(null) == null)
+    assert(degenerate.select(Curation.normalizeTextCol(col("text")))
+      .count() == 4)
+    assert(Curation.sqrtQuotaMix(
+      degenerate.withColumn("dom", lit("x")), "doc_id", "dom", 10.0)
+      .count() == 4) // quota floor(10*2)=20 > 4 keeps all
+    // null text → no tokens → no chunks; others chunk fine
+    assert(TextAnalysis.chunkTokens(degenerate, "doc_id", "text", 4, 3)
+      .filter(col("id") === 1).count() == 0)
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (10L, Seq(1f, 1f)),
+      (5L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.pqEncode(vecs, m = 2, k = 2, centroidStride = 10)
+      .count() == 3)
+    assert(Similarity.pqTopK(vecs, vecs.filter(col("vec_id") === 0),
+      k = 2, m = 2, nCent = 2, centroidStride = 10).count() == 2)
+  }
 }

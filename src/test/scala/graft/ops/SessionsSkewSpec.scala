@@ -57,4 +57,29 @@ class SessionsSkewSpec extends SparkSpec {
       .filter(col("key") === "hot").select("_salt").distinct().count()
     assert(spread == 8)
   }
+
+  test("funnel: stage order is enforced, not just event presence") {
+    val ev = Seq(
+      // user 1: clean view→click→purchase
+      (1L, 10L, "view", 100L), (1L, 11L, "click", 200L),
+      (1L, 12L, "purchase", 300L),
+      // user 2: click BEFORE any view — click/purchase must not qualify
+      (2L, 20L, "click", 100L), (2L, 21L, "view", 200L),
+      (2L, 22L, "purchase", 300L), // purchase needs a qualified click first
+      // user 3: view→click, purchase precedes the click — only 2 stages
+      (3L, 30L, "purchase", 50L), (3L, 31L, "view", 100L),
+      (3L, 32L, "click", 200L),
+      // user 4: same-ts view+click — order column (event id) breaks the
+      // tie, view first, so the click at the same instant qualifies
+      (4L, 40L, "view", 100L), (4L, 41L, "click", 100L))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Sessions.funnelUserTimes(ev, "user_id", "event_type", "ts",
+        "event_id", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(1L) == ((Some(100L), Some(200L), Some(300L))))
+    assert(got(2L) == ((Some(200L), None, None)))
+    assert(got(3L) == ((Some(100L), Some(200L), None)))
+    assert(got(4L) == ((Some(100L), Some(100L), None)))
+  }
 }
