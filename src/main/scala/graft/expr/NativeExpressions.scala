@@ -24,6 +24,8 @@ object NativeKernels {
   def luhnValid(s: UTF8String): Boolean = Checksums.luhnValid(s.toString)
   def ibanValid(s: UTF8String): Boolean = Checksums.ibanValid(s.toString)
   def isPlaceholder(s: UTF8String): Boolean = Placeholder.isPlaceholder(s.toString)
+  def normalizeText(s: UTF8String): UTF8String =
+    UTF8String.fromString(TextNorm.normalize(s.toString))
 }
 
 // `Serializable` is load-bearing: a case class (Serializable) whose
@@ -70,6 +72,26 @@ case class IsPlaceholder(child: Expression) extends StringPredicateExpression("i
   override def prettyName: String = "is_placeholder"
 }
 
+/** Unicode normalization as a codegen expression: `normalize_text(str)` —
+  * same kernel as the UDF twin in `graft.ops.Curation`, but spliced into
+  * the codegen region as a static call (no Row↔Scala conversion, no
+  * region break). */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.NativeKernels.normalizeText($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "normalize_text"
+}
+
 object GraftFunctions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("luhn_valid"),
@@ -86,7 +108,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => RegexMatchesExpr(args(0), args(1))),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))),
+    (FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (args: Seq[Expression]) => NormalizeText(args.head)))
 
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
@@ -113,6 +138,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => RegexMatchesExpr(args(0), args(1)): Expression),
       (FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
-        (args: Seq[Expression]) => CosineSimExpr(args(0), args(1)): Expression))
+        (args: Seq[Expression]) => CosineSimExpr(args(0), args(1)): Expression),
+      (FunctionIdentifier("normalize_text"),
+        new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+        (args: Seq[Expression]) => NormalizeText(args.head): Expression))
       .foreach(ext.injectFunction)
 }

@@ -126,31 +126,23 @@ object Curation {
         floor(lit(1000L) * col("n_boiler") / col("n_shingles")).cast("long"))
   }
 
-  private val NonAlnumRun = java.util.regex.Pattern.compile("[^a-z0-9]+")
-  private val CombiningMarks = java.util.regex.Pattern.compile("\\p{M}+")
-
-  /** Unicode text-normalization kernel: NFC → strip combining marks
-    * (NFD-decompose, drop \p{M}, recompose) → ROOT lowercase → collapse
-    * non-alphanumeric runs to single spaces → trim. For Latin diacritics
-    * this is byte-identical to DuckDB's
-    * `trim(regexp_replace(lower(strip_accents(nfc_normalize(x))), '[^a-z0-9]+', ' '))`
-    * (probe-verified), so the oracle hash-gates it. One compiled pass per
-    * row; narrow. */
-  def normalizeText(s: String): String = {
-    if (s == null) return null
-    import java.text.Normalizer
-    val nfc = Normalizer.normalize(s, Normalizer.Form.NFC)
-    val stripped = Normalizer.normalize(
-      CombiningMarks.matcher(Normalizer.normalize(nfc, Normalizer.Form.NFD))
-        .replaceAll(""),
-      Normalizer.Form.NFC)
-    NonAlnumRun.matcher(stripped.toLowerCase(java.util.Locale.ROOT))
-      .replaceAll(" ").trim
-  }
+  /** Unicode text-normalization kernel — see [[graft.expr.TextNorm]] for
+    * the algorithm and the DuckDB-parity contract. */
+  def normalizeText(s: String): String = graft.expr.TextNorm.normalize(s)
 
   private val normalizeUdf = udf(normalizeText _)
 
-  def normalizeTextCol(text: Column): Column = normalizeUdf(text)
+  /** Normalized text, served by the NATIVE codegen expression
+    * (`normalize_text`): the kernel is spliced into the codegen region as
+    * a static call — no Row↔Scala conversion, no region break (same
+    * pattern as `cosine_sim`). UDF twin below, spec-pinned identical. */
+  def normalizeTextCol(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.NormalizeText(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  /** UDF twin of [[normalizeTextCol]] (proof twin; not a serving path). */
+  private[ops] def normalizeTextUdfCol(text: Column): Column = normalizeUdf(text)
 
   /** Temperature-weighted domain rebalancing (α = 0.5 — the "square-root
     * sampling" mix multilingual-corpus work uses to up-weight tail

@@ -134,6 +134,24 @@ class CurationSpec extends SparkSpec {
     assert(got == "cafe n")
   }
 
+  test("normalize_text native expression matches the UDF twin on real tasks") {
+    // parquet-backed (multi-task serialization path — LocalRelation-only
+    // tests evaluate driver-side and would mask a non-serializable expr)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("t", concat(lit("Café Ångström — ﬁ "), col("text")))
+    val diff = docs.select(
+        Curation.normalizeTextCol(col("t")).as("a"),
+        Curation.normalizeTextUdfCol(col("t")).as("b"))
+      .filter(col("a") =!= col("b") || col("a").isNull =!= col("b").isNull)
+      .count()
+    assert(diff == 0)
+    // and through the SQL registration
+    graft.expr.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT normalize_text('Café—ﬁn  x') AS n").collect()(0).getString(0)
+    assert(viaSql == "cafe n x")
+  }
+
   test("sqrtQuotaMix: per-domain quota floor(scale*sqrt(n)), deterministic") {
     // domains: a→100 rows (quota floor(3*10)=30), b→9 (quota 9: floor(3*3)=9
     // keeps all), c→4 (quota 6 > n keeps all 4)
