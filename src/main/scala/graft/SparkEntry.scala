@@ -808,6 +808,63 @@ object SparkEntry {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Semi-structured (JSON) column round-trip: a JSON metadata string is
+    * built with explicit concatenation (identical bytes in both engines),
+    * then each engine extracts typed fields with its own JSON functions —
+    * the metadata-sidecar shape every training-data pipeline carries. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val j = concat(lit("{\"lang\":\""), col("lang"),
+      lit("\",\"src\":\""), col("source"),
+      lit("\",\"n\":"), col("n_chars"), lit("}"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), j.as("meta_json"))
+      .select(col("doc_id"),
+        get_json_object(col("meta_json"), "$.lang").as("lang"),
+        get_json_object(col("meta_json"), "$.src").as("src"),
+        get_json_object(col("meta_json"), "$.n").cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("src")).as("n_sources"))
+      .orderBy("lang")
+  }
+
+  /** CUBE grouping sets (all four marginal combinations) with grouping_id
+    * — q51's ROLLUP sibling, null groups coalesced for hash stability. */
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("gid"), col("n_rows"), col("revenue_cents"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  /** Inter-event arrival gaps per user (lag over the event-time order):
+    * gap count, total, and max — the latency-profile shape; one shuffle,
+    * window and aggregate share the user key. Gaps are exact integer
+    * MICROseconds: ns ordering stays (event-time order is full precision)
+    * but emitted gaps truncate to µs, the finest unit DuckDB's parquet
+    * timestamp reader preserves. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("ts"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(col("gap")).as("n_gaps"),
+        sum(col("gap")).as("sum_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -877,7 +934,10 @@ object SparkEntry {
     "q62_bloom_join" -> (q62 _),
     "q63_pq_adc" -> (q63 _),
     "q64_funnel" -> (q64 _),
-    "q65_retention" -> (q65 _))
+    "q65_retention" -> (q65 _),
+    "q66_json_extract" -> (q66 _),
+    "q67_cube" -> (q67 _),
+    "q68_event_gaps" -> (q68 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1794,5 +1854,37 @@ object SparkEntry {
              min(day) OVER (PARTITION BY user_id) AS cohort_day FROM e)
          SELECT cohort_day, day - cohort_day AS day_offset,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-         FROM c GROUP BY 1, 2 ORDER BY cohort_day, day_offset""")
+         FROM c GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+    "q66_json_extract" ->
+      """WITH j AS (SELECT doc_id,
+             '{"lang":"' || lang || '","src":"' || source || '","n":' ||
+               n_chars || '}' AS meta_json
+           FROM documents),
+         x AS (SELECT doc_id,
+             json_extract_string(meta_json, '$.lang') AS lang,
+             json_extract_string(meta_json, '$.src') AS src,
+             CAST(json_extract_string(meta_json, '$.n') AS BIGINT) AS n_chars
+           FROM j)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+         FROM x GROUP BY lang ORDER BY lang""",
+    "q67_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+           coalesce(l_linestatus, '(all)') AS l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    "q68_event_gaps" ->
+      """WITH l AS (SELECT user_id, event_id, ts,
+             epoch_us(ts) - epoch_us(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+           FROM events)
+         SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us
+         FROM l GROUP BY user_id ORDER BY user_id""")
 }
