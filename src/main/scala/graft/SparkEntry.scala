@@ -865,6 +865,32 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Gap-filled date spine: the full (day × event type) grid from data
+    * bounds, daily counts zero-filled — the time-series densification
+    * every dashboard/feature pipeline needs (a group-by alone silently
+    * drops empty days). Spine is tiny by construction → broadcast side. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(expr("ts div 86400000000000").as("day"), col("event_type"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .crossJoin(ev.select("event_type").distinct())
+    spine
+      .join(ev.groupBy("day", "event_type").agg(count(lit(1)).as("n_events")),
+        Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Blocked fuzzy-match join (entity resolution): suppliers within a
+    * nation paired at Levenshtein distance ≤ 2 — the equi-join blocking
+    * discipline, never an all-pairs cross product. */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyPairs(t(s, dir, "supplier"),
+      "s_suppkey", "s_name", "s_nationkey", maxDist = 2)
+      .orderBy("block", "id_a", "id_b")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -937,7 +963,9 @@ object SparkEntry {
     "q65_retention" -> (q65 _),
     "q66_json_extract" -> (q66 _),
     "q67_cube" -> (q67 _),
-    "q68_event_gaps" -> (q68 _))
+    "q68_event_gaps" -> (q68 _),
+    "q69_date_spine" -> (q69 _),
+    "q70_fuzzy_join" -> (q70 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1886,5 +1914,26 @@ object SparkEntry {
          SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
            CAST(sum(gap) AS BIGINT) AS sum_gap_us,
            CAST(max(gap) AS BIGINT) AS max_gap_us
-         FROM l GROUP BY user_id ORDER BY user_id""")
+         FROM l GROUP BY user_id ORDER BY user_id""",
+    "q69_date_spine" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day, event_type
+           FROM events),
+         b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+         days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+         types AS (SELECT DISTINCT event_type FROM e),
+         c AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_events
+           FROM e GROUP BY 1, 2)
+         SELECT d.day AS day, t.event_type,
+           CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+         FROM days d CROSS JOIN types t
+         LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+         ORDER BY d.day, t.event_type""",
+    "q70_fuzzy_join" ->
+      """SELECT a.s_nationkey AS block, a.s_suppkey AS id_a,
+           b.s_suppkey AS id_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+         FROM supplier a JOIN supplier b
+           ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+         WHERE levenshtein(a.s_name, b.s_name) <= 2
+         ORDER BY block, id_a, id_b""")
 }

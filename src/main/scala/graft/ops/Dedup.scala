@@ -75,6 +75,28 @@ object Dedup {
   def shinglesCol(text: Column, n: Int = 3): Column =
     shinglesUdf(text, lit(n))
 
+  /** Blocked fuzzy-match pairs (entity resolution): records sharing a
+    * blocking key are pairwise compared by Levenshtein edit distance;
+    * pairs at or under `maxDist` survive. The blocking key turns the
+    * quadratic all-pairs comparison into an equi-join — same discipline
+    * as the LSH band join; pick the key so blocks stay small (here the
+    * caller's natural partition: nation, zip prefix, name initial …) and
+    * cap pathological blocks with [[capBuckets]] upstream if the key can
+    * skew. Edit distance is exactly defined, so any engine agrees. */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+                 blockCol: String, maxDist: Int): DataFrame = {
+    val a = df.select(col(blockCol).as("block"),
+      col(idCol).cast("long").as("id_a"), col(nameCol).as("name_a"))
+    val b = df.select(col(blockCol).as("block"),
+      col(idCol).cast("long").as("id_b"), col(nameCol).as("name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("block", "id_a", "id_b", "dist")
+  }
+
   /** Exact duplicate groups: groupBy on md5(text). Scales as a single
     * hash-partitioned shuffle; at 100 TB use the hash (16 bytes), never the
     * text, as the shuffle key. */

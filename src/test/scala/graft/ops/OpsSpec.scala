@@ -542,6 +542,17 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("fuzzyPairs: blocking confines comparisons; distance filter + a<b") {
+    val recs = Seq(
+      (1L, "alice smith", "nyc"), (2L, "alice smyth", "nyc"), // dist 1
+      (3L, "bob jones", "nyc"),                               // far from both
+      (4L, "alice smith", "sfo"))  // identical to 1 but other block
+      .toDF("id", "name", "city")
+    val pairs = Dedup.fuzzyPairs(recs, "id", "name", "city", maxDist = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L))) // only the in-block near pair
+  }
+
   test("bloom-prune join: exact join result, fact side actually pruned") {
     val dim = (1L to 50L).filter(_ % 10 == 0).toDF("k")
     val fact = (1L to 1000L).map(i => (i % 60, i)).toDF("fk", "payload")
