@@ -65,12 +65,27 @@ object CurationDemo {
     val nDrops = allDrops.count()
     val curated = Curation.qualityFilter(docs, "text", minScore = 0.3,
       dropIds = allDrops)
-    // 5. redact + profile + split
+
+    // 4b. boilerplate profile: corpus-frequent 3-gram share per doc —
+    //     report the distribution, drop only fully-templated docs
+    //     (boiler_pm = 1000: every shingle is corpus-frequent)
+    val boiler = Curation.boilerplateProfile(docs, "doc_id", "text",
+      n = 3, minDf = 20).cache()
+    val boilerStats = boiler.agg(
+      avg(col("boiler_pm")).as("mean_pm"),
+      sum(when(col("boiler_pm") === 1000, 1L).otherwise(0L)).as("n_full"))
+      .collect()(0)
+    val fullBoiler = boiler.filter(col("boiler_pm") === 1000).select(col("id"))
+    // 5. redact + normalize + profile + split (normalized text feeds the
+    //    fingerprint so case/punctuation variants share one sketch key —
+    //    served by the native normalize_text expression)
     val finalDf = Curation
-      .redactSits(curated, "text", graft.pipeline.DefaultSits.all)
+      .redactSits(curated.join(fullBoiler.withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left_anti"), "text", graft.pipeline.DefaultSits.all)
+      .withColumn("norm_text", Curation.normalizeTextCol(col("redacted_text")))
       .withColumn("lang_pred", TextAnalysis.langIdCol(col("text")))
       .withColumn("n_tokens", size(TextAnalysis.tokensCol(col("text"))))
-      .withColumn("fingerprint", TextAnalysis.fingerprintCol(col("text")))
+      .withColumn("fingerprint", TextAnalysis.fingerprintCol(col("norm_text")))
       .withColumn("split", Curation.splitCol(col("doc_id")))
       .select("doc_id", "split", "lang_pred", "quality_score", "n_tokens",
         "n_redactions", "fingerprint", "redacted_text")
@@ -78,11 +93,17 @@ object CurationDemo {
     val perSplit = finalDf.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    // 6. sequence packing over the train split (concat-and-chunk, per
-    //    shard — the dataloader-facing layout)
+    // 5b. temperature mixing on the train split: sqrt-quota per predicted
+    //     language rebalances the head language before packing
+    val train = Curation.sqrtQuotaMix(
+      finalDf.filter(col("split") === "train"), "doc_id", "lang_pred",
+      scale = 10.0).cache()
+    val nTrainMixed = train.count()
+
+    // 6. sequence packing over the mixed train split (concat-and-chunk,
+    //    per shard — the dataloader-facing layout)
     val packed = TextAnalysis.packSequences(
-        finalDf.filter(col("split") === "train")
-          .select(col("doc_id"), col("redacted_text").as("text")),
+        train.select(col("doc_id"), col("redacted_text").as("text")),
         "doc_id", "text", maxTokens = 512, docsPerShard = 100)
       .cache()
     val nSeqs = packed.select("shard", "seq_in_shard").distinct().count()
@@ -91,7 +112,7 @@ object CurationDemo {
       finalDf.write.mode("overwrite").partitionBy("split").parquet(dir)
       // 7. WebDataset tar shards for the train split: {id}.txt + {id}.json
       //    per sample, one byte-deterministic tar per packing shard
-      val samples = finalDf.filter(col("split") === "train")
+      val samples = train
         .join(packed.select(col("doc_id"), col("shard"),
           col("seq_in_shard"), col("seq_offset")), "doc_id")
         .select(col("shard"),
@@ -112,10 +133,12 @@ object CurationDemo {
     println(f"[curation] $n0 docs -> removed $nDrops docs " +
       f"($nExact exact-dup, $nNear near-dup-clustered, $nContam contaminated; " +
       f"lists overlap), " +
-      f"${n0 - nDrops - kept} low-quality; " +
+      f"${n0 - nDrops - kept} low-quality-or-templated; " +
       f"kept $kept (${perSplit.getOrElse("train", 0L)} train / " +
       f"${perSplit.getOrElse("val", 0L)} val / ${perSplit.getOrElse("test", 0L)} test); " +
-      f"train packed into $nSeqs 512-token sequences " +
+      f"boilerplate mean ${boilerStats.getDouble(0)}%.0f permille " +
+      f"(${boilerStats.getLong(1)} fully-templated); " +
+      f"train mixed to $nTrainMixed docs, packed into $nSeqs 512-token sequences " +
       f"in $secs%.1f s")
     spark.stop()
   }
