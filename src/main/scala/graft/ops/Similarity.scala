@@ -380,12 +380,17 @@ object Similarity {
           col(vecCol).cast("array<double>"))).as("s"))
       .select(col("s._1").as("query_id"), col("neighbor_id"),
         col("s._2").as("adist"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "adist", "rank")
+    // Final top-k via the BOUNDED-STATE aggregator, not a rank window: with
+    // a handful of queries a window would land the whole (corpus × queries)
+    // scored frame on ≤ |queries| tasks; the aggregator's map-side partial
+    // ships at most k rows per (partition, query). Negated distance as the
+    // score keeps the exact (adist asc, id asc) order — ADC distances are
+    // bounded far below 2^53, so the double negation is exact.
+    TopK.grouped(scored.withColumn("neg", -col("adist").cast("double")),
+        "query_id", "neighbor_id", "neg", k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("neg")).cast("long").as("adist"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Embedding-cosine near-duplicate pairs (a<b, sim ≥ threshold) over LSH

@@ -165,10 +165,14 @@ class PlanAuditSpec extends SparkSpec {
       s"PQ encode must be a pure map stage (codebook in closure):\n$encPlan")
     val adcPlan = physical(graft.ops.Similarity.pqTopK(
       emb, emb.filter(col("vec_id") % 25 === 0), k = 3))
-    // one window shuffle on query_id; never a join (LUTs ride the closure)
+    // one aggregation shuffle on query_id with MAP-SIDE partial top-k (the
+    // bounded-state aggregator, never a rank window that would land the
+    // whole scored frame on |queries| tasks); never a join (LUTs ride the
+    // closure)
     assert(countOccurrences(adcPlan, "Exchange hashpartitioning") == 1 &&
-      !adcPlan.contains("Join"),
-      s"ADC search must be kernel + one window shuffle:\n$adcPlan")
+      !adcPlan.contains("Join") && !adcPlan.contains("Window") &&
+      adcPlan.contains("partial_topkaggregator"),
+      s"ADC search must be kernel + one partial-agg shuffle:\n$adcPlan")
   }
 
   test("temperature mix: quota side broadcast, one window shuffle on domain") {

@@ -21,6 +21,9 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.wavSamples(bytes)
     Multimodal.decodeMeta(bytes)
     graft.sink.TarShards.tarEntries(bytes)
+    Adpcm.decodeIma(bytes, blockAlign = 8)
+    Adpcm.decodeIma(bytes, blockAlign = 256)
+    Adpcm.muLawDecodeAll(bytes)
   }
 
   test("random garbage never throws in any decoder") {

@@ -83,6 +83,67 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens: every token covered; overlap = chunk - stride; reassembly") {
+    val words = Vector("ka", "ko", "ki", "ku", "ke")
+    val docs = (0L until 60L).map { id =>
+      (id, Seq.fill(rnd.nextInt(50))(words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    }
+    val chunkSize = 7
+    val stride = 4
+    val out = TextAnalysis.chunkTokens(docs.toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ").count(_.nonEmpty)
+      val chunks = out.getOrElse(id, Array.empty).sortBy(_._2)
+      if (n == 0) assert(chunks.isEmpty)
+      else {
+        // starts are exactly 0, stride, 2·stride … < n (every token covered,
+        // consecutive chunks overlap by chunkSize - stride except the tail)
+        assert(chunks.map(_._3).toSeq ==
+          (0L until n.toLong by stride.toLong).toSeq)
+        chunks.foreach { case (_, idx, start, len) =>
+          assert(start == idx * stride)
+          assert(len == math.min(chunkSize.toLong, n - start))
+        }
+        assert(chunks.map(c => c._3 until c._3 + c._4).flatten.distinct.size
+          == n.toLong)
+      }
+    }
+  }
+
+  test("normalizeText: idempotent, ASCII-alnum-space closed, on random unicode") {
+    val pool = "aZ9 éÅñüß—ﬁ\t\n№☃".toCharArray
+    (1 to 200).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(40))(pool(rnd.nextInt(pool.length))).mkString
+      val n1 = Curation.normalizeText(s)
+      assert(Curation.normalizeText(n1) == n1, s"not idempotent on '$s'")
+      assert(n1.forall(c => c.isDigit || (c >= 'a' && c <= 'z') || c == ' '),
+        s"non-normalized char survived in '$n1'")
+      assert(!n1.startsWith(" ") && !n1.endsWith(" ") && !n1.contains("  "))
+    }
+  }
+
+  test("IMA ADPCM: random-walk signals round-trip within the step bound") {
+    (1 to 20).foreach { _ =>
+      var v = rnd.nextInt(8000) - 4000
+      val pcm = Array.fill(500) {
+        v = math.max(-32768, math.min(32767, v + rnd.nextInt(1201) - 600))
+        v
+      }
+      val dec = Adpcm.decodeIma(Adpcm.encodeIma(pcm, 64), 64, 500)
+      assert(dec.length == 500)
+      // 4-bit ADPCM tracks a bounded-slope signal closely; the step table
+      // adapts within a few samples, so steady-state error stays small
+      val tail = pcm.zip(dec).drop(20)
+      val maxErr = tail.map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= 2000, s"ADPCM diverged: max err $maxErr")
+    }
+  }
+
   test("htmlToTextCol on tag-free text == whitespace-collapsed text") {
     val texts = (1 to 40).map { _ =>
       (1 to rnd.nextInt(30)).map(_ =>
