@@ -818,10 +818,14 @@ object SparkEntry {
       lit("\",\"n\":"), col("n_chars"), lit("}"))
     t(s, dir, "documents")
       .select(col("doc_id"), j.as("meta_json"))
+      // ONE from_json parse per row — n get_json_object calls would each
+      // re-parse the document (n× the work in the scan stage at 100 TB)
       .select(col("doc_id"),
-        get_json_object(col("meta_json"), "$.lang").as("lang"),
-        get_json_object(col("meta_json"), "$.src").as("src"),
-        get_json_object(col("meta_json"), "$.n").cast("long").as("n_chars"))
+        from_json(col("meta_json"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "lang string, src string, n bigint")).as("m"))
+      .select(col("doc_id"), col("m.lang").as("lang"),
+        col("m.src").as("src"), col("m.n").as("n_chars"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),

@@ -197,6 +197,19 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom filter not beneath the join in:\n$plan")
   }
 
+  test("funnel: every stage window and the user aggregate share ONE shuffle") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val ev = spark.read.parquet(s"$sf/events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val plan = physical(graft.ops.Sessions.funnelUserTimes(
+        ev, "user_id", "event_type", "ts", "event_id",
+        Seq("view", "click", "purchase")))
+      assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
+        s"cascading stage windows must reuse the user partitioning:\n$plan")
+    } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+  }
+
   test("validator DAG: dim joins broadcast, no driver collect in plan") {
     val cfg = graft.pipeline.PipelineConfig.scaled(perSit = 2)
     val corpus = graft.pipeline.ContentGen.corpus(
