@@ -761,8 +761,11 @@ object SparkEntry {
       .select("o_orderkey")
     val li = t(s, dir, "lineitem").select(col("l_orderkey"),
       cents(col("l_extendedprice")).as("price_cents"), col("l_returnflag"))
+    // expectedItems must bound the LARGEST measured dim side (sf0.1 has
+    // ~30k URGENT orders) — an undersized filter saturates and its real
+    // fpp degrades, quietly un-pruning the shuffle this query exists to prune
     graft.ops.RuntimeFilter.bloomPruneJoin(li, urgent,
-        "l_orderkey", "o_orderkey", expectedItems = 20000, fpp = 0.01)
+        "l_orderkey", "o_orderkey", expectedItems = 40000, fpp = 0.01)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"))
       .orderBy("l_returnflag")
@@ -781,11 +784,14 @@ object SparkEntry {
     * qualifying event — ONE shuffle on the user key serves both window
     * passes and the final per-user aggregate (the sequential-pattern
     * analytics shape; a per-stage self-join would shuffle events three
-    * times). Exact integer-nanos comparisons. */
+    * times). Stage times compare in exact integer MICROseconds — DuckDB's
+    * parquet reader truncates timestamps to µs, so qualifying on raw nanos
+    * would let a same-µs event pair order differently across engines (the
+    * same rule q68 follows). */
   private def q64(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sessions.funnelUserTimes(
       events(s, dir).select(col("user_id"), col("event_id"),
-        col("event_type"), col("ts")),
+        col("event_type"), expr("ts div 1000").as("ts")),
       "user_id", "event_type", "ts", "event_id",
       Seq("view", "click", "purchase"))
       .agg(

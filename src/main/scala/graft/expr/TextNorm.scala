@@ -16,9 +16,10 @@ object TextNorm {
   def normalize(s: String): String = {
     if (s == null) return null
     import java.text.Normalizer
-    val nfc = Normalizer.normalize(s, Normalizer.Form.NFC)
+    // NFD directly — NFD(NFC(s)) == NFD(s) by canonical equivalence, so a
+    // leading NFC pass would be a third full scan for an identical result
     val stripped = Normalizer.normalize(
-      CombiningMarks.matcher(Normalizer.normalize(nfc, Normalizer.Form.NFD))
+      CombiningMarks.matcher(Normalizer.normalize(s, Normalizer.Form.NFD))
         .replaceAll(""),
       Normalizer.Form.NFC)
     NonAlnumRun.matcher(stripped.toLowerCase(java.util.Locale.ROOT))

@@ -101,7 +101,9 @@ object Adpcm {
         }
         i += 1
       }
-      if (half) out(base + 4 + (spb - 2) / 2) = nib.toByte
+      // spb is always odd, so the nibble loop encodes an even count and
+      // every pair flushes inside it — no trailing half-byte can exist
+      assert(!half, "samplesPerBlock invariant broken: odd nibble count")
       b += 1
     }
     out

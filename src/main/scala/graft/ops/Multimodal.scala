@@ -239,6 +239,7 @@ object Multimodal {
         }
         Some(out)
       case 7 => // G.711 µ-law: 1 byte per sample per channel
+        if (bits != 8) return None // a mislabeled header would decode garbage
         val nFrames = avail / channels
         val out = new Array[Double](nFrames)
         var f = 0

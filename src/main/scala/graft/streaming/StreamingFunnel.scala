@@ -23,9 +23,15 @@ object StreamingFunnel {
 
   case class FunnelEvent(user_id: Long, event_id: Long, event_type: String,
                          ts: Timestamp)
-  case class FunnelState(reachedMs: Seq[Long]) // times of stages reached so far
+  case class FunnelState(reachedNs: Seq[Long]) // times of stages reached so far
   case class StageReached(user_id: Long, stage: Int, stage_name: String,
                           ts: Timestamp)
+
+  /** Full-precision epoch nanos of a Timestamp — `getTime` alone is only
+    * milliseconds, and the batch funnel orders by full-precision event
+    * time, so comparing at ms would diverge on sub-ms-spaced events. */
+  private def tsNanos(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
 
   /** One output row per (user, stage) the first time that stage is
     * reached. Input must be watermarked on `ts` BEFORE calling. */
@@ -43,13 +49,13 @@ object StreamingFunnel {
             state.remove() // funnel abandoned: free the per-user state
             Iterator.empty
           } else {
-            var reached = state.getOption.map(_.reachedMs).getOrElse(Seq.empty)
+            var reached = state.getOption.map(_.reachedNs).getOrElse(Seq.empty)
             val out = Seq.newBuilder[StageReached]
-            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            rows.toSeq.sortBy(e => (tsNanos(e.ts), e.event_id)).foreach { e =>
               val next = reached.length
               if (next < stages.length && e.event_type == stages(next) &&
-                (next == 0 || e.ts.getTime >= reached(next - 1))) {
-                reached = reached :+ e.ts.getTime
+                (next == 0 || tsNanos(e.ts) >= reached(next - 1))) {
+                reached = reached :+ tsNanos(e.ts)
                 out += StageReached(userId, next, stages(next), e.ts)
               }
             }
