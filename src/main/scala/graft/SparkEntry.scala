@@ -901,6 +901,35 @@ object SparkEntry {
       "s_suppkey", "s_name", "s_nationkey", maxDist = 2)
       .orderBy("block", "id_a", "id_b")
 
+  /** SCD2-style validity intervals (the CDC-compaction shape): each event
+    * is the user's "current" state from its µs timestamp until the next
+    * event's (`lead`), open-ended for the latest — one shuffle, window
+    * only. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Exact interpolated percentiles (median + p90 of order value per
+    * priority): both engines define the continuous quantile as
+    * a + (b−a)·frac over the two adjacent sorted values — identical
+    * double arithmetic on exact cent inputs. */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("pc"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("percentile(pc, 0.5)").as("median_cents"),
+        expr("percentile(pc, 0.9)").as("p90_cents"))
+      .orderBy("o_orderpriority")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -975,7 +1004,9 @@ object SparkEntry {
     "q67_cube" -> (q67 _),
     "q68_event_gaps" -> (q68 _),
     "q69_date_spine" -> (q69 _),
-    "q70_fuzzy_join" -> (q70 _))
+    "q70_fuzzy_join" -> (q70 _),
+    "q71_scd2_intervals" -> (q71 _),
+    "q72_percentiles" -> (q72 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1945,5 +1976,20 @@ object SparkEntry {
          FROM supplier a JOIN supplier b
            ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
          WHERE levenshtein(a.s_name, b.s_name) <= 2
-         ORDER BY block, id_a, id_b""")
+         ORDER BY block, id_a, id_b""",
+    "q71_scd2_intervals" ->
+      """SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS ts_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+         FROM events ORDER BY user_id, ts_us, event_id""",
+    "q72_percentiles" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           quantile_cont(CAST(floor(o_totalprice * 100) AS BIGINT), 0.5)
+             AS median_cents,
+           quantile_cont(CAST(floor(o_totalprice * 100) AS BIGINT), 0.9)
+             AS p90_cents
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 }
