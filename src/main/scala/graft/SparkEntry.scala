@@ -930,6 +930,15 @@ object SparkEntry {
         expr("percentile(pc, 0.9)").as("p90_cents"))
       .orderBy("o_orderpriority")
 
+  /** Composed IVF-PQ top-3: coarse cells prune candidates (nProbe=2), ADC
+    * scores survivors from PQ codes — the production vector-index shape,
+    * all integer-exact. */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(t(s, dir, "embeddings"),
+      t(s, dir, "embeddings").filter(col("vec_id") % 25 === 0),
+      k = 3, m = 4, nCent = 8, pqStride = 50, coarseStride = 50, nProbe = 2)
+      .orderBy("query_id", "rank")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1006,7 +1015,8 @@ object SparkEntry {
     "q69_date_spine" -> (q69 _),
     "q70_fuzzy_join" -> (q70 _),
     "q71_scd2_intervals" -> (q71 _),
-    "q72_percentiles" -> (q72 _))
+    "q72_percentiles" -> (q72 _),
+    "q73_ivf_pq" -> (q73 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -1991,5 +2001,50 @@ object SparkEntry {
              AS median_cents,
            quantile_cont(CAST(floor(o_totalprice * 100) AS BIGINT), 0.9)
              AS p90_cents
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q73_ivf_pq" ->
+      """WITH iv AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+           FROM embeddings),
+         coarse AS (SELECT vec_id AS ccid, v AS ccv FROM iv WHERE vec_id % 50 = 0),
+         cd AS (SELECT iv.vec_id, ccid,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> (v[i] - ccv[i]) * (v[i] - ccv[i]))) AS BIGINT) AS cdist
+           FROM iv CROSS JOIN coarse),
+         cr AS (SELECT vec_id, ccid, row_number() OVER
+             (PARTITION BY vec_id ORDER BY cdist, ccid) AS rn FROM cd),
+         cell AS (SELECT vec_id, ccid AS cell FROM cr WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, ccid AS cell FROM cr
+           WHERE rn <= 2 AND vec_id % 25 = 0),
+         cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx,
+             v AS cv
+           FROM iv WHERE vec_id % 50 = 0 AND vec_id < 400),
+         sub AS (SELECT vec_id, v, s
+           FROM iv CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+         dist AS (SELECT vec_id, s, cidx,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+               i -> (v[s*16+i] - cv[s*16+i]) * (v[s*16+i] - cv[s*16+i]))) AS BIGINT) AS d
+           FROM sub CROSS JOIN cb),
+         codes AS (SELECT vec_id, s, cidx FROM (
+             SELECT vec_id, s, cidx,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cidx) AS rn
+             FROM dist) WHERE rn = 1),
+         qd AS (SELECT vec_id AS query_id, s, cidx, d
+           FROM dist WHERE vec_id % 25 = 0),
+         cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+           FROM probes p JOIN cell c ON c.cell = p.cell
+           WHERE c.vec_id <> p.query_id),
+         ad AS (SELECT cand.query_id, cand.neighbor_id,
+             CAST(sum(qd.d) AS BIGINT) AS adist
+           FROM cand JOIN codes ON codes.vec_id = cand.neighbor_id
+             JOIN qd ON qd.query_id = cand.query_id AND qd.s = codes.s
+               AND qd.cidx = codes.cidx
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adist, neighbor_id) AS rn
+           FROM ad)
+         SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS rank
+         FROM r WHERE rn <= 3 ORDER BY query_id, rank""")
 }

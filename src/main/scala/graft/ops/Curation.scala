@@ -113,8 +113,11 @@ object Curation {
     * engine could disagree on. */
   def boilerplateProfile(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, minDf: Int = 5): DataFrame = {
+    // the shuffle key is the shingle's md5, never the shingle text — same
+    // discipline as exact dedup (bounded key size however long the n-gram)
     val inv = df.select(col(idCol).cast("long").as("id"),
-      explode(array_distinct(Dedup.shinglesCol(col(textCol), n))).as("shingle"))
+      explode(array_distinct(transform(Dedup.shinglesCol(col(textCol), n),
+        s => md5(s)))).as("shingle"))
     val frequent = inv.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)

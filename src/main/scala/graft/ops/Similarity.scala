@@ -393,6 +393,83 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Composed IVF-PQ search — the two scale legs working together, the
+    * shape a production vector index actually ships: IVF cells prune the
+    * candidate set (queries probe their `nProbe` nearest coarse cells,
+    * only those cells' members are scored), and ADC scores the survivors
+    * from PQ codes + per-query LUTs (never touching the full vectors).
+    *
+    * Both codebooks are the deterministic stride kind (oracle rule); all
+    * distances are scaled-integer exact, ranks tie-break by neighbor id.
+    * Plan shape: two narrow corpus passes (cell id + PQ codes in one
+    * projection), an equi-join against the broadcast probe set, then the
+    * bounded-state top-k aggregator — no full-vector shuffle anywhere. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+                nCent: Int = 8, pqStride: Long = 50,
+                coarseStride: Long = 50, nProbe: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coarse: Array[(Long, Array[Long])] = corpus
+      .filter(col(idCol) % coarseStride === 0)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0),
+        toPqInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty))))
+      .sortBy(_._1)
+    require(coarse.nonEmpty, "no coarse centroids")
+    // nearest coarse cells by exact integer L2 (ties → lowest centroid id)
+    def cells(iv: Array[Long], n: Int): Seq[Long] =
+      coarse.map { case (cid, ce) =>
+        var d = 0L
+        var i = 0
+        val end = math.min(iv.length, ce.length)
+        while (i < end) { val x = iv(i) - ce(i); d += x * x; i += 1 }
+        (d, cid)
+      }.sortBy { case (d, cid) => (d, cid) }.take(n).map(_._2).toSeq
+    val cents = pqCodebook(corpus, nCent, pqStride, idCol, vecCol)
+    val sideUdf = udf { (v: Seq[Double]) =>
+      val iv = toPqInts(if (v == null) Seq.empty else v)
+      val (codes, _) = pqCodes(iv, cents, m)
+      (cells(iv, 1).head, codes.toSeq)
+    }
+    val qLuts: Map[Long, Array[Array[Long]]] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map { r =>
+        val iv = toPqInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty))
+        val sub = if (m == 0) 0 else iv.length / m
+        r.getLong(0) -> Array.tabulate(m, cents.length)((s, c) =>
+          pqSubDist(iv, cents(c), s, sub))
+      }.toMap
+    import corpus.sparkSession.implicits._
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .collect()
+      .flatMap(r => cells(toPqInts(Option(r.getSeq[Double](1))
+        .getOrElse(Seq.empty)), nProbe)
+        .map(c => (r.getLong(0), c))).toSeq
+      .toDF("query_id", "cell")
+    val coded = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        sideUdf(col(vecCol).cast("array<double>")).as("cc"))
+      .select(col("neighbor_id"), col("cc._1").as("cell"),
+        col("cc._2").as("codes"))
+    val adcUdf = udf { (qid: Long, codes: Seq[Int]) =>
+      val lut = qLuts(qid)
+      var d = 0L
+      var s = 0
+      while (s < m && s < codes.length) { d += lut(s)(codes(s)); s += 1 }
+      d
+    }
+    val scored = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adcUdf(col("query_id"), col("codes")))
+    TopK.grouped(scored.withColumn("neg", -col("adist").cast("double")),
+        "query_id", "neighbor_id", "neg", k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("neg")).cast("long").as("adist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a<b, sim ≥ threshold) over LSH
     * buckets — the embedding leg of the dedup suite.
     *

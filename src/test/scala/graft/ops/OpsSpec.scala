@@ -553,6 +553,21 @@ class OpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1L))) // only the in-block near pair
   }
 
+  test("ivfPqTopK: probed-cell candidates only; ADC agrees with pqTopK there") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ivfpq.nonEmpty)
+    // every (query, neighbor) ADC distance must equal the full ADC scan's
+    // distance for that pair (cells only PRUNE; they never change scores)
+    val full = Similarity.pqTopK(emb, queries, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    ivfpq.foreach { case (pair, d) =>
+      assert(full(pair) == d, s"ADC mismatch for $pair: $d vs ${full(pair)}")
+    }
+  }
+
   test("bloom-prune join: exact join result, fact side actually pruned") {
     val dim = (1L to 50L).filter(_ % 10 == 0).toDF("k")
     val fact = (1L to 1000L).map(i => (i % 60, i)).toDF("fk", "payload")
