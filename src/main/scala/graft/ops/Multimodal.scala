@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * JPEG ([[Jpeg]]) decode to actual pixels and re-encode, pure JVM. The
   * AUDIO lane decodes WAV for real across PCM, G.711 µ-law, and mono IMA
   * ADPCM ([[Adpcm]] — real integer codecs, µ-law cross-validated against
-  * javax.sound). Perceptual codecs (MP3/AAC/Vorbis payloads) and video
-  * frame extraction genuinely need native codec libraries this container
-  * does not ship — those kernels are STUBBED with deterministic fakes
-  * (clearly marked below). Everything Spark-side is real and tested:
+  * javax.sound). The VIDEO lane decodes MJPEG AVI for real ([[Avi]]:
+  * RIFF walk + the JPEG codec per frame — metadata, frame sampling, and
+  * resize all touch actual pixels). Perceptual codecs (MP3/AAC/Vorbis
+  * payloads, inter-frame video like H.264) genuinely need native codec
+  * libraries this container does not ship — those kernels are STUBBED
+  * with deterministic fakes (clearly marked below). Everything
+  * Spark-side is real and tested:
   * schemas, batch iteration via `mapPartitions` on the binary column (the
   * Scala analog of `mapInPandas` batch shape), partitioning, and the
   * metadata contract.
@@ -296,11 +299,14 @@ object Multimodal {
   def decodeMeta(bytes: Array[Byte]): (String, Long, Int, Int, Long) =
     imageHeaderMeta(bytes) match {
       case Some((_, w, h)) => ("image", bytes.length.toLong, w, h, 0L)
-      case None => avHeaderMeta(bytes) match {
-        case Some((k, ms)) if k == "wav" || k == "flac" || k == "mp3" =>
-          ("audio", bytes.length.toLong, 0, 0, ms)
-        case Some((_, ms)) => ("video", bytes.length.toLong, 0, 0, ms)
-        case None          => fakeDecodeMeta(bytes)
+      case None => Avi.headerMeta(bytes) match {
+        case Some((w, h, _, ms)) => ("video", bytes.length.toLong, w, h, ms)
+        case None => avHeaderMeta(bytes) match {
+          case Some((k, ms)) if k == "wav" || k == "flac" || k == "mp3" =>
+            ("audio", bytes.length.toLong, 0, 0, ms)
+          case Some((_, ms)) => ("video", bytes.length.toLong, 0, 0, ms)
+          case None          => fakeDecodeMeta(bytes)
+        }
       }
     }
 
@@ -322,8 +328,9 @@ object Multimodal {
 
   /** Resize kernel: REAL pixel resampling for PNG/GIF/JPEG inputs (decode
     * → nearest-neighbor → re-encode in the source format, `ops/Png`,
-    * `ops/Gif`, `ops/Jpeg`), deterministic byte subsample only for
-    * formats whose codecs genuinely need native libs (video). */
+    * `ops/Gif`, `ops/Jpeg`) and for MJPEG AVI (every frame resized and
+    * re-encoded, container rebuilt); deterministic byte subsample only
+    * for formats whose codecs genuinely need native libs. */
   def resizeMedia(bytes: Array[Byte], factor: Int): Array[Byte] =
     Png.decode(bytes) match {
       case Some(img) => Png.encode(Png.resize(img,
@@ -336,7 +343,12 @@ object Multimodal {
         case None => Jpeg.decode(bytes) match {
           case Some(img) => Jpeg.encode(Png.resize(img,
             math.max(1, img.width / factor), math.max(1, img.height / factor)))
-          case None => fakeResize(bytes, factor)
+          case None => Avi.decodeFrames(bytes) match {
+            case Some(frames) if frames.nonEmpty =>
+              Avi.encode(frames.map(f => Png.resize(f,
+                math.max(1, f.width / factor), math.max(1, f.height / factor))))
+            case _ => fakeResize(bytes, factor)
+          }
         }
       }
     }
@@ -350,14 +362,17 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: REAL for animated GIF — the only animation container
-    * decodable without native codec libs — (decode → composite → evenly
-    * sample → PNG-encode each frame); fixed-stride byte windows for
-    * true video formats. */
+  /** Frame sampling: REAL for animated GIF (decode → composite → evenly
+    * sample → PNG-encode each frame) and MJPEG AVI ([[Avi]] — RIFF walk +
+    * the real JPEG decoder per frame); fixed-stride byte windows only for
+    * formats whose codecs genuinely need native libs (MP4/H.264 etc.). */
   def sampleFrames(bytes: Array[Byte], nFrames: Int): Seq[Array[Byte]] =
     Gif.frameSample(bytes, nFrames) match {
       case Some(frames) => frames.map(Png.encode)
-      case None => fakeFrameSample(bytes, nFrames)
+      case None => Avi.frameSample(bytes, nFrames) match {
+        case Some(frames) => frames.map(Png.encode)
+        case None => fakeFrameSample(bytes, nFrames)
+      }
     }
 
   /** Batch feature extraction over partitions — the `mapInPandas` analog:

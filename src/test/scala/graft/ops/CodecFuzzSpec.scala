@@ -21,6 +21,9 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.wavSamples(bytes)
     Multimodal.decodeMeta(bytes)
     graft.sink.TarShards.tarEntries(bytes)
+    Avi.headerMeta(bytes)
+    Avi.decodeFrames(bytes)
+    Avi.countFrames(bytes)
     Adpcm.decodeIma(bytes, blockAlign = 8)
     Adpcm.decodeIma(bytes, blockAlign = 256)
     Adpcm.muLawDecodeAll(bytes)
