@@ -36,17 +36,38 @@ class MultimodalPipelineSpec extends SparkSpec {
     out.toByteArray
   }
 
+  private def avi(): Array[Byte] =
+    Avi.encode((1 to 3).map(i =>
+      Png.Image(16, 12, 3, Array.fill(16 * 12 * 3)((i * 70).toByte))), fps = 3)
+
+  private def adpcmWav(): Array[Byte] = {
+    val pcm = Array.tabulate(600)(i =>
+      (6000 * math.sin(2 * math.Pi * i * 440 / 8000)).toInt)
+    val data = Adpcm.encodeIma(pcm, 256)
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int) = (0 to 3).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    def w16(v: Int) = (0 to 1).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    out.write("RIFF".getBytes); w32(4 + 24 + 12 + 8 + data.length)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); w32(16); w16(0x11); w16(1); w32(8000)
+    w32(8000 * 256 / Adpcm.samplesPerBlock(256)); w16(256); w16(4)
+    out.write("fact".getBytes); w32(4); w32(600)
+    out.write("data".getBytes); w32(data.length); out.write(data)
+    out.toByteArray
+  }
+
   test("tar-sharded media corpus: metadata and features are real end-to-end") {
     val dir = Files.createTempDirectory("mmtar").toString
     val media = Seq(
       (0L, "000000.png", png(3)), (1L, "000001.jpg", jpeg(5)),
-      (2L, "000002.gif", gif(9)), (3L, "000003.wav", wav()))
+      (2L, "000002.gif", gif(9)), (3L, "000003.wav", wav()),
+      (4L, "000004.avi", avi()), (5L, "000005_adpcm.wav", adpcmWav()))
     val df = media.toDF("id", "name", "bytes")
       .withColumn("shard", col("id") % 2)
     TarShards.writeShards(df, dir, "shard", "name", "bytes")
 
     val scanned = TarShards.readShards(spark, dir)
-    assert(scanned.count() == 4)
+    assert(scanned.count() == 6)
     val meta = Multimodal.withMediaMeta(scanned, "bytes")
       .select(col("name"), col("media_meta.media_type"),
         col("media_meta.width"), col("media_meta.height"),
@@ -58,6 +79,12 @@ class MultimodalPipelineSpec extends SparkSpec {
     assert(meta("000002.gif") == (("image", 8, 8, 0L)))
     // 100 samples at 16000 B/s byte rate = 200 bytes → 12 ms
     assert(meta("000003.wav")._1 == "audio" && meta("000003.wav")._4 == 12L)
+    // AVI: real dimensions + duration (3 frames at 3 fps = 999 ms of µs math)
+    assert(meta("000004.avi") == (("video", 16, 12, 3L * 333333L / 1000L)))
+    // compressed WAV decodes through the real ADPCM codec (600 samples)
+    val adpcmSamples = Multimodal.wavSamples(media(5)._3).get
+    assert(adpcmSamples.length == 600)
+    assert(adpcmSamples.exists(_ > 0.1) && adpcmSamples.exists(_ < -0.1))
 
     // features: image rows get REAL luma histograms (sum to 1 over pixels)
     val feats = Multimodal.extractFeatures(
