@@ -17,6 +17,26 @@ object Avi {
 
   private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
+  private type Buf = java.io.ByteArrayOutputStream
+  private def le16(b: Buf, v: Int): Unit = { b.write(v & 0xff); b.write((v >> 8) & 0xff) }
+  private def le32(b: Buf, v: Long): Unit =
+    (0 to 3).foreach(i => b.write(((v >> (8 * i)) & 0xff).toInt))
+  private def sub(body: Buf => Unit): Array[Byte] = {
+    val b = new Buf()
+    body(b)
+    b.toByteArray
+  }
+  private def chunkBytes(id: String, payload: Array[Byte]): Array[Byte] = sub { b =>
+    b.write(fourcc(id)); le32(b, payload.length.toLong)
+    b.write(payload)
+    if ((payload.length & 1) == 1) b.write(0) // word alignment
+  }
+  private def listBytes(listType: String, payload: Array[Byte]): Array[Byte] =
+    sub { b =>
+      b.write(fourcc("LIST")); le32(b, payload.length.toLong + 4)
+      b.write(fourcc(listType)); b.write(payload)
+    }
+
   /** Encode same-sized frames as an MJPEG AVI at `fps`. */
   def encode(frames: Seq[Png.Image], fps: Int = 10,
              quality: Int = 90): Array[Byte] = {
@@ -27,93 +47,54 @@ object Avi {
     require(frames.forall(f => f.width == w && f.height == h),
       "all frames must share dimensions")
     val jpegs = frames.map(f => Jpeg.encode(f, quality)).toArray
-    val out = new java.io.ByteArrayOutputStream()
-    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    def w32(v: Long): Unit =
-      (0 to 3).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
-    def chunk(id: String, payload: Array[Byte]): Unit = {
-      out.write(fourcc(id)); w32(payload.length.toLong)
-      out.write(payload)
-      if ((payload.length & 1) == 1) out.write(0) // word alignment
-    }
-    def sub(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
-      val b = new java.io.ByteArrayOutputStream()
-      body(b)
-      b.toByteArray
-    }
+    val maxJpeg = jpegs.map(_.length).max.toLong
     // ---- hdrl ----
     val usPerFrame = 1000000L / fps
     val avih = sub { b =>
-      def b32(v: Long) = (0 to 3).foreach(i => b.write(((v >> (8 * i)) & 0xff).toInt))
-      b32(usPerFrame); b32(0L); b32(0L); b32(0x10L /* HASINDEX */)
-      b32(jpegs.length.toLong); b32(0L); b32(1L /* streams */)
-      b32(jpegs.map(_.length).max.toLong); b32(w.toLong); b32(h.toLong)
-      (1 to 4).foreach(_ => b32(0L))
+      le32(b, usPerFrame); le32(b, 0L); le32(b, 0L); le32(b, 0x10L /* HASINDEX */)
+      le32(b, jpegs.length.toLong); le32(b, 0L); le32(b, 1L /* streams */)
+      le32(b, maxJpeg); le32(b, w.toLong); le32(b, h.toLong)
+      (1 to 4).foreach(_ => le32(b, 0L))
     }
     val strh = sub { b =>
-      def b32(v: Long) = (0 to 3).foreach(i => b.write(((v >> (8 * i)) & 0xff).toInt))
       b.write(fourcc("vids")); b.write(fourcc("MJPG"))
-      b32(0L); b32(0L) // flags, priority+language
-      b32(0L) // initial frames
-      b32(1L); b32(fps.toLong) // scale, rate → fps
-      b32(0L); b32(jpegs.length.toLong) // start, length
-      b32(jpegs.map(_.length).max.toLong); b32(0xffffffffL /* quality */)
-      b32(0L) // sample size
-      b32(0L); b32((w.toLong & 0xffffL) | ((h.toLong & 0xffffL) << 16)) // rcFrame
+      le32(b, 0L); le32(b, 0L) // flags, priority+language
+      le32(b, 0L) // initial frames
+      le32(b, 1L); le32(b, fps.toLong) // scale, rate → fps
+      le32(b, 0L); le32(b, jpegs.length.toLong) // start, length
+      le32(b, maxJpeg); le32(b, 0xffffffffL /* quality */)
+      le32(b, 0L) // sample size
+      le32(b, 0L)
+      le32(b, (w.toLong & 0xffffL) | ((h.toLong & 0xffffL) << 16)) // rcFrame
     }
     val strf = sub { b =>
-      def b16(v: Int) = { b.write(v & 0xff); b.write((v >> 8) & 0xff) }
-      def b32(v: Long) = (0 to 3).foreach(i => b.write(((v >> (8 * i)) & 0xff).toInt))
-      b32(40L); b32(w.toLong); b32(h.toLong)
-      b16(1); b16(24)
+      le32(b, 40L); le32(b, w.toLong); le32(b, h.toLong)
+      le16(b, 1); le16(b, 24)
       b.write(fourcc("MJPG"))
-      b32(w.toLong * h * 3); b32(0L); b32(0L); b32(0L); b32(0L)
+      le32(b, w.toLong * h * 3); le32(b, 0L); le32(b, 0L); le32(b, 0L); le32(b, 0L)
     }
-    def list(listType: String, payload: Array[Byte]): Array[Byte] = sub { b =>
-      b.write(fourcc("LIST"))
-      val sz = payload.length + 4
-      (0 to 3).foreach(i => b.write((sz >> (8 * i)) & 0xff))
-      b.write(fourcc(listType)); b.write(payload)
-    }
-    val strl = list("strl", sub { b =>
-      b.write(fourcc("strh"))
-      (0 to 3).foreach(i => b.write((strh.length >> (8 * i)) & 0xff))
-      b.write(strh)
-      b.write(fourcc("strf"))
-      (0 to 3).foreach(i => b.write((strf.length >> (8 * i)) & 0xff))
-      b.write(strf)
-    })
-    val hdrl = list("hdrl", sub { b =>
-      b.write(fourcc("avih"))
-      (0 to 3).foreach(i => b.write((avih.length >> (8 * i)) & 0xff))
-      b.write(avih)
-      b.write(strl)
-    })
+    val hdrl = listBytes("hdrl",
+      chunkBytes("avih", avih) ++
+        listBytes("strl", chunkBytes("strh", strh) ++ chunkBytes("strf", strf)))
     // ---- movi (+ frame offsets for idx1, relative to the movi fourcc) ----
     val offsets = new Array[Long](jpegs.length)
-    val movi = {
-      val b = new java.io.ByteArrayOutputStream()
+    val moviPayload = sub { b =>
       b.write(fourcc("movi"))
       jpegs.zipWithIndex.foreach { case (j, i) =>
         // idx1 offsets count from the 'movi' fourcc, which is b's byte 0
         offsets(i) = b.size().toLong
-        b.write(fourcc("00dc"))
-        (0 to 3).foreach(k => b.write((j.length >> (8 * k)) & 0xff))
-        b.write(j)
-        if ((j.length & 1) == 1) b.write(0)
+        b.write(chunkBytes("00dc", j))
       }
-      val payload = b.toByteArray
-      val o = new java.io.ByteArrayOutputStream()
-      o.write(fourcc("LIST"))
-      (0 to 3).foreach(i => o.write((payload.length >> (8 * i)) & 0xff))
-      o.write(payload)
-      o.toByteArray
+    }
+    // moviPayload already leads with its 'movi' listType fourcc
+    val movi = sub { b =>
+      b.write(fourcc("LIST")); le32(b, moviPayload.length.toLong)
+      b.write(moviPayload)
     }
     val idx1 = sub { b =>
-      def b32(v: Long) = (0 to 3).foreach(i => b.write(((v >> (8 * i)) & 0xff).toInt))
       jpegs.zipWithIndex.foreach { case (j, i) =>
-        b.write(fourcc("00dc")); b32(0x10L /* KEYFRAME */)
-        b32(offsets(i)); b32(j.length.toLong)
+        b.write(fourcc("00dc")); le32(b, 0x10L /* KEYFRAME */)
+        le32(b, offsets(i)); le32(b, j.length.toLong)
       }
     }
     // ---- assemble RIFF ----
@@ -121,12 +102,11 @@ object Avi {
       b.write(fourcc("AVI "))
       b.write(hdrl)
       b.write(movi)
-      b.write(fourcc("idx1"))
-      (0 to 3).foreach(i => b.write((idx1.length >> (8 * i)) & 0xff))
-      b.write(idx1)
+      b.write(chunkBytes("idx1", idx1))
     }
-    out.write(fourcc("RIFF")); w32(body.length.toLong); out.write(body)
-    out.toByteArray
+    sub { b =>
+      b.write(fourcc("RIFF")); le32(b, body.length.toLong); b.write(body)
+    }
   }
 
   private def u8(bytes: Array[Byte], i: Int) = bytes(i) & 0xff
@@ -174,7 +154,13 @@ object Avi {
             val totalFrames = u32le(bytes, s2 + 16)
             val w = u32le(bytes, s2 + 32).toInt
             val h = u32le(bytes, s2 + 36).toInt
-            result = Some((w, h, totalFrames, totalFrames * usPerFrame / 1000L))
+            // both fields are untrusted u32s: the product can overflow a
+            // Long on crafted headers — clamp instead of going negative
+            val durMs =
+              if (totalFrames > 0 && usPerFrame > Long.MaxValue / totalFrames)
+                Long.MaxValue / 1000L
+              else totalFrames * usPerFrame / 1000L
+            result = Some((w, h, totalFrames, durMs))
           }
         }
     }
@@ -206,6 +192,24 @@ object Avi {
     * skipped — one corrupt frame must not sink the clip). */
   def decodeFrames(bytes: Array[Byte]): Option[Seq[Png.Image]] =
     framePayloads(bytes).map(_.flatMap(Jpeg.decode))
+
+  /** Source frame rate from the avih header (rounded), if sane. */
+  def fps(bytes: Array[Byte]): Option[Int] = {
+    if (!isAvi(bytes)) return None
+    var result: Option[Int] = None
+    walk(bytes, 12, bytes.length) { (id, lt, s, e) =>
+      if (id == "LIST" && lt == "hdrl" && result.isEmpty)
+        walk(bytes, s, e) { (id2, _, s2, e2) =>
+          if (id2 == "avih" && e2 - s2 >= 4 && result.isEmpty) {
+            val usPerFrame = u32le(bytes, s2)
+            if (usPerFrame > 0 && usPerFrame <= 10000000L)
+              result = Some(math.max(1,
+                math.round(1000000.0 / usPerFrame).toInt))
+          }
+        }
+    }
+    result
+  }
 
   /** Evenly sample ≤ `n` decoded frames (first frame always included). */
   def frameSample(bytes: Array[Byte], n: Int): Option[Seq[Png.Image]] =

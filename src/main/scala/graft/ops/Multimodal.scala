@@ -345,8 +345,20 @@ object Multimodal {
             math.max(1, img.width / factor), math.max(1, img.height / factor)))
           case None => Avi.decodeFrames(bytes) match {
             case Some(frames) if frames.nonEmpty =>
-              Avi.encode(frames.map(f => Png.resize(f,
-                math.max(1, f.width / factor), math.max(1, f.height / factor))))
+              // preserve the SOURCE frame rate (re-encoding at a default
+              // fps would silently change the clip's duration), and only
+              // re-encode uniform-dimension frame sets — a crafted AVI can
+              // hold decodable JPEGs of mixed sizes, and the container
+              // writer rightly refuses those (one bad blob must never
+              // throw out of a task: fall back to the stub subsample)
+              val w0 = frames.head.width
+              val h0 = frames.head.height
+              if (frames.forall(f => f.width == w0 && f.height == h0))
+                Avi.encode(frames.map(f => Png.resize(f,
+                  math.max(1, f.width / factor),
+                  math.max(1, f.height / factor))),
+                  fps = Avi.fps(bytes).getOrElse(10))
+              else fakeResize(bytes, factor)
             case _ => fakeResize(bytes, factor)
           }
         }

@@ -431,23 +431,22 @@ object Similarity {
       val (codes, _) = pqCodes(iv, cents, m)
       (cells(iv, 1).head, codes.toSeq)
     }
-    val qLuts: Map[Long, Array[Array[Long]]] = queries
+    // ONE collect serves both the ADC LUTs and the probe list — a second
+    // collect would run a second full job over the query source
+    val qRows: Array[(Long, Array[Long])] = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
-      .map { r =>
-        val iv = toPqInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty))
-        val sub = if (m == 0) 0 else iv.length / m
-        r.getLong(0) -> Array.tabulate(m, cents.length)((s, c) =>
-          pqSubDist(iv, cents(c), s, sub))
-      }.toMap
+      .map(r => (r.getLong(0),
+        toPqInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty))))
+    val qLuts: Map[Long, Array[Array[Long]]] = qRows.map { case (qid, iv) =>
+      val sub = if (m == 0) 0 else iv.length / m
+      qid -> Array.tabulate(m, cents.length)((s, c) =>
+        pqSubDist(iv, cents(c), s, sub))
+    }.toMap
     import corpus.sparkSession.implicits._
-    val probes = queries
-      .select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .collect()
-      .flatMap(r => cells(toPqInts(Option(r.getSeq[Double](1))
-        .getOrElse(Seq.empty)), nProbe)
-        .map(c => (r.getLong(0), c))).toSeq
+    val probes = qRows
+      .flatMap { case (qid, iv) => cells(iv, nProbe).map(c => (qid, c)) }
+      .toSeq
       .toDF("query_id", "cell")
     val coded = corpus.select(col(idCol).cast("long").as("neighbor_id"),
         sideUdf(col(vecCol).cast("array<double>")).as("cc"))

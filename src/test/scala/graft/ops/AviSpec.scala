@@ -61,6 +61,10 @@ class AviSpec extends AnyFunSuite {
     val half = Multimodal.resizeMedia(avi, 2)
     assert(Avi.headerMeta(half).exists(m => m._1 == 16 && m._2 == 12))
     assert(Avi.countFrames(half).contains(5))
+    // resize must PRESERVE the source frame rate — re-encoding at a
+    // default fps would silently halve/double the clip duration
+    assert(Avi.fps(avi).contains(5) && Avi.fps(half).contains(5))
+    assert(Avi.headerMeta(half).map(_._4) == Avi.headerMeta(avi).map(_._4))
   }
 
   test("corrupt frame is skipped, not fatal; garbage returns None") {

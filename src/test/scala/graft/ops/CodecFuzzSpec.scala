@@ -24,6 +24,9 @@ class CodecFuzzSpec extends AnyFunSuite {
     Avi.headerMeta(bytes)
     Avi.decodeFrames(bytes)
     Avi.countFrames(bytes)
+    Avi.fps(bytes)
+    Multimodal.resizeMedia(bytes, 2)
+    Multimodal.sampleFrames(bytes, 3)
     Adpcm.decodeIma(bytes, blockAlign = 8)
     Adpcm.decodeIma(bytes, blockAlign = 256)
     Adpcm.muLawDecodeAll(bytes)
