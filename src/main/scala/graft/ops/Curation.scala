@@ -103,28 +103,27 @@ object Curation {
     * standard template/boilerplate-text signal (C4 and friends drop or
     * down-weight docs dominated by corpus-frequent spans).
     *
-    * Scale shape: one distinct (doc, shingle) explode feeds both the
-    * document-frequency aggregate and the hit join; the doc side
-    * LEFT-joins the FREQUENT shingle set (tiny by construction — df ≥
-    * minDf shrinks it by orders of magnitude) and ONE per-doc aggregate
-    * computes both counts, so no third pass re-tokenizes the corpus (every
-    * doc has ≥ 1 shingle, so the left join loses none). The fraction is
-    * exact integer per-mille — no double division whose rounding an
-    * engine could disagree on. */
+    * Scale shape: the tokenize+shingle+md5 explode — the dominant compute
+    * at corpus scale — runs ONCE: document frequency comes from a count
+    * window over the shingle partitioning (the same single-scan trick the
+    * TF-IDF kernel documents), then one per-doc aggregate folds both
+    * counts. The window's shingle partitioning is exactly what a df-join
+    * would have shuffled on anyway, so skew exposure is unchanged and a
+    * whole second pass over the corpus disappears. The shuffle key is the
+    * shingle's md5, never the shingle text (bounded key size however long
+    * the n-gram — exact-dedup discipline). The fraction is exact integer
+    * per-mille — no double division whose rounding an engine could
+    * disagree on. */
   def boilerplateProfile(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, minDf: Int = 5): DataFrame = {
-    // the shuffle key is the shingle's md5, never the shingle text — same
-    // discipline as exact dedup (bounded key size however long the n-gram)
     val inv = df.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(transform(Dedup.shinglesCol(col(textCol), n),
         s => md5(s)))).as("shingle"))
-    val frequent = inv.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-      .select(col("shingle"), lit(1).as("__boiler"))
-    inv.join(frequent, Seq("shingle"), "left")
+    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    inv.withColumn("__df", count(lit(1)).over(dfWin))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_shingles"), count(col("__boiler")).as("n_boiler"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_pm",
         floor(lit(1000L) * col("n_boiler") / col("n_shingles")).cast("long"))
   }
