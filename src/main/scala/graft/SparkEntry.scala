@@ -939,6 +939,35 @@ object SparkEntry {
       k = 3, m = 4, nCent = 8, pqStride = 50, coarseStride = 50, nProbe = 2)
       .orderBy("query_id", "rank")
 
+  /** Left-semi join (EXISTS): customers holding at least one URGENT
+    * order — completes the join-type matrix next to inner/outer/anti/
+    * cross/asof/interval/bloom/fuzzy. Semi joins ship only the key to
+    * the build side and emit each probe row at most once. */
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("acctbal_cents"))
+      .orderBy("c_custkey")
+
+  /** UNPIVOT (melt) — the inverse of q50's pivot: wide per-nation money
+    * columns back to (nation, measure, value) rows via `stack`. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "supplier")
+      .groupBy("s_nationkey")
+      .agg(
+        sum(cents(col("s_acctbal"))).as("total_cents"),
+        max(cents(col("s_acctbal"))).as("max_cents"),
+        min(cents(col("s_acctbal"))).as("min_cents"))
+    wide.select(col("s_nationkey"),
+        expr("stack(3, 'total', total_cents, 'max', max_cents, " +
+          "'min', min_cents) AS (measure, value_cents)"))
+      .orderBy("s_nationkey", "measure")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1016,7 +1045,9 @@ object SparkEntry {
     "q70_fuzzy_join" -> (q70 _),
     "q71_scd2_intervals" -> (q71 _),
     "q72_percentiles" -> (q72 _),
-    "q73_ivf_pq" -> (q73 _))
+    "q73_ivf_pq" -> (q73 _),
+    "q74_semi_join" -> (q74 _),
+    "q75_unpivot" -> (q75 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -2046,5 +2077,23 @@ object SparkEntry {
                ORDER BY adist, neighbor_id) AS rn
            FROM ad)
          SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS rank
-         FROM r WHERE rn <= 3 ORDER BY query_id, rank""")
+         FROM r WHERE rn <= 3 ORDER BY query_id, rank""",
+    "q74_semi_join" ->
+      """SELECT c_custkey, c_nationkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q75_unpivot" ->
+      """WITH wide AS (SELECT s_nationkey,
+             CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(max(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+             CAST(min(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS min_cents
+           FROM supplier GROUP BY s_nationkey)
+         SELECT s_nationkey, measure, value_cents
+         FROM wide UNPIVOT (value_cents FOR measure IN
+           (total_cents AS 'total', max_cents AS 'max', min_cents AS 'min'))
+         ORDER BY s_nationkey, measure""")
 }
