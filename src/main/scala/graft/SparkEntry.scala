@@ -968,6 +968,25 @@ object SparkEntry {
       .orderBy("s_nationkey", "measure")
   }
 
+  /** Model-based quality filter (fasttext-inference shape): hashed
+    * bag-of-words → weight gather → exact integer logit, keep = logit>0. */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedLinearScore(t(s, dir, "documents"),
+      "doc_id", "text", dim = 1024)
+      .orderBy("id")
+
+  /** Repeated-passage mining: non-overlapping 32-token chunks
+    * fingerprinted and counted across the corpus — chunk-level exact
+    * dedup's discovery stage (the md5 is the shuffle key, never text). */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+      chunkSize = 32, stride = 32)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("chunk_md5")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1047,7 +1066,9 @@ object SparkEntry {
     "q72_percentiles" -> (q72 _),
     "q73_ivf_pq" -> (q73 _),
     "q74_semi_join" -> (q74 _),
-    "q75_unpivot" -> (q75 _))
+    "q75_unpivot" -> (q75 _),
+    "q76_linear_filter" -> (q76 _),
+    "q77_repeated_chunks" -> (q77 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -2095,5 +2116,38 @@ object SparkEntry {
          SELECT s_nationkey, measure, value_cents
          FROM wide UNPIVOT (value_cents FOR measure IN
            (total_cents AS 'total', max_cents AS 'max', min_cents AS 'min'))
-         ORDER BY s_nationkey, measure""")
+         ORDER BY s_nationkey, measure""",
+    "q76_linear_filter" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+               x -> x <> '')) AS t
+           FROM documents),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS bucket FROM tok),
+         w AS (SELECT doc_id,
+             (('0x' || substr(md5(CAST(bucket AS VARCHAR)), 1, 4))::BIGINT
+               % 1000) - 500 AS w
+           FROM h),
+         agg AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s
+           FROM w GROUP BY doc_id)
+         SELECT d.doc_id AS id, CAST(coalesce(a.s, 0) AS BIGINT) AS logit_micro,
+           coalesce(a.s, 0) > 0 AS keep
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY id""",
+    "q77_repeated_chunks" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+           FROM documents),
+         st AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS ntok FROM tok),
+         ex AS (SELECT doc_id, toks, ntok,
+             unnest(generate_series(0, ntok - 1, 32)) AS start_tok
+           FROM st WHERE ntok > 0),
+         ch AS (SELECT doc_id,
+             md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 32), ' '))
+               AS chunk_md5
+           FROM ex)
+         SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM ch GROUP BY chunk_md5 HAVING count(*) > 1
+         ORDER BY chunk_md5""")
 }

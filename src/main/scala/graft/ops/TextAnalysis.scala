@@ -485,6 +485,52 @@ object TextAnalysis {
           " ")).as("chunk_md5"))
   }
 
+  /** Hashed-bag-of-words linear classifier logit — the fasttext-shaped
+    * model-based quality-filter stage (CCNet/FineWeb style) in a form any
+    * engine reproduces exactly: each token hashes (md5) into a `dim`-bucket
+    * weight table whose weights are themselves derived from the bucket's
+    * md5 (a stand-in for trained weights — the INFERENCE shape is the
+    * real thing: tokenize → hash → gather → dot product), and the logit
+    * is Σ tf·w in EXACT integer micro-units, so thresholding can never
+    * flip between engines. One compiled pass per doc, shuffle-free. */
+  private val logitWeightCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  /** Bucket b's weight: md5 of the bucket id, centered into [-500, 499]
+    * — built once per dim per executor, so a token costs ONE digest. */
+  private def logitWeights(dim: Int): Array[Long] =
+    logitWeightCache.computeIfAbsent(dim, d => Array.tabulate(d) { b =>
+      val bd = java.security.MessageDigest.getInstance("MD5")
+        .digest(b.toString.getBytes("UTF-8"))
+      ((((bd(0) & 0xffL) << 8) | (bd(1) & 0xffL)) % 1000L) - 500L
+    })
+
+  def hashedLogit(text: String, dim: Int): Long = {
+    if (text == null) return 0L
+    val w = logitWeights(dim)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var logit = 0L
+    text.toLowerCase.split("[^a-z0-9']+").foreach { t =>
+      if (t.nonEmpty) {
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        logit += w((h1 % dim).toInt)
+      }
+    }
+    logit
+  }
+
+  private val hashedLogitUdf = udf(hashedLogit _)
+
+  /** Per-doc logit + keep/drop label (logit > 0). */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 1024): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        hashedLogitUdf(col(textCol), lit(dim)).as("logit_micro"))
+      .withColumn("keep", col("logit_micro") > 0)
+
   /** Full per-document profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

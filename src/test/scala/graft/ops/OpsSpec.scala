@@ -542,6 +542,25 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("hashedLogit: additive over tokens, null-safe, repartition-stable") {
+    val one = TextAnalysis.hashedLogit("spark", 1024)
+    val twice = TextAnalysis.hashedLogit("spark spark", 1024)
+    assert(twice == 2 * one) // tf-linear: same bucket weight gathered twice
+    assert(TextAnalysis.hashedLogit(null, 1024) == 0L)
+    assert(TextAnalysis.hashedLogit("", 1024) == 0L)
+    val mixed = TextAnalysis.hashedLogit("spark rows", 1024)
+    assert(mixed == one + TextAnalysis.hashedLogit("rows", 1024))
+    val df = Seq((1L, "spark rows"), (2L, ""), (3L, "spark"))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.hashedLinearScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(scored(1L)._1 == mixed && scored(3L)._1 == one)
+    assert(scored(2L) == ((0L, false)))
+    val again = TextAnalysis.hashedLinearScore(df.repartition(3), "doc_id", "text")
+    assert(again.exceptAll(
+      TextAnalysis.hashedLinearScore(df, "doc_id", "text")).count() == 0)
+  }
+
   test("fuzzyPairs: blocking confines comparisons; distance filter + a<b") {
     val recs = Seq(
       (1L, "alice smith", "nyc"), (2L, "alice smyth", "nyc"), // dist 1
