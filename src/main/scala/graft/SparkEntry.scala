@@ -987,6 +987,39 @@ object SparkEntry {
       .filter(col("n_occurrences") > 1)
       .orderBy("chunk_md5")
 
+  /** Per-stratum ntile deciles of order value. Partitioning by the
+    * stratum keeps the sort parallel (|strata| tasks) — a GLOBAL ntile
+    * would single-task the whole table at 100 TB; true global deciles go
+    * through quantile boundaries (q38) + range bucketing instead. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy(col("pc"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("pc"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("o_orderpriority", "decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("pc")).as("min_cents"), max(col("pc")).as("max_cents"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
+  /** RANGE-frame window (event-time, not row-count): each event counts
+    * same-user events in its trailing 10 minutes — peers at equal
+    * timestamps are all included, so the result is deterministic under
+    * ties by definition. Per user: total events + max 10-minute burst. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-600000000L, 0)
+    events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("burst")).as("max_burst_10m"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1068,7 +1101,9 @@ object SparkEntry {
     "q74_semi_join" -> (q74 _),
     "q75_unpivot" -> (q75 _),
     "q76_linear_filter" -> (q76 _),
-    "q77_repeated_chunks" -> (q77 _))
+    "q77_repeated_chunks" -> (q77 _),
+    "q78_ntile_deciles" -> (q78 _),
+    "q79_range_frame" -> (q79 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -2149,5 +2184,25 @@ object SparkEntry {
          SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_occurrences,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          FROM ch GROUP BY chunk_md5 HAVING count(*) > 1
-         ORDER BY chunk_md5""")
+         ORDER BY chunk_md5""",
+    "q78_ntile_deciles" ->
+      """WITH x AS (SELECT o_orderpriority, o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+             CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+               ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey)
+               AS BIGINT) AS decile
+           FROM orders)
+         SELECT o_orderpriority, decile, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(pc) AS BIGINT) AS min_cents,
+           CAST(max(pc) AS BIGINT) AS max_cents
+         FROM x GROUP BY 1, 2 ORDER BY o_orderpriority, decile""",
+    "q79_range_frame" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         b AS (SELECT user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS burst
+           FROM e)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(burst) AS BIGINT) AS max_burst_10m
+         FROM b GROUP BY user_id ORDER BY user_id""")
 }
