@@ -2149,7 +2149,7 @@ object SparkEntry {
              CAST(min(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS min_cents
            FROM supplier GROUP BY s_nationkey)
          SELECT s_nationkey, measure, value_cents
-         FROM wide UNPIVOT (value_cents FOR measure IN
+         FROM wide UNPIVOT INCLUDE NULLS (value_cents FOR measure IN
            (total_cents AS 'total', max_cents AS 'max', min_cents AS 'min'))
          ORDER BY s_nationkey, measure""",
     "q76_linear_filter" ->

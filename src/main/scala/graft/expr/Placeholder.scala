@@ -26,7 +26,7 @@ object Placeholder {
     if (value == null) return true
     val s = value.trim
     if (s.isEmpty) return true
-    val low = s.toLowerCase
+    val low = s.toLowerCase(java.util.Locale.ROOT)
 
     if (Blocklist.exists(low.contains)) return true
     if (low.contains("sig=") && (low.contains("xxxxx") || low.contains("fake"))) return true

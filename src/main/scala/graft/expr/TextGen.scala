@@ -53,8 +53,8 @@ object TextGen {
   def fullName(key: Long, slot: Long): String =
     firstName(key, slot) + " " + lastName(key, slot + 1000)
   def email(key: Long, slot: Long): String = {
-    val f = firstName(key, slot).toLowerCase
-    val l = lastName(key, slot + 1000).toLowerCase
+    val f = firstName(key, slot).toLowerCase(java.util.Locale.ROOT)
+    val l = lastName(key, slot + 1000).toLowerCase(java.util.Locale.ROOT)
     val d = Domains(DetHash.nextInt(key, slot + 2000, Domains.size))
     s"$f.$l@$d"
   }

@@ -35,7 +35,7 @@ object TextAnalysis {
 
   def tokenCount(text: String): Long =
     if (text == null) 0L
-    else text.toLowerCase.split("[^a-z0-9']+").count(_.nonEmpty).toLong
+    else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9']+").count(_.nonEmpty).toLong
 
   private val bpeishUdf = udf(bpeishCount _)
   private val tokenCountUdf = udf(tokenCount _)
@@ -60,7 +60,7 @@ object TextAnalysis {
     if (text == null) Seq.empty[(String, Long)]
     else {
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      text.toLowerCase.split("[^a-z0-9']+").foreach { t =>
+      text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9']+").foreach { t =>
         if (t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
       }
       m.toSeq
@@ -96,7 +96,7 @@ object TextAnalysis {
 
   def langId(text: String): String = {
     if (text == null) return "und"
-    val toks = text.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9']+").filter(_.nonEmpty)
     var best = "und"
     var bestScore = 0
     markerSets.foreach { case (lang, ms) =>
@@ -140,7 +140,7 @@ object TextAnalysis {
   def qualityMetrics(text: String): (Long, Long, Double, Double, Double, Double) = {
     val t = if (text == null) "" else text
     val nChars = t.codePointCount(0, t.length).toLong
-    val toks = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+    val toks = t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9']+").filter(_.nonEmpty)
     val nWords = toks.length.toLong
     var punct = 0
     var i = 0
@@ -262,7 +262,7 @@ object TextAnalysis {
     var triples = 0
     var at = t.indexOf("...")
     while (at >= 0) { triples += 1; at = t.indexOf("...", at + 3) }
-    val nWords = t.toLowerCase.split("[^a-z0-9']+").count(_.nonEmpty)
+    val nWords = t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9']+").count(_.nonEmpty)
     val symbolRatio = (hashEll + triples.toDouble) / math.max(1, nWords)
     val meanLineLen =
       if (nLines > 0)
@@ -505,19 +505,23 @@ object TextAnalysis {
       ((((bd(0) & 0xffL) << 8) | (bd(1) & 0xffL)) % 1000L) - 500L
     })
 
+  private val TokenPattern = java.util.regex.Pattern.compile("[a-z0-9']+")
+
   def hashedLogit(text: String, dim: Int): Long = {
+    require(dim > 0, s"dim must be positive, got $dim")
     if (text == null) return 0L
     val w = logitWeights(dim)
     val md = java.security.MessageDigest.getInstance("MD5")
     var logit = 0L
-    text.toLowerCase.split("[^a-z0-9']+").foreach { t =>
-      if (t.nonEmpty) {
-        md.reset()
-        val d = md.digest(t.getBytes("UTF-8"))
-        val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-        logit += w((h1 % dim).toInt)
-      }
+    // precompiled token matcher, no split-array materialization — the
+    // counting-kernel discipline (see BpeishPattern above)
+    val m = TokenPattern.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    while (m.find()) {
+      md.reset()
+      val d = md.digest(m.group().getBytes("UTF-8"))
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      logit += w((h1 % dim).toInt)
     }
     logit
   }
