@@ -68,6 +68,9 @@ object Gif {
     try {
       val sw = u16le(6); val sh = u16le(8)
       if (sw <= 0 || sh <= 0) return None
+      // Untrusted logical-screen size: cap at 64M pixels (192 MB canvas)
+      // before allocating, same crafted-dimensions posture as Jpeg.decode.
+      if (sw.toLong * sh.toLong > 64L * 1024 * 1024) return None
       val gctFlag = (u8(10) & 0x80) != 0
       val gctSize = 2 << (u8(10) & 0x07)
       val bgIndex = u8(11)

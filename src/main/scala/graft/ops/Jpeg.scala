@@ -223,9 +223,18 @@ object Jpeg {
       }
     }
     if (scanStart < 0 || width <= 0 || height <= 0) return None
+    // SOF dimensions are untrusted input: a tiny crafted file can declare
+    // 26000×26000 and force a ~2 GB plane allocation per task before any
+    // scan data is read. Cap at 64M pixels (192 MB RGB) — far above any
+    // legitimate corpus image, far below an executor-OOM.
+    if (width.toLong * height.toLong > 64L * 1024 * 1024) return None
 
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
+    // JPEG spec caps sampling factors at 4; larger values are corrupt and
+    // would multiply the plane allocation past the pixel cap above.
+    if (hMax > 4 || vMax > 4 || comps.exists(c => c.h < 1 || c.v < 1))
+      return None
     val mcuW = 8 * hMax
     val mcuH = 8 * vMax
     val mcusX = (width + mcuW - 1) / mcuW

@@ -216,8 +216,15 @@ object Similarity {
         while (i < len) { dot += v(i) * ce(i); i += 1 }
         (round6(dot), cid)
       }.sortBy { case (d, cid) => (-d, cid) }.take(n).map(_._2).toSeq
-    val cellUdf = udf { (v: Seq[Double]) => nearestCells(v, 1).head }
-    val probesUdf = udf { (v: Seq[Double]) => nearestCells(v, nProbe) }
+    // null/empty vectors follow pqEncode's degenerate-input convention:
+    // treated as all-zero → dot 0 against every centroid → lowest-id cell.
+    // A null row lands in one deterministic cell instead of NPEing the task.
+    val cellUdf = udf { (v: Seq[Double]) =>
+      nearestCells(if (v == null) Seq.empty else v, 1).head
+    }
+    val probesUdf = udf { (v: Seq[Double]) =>
+      nearestCells(if (v == null) Seq.empty else v, nProbe)
+    }
     val cells = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("vec_c"),
       cellUdf(col(vecCol).cast("array<double>")).as("cell"))

@@ -25,13 +25,15 @@ object TarShards {
   private def headerBlock(name: String, size: Long): Array[Byte] = {
     require(name.getBytes("UTF-8").length <= 100, s"tar name too long: $name")
     val b = new Array[Byte](512)
-    def put(at: Int, s: String): Unit = {
+    def put(at: Int, s: String, max: Int = 99): Unit = {
       val bytes = s.getBytes("US-ASCII")
-      System.arraycopy(bytes, 0, b, at, math.min(bytes.length, 99))
+      System.arraycopy(bytes, 0, b, at, math.min(bytes.length, max))
     }
     def putOctal(at: Int, len: Int, v: Long): Unit =
       put(at, ("%0" + (len - 1) + "o").format(v))
-    put(0, name)
+    // the ustar name field is 100 bytes and needs no NUL terminator when
+    // full — a 99 cap would silently truncate an exactly-100-byte name
+    put(0, name, max = 100)
     putOctal(100, 8, 420)   // mode 0644
     putOctal(108, 8, 0)     // uid
     putOctal(116, 8, 0)     // gid

@@ -105,4 +105,16 @@ class NullSafetySpec extends SparkSpec {
     assert(Similarity.pqTopK(vecs, vecs.filter(col("vec_id") === 0),
       k = 2, m = 2, nCent = 2, centroidStride = 10).count() == 2)
   }
+
+  test("ivfTopK tolerates null/empty embedding rows on both sides") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (10L, Seq(0f, 1f)), (11L, Seq(1f, 1f)),
+      (5L, null.asInstanceOf[Seq[Float]]), (6L, Seq.empty[Float]))
+      .toDF("vec_id", "embedding")
+    // null/empty vectors land in a deterministic cell (pqEncode's
+    // degenerate-input convention) instead of NPEing the task
+    val res = Similarity.ivfTopK(vecs, vecs, k = 2,
+      centroidStride = 10, nProbe = 2).collect()
+    assert(res.nonEmpty)
+  }
 }

@@ -24,6 +24,15 @@ class TarShardsSpec extends SparkSpec {
     }
   }
 
+  test("exactly-100-byte entry names round-trip (full ustar name field)") {
+    val name100 = "d/" + "a" * 94 + ".txt" // 100 bytes, no NUL needed
+    assert(name100.getBytes("UTF-8").length == 100)
+    val back = TarShards.tarEntries(
+      TarShards.tarBytes(Seq(name100 -> "payload".getBytes("UTF-8")))).get
+    assert(back.map(_._1) == Seq(name100))
+    assert(back.head._2.sameElements("payload".getBytes("UTF-8")))
+  }
+
   test("external interop: GNU tar extracts our shard; we read GNU tar's") {
     val dir = Files.createTempDirectory("tarspec")
     // ours → GNU tar
