@@ -55,7 +55,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout is a log tail that can truncate (r03 lost q01-q15 to the
+    // capture window) — persist the full artifact to a file as well
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(outFile).toAbsolutePath.getParent)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+      System.err.println(s"[bench] wrote $outFile")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

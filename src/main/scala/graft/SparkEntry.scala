@@ -990,7 +990,7 @@ object SparkEntry {
   /** Per-stratum ntile deciles of order value. Partitioning by the
     * stratum keeps the sort parallel (|strata| tasks) — a GLOBAL ntile
     * would single-task the whole table at 100 TB; true global deciles go
-    * through quantile boundaries (q38) + range bucketing instead. */
+    * through [[graft.ops.Sketches.exactGlobalNtile]] (q80). */
   private def q78(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_orderpriority").orderBy(col("pc"), col("o_orderkey"))
@@ -1002,6 +1002,22 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_orders"),
         min(col("pc")).as("min_cents"), max(col("pc")).as("max_cents"))
       .orderBy("o_orderpriority", "decile")
+  }
+
+  /** EXACT GLOBAL deciles at scale — the operator q78's scaladoc promises:
+    * approx boundaries bucket the table (parallel), a tiny offsets frame
+    * prefix-sums bucket counts, per-bucket window ranks refine to the
+    * exact global rank, and the ntile fill rule assigns the tile. Same
+    * answer as a global `ntile(10) OVER (ORDER BY pc, key)` — without its
+    * single-task sort. Verified per-tile (count/min/max of the cents). */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val priced = t(s, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("pc"))
+    ops.Sketches.exactGlobalNtile(priced, "pc", "o_orderkey", k = 10)
+      .groupBy(col("tile").as("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("pc")).as("min_cents"), max(col("pc")).as("max_cents"))
+      .orderBy("decile")
   }
 
   /** RANGE-frame window (event-time, not row-count): each event counts
@@ -1103,7 +1119,8 @@ object SparkEntry {
     "q76_linear_filter" -> (q76 _),
     "q77_repeated_chunks" -> (q77 _),
     "q78_ntile_deciles" -> (q78 _),
-    "q79_range_frame" -> (q79 _))
+    "q79_range_frame" -> (q79 _),
+    "q80_global_deciles" -> (q80 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -2204,5 +2221,16 @@ object SparkEntry {
            FROM e)
          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
            CAST(max(burst) AS BIGINT) AS max_burst_10m
-         FROM b GROUP BY user_id ORDER BY user_id""")
+         FROM b GROUP BY user_id ORDER BY user_id""",
+    "q80_global_deciles" ->
+      """WITH x AS (SELECT
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+             CAST(ntile(10) OVER (
+               ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey)
+               AS BIGINT) AS decile
+           FROM orders)
+         SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(pc) AS BIGINT) AS min_cents,
+           CAST(max(pc) AS BIGINT) AS max_cents
+         FROM x GROUP BY decile ORDER BY decile""")
 }

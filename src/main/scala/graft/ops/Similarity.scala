@@ -80,9 +80,21 @@ object Similarity {
     * form at sf0.1 (0.5s vs 1.8s warm; same lesson as the fused cosUdf:
     * boundary crossings dominate, not flops). Row-identical output —
     * dots accumulate in the same element order. */
+  /** Hard ceiling on the query-side collect below: ~64k × 64-dim doubles
+    * ≈ 33 MB in the closure — the same order a broadcast join would ship.
+    * Misuse (a corpus-sized query frame) fails loudly on one cheap
+    * count job instead of OOMing the driver; the ANN family (annTopK /
+    * ivfTopK / pqTopK / ivfPqTopK) is the scale path past this. */
+  val BruteForceMaxQueries: Long = 65536L
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    val nQ = queries.count()
+    require(nQ <= BruteForceMaxQueries,
+      s"bruteForceTopK would collect $nQ query vectors into the task " +
+        s"closure (max $BruteForceMaxQueries); use annTopK/ivfTopK/pqTopK " +
+        "for large query sets")
     val qArr: Array[(Long, Array[Double])] = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

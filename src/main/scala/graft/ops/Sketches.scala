@@ -145,4 +145,73 @@ object Sketches {
       .sortBy { case (key, n) => (-n, key) }
       .take(k).toSeq
   }
+
+  /** EXACT global `ntile(k)` without a single-task global sort.
+    *
+    * A bare `ntile(k) OVER (ORDER BY …)` is a correctness tool only: the
+    * unpartitioned window collapses the whole table into ONE task, which
+    * at 100 TB never finishes. This operator gets the identical answer in
+    * three parallel stages:
+    *
+    *   1. one approx-quantile pass picks `nBuckets` range boundaries
+    *      (Greenwald–Khanna sketch, bounded state, driver gets ≤ nBuckets
+    *      doubles — the only driver traffic);
+    *   2. every row is range-bucketed by a codegen'd boundary chain, and
+    *      a tiny per-bucket count frame (≤ nBuckets rows) turns into
+    *      exact bucket rank offsets via a prefix-sum window;
+    *   3. rows rank *within* their bucket (parallel: |buckets| window
+    *      tasks), and `offset + within-bucket rank` IS the exact global
+    *      rank because bucketing is monotone in the order key. The tile
+    *      follows from rank and total count by ntile's fill rule (the
+    *      first `n % k` tiles get one extra row).
+    *
+    * Boundary-approximation error only skews bucket *sizes* (AQE-style
+    * balance, not correctness); ties across a boundary land in the same
+    * bucket by construction (`value > bound` is strict). Ties in the
+    * order column are broken by `tieCol` so the rank — and therefore the
+    * tile of every row — is deterministic and engine-portable.
+    *
+    * Output: input columns + `tile` (1-based long). */
+  def exactGlobalNtile(df: DataFrame, orderCol: String, tieCol: String,
+                       k: Int, nBuckets: Int = 32): DataFrame = {
+    require(k >= 1 && nBuckets >= 1)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.01).distinct.sorted
+    // monotone range bucketing: bucket = #bounds strictly below the value
+    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+    }
+    val bucketed = df.withColumn("_gq_bucket", bucketCol)
+    val countsW = org.apache.spark.sql.expressions.Window
+      .orderBy("_gq_bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("_gq_bucket")
+      .agg(count(lit(1)).as("_gq_n"))
+      .withColumn("_gq_offset", coalesce(sum(col("_gq_n")).over(countsW), lit(0L)))
+      .withColumn("_gq_total", sum(col("_gq_n")).over()) // tiny frame: ≤ nBuckets rows
+      .select("_gq_bucket", "_gq_offset", "_gq_total")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("_gq_bucket").orderBy(col(orderCol), col(tieCol))
+    val ranked = bucketed
+      .join(broadcast(offsets), "_gq_bucket")
+      .withColumn("_gq_rank",
+        col("_gq_offset") + row_number().over(rankW).cast("long"))
+    // ntile fill rule: base = n div k rows per tile, first n%k tiles get
+    // +1. Integer `div` (not `/`, which is double division in Spark) so
+    // the math is exact at any n; greatest(base,1) keeps the dead ELSE
+    // branch ANSI-safe when n < k (then every rank is <= cut = n).
+    ranked
+      .withColumn("_gq_base", expr(s"_gq_total div $k"))
+      .withColumn("_gq_rem", expr(s"_gq_total % $k"))
+      .withColumn("_gq_cut", expr("(_gq_base + 1) * _gq_rem"))
+      .withColumn("tile", expr(
+        "CASE WHEN _gq_rank <= _gq_cut " +
+          "THEN (_gq_rank - 1) div (_gq_base + 1) + 1 " +
+          "ELSE _gq_rem + (_gq_rank - 1 - _gq_cut) div greatest(_gq_base, 1) + 1 " +
+          "END"))
+      .drop("_gq_bucket", "_gq_offset", "_gq_total", "_gq_rank",
+        "_gq_base", "_gq_rem", "_gq_cut")
+  }
 }

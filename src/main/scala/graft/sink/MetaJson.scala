@@ -25,9 +25,20 @@ object MetaJson {
   def readLines(spark: SparkSession, dir: String): DataFrame =
     spark.read.json(dir)
 
+  /** Hard ceiling for the envelope form's driver-side materialization.
+    * The envelope is a reference-compat affordance for small plans; at
+    * pipeline scale callers must use [[writeLines]]. The guard makes a
+    * misuse fail loudly (one cheap count job) instead of OOMing the
+    * driver mid-collect. */
+  val EnvelopeMaxDocs: Long = 100000L
+
   /** Reference-shaped single-object envelope (small plans only — collects). */
   def writeEnvelope(docs: DataFrame, path: String,
                     generatedAt: String = "1970-01-01T00:00:00Z"): Unit = {
+    val n = docs.count()
+    require(n <= EnvelopeMaxDocs,
+      s"meta.json envelope would collect $n docs on the driver " +
+        s"(max $EnvelopeMaxDocs); use MetaJson.writeLines for large plans")
     val docsJson = docs.toJSON.collect().mkString("[", ",", "]")
     val counts = docs.select(explode(col("sits")).as("s"))
       .groupBy(col("s.sit_id")).agg(count(lit(1)).as("docs"),

@@ -221,4 +221,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"sit dim not broadcast in:\n$plan")
   }
+
+  test("exact global ntile: corpus-side window is bucket-partitioned") {
+    val priced = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("pc"))
+    val plan = physical(
+      graft.ops.Sketches.exactGlobalNtile(priced, "pc", "o_orderkey", 10))
+    // the ranking window must hash-partition on the range bucket — a bare
+    // global ntile would show a single-partition window over the corpus
+    assert(plan.contains("hashpartitioning(_gq_bucket"),
+      s"ranking window not bucket-partitioned in:\n$plan")
+    // the offsets prefix-sum is the ONLY single-partition exchange, and it
+    // sits above an aggregated (≤ nBuckets rows) frame
+    assert(countOccurrences(plan, "SinglePartition") == 1,
+      s"expected exactly one tiny-frame SinglePartition exchange in:\n$plan")
+    // the offsets side reaches the row-level join as a broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets frame not broadcast in:\n$plan")
+  }
 }

@@ -256,6 +256,17 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF nProbe=3 recall $recall vs brute force")
   }
 
+  test("bruteForceTopK refuses a query frame above the closure ceiling") {
+    val v = array((0 until 4).map(i => lit(0.1f * i)): _*)
+    val corpus = spark.range(10).select(col("id").as("vec_id"), v.as("embedding"))
+    val hugeQ = spark.range(Similarity.BruteForceMaxQueries + 1)
+      .select(col("id").as("vec_id"), v.as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(corpus, hugeQ, k = 3)
+    }
+    assert(e.getMessage.contains("annTopK"))
+  }
+
   test("cosineNearDups: duplicate input ids yield no self-pairs or repeats") {
     // the same vec_id appearing twice lands twice in its bucket list;
     // the pair generator must not emit (id, id) or repeated (a, b) rows

@@ -74,4 +74,23 @@ class SketchesSpec extends SparkSpec {
       "g", "v", Seq(0.5, 0.875)).collect()(0).getSeq[Double](1)
     assert(qs == Seq(2.0, 3.5)) // linear interpolation at p*(n-1)
   }
+
+  test("exactGlobalNtile matches the single-task global ntile exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties (v = id % 7) force the tieCol to decide every tile edge;
+    // n=1000, k=10 exercises even fill; n=13, k=10 the n%k uneven rule;
+    // n=3, k=10 the n<k degenerate branch
+    for ((n, k) <- Seq((1000, 10), (13, 10), (3, 10), (97, 8))) {
+      val df = spark.range(n).selectExpr("id", "id % 7 AS v")
+        .repartition(8) // scattered input: rank must not depend on layout
+      val got = Sketches.exactGlobalNtile(df, "v", "id", k, nBuckets = 4)
+        .select(col("id").cast("long"), col("tile").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = spark.range(n).selectExpr("id", "id % 7 AS v")
+        .withColumn("tile",
+          ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
 }

@@ -37,6 +37,15 @@ class ConfigIOSpec extends SparkSpec {
     assert(covA == covB)
   }
 
+  test("meta envelope refuses plans above the driver-collect ceiling") {
+    val big = spark.range(MetaJson.EnvelopeMaxDocs + 1).toDF("doc_id")
+    val e = intercept[IllegalArgumentException] {
+      MetaJson.writeEnvelope(big,
+        Files.createTempFile("graft_meta_big", ".json").toString)
+    }
+    assert(e.getMessage.contains("writeLines"))
+  }
+
   test("meta JSONL (scalable form) round-trips") {
     val docs = MetaGen.docs(spark, PipelineConfig.scaled(1))
     val dir = Files.createTempDirectory("graft_jsonl").toString
