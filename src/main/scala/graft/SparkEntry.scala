@@ -1020,6 +1020,73 @@ object SparkEntry {
       .orderBy("decile")
   }
 
+  /** Corpus-trained BPE: ONE word-count shuffle bounds a 200-word
+    * frequency table, 16 greedy merges train driver-side on it, and the
+    * merges broadcast back for narrow one-pass encoding. The oracle
+    * RETRAINS the identical table in DuckDB (unrolled list-op stages,
+    * ties by (count desc, pair asc)) and re-encodes — the per-doc md5
+    * pins every merge decision cross-engine. */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = ops.Bpe.trainOnCorpus(docs, "text",
+      vocabSize = BpeVocab, nMerges = BpeMerges)
+    ops.Bpe.encode(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_bpe"),
+        md5(array_join(col("bpe_tokens"), " ")).as("bpe_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val BpeVocab = 200
+  private val BpeMerges = 16
+
+  /** q81's DuckDB oracle, generated: BPE training is a fixed-point loop,
+    * so the `nMerges` rounds unroll into CTE stages (the same
+    * rank-by-rank shape q39 used a recursive CTE for). Each stage counts
+    * adjacent pairs over the split vocabulary (weighted by word
+    * frequency), picks the (count desc, a, b asc) argmax, and applies it
+    * with a left-to-right list_reduce fold; encoding replays the stages
+    * over the corpus' distinct words. */
+  private def bpeOracle(vocabSize: Int, nMerges: Int): String = {
+    val fold =
+      """list_reduce(
+        list_transform(parts, x -> [x]),
+        (acc, x) -> CASE WHEN len(acc)>0 AND acc[-1] = a AND x[1] = b
+                    THEN array_append(array_pop_back(acc), a || b)
+                    ELSE array_concat(acc, x) END)"""
+    // MATERIALIZED: each s_i is referenced twice (pair counts + merge
+    // application), so inlined CTEs would expand the base scan 2^nMerges
+    // times — materialization keeps the chain linear
+    val trainStage = (i: Int) => s"""
+      p$i AS (SELECT u.pr[1] AS a, u.pr[2] AS b, sum(freq) AS cnt
+          FROM s${i - 1}, unnest(list_zip(parts, parts[2:])) AS u(pr)
+          WHERE u.pr[2] IS NOT NULL GROUP BY 1, 2),
+      m$i AS MATERIALIZED (SELECT a, b FROM p$i
+          ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+      s$i AS MATERIALIZED (SELECT word, freq, $fold AS parts
+          FROM s${i - 1} CROSS JOIN m$i)"""
+    val encStage = (i: Int) => s"""
+      e$i AS MATERIALIZED (SELECT word, $fold AS parts
+          FROM e${i - 1} CROSS JOIN m$i)"""
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+            x -> x <> '') AS toks
+        FROM documents),
+      vocab AS (SELECT word, count(*) AS freq
+          FROM (SELECT unnest(toks) AS word FROM tk) GROUP BY word
+          ORDER BY freq DESC, word ASC LIMIT $vocabSize),
+      s0 AS (SELECT word, freq, regexp_extract_all(word, '.') AS parts
+          FROM vocab),${(1 to nMerges).map(trainStage).mkString(",")},
+      dw AS (SELECT doc_id, g.i AS idx, toks[g.i] AS word
+          FROM tk, unnest(generate_series(1, len(toks))) AS g(i)),
+      e0 AS (SELECT word, regexp_extract_all(word, '.') AS parts
+          FROM (SELECT DISTINCT word FROM dw))${(1 to nMerges).map(encStage).mkString(",", ",", "")}
+      SELECT d.doc_id, CAST(sum(len(e.parts)) AS BIGINT) AS n_bpe,
+        md5(string_agg(array_to_string(e.parts, ' '), ' ' ORDER BY d.idx))
+          AS bpe_md5
+      FROM dw d JOIN e$nMerges e USING (word)
+      GROUP BY d.doc_id ORDER BY d.doc_id"""
+  }
+
   /** RANGE-frame window (event-time, not row-count): each event counts
     * same-user events in its trailing 10 minutes — peers at equal
     * timestamps are all included, so the result is deterministic under
@@ -1120,7 +1187,8 @@ object SparkEntry {
     "q77_repeated_chunks" -> (q77 _),
     "q78_ntile_deciles" -> (q78 _),
     "q79_range_frame" -> (q79 _),
-    "q80_global_deciles" -> (q80 _))
+    "q80_global_deciles" -> (q80 _),
+    "q81_bpe_encode" -> (q81 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -2232,5 +2300,6 @@ object SparkEntry {
          SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
            CAST(min(pc) AS BIGINT) AS min_cents,
            CAST(max(pc) AS BIGINT) AS max_cents
-         FROM x GROUP BY decile ORDER BY decile""")
+         FROM x GROUP BY decile ORDER BY decile""",
+    "q81_bpe_encode" -> bpeOracle(BpeVocab, BpeMerges))
 }

@@ -444,12 +444,20 @@ object TextAnalysis {
     * Output per doc: shard, seq_in_shard (which sequence the doc STARTS
     * in), seq_offset (token offset inside it). */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    maxTokens: Long, docsPerShard: Long = 1000): DataFrame = {
+                    maxTokens: Long, docsPerShard: Long = 1000): DataFrame =
+    packSequencesBy(df, idCol, size(tokensCol(col(textCol))).cast("long"),
+      maxTokens, docsPerShard)
+
+  /** [[packSequences]] with a caller-supplied token-count column — the
+    * exact-budget form: pass [[Bpe.encode]]'s `n_bpe` (real subword
+    * counts) and the packed sequences hit the training budget exactly
+    * instead of approximating it with whitespace words. */
+  def packSequencesBy(df: DataFrame, idCol: String, nTokens: Column,
+                      maxTokens: Long, docsPerShard: Long = 1000): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(idCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.select(col(idCol), col(textCol))
-      .withColumn("n_tokens", size(tokensCol(col(textCol))).cast("long"))
+    df.withColumn("n_tokens", nTokens)
       .withColumn("shard", expr(s"CAST($idCol AS BIGINT) div ${docsPerShard}L"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col(idCol), col("shard"), col("n_tokens"),
@@ -468,9 +476,16 @@ object TextAnalysis {
     * or packing. Chunk text is re-joined and md5-fingerprinted (the
     * engine-portable hash). */
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
-                  chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+                  chunkSize: Int = 64, stride: Int = 48): DataFrame =
+    chunkTokensBy(df, idCol, tokensCol(col(textCol)), chunkSize, stride)
+
+  /** [[chunkTokens]] over a caller-supplied token-array column — the
+    * exact-budget form: pass [[Bpe.encode]]'s `bpe_tokens` and every
+    * chunk holds at most `chunkSize` REAL subword tokens. */
+  def chunkTokensBy(df: DataFrame, idCol: String, toks: Column,
+                    chunkSize: Int = 64, stride: Int = 48): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
-    df.select(col(idCol).cast("long").as("id"), tokensCol(col(textCol)).as("toks"))
+    df.select(col(idCol).cast("long").as("id"), toks.as("toks"))
       .withColumn("ntok", size(col("toks")).cast("long"))
       .select(col("id"), col("toks"), col("ntok"),
         explode(when(col("ntok") > 0,

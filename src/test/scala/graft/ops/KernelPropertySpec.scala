@@ -39,6 +39,65 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE: rank-map encode == literal rule-by-rule encode on random text") {
+    // random corpora over a small alphabet force deep merge chains and
+    // heavy tie-breaking; the rank-based production encoder must equal
+    // the sequential oracle twin token-for-token
+    for (round <- 1 to 10) {
+      val alphabet = "abcd0'"
+      def word() = Seq.fill(1 + rnd.nextInt(10))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val corpus = Seq.fill(60)(Seq.fill(1 + rnd.nextInt(12))(word()).mkString(" "))
+      val wc = corpus.flatMap(Bpe.wordTokens)
+        .groupBy(identity).map { case (w, g) => w -> g.size.toLong }.toSeq
+      val merges = Bpe.train(wc, nMerges = 12)
+      val ranks = merges.zipWithIndex.toMap
+      val words = wc.map(_._1) ++ Seq.fill(20)(word()) // incl. unseen words
+      words.foreach { w =>
+        assert(Bpe.encodeWord(w, ranks) == Bpe.encodeWordSequential(w, merges),
+          s"round $round word $w merges $merges")
+      }
+      // every encoding concatenates back to the original word
+      words.foreach { w =>
+        assert(Bpe.encodeWord(w, ranks).mkString == w)
+      }
+    }
+  }
+
+  test("BPE packing and chunking budget in exact subword tokens") {
+    val docs = (0L until 120L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(30))(
+        Seq("stream", "process", "dataset", "token", "merge")(rnd.nextInt(5)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val merges = Bpe.trainOnCorpus(docs, "text", vocabSize = 50, nMerges = 8)
+    val enc = docs.join(
+      Bpe.encode(docs, "doc_id", "text", merges), "doc_id").cache()
+    val maxTokens = 48L
+    val packed = TextAnalysis.packSequencesBy(enc, "doc_id", col("n_bpe"),
+        maxTokens, docsPerShard = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // exact-budget invariant: replaying the fold with the REAL subword
+    // counts reproduces every (sequence, offset) assignment
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, seq, off) =>
+        assert(seq == cum / maxTokens && off == cum % maxTokens, s"doc $id")
+        cum += n
+      }
+    }
+    // chunking over bpe_tokens: chunk token counts are exact subword counts
+    val chunks = TextAnalysis.chunkTokensBy(enc, "doc_id",
+        col("bpe_tokens"), chunkSize = 16, stride = 16)
+      .groupBy("id").agg(sum("n_tok").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nBpe = enc.select("doc_id", "n_bpe")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks == nBpe, "non-overlapping chunks must cover exactly n_bpe")
+    enc.unpersist()
+  }
+
   test("tar: arbitrary printable names and binary payloads round-trip") {
     for (_ <- 1 to 20) {
       val n = 1 + rnd.nextInt(12)
