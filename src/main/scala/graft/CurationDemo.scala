@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 
@@ -27,9 +27,27 @@ object CurationDemo {
       .appName("graft-curation")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(run(spark, spark.read.parquet(s"$sfDir/documents.parquet"), outDir))
+    spark.stop()
+  }
+
+  /** The full curation DAG on any (doc_id, text) frame — callable from
+    * [[ScaleRun]] so the scale-proof harness drives the *same* pipeline the
+    * CLI runs, not a reimplementation. Returns the one-line summary.
+    *
+    * The thresholds are corpus-tuning knobs, defaulted to the CLI demo's
+    * values: `nearDupThreshold` is the MinHash Jaccard cut, `contamN`/
+    * `contamMinHits` the decontamination n-gram size and distinct-overlap
+    * cut. A heavily templated corpus (like the engine's own generator
+    * output, where every doc shares skeleton n-grams) needs a larger
+    * `contamN`/`contamMinHits` or the benchmark slice transitively drops
+    * everything — same tuning a real web corpus needs for boilerplate. */
+  def run(spark: SparkSession, docsIn: DataFrame, outDir: Option[String],
+          nearDupThreshold: Double = 0.5, contamN: Int = 3,
+          contamMinHits: Int = 5): String = {
     val t0 = System.nanoTime()
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+    val docs = docsIn.cache()
     val n0 = docs.count()
 
     // 1. exact dedup: drop all but the first doc of each identical text
@@ -37,24 +55,24 @@ object CurationDemo {
       .select(col("id")).cache()
     val nExact = exactDrops.count()
 
-    // 2. near-dup dedup: MinHash-LSH pairs at Jaccard >= 0.5, clustered
-    //    into connected components — duplicate CHAINS (a≈b≈c with a!≈c)
-    //    collapse to one kept doc (the min id), which per-pair dropping
-    //    cannot guarantee
+    // 2. near-dup dedup: MinHash-LSH pairs at Jaccard >= threshold,
+    //    clustered into connected components — duplicate CHAINS (a≈b≈c with
+    //    a!≈c) collapse to one kept doc (the min id), which per-pair
+    //    dropping cannot guarantee
     val nearPairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-      threshold = 0.5).select("id_a", "id_b")
+      threshold = nearDupThreshold).select("id_a", "id_b")
     val nearDrops = Dedup.dupClusters(nearPairs)
       .filter(col("id") =!= col("cluster")).select(col("id")).cache()
     val nNear = nearDrops.count()
 
     // 3. benchmark decontamination: drop corpus docs overlapping a
     //    held-out benchmark slice (demo benchmark: every 20th doc) on
-    //    ≥5 distinct word 3-grams — AND the benchmark docs themselves,
-    //    which must never reach training output
+    //    ≥ minHits distinct word n-grams — AND the benchmark docs
+    //    themselves, which must never reach training output
     val benchDocs = docs.filter(col("doc_id") % 20 === 0)
     val contamDrops = Curation.decontaminationFlags(
       docs.filter(col("doc_id") % 20 =!= 0), benchDocs,
-      "doc_id", "text", n = 3, minHits = 5).select(col("id"))
+      "doc_id", "text", n = contamN, minHits = contamMinHits).select(col("id"))
       .unionByName(benchDocs.select(col("doc_id").as("id")))
       .cache()
     val nContam = contamDrops.count()
@@ -130,7 +148,7 @@ object CurationDemo {
 
     val kept = finalDf.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[curation] $n0 docs -> removed $nDrops docs " +
+    f"[curation] $n0 docs -> removed $nDrops docs " +
       f"($nExact exact-dup, $nNear near-dup-clustered, $nContam contaminated; " +
       f"lists overlap), " +
       f"${n0 - nDrops - kept} low-quality-or-templated; " +
@@ -139,7 +157,6 @@ object CurationDemo {
       f"boilerplate mean ${boilerStats.getDouble(0)}%.0f permille " +
       f"(${boilerStats.getLong(1)} fully-templated); " +
       f"train mixed to $nTrainMixed docs, packed into $nSeqs 512-token sequences " +
-      f"in $secs%.1f s")
-    spark.stop()
+      f"in $secs%.1f s"
   }
 }

@@ -1,0 +1,199 @@
+package graft
+
+import java.lang.management.{ManagementFactory, MemoryType}
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{ContentGen, MetaGen, PipelineConfig, Validator}
+import scala.jdk.CollectionConverters._
+
+/** Scale-proof harness: generate a ≥500k-doc corpus with the engine's OWN
+  * generator (no external data), then drive the published pipelines
+  * end-to-end at that scale, recording wall time, shuffle volume, spill,
+  * and peak memory per phase:
+  *
+  *   1. generate  — MetaGen plan → ContentGen render → parquet (the same
+  *                  four-stage contract as the reference, ~300× its corpus)
+  *   2. curation  — the full [[CurationDemo]] DAG (exact dedup → MinHash
+  *                  near-dup clustering → decontamination → quality gate →
+  *                  boilerplate → redact → split → temperature mix →
+  *                  sequence packing → tar shards), unmodified
+  *   3. validate  — [[Validator.run]]: 50-SIT regex verdicts + rollup +
+  *                  issues over every generated doc
+  *   4. streaming — file-source [[graft.streaming.StreamingValidator]] over
+  *                  the same mapping landed as CSV, state-store size
+  *                  captured from StreamingQueryProgress
+  *
+  * Metrics come from a SparkListener (per-stage task metrics summed per
+  * phase) plus JVM heap-pool peaks (reset at each phase boundary). The
+  * report is written to `target/scale_report.md` + `.json` — SCALE.md
+  * quotes it.
+  *
+  * Usage: SPARK_DRIVER_MEM=48g sbt "runMain graft.ScaleRun [perSit] [outDir]"
+  * perSit=3000 → ~507k docs (docsNeeded is deterministic, §4.2 closed form).
+  */
+object ScaleRun {
+
+  /** Sums task metrics across completed stages; phases snapshot deltas. */
+  private final class Metrics extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spilled = new AtomicLong
+    val input = new AtomicLong
+    val output = new AtomicLong
+    val peakExec = new AtomicLong
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        output.addAndGet(m.outputMetrics.bytesWritten)
+        peakExec.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    def snap(): Map[String, Long] = Map(
+      "shuffleRead" -> shuffleRead.get, "shuffleWrite" -> shuffleWrite.get,
+      "spilled" -> spilled.get, "input" -> input.get, "output" -> output.get)
+  }
+
+  final case class PhaseStat(name: String, secs: Double,
+      shuffleReadMb: Long, shuffleWriteMb: Long, spillMb: Long,
+      inputMb: Long, outputMb: Long, heapPeakMb: Long, note: String)
+
+  def main(args: Array[String]): Unit = {
+    val perSit = args.headOption.map(_.toInt).getOrElse(3000)
+    val outRoot = args.lift(1).getOrElse("target/scale")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "2g")
+      .appName("graft-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new Metrics
+    spark.sparkContext.addSparkListener(metrics)
+    val heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == MemoryType.HEAP)
+    val phases = scala.collection.mutable.ArrayBuffer.empty[PhaseStat]
+    def mb(b: Long) = b >> 20
+
+    def phase(name: String)(body: => String): Unit = {
+      heapPools.foreach(_.resetPeakUsage())
+      val before = metrics.snap()
+      val t0 = System.nanoTime()
+      val note = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      val after = metrics.snap()
+      val heapPeak = heapPools.map(_.getPeakUsage.getUsed).sum
+      def d(k: String) = mb(after(k) - before(k))
+      val st = PhaseStat(name, secs, d("shuffleRead"), d("shuffleWrite"),
+        d("spilled"), d("input"), d("output"), mb(heapPeak), note)
+      phases += st
+      println(f"[scale] ${st.name}%-10s ${st.secs}%8.1f s  " +
+        f"shuffle r/w ${st.shuffleReadMb}/${st.shuffleWriteMb} MB  " +
+        f"spill ${st.spillMb} MB  in/out ${st.inputMb}/${st.outputMb} MB  " +
+        f"heap peak ${st.heapPeakMb} MB  ${st.note}")
+    }
+
+    val cfg = PipelineConfig.scaled(perSit)
+    val docsPath = s"$outRoot/documents.parquet"
+
+    // ---- 1. generate: plan + render with the engine's own generator ----
+    phase("generate") {
+      // diverse filler: organic-corpus n-gram statistics (see ContentGen)
+      val corpus = ContentGen.corpus(MetaGen.docs(spark, cfg),
+        diverseFiller = true)
+      corpus.write.mode("overwrite").parquet(docsPath)
+      val n = spark.read.parquet(docsPath).count()
+      s"$n docs (perSit=$perSit)"
+    }
+    val corpus = spark.read.parquet(docsPath)
+
+    // ---- 2. the full curation DAG, as published ----
+    phase("curation") {
+      // thresholds tuned for a generator corpus where every doc shares the
+      // template skeleton: near-dup cut 0.8 (only filler-free twins match),
+      // decontamination on 8-grams ≥ 20 hits (skeleton 3-grams would
+      // otherwise mark 100% of the corpus contaminated — scale-smoke showed
+      // exactly that; the CLI defaults stay tuned for organic corpora)
+      val summary = CurationDemo.run(spark,
+        corpus.select("doc_id", "text"), Some(s"$outRoot/curated"),
+        nearDupThreshold = 0.8, contamN = 8, contamMinHits = 20)
+      spark.catalog.clearCache()
+      summary.dropWhile(_ != ']').drop(2)
+    }
+
+    // ---- 3. batch validator over every generated doc ----
+    phase("validate") {
+      val mapping = ContentGen.mappingFromCorpus(corpus)
+      val (report, means, issues) =
+        Validator.run(mapping, corpus.select("filename", "text"),
+          cfg.sitDim(spark).toDF())
+      val rep = report.collect() // 1 row per SIT-verdict class (bounded)
+      val nIssues = issues.count()
+      means.collect()
+      spark.catalog.clearCache()
+      s"${rep.map(_.getAs[Long]("docs")).sum} verdict docs, " +
+        s"$nIssues issues (cap 500)"
+    }
+
+    // ---- 4. streaming validator, file source, state size recorded ----
+    phase("streaming") {
+      val inDir = s"$outRoot/stream_in"
+      val outDir = s"$outRoot/stream_out"
+      val ckpt = s"$outRoot/stream_ckpt"
+      val sitDim = cfg.sitDim(spark).toDF()
+      // spread event time over 12 tumbling windows so the state store holds
+      // a realistic working set (watermark then bounds it); newline-free
+      // text keeps the CSV exchange single-line (same flattening the
+      // streaming spec uses — the regexes are line-oriented either way)
+      ContentGen.mappingFromCorpus(corpus)
+        .join(corpus.select(col("filename"),
+          regexp_replace(col("text"), "\n", " ").as("text")), "filename")
+        .select(col("doc_id"), col("filename"), col("format"),
+          col("word_count_target"), col("sit_ids"), col("labels"),
+          col("instances"), col("confidences"), col("tcs"),
+          (lit("2026-01-01 10:00:00").cast("timestamp") +
+            make_dt_interval(lit(0), lit(0),
+              (col("doc_id") % 12) * 10, lit(0))).as("created_at"),
+          col("text"))
+        .write.option("header", "true").mode("overwrite").csv(inDir)
+      val q = graft.streaming.StreamingValidator.run(
+        spark, inDir, outDir, ckpt, sitDim)
+      try {
+        q.processAllAvailable()
+        val so = q.lastProgress.stateOperators
+        val stateRows = so.map(_.numRowsTotal).sum
+        val stateMem = so.map(_.memoryUsedBytes).sum
+        val emitted = spark.read.parquet(outDir).count()
+        s"state rows $stateRows (${mb(stateMem)} MB in store), " +
+          s"$emitted windowed report rows emitted"
+      } finally q.stop()
+    }
+
+    // ---- report ----
+    val header = "| phase | wall s | shuffle read MB | shuffle write MB | " +
+      "spill MB | input MB | output MB | heap peak MB | note |\n" +
+      "|---|---|---|---|---|---|---|---|---|"
+    val rows = phases.map(p => f"| ${p.name} | ${p.secs}%.1f | " +
+      s"${p.shuffleReadMb} | ${p.shuffleWriteMb} | ${p.spillMb} | " +
+      s"${p.inputMb} | ${p.outputMb} | ${p.heapPeakMb} | ${p.note} |")
+    val md = s"# Scale run: perSit=$perSit\n\n$header\n${rows.mkString("\n")}\n"
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/scale_report.md"), md)
+    val json = phases.map(p =>
+      s"""{"phase":"${p.name}","secs":${f"${p.secs}%.1f"},""" +
+        s""""shuffle_read_mb":${p.shuffleReadMb},"shuffle_write_mb":${p.shuffleWriteMb},""" +
+        s""""spill_mb":${p.spillMb},"input_mb":${p.inputMb},"output_mb":${p.outputMb},""" +
+        s""""heap_peak_mb":${p.heapPeakMb}}""").mkString("[", ",", "]")
+    Files.writeString(Paths.get("target/scale_report.json"), json)
+    println(md)
+    spark.stop()
+  }
+}

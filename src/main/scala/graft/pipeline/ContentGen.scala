@@ -80,8 +80,19 @@ object ContentGen {
       lit("\n\n\nGenerated at: "), createdAt)
 
   /** Render the corpus: plan (from [[MetaGen.docs]]) → one text per doc,
-    * padded to the word target (T6 closed-form), plus actuals. */
-  def corpus(docs: DataFrame): DataFrame = {
+    * padded to the word target (T6 closed-form), plus actuals.
+    *
+    * `diverseFiller = false` (the default, matching the reference) pads with
+    * [[TextGen.loremFillCol]] — rotations of one fixed lorem cycle, fast
+    * (whole-stage codegen) but maximally boilerplate-heavy: every doc's
+    * filler shares long n-gram runs with every other doc. `diverseFiller =
+    * true` pads with [[TextGen.loremWordsCol]] — an independent hashed vocab
+    * draw per word position, so two docs share filler n-grams only by
+    * coincidence. Use it when the corpus must *behave* like organic data
+    * (near-dup rates, n-gram df, decontamination overlap) — e.g. the
+    * [[graft.ScaleRun]] scale proof; it pays one interpreted lambda per
+    * filler word (~10 µs/word). */
+  def corpus(docs: DataFrame, diverseFiller: Boolean = false): DataFrame = {
     val docId = col("doc_id")
     val sits = col("sits")
     val vals = SitValues.instanceValuesCol(docId, sits)
@@ -99,11 +110,13 @@ object ContentGen {
 
     val needed = greatest(lit(0),
       col("word_count_target") - wordCountCol(col("raw_text")))
+    val filler =
+      if (diverseFiller) TextGen.loremWordsCol(docId, needed, lit(20000L))
+      else TextGen.loremFillCol(docId, lit(20000L), needed)
     base
       .withColumn("text",
         when(needed > 0,
-          concat(col("raw_text"), lit("\n\n"),
-            TextGen.loremFillCol(docId, lit(20000L), needed)))
+          concat(col("raw_text"), lit("\n\n"), filler))
           .otherwise(col("raw_text")))
       .withColumn("actual_word_count", wordCountCol(col("text")).cast("long"))
       .withColumn("actual_file_path",
