@@ -32,7 +32,9 @@ import scala.jdk.CollectionConverters._
   * quotes it.
   *
   * Usage: SPARK_DRIVER_MEM=48g sbt "runMain graft.ScaleRun [perSit] [outDir]"
-  * perSit=3000 → ~507k docs (docsNeeded is deterministic, §4.2 closed form).
+  * docsNeeded is deterministic (§4.2 closed form): ≈ 15 docs per perSit
+  * unit (each doc carries ~3.35 of the 50 SITs), so perSit=34000 → ~510k
+  * docs — the ≥500k scale-proof corpus.
   */
 object ScaleRun {
 

@@ -111,7 +111,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))),
     (FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
-      (args: Seq[Expression]) => NormalizeText(args.head)))
+      (args: Seq[Expression]) => NormalizeText(args.head)),
+    (FunctionIdentifier("lorem_words"),
+      new ExpressionInfo(classOf[LoremWordsExpr].getName, "lorem_words"),
+      (args: Seq[Expression]) => LoremWordsExpr(args(0), args(1), args(2))))
 
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
@@ -141,6 +144,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => CosineSimExpr(args(0), args(1)): Expression),
       (FunctionIdentifier("normalize_text"),
         new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
-        (args: Seq[Expression]) => NormalizeText(args.head): Expression))
+        (args: Seq[Expression]) => NormalizeText(args.head): Expression),
+      (FunctionIdentifier("lorem_words"),
+        new ExpressionInfo(classOf[LoremWordsExpr].getName, "lorem_words"),
+        (args: Seq[Expression]) => LoremWordsExpr(args(0), args(1), args(2)): Expression))
       .foreach(ext.injectFunction)
 }

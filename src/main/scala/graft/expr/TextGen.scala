@@ -95,6 +95,32 @@ object TextGen {
           i => loremWordCol(key, slotBase + i)),
         " "))
 
+  /** [[loremWordsCol]] via the NATIVE codegen expression
+    * ([[LoremWordsExpr]]): one compiled loop renders every word, no
+    * per-word interpreted lambda and no materialized sequence array.
+    * Bit-identical to the HOF form (KernelPropertySpec pins it); the
+    * scale-run render path uses this one. */
+  def loremWordsNativeCol(key: Column, n: Column, slotBase: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(LoremWordsExpr(
+      expression(key.cast("long")),
+      expression(n.cast("long")),
+      expression(slotBase.cast("long"))))
+  }
+
+  /** Line-structured variant: same word stream, but ~every 12th separator
+    * is a newline (deterministic draw). `replace('\n', ' ')` recovers
+    * [[loremWordsNativeCol]] exactly. Organic corpora have line structure;
+    * one multi-KB line is the worst case for per-boundary regex scans
+    * (see [[LoremWordsKernel.render]]). */
+  def loremProseNativeCol(key: Column, n: Column, slotBase: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(LoremWordsExpr(
+      expression(key.cast("long")),
+      expression(n.cast("long")),
+      expression(slotBase.cast("long")), prose = true))
+  }
+
   /** Precomputed deterministic lorem cycle — sized for the max word target
     * (4000, `config.json:8`) plus the rotation window. */
   private val MaxFill = 4000

@@ -25,7 +25,17 @@ object Curation {
       size(regexp_extract_all(text, lit(regex), lit(0)))
     }.reduce(_ + _).cast("long")
 
-  /** Redact the regex-bearing SITs of a dimension over `textCol`. */
+  /** Redact the regex-bearing SITs of a dimension over `textCol`.
+    *
+    * Scale note (found by the 500k-doc scale run): patterns with
+    * unbounded lookaheads — the dimension's `(?=.*\d)` family — cost
+    * O(line length) at EVERY word boundary in a backtracking engine, so
+    * one multi-kilobyte single-line document makes this fold quadratic
+    * (32 cores spent ~0.6 s/doc on 24 KB one-line filler; normal
+    * line-structured text is milliseconds). The generator now emits
+    * line-structured filler; corpora ingested from elsewhere should be
+    * normalized to bounded line lengths before redaction, or hostile
+    * single-line documents length-capped upstream. */
   def redactSits(df: DataFrame, textCol: String,
                  sitDim: Seq[graft.pipeline.SitDef]): DataFrame = {
     val pats = sitDim.filter(_.regex.nonEmpty).map(s => s.id -> s.regex)

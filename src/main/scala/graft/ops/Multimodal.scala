@@ -13,10 +13,16 @@ import org.apache.spark.sql.types._
   * ADPCM ([[Adpcm]] — real integer codecs, µ-law cross-validated against
   * javax.sound). The VIDEO lane decodes MJPEG AVI for real ([[Avi]]:
   * RIFF walk + the JPEG codec per frame — metadata, frame sampling, and
-  * resize all touch actual pixels). Perceptual codecs (MP3/AAC/Vorbis
-  * payloads, inter-frame video like H.264) genuinely need native codec
-  * libraries this container does not ship — those kernels are STUBBED
-  * with deterministic fakes (clearly marked below). Everything
+  * resize all touch actual pixels), and compressed audio decodes for
+  * real through the pure-JVM [[Flac]] codec (lossless; validated by the
+  * format's own embedded PCM MD5). MP3/AAC payloads and inter-frame
+  * video (H.264/VP9) are OUT OF SCOPE by policy, not stubs-in-waiting:
+  * their normative tabulated data (Huffman code tables, synthesis
+  * windows, scalefactor bands) cannot be derived from math and is not
+  * present in this container, and no independent decoder exists here to
+  * validate a reproduction — an unverifiable codec is worse than a
+  * declared boundary (see [[Flac]]'s scaladoc). Their headers still
+  * parse for real (duration/bitrate, below). Everything
   * Spark-side is real and tested:
   * schemas, batch iteration via `mapPartitions` on the binary column (the
   * Scala analog of `mapInPandas` batch shape), partitioning, and the
@@ -264,6 +270,12 @@ object Multimodal {
       case _ => None
     }
   }
+
+  /** Unified audio PCM decode: WAV lanes (PCM/µ-law/ADPCM via
+    * [[wavSamples]]) or FLAC ([[Flac.flacSamples]]) — same normalized
+    * mono contract either way. */
+  def audioSamples(bytes: Array[Byte]): Option[Array[Double]] =
+    wavSamples(bytes).orElse(Flac.flacSamples(bytes))
 
   /** Real audio features from decoded PCM: (n_samples, RMS energy,
     * zero-crossing rate). */

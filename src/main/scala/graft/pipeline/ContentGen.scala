@@ -86,12 +86,15 @@ object ContentGen {
     * [[TextGen.loremFillCol]] — rotations of one fixed lorem cycle, fast
     * (whole-stage codegen) but maximally boilerplate-heavy: every doc's
     * filler shares long n-gram runs with every other doc. `diverseFiller =
-    * true` pads with [[TextGen.loremWordsCol]] — an independent hashed vocab
-    * draw per word position, so two docs share filler n-grams only by
+    * true` pads with [[TextGen.loremWordsNativeCol]] — an independent hashed
+    * vocab draw per word position, so two docs share filler n-grams only by
     * coincidence. Use it when the corpus must *behave* like organic data
-    * (near-dup rates, n-gram df, decontamination overlap) — e.g. the
-    * [[graft.ScaleRun]] scale proof; it pays one interpreted lambda per
-    * filler word (~10 µs/word). */
+    * (near-dup rates, n-gram df, decontamination overlap, line structure)
+    * — e.g. the [[graft.ScaleRun]] scale proof. The draw-per-word runs as
+    * one native codegen loop ([[graft.expr.LoremWordsExpr]], prose form:
+    * ~12-word lines, since giant single-line docs are the regex-scan
+    * worst case); the HOF twin [[TextGen.loremWordsCol]] paid an
+    * interpreted lambda per word. */
   def corpus(docs: DataFrame, diverseFiller: Boolean = false): DataFrame = {
     val docId = col("doc_id")
     val sits = col("sits")
@@ -111,7 +114,7 @@ object ContentGen {
     val needed = greatest(lit(0),
       col("word_count_target") - wordCountCol(col("raw_text")))
     val filler =
-      if (diverseFiller) TextGen.loremWordsCol(docId, needed, lit(20000L))
+      if (diverseFiller) TextGen.loremProseNativeCol(docId, needed, lit(20000L))
       else TextGen.loremFillCol(docId, lit(20000L), needed)
     base
       .withColumn("text",

@@ -334,21 +334,106 @@ object MiniFormats {
   }
 
   private val PdfStrLit = "\\((?:[^()\\\\]|\\\\.)*\\)"
+  private val PdfHexStr = "<[0-9A-Fa-f\\s]*>"
+  private val PdfStr = s"(?:$PdfStrLit|$PdfHexStr)"
 
-  /** Text shown by one decoded content stream: every `(…) Tj` / `(…)'`
+  /** A font's ToUnicode view: CID → text, plus the codespace byte width
+    * (1 for simple-font CMaps, 2 for Identity-H-style CID fonts). */
+  private[sink] final case class ToUnicode(map: Map[Int, String], codeBytes: Int)
+
+  /** Parse a ToUnicode CMap stream (ISO 32000 §9.10.3): `bfchar` pairs,
+    * `bfrange` runs (both the `<lo> <hi> <dstStart>` incrementing form —
+    * increment applied to the LAST UTF-16 code unit — and the explicit
+    * `[<d0> <d1> …]` array form). Destination hex is UTF-16BE, so
+    * surrogate pairs fall out for free. Codespace width comes from
+    * `begincodespacerange`; absent one, 2 bytes (the CID-font default). */
+  private[sink] def parseToUnicodeCMap(s: String): ToUnicode = {
+    def utf16(hex: String): String = {
+      val h = hex.filterNot(_.isWhitespace)
+      (0 until h.length / 4).map(i =>
+        Integer.parseInt(h.substring(i * 4, i * 4 + 4), 16).toChar).mkString
+    }
+    val codeBytes = "begincodespacerange\\s*<([0-9A-Fa-f]+)>".r
+      .findFirstMatchIn(s).map(m => math.max(1, m.group(1).length / 2))
+      .getOrElse(2)
+    val map = scala.collection.mutable.Map.empty[Int, String]
+    "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(s).foreach { blk =>
+      "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f\\s]+)>".r
+        .findAllMatchIn(blk.group(1)).foreach { p =>
+          map(Integer.parseInt(p.group(1), 16)) = utf16(p.group(2))
+        }
+    }
+    "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(s).foreach { blk =>
+      ("<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*" +
+        "(?:<([0-9A-Fa-f\\s]+)>|\\[((?:\\s*<[0-9A-Fa-f\\s]*>)*)\\s*\\])").r
+        .findAllMatchIn(blk.group(1)).foreach { r =>
+          val lo = Integer.parseInt(r.group(1), 16)
+          // cap the span so a crafted <00000000> <7FFFFFFF> range can't
+          // drive a 2^31 loop — 64K covers the whole 2-byte codespace
+          val hi = math.min(Integer.parseInt(r.group(2), 16), lo + 0xFFFF)
+          if (r.group(3) != null) {
+            val dst = utf16(r.group(3))
+            (lo to hi).foreach { c =>
+              map(c) =
+                if (dst.isEmpty) ""
+                else dst.init + (dst.last + (c - lo)).toChar
+            }
+          } else {
+            val dsts = "<([0-9A-Fa-f\\s]*)>".r.findAllMatchIn(r.group(4))
+              .map(m => utf16(m.group(1))).toIndexedSeq
+            (lo to hi).foreach(c =>
+              dsts.lift(c - lo).foreach(d => map(c) = d))
+          }
+        }
+    }
+    ToUnicode(map.toMap, codeBytes)
+  }
+
+  /** Map one shown string through the active font's ToUnicode table:
+    * bytes are grouped into fixed-width codes (codespace width), each code
+    * looked up in the CMap; unmapped codes are dropped rather than leaking
+    * CIDs as garbage glyph indices. Without a CMap the bytes pass through
+    * byte-per-char (the simple-font path the writer and ReportLab use). */
+  private def decodeShown(raw: Seq[Int], cmap: Option[ToUnicode]): String =
+    cmap match {
+      case None => raw.map(_.toChar).mkString
+      case Some(tu) =>
+        raw.grouped(tu.codeBytes).collect {
+          case g if g.length == tu.codeBytes =>
+            tu.map.getOrElse(g.foldLeft(0)((a, b) => (a << 8) | b), "")
+        }.mkString
+    }
+
+  /** One PDF string token (literal or hex) → the byte values it shows. */
+  private def strBytes(tok: String): Seq[Int] =
+    if (tok.startsWith("("))
+      pdfUnescape(tok.stripPrefix("(").stripSuffix(")")).map(_.toInt & 0xff)
+    else {
+      val h = tok.stripPrefix("<").stripSuffix(">").filterNot(_.isWhitespace)
+      val padded = if (h.length % 2 == 1) h + "0" else h // odd → trailing 0 per spec
+      (0 until padded.length / 2)
+        .map(i => Integer.parseInt(padded.substring(i * 2, i * 2 + 2), 16))
+    }
+
+  /** Text shown by one decoded content stream: every `(…)/<…> Tj` / `'`
     * line plus `[…] TJ` arrays (pieces concatenated), in operator order.
-    * None when the stream contains no text operator at all (so callers can
-    * drop non-text streams without dropping genuinely blank pages). */
-  private def pdfStreamText(content: String): Option[String] = {
-    val op = (s"($PdfStrLit)\\s*(?:Tj|')" +
-      s"|\\[((?:$PdfStrLit|[^\\]])*)\\]\\s*TJ").r
-    val lit = PdfStrLit.r
-    val pieces = op.findAllMatchIn(content).map { m =>
-      if (m.group(1) != null)
-        pdfUnescape(m.group(1).stripPrefix("(").stripSuffix(")"))
-      else
-        lit.findAllIn(m.group(2))
-          .map(x => pdfUnescape(x.stripPrefix("(").stripSuffix(")"))).mkString
+    * `Tf` operators are tracked so each string decodes through the then-
+    * active font's ToUnicode CMap (CID fonts); fonts without a CMap keep
+    * the byte-per-char path. None when the stream contains no text
+    * operator at all (so callers can drop non-text streams without
+    * dropping genuinely blank pages). */
+  private def pdfStreamText(content: String,
+      fonts: Map[String, ToUnicode] = Map.empty): Option[String] = {
+    val op = ("/([^\\s/<>\\[\\]()]+)\\s+[-0-9.]+\\s+Tf" +
+      s"|($PdfStr)\\s*(?:Tj|')" +
+      s"|\\[((?:$PdfStr|[^\\]])*)\\]\\s*TJ").r
+    val lit = PdfStr.r
+    var cmap: Option[ToUnicode] = None
+    val pieces = op.findAllMatchIn(content).flatMap { m =>
+      if (m.group(1) != null) { cmap = fonts.get(m.group(1)); None }
+      else if (m.group(2) != null) Some(decodeShown(strBytes(m.group(2)), cmap))
+      else Some(lit.findAllIn(m.group(3))
+        .map(x => decodeShown(strBytes(x), cmap)).mkString)
     }.toSeq
     if (pieces.isEmpty) None else Some(pieces.mkString("\n"))
   }
@@ -359,25 +444,107 @@ object MiniFormats {
     * `/FlateDecode` and/or `/ASCII85Decode` encoded (e.g. ReportLab, the
     * reference's own writer) — filters are applied in pipeline order from
     * the stream dictionary; image/XObject streams and undecodable data are
-    * skipped rather than leaking binary garbage into the text. */
+    * skipped rather than leaking binary garbage into the text. CID-keyed
+    * text (Type0/Identity-H fonts) decodes through each font's embedded
+    * `/ToUnicode` CMap: page `/Resources` are resolved (inline or by
+    * reference) to a per-content-stream font-name → CMap table, so hex
+    * strings extract real text instead of glyph-index garbage. */
   def pdfText(bytes: Array[Byte]): String = {
     // ISO-8859-1 is byte-preserving both ways: regex over the chars, then
     // getBytes recovers the exact raw stream bytes for the inflater
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+
+    // object index: objnum → (body start, body end) — xref-free walk, so
+    // damaged/missing cross-reference tables never block extraction
+    val objHdr = "(\\d+)\\s+\\d+\\s+obj\\b".r
+    val objSpan: Map[Int, (Int, Int)] = objHdr.findAllMatchIn(s).map { m =>
+      val end = s.indexOf("endobj", m.end) match {
+        case -1 => s.length
+        case e  => e
+      }
+      m.group(1).toInt -> (m.end, end)
+    }.toMap
+    def objBody(n: Int): String =
+      objSpan.get(n).map { case (a, b) => s.substring(a, b) }.getOrElse("")
+
+    def decodeStream(body: String): Option[String] =
+      "(?s)stream\r?\n(.*?)endstream".r.findFirstMatchIn(body).flatMap { m =>
+        try {
+          var data = m.group(1).getBytes(iso)
+          val dict = body.substring(0, m.start)
+          if (dict.contains("/ASCII85Decode"))
+            data = ascii85Decode(new String(data, iso))
+          if (dict.contains("/FlateDecode")) data = inflate(data)
+          Some(new String(data, iso))
+        } catch { case _: Exception => None }
+      }
+
+    // font obj → ToUnicode (only fonts that carry a CMap matter: the rest
+    // keep the byte-per-char path)
+    val toUni: Map[Int, ToUnicode] = objSpan.keysIterator.flatMap { n =>
+      val body = objBody(n)
+      if (!body.contains("/Font") && !body.contains("/BaseFont")) None
+      else "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(body)
+        .flatMap(m => decodeStream(objBody(m.group(1).toInt)))
+        // a malformed CMap degrades this font to the no-CMap path instead
+        // of failing the whole extraction (fuzz posture: never throw)
+        .flatMap(cm => try Some(n -> parseToUnicodeCMap(cm))
+          catch { case _: Exception => None })
+    }.toMap
+
+    // page → font resources (inline dict or indirect /Resources N 0 R) and
+    // content-stream object numbers; merged table is the fallback for
+    // streams no page claims (e.g. Form XObjects)
+    val fontRef = "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R".r
+    def fontTable(resBody: String): Map[String, ToUnicode] = {
+      val fontDict =
+        "(?s)/Font\\s*<<(.*?)>>".r.findFirstMatchIn(resBody).map(_.group(1))
+          .orElse("/Font\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(resBody)
+            .map(m => objBody(m.group(1).toInt)))
+          .getOrElse("")
+      fontRef.findAllMatchIn(fontDict).flatMap(m =>
+        toUni.get(m.group(2).toInt).map(m.group(1) -> _)).toMap
+    }
+    val streamFonts: Map[Int, Map[String, ToUnicode]] =
+      objSpan.keysIterator.flatMap { n =>
+        val body = objBody(n)
+        if (!body.contains("/Page") || body.contains("/Pages")) Iterator.empty
+        else {
+          val res = "/Resources\\s+(\\d+)\\s+\\d+\\s+R".r
+            .findFirstMatchIn(body).map(m => objBody(m.group(1).toInt))
+            .orElse("(?s)/Resources\\s*(<<.*?>>)".r.findFirstMatchIn(body)
+              .map(_.group(1)))
+            .getOrElse("")
+          val fonts = fontTable(res)
+          val contents = "/Contents\\s+(\\d+)\\s+\\d+\\s+R".r
+            .findFirstMatchIn(body).map(m => Seq(m.group(1).toInt))
+            .orElse("(?s)/Contents\\s*\\[(.*?)\\]".r.findFirstMatchIn(body)
+              .map(m => "(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(m.group(1))
+                .map(_.group(1).toInt).toSeq))
+            .getOrElse(Seq.empty)
+          contents.iterator.map(_ -> fonts)
+        }
+      }.toMap
+    val mergedFonts: Map[String, ToUnicode] =
+      streamFonts.values.foldLeft(Map.empty[String, ToUnicode])(_ ++ _)
+
     val stream = "(?s)stream\r?\n(.*?)endstream".r
     stream.findAllMatchIn(s).flatMap { m =>
       val dictStart = math.max(0, s.lastIndexOf("obj", m.start))
       val dict = s.substring(dictStart, m.start)
-      if (dict.contains("/Image") || dict.contains("/XObject")) None
+      val objNum = objHdr.findAllMatchIn(
+        s.substring(math.max(0, dictStart - 24), math.min(s.length, dictStart + 4)))
+        .toSeq.lastOption.map(_.group(1).toInt)
+      if (dict.contains("/Image") || dict.contains("/XObject") ||
+        dict.contains("/CMap") || dict.contains("/ToUnicode")) None
       else try {
-        var data = m.group(1)
-          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        var data = m.group(1).getBytes(iso)
         if (dict.contains("/ASCII85Decode"))
-          data = ascii85Decode(new String(data,
-            java.nio.charset.StandardCharsets.ISO_8859_1))
+          data = ascii85Decode(new String(data, iso))
         if (dict.contains("/FlateDecode")) data = inflate(data)
-        pdfStreamText(new String(data,
-          java.nio.charset.StandardCharsets.ISO_8859_1))
+        val fonts = objNum.flatMap(streamFonts.get).getOrElse(mergedFonts)
+        pdfStreamText(new String(data, iso), fonts)
       } catch { case _: Exception => None }
     }.mkString("\n")
   }

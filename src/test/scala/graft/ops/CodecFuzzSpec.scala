@@ -30,6 +30,9 @@ class CodecFuzzSpec extends AnyFunSuite {
     Adpcm.decodeIma(bytes, blockAlign = 8)
     Adpcm.decodeIma(bytes, blockAlign = 256)
     Adpcm.muLawDecodeAll(bytes)
+    Flac.decode(bytes)
+    Flac.flacSamples(bytes)
+    Multimodal.audioSamples(bytes)
   }
 
   test("random garbage never throws in any decoder") {
@@ -47,7 +50,8 @@ class CodecFuzzSpec extends AnyFunSuite {
       "GIF89a".getBytes("US-ASCII"),
       Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte),
       "RIFF1234WAVE".getBytes("US-ASCII"),
-      "1234ftypisom".getBytes("US-ASCII"))
+      "1234ftypisom".getBytes("US-ASCII"),
+      "fLaC".getBytes("US-ASCII"))
     for (m <- magics; _ <- 1 to 50) {
       val tail = new Array[Byte](rnd.nextInt(2048))
       rnd.nextBytes(tail)

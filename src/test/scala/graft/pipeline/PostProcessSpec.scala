@@ -53,6 +53,74 @@ class PostProcessSpec extends SparkSpec {
     assert(count >= 2, s"expected multi-page, got /Count $count")
   }
 
+  test("S13 CID fonts: hex strings decode through the embedded ToUnicode CMap") {
+    // hand-built Type0/Identity-H fixture in the shape external producers
+    // (word processors, browsers' print-to-PDF) emit: text as 2-byte CID
+    // hex strings, the CID→Unicode mapping in a Flate-compressed /ToUnicode
+    // CMap, plus a second SIMPLE font on the same page — the extractor must
+    // switch decoding per Tf selection. Exercises bfchar (incl. a surrogate
+    // pair), both bfrange forms, and the array-offset TJ shape.
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <2014>
+        |<0002> <D83DDE00>
+        |endbfchar
+        |2 beginbfrange
+        |<0020> <007A> <0020>
+        |<0010> <0011> [<0058> <0059>]
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end end""".stripMargin
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(cmap.getBytes("ISO-8859-1")); defl.finish()
+    val zbuf = new Array[Byte](8192)
+    val cmapZ = zbuf.take(defl.deflate(zbuf))
+    defl.end()
+    val content =
+      "BT /F1 12 Tf <00480065006C006C006F> Tj " +       // Hello (bfrange run)
+        "[<0057> -120 <006F0072006C0064>] TJ " +        // World (TJ + kerning)
+        "<0001> Tj <0002> Tj <00100011> Tj " +          // em dash, emoji, XY
+        "/F2 10 Tf (plain latin) Tj ET"
+    val objs: Seq[(Int, Array[Byte])] = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes("ISO-8859-1"),
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes("ISO-8859-1"),
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >>")
+        .getBytes("ISO-8859-1"),
+      4 -> (s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+        .getBytes("ISO-8859-1"),
+      5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity-H " +
+        "/Encoding /Identity-H /ToUnicode 6 0 R >>").getBytes("ISO-8859-1"),
+      6 -> (s"<< /Length ${cmapZ.length} /Filter /FlateDecode >>\nstream\n"
+        .getBytes("ISO-8859-1") ++ cmapZ ++ "\nendstream".getBytes("ISO-8859-1")),
+      7 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        .getBytes("ISO-8859-1"))
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("%PDF-1.5\n".getBytes("ISO-8859-1"))
+    objs.foreach { case (n, body) =>
+      bos.write(s"$n 0 obj\n".getBytes("ISO-8859-1"))
+      bos.write(body)
+      bos.write("\nendobj\n".getBytes("ISO-8859-1"))
+    }
+    bos.write("trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF".getBytes("ISO-8859-1"))
+    val text = MiniFormats.pdfText(bos.toByteArray)
+    assert(text.contains("Hello"), s"got: $text")
+    assert(text.contains("World"), s"got: $text")
+    assert(text.contains("—"), s"got: $text")
+    assert(text.contains(new String(Character.toChars(0x1F600))), s"got: $text")
+    assert(text.contains("XY"), s"got: $text")
+    assert(text.contains("plain latin"), s"got: $text")
+    // the CMap's own stream must NOT leak into the extraction
+    assert(!text.contains("begincmap") && !text.contains("CIDInit"))
+  }
+
   test("S13 parity: reads a ReportLab (ASCII85+Flate) PDF from the reference") {
     val dir = java.nio.file.Paths.get("/root/reference/output/files")
     assume(java.nio.file.Files.exists(dir.resolve("doc_00001_email.pdf")))
