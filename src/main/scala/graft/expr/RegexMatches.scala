@@ -29,19 +29,29 @@ object RegexMatches {
     cache.computeIfAbsent(regex, r =>
       Pattern.compile(r, Pattern.MULTILINE | Pattern.CASE_INSENSITIVE))
 
-  /** Pure function (driver/test use). Null/empty regex → no matches. */
+  /** Pure function (driver/test use). Null/empty regex → no matches.
+    * The `\b(?=.*\d)TOKEN\b` pattern family evaluates through the linear
+    * digit-gated scan ([[DigitGated]]) — identical match set, O(n) on the
+    * long-single-line documents that send the backtracking engine
+    * quadratic (same flags, so token classes stay case-insensitive). */
   def findMatches(text: String, regex: String): Seq[RegexMatch] = {
     if (text == null || regex == null || regex.isEmpty) return Seq.empty
-    val m = compiled(regex).matcher(text)
-    val out = Seq.newBuilder[RegexMatch]
-    while (m.find()) {
-      val start = m.start()
-      val end = m.end()
-      val excerpt = text.substring(math.max(0, start - 30),
-        math.min(text.length, end + 30)).replace("\n", " ")
-      out += RegexMatch(m.group(0), start, excerpt)
+    def excerptAt(start: Int, end: Int) = text.substring(math.max(0, start - 30),
+      math.min(text.length, end + 30)).replace("\n", " ")
+    DigitGated.split(regex) match {
+      case Some(residual) =>
+        DigitGatedKernel.findAll(text, residual,
+          Pattern.MULTILINE | Pattern.CASE_INSENSITIVE).map { case (a, b) =>
+          RegexMatch(text.substring(a, b), a, excerptAt(a, b))
+        }
+      case None =>
+        val m = compiled(regex).matcher(text)
+        val out = Seq.newBuilder[RegexMatch]
+        while (m.find()) {
+          out += RegexMatch(m.group(0), m.start(), excerptAt(m.start(), m.end()))
+        }
+        out.result()
     }
-    out.result()
   }
 
   private val matchesUdf =

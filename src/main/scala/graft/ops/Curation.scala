@@ -13,16 +13,26 @@ object Curation {
 
   /** Redact every match of `patterns` (name → regex) with `[NAME]` tokens —
     * a fold of `regexp_replace` over the pattern table (plan constants,
-    * compiled once per task). Returns (text', n_redactions) columns. */
+    * compiled once per task). Patterns in the `\b(?=.*\d)TOKEN\b` family
+    * route to the linear digit-gated kernel ([[graft.expr.DigitGated]] —
+    * same match set, O(n) instead of quadratic on long-line documents).
+    * Returns (text', n_redactions) columns. */
   def redactCol(text: Column, patterns: Seq[(String, String)]): Column =
     patterns.foldLeft(text) { case (t, (name, regex)) =>
-      regexp_replace(t, regex, s"[$name]")
+      graft.expr.DigitGated.split(regex) match {
+        case Some(residual) =>
+          graft.expr.DigitGatedExprs.replaceCol(t, residual, s"[$name]")
+        case None => regexp_replace(t, regex, s"[$name]")
+      }
     }
 
   /** Number of redactions `redactCol` would make (sum of match counts). */
   def redactionCountCol(text: Column, patterns: Seq[(String, String)]): Column =
     patterns.map { case (_, regex) =>
-      size(regexp_extract_all(text, lit(regex), lit(0)))
+      graft.expr.DigitGated.split(regex) match {
+        case Some(residual) => graft.expr.DigitGatedExprs.countCol(text, residual)
+        case None => size(regexp_extract_all(text, lit(regex), lit(0)))
+      }
     }.reduce(_ + _).cast("long")
 
   /** Redact the regex-bearing SITs of a dimension over `textCol`.
