@@ -50,50 +50,71 @@ object CurationDemo {
     val docs = docsIn.cache()
     val n0 = docs.count()
 
-    // 1. exact dedup: drop all but the first doc of each identical text
-    val exactDrops = Dedup.exactDropIds(docs, "doc_id", "text")
-      .select(col("id")).cache()
-    val nExact = exactDrops.count()
+    // Stages 1-4 run inside a block so their intermediate frames go OUT OF
+    // SCOPE once the (small, eagerly localCheckpoint-ed — lineage
+    // truncated) drop list exists: unpersist alone frees cached blocks,
+    // but the dedup/decontamination SHUFFLE files — the dominant
+    // scratch-disk cost at corpus scale, tens of GB in the 500k-doc scale
+    // run — are deleted only when the referencing RDD objects are
+    // garbage-collected, which requires unreachable references plus a GC.
+    val (allDrops, nExact, nNear, nContam) = {
+      // 1. exact dedup: drop all but the first doc of each identical text
+      val exactDrops = Dedup.exactDropIds(docs, "doc_id", "text")
+        .select(col("id")).cache()
+      val nExact = exactDrops.count()
 
-    // 2. near-dup dedup: MinHash-LSH pairs at Jaccard >= threshold,
-    //    clustered into connected components — duplicate CHAINS (a≈b≈c with
-    //    a!≈c) collapse to one kept doc (the min id), which per-pair
-    //    dropping cannot guarantee
-    val nearPairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-      threshold = nearDupThreshold).select("id_a", "id_b")
-    val nearDrops = Dedup.dupClusters(nearPairs)
-      .filter(col("id") =!= col("cluster")).select(col("id")).cache()
-    val nNear = nearDrops.count()
+      // 2. near-dup dedup: MinHash-LSH pairs at Jaccard >= threshold,
+      //    clustered into connected components — duplicate CHAINS (a≈b≈c
+      //    with a!≈c) collapse to one kept doc (the min id), which
+      //    per-pair dropping cannot guarantee
+      val nearPairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = nearDupThreshold).select("id_a", "id_b")
+      val nearDrops = Dedup.dupClusters(nearPairs)
+        .filter(col("id") =!= col("cluster")).select(col("id")).cache()
+      val nNear = nearDrops.count()
 
-    // 3. benchmark decontamination: drop corpus docs overlapping a
-    //    held-out benchmark slice (demo benchmark: every 20th doc) on
-    //    ≥ minHits distinct word n-grams — AND the benchmark docs
-    //    themselves, which must never reach training output
-    val benchDocs = docs.filter(col("doc_id") % 20 === 0)
-    val contamDrops = Curation.decontaminationFlags(
-      docs.filter(col("doc_id") % 20 =!= 0), benchDocs,
-      "doc_id", "text", n = contamN, minHits = contamMinHits).select(col("id"))
-      .unionByName(benchDocs.select(col("doc_id").as("id")))
-      .cache()
-    val nContam = contamDrops.count()
+      // 3. benchmark decontamination: drop corpus docs overlapping a
+      //    held-out benchmark slice (demo benchmark: every 20th doc) on
+      //    ≥ minHits distinct word n-grams — AND the benchmark docs
+      //    themselves, which must never reach training output
+      val benchDocs = docs.filter(col("doc_id") % 20 === 0)
+      val contamDrops = Curation.decontaminationFlags(
+        docs.filter(col("doc_id") % 20 =!= 0), benchDocs,
+        "doc_id", "text", n = contamN, minHits = contamMinHits).select(col("id"))
+        .unionByName(benchDocs.select(col("doc_id").as("id")))
+        .cache()
+      val nContam = contamDrops.count()
 
-    // 4. quality gate + merged drop list (the lists can overlap)
-    val allDrops = exactDrops.unionByName(nearDrops)
-      .unionByName(contamDrops).distinct().cache()
+      // 4. merged drop list (the lists can overlap)
+      val merged = exactDrops.unionByName(nearDrops)
+        .unionByName(contamDrops).distinct().localCheckpoint()
+      Seq(exactDrops, nearDrops, contamDrops).foreach(_.unpersist(false))
+      (merged, nExact, nNear, nContam)
+    }
     val nDrops = allDrops.count()
+    System.gc() // nudge ContextCleaner to reap the out-of-scope shuffles
     val curated = Curation.qualityFilter(docs, "text", minScore = 0.3,
       dropIds = allDrops)
 
     // 4b. boilerplate profile: corpus-frequent 3-gram share per doc —
     //     report the distribution, drop only fully-templated docs
-    //     (boiler_pm = 1000: every shingle is corpus-frequent)
-    val boiler = Curation.boilerplateProfile(docs, "doc_id", "text",
-      n = 3, minDf = 20).cache()
-    val boilerStats = boiler.agg(
-      avg(col("boiler_pm")).as("mean_pm"),
-      sum(when(col("boiler_pm") === 1000, 1L).otherwise(0L)).as("n_full"))
-      .collect()(0)
-    val fullBoiler = boiler.filter(col("boiler_pm") === 1000).select(col("id"))
+    //     (boiler_pm = 1000: every shingle is corpus-frequent).
+    //     Same scoping discipline: only the (tiny) stats row and the
+    //     checkpointed fully-templated id list escape the block, so the
+    //     ~1B-row shingle-df shuffle is GC-able before redaction runs.
+    val (boilerStats, fullBoiler) = {
+      val boiler = Curation.boilerplateProfile(docs, "doc_id", "text",
+        n = 3, minDf = 20).cache()
+      val stats = boiler.agg(
+        avg(col("boiler_pm")).as("mean_pm"),
+        sum(when(col("boiler_pm") === 1000, 1L).otherwise(0L)).as("n_full"))
+        .collect()(0)
+      val full = boiler.filter(col("boiler_pm") === 1000).select(col("id"))
+        .localCheckpoint()
+      boiler.unpersist(false)
+      (stats, full)
+    }
+    System.gc()
     // 5. redact + normalize + profile + split (normalized text feeds the
     //    fingerprint so case/punctuation variants share one sketch key —
     //    served by the native normalize_text expression)

@@ -90,6 +90,10 @@ object ScaleRun {
       val before = metrics.snap()
       val t0 = System.nanoTime()
       val note = body
+      // phase boundary: drop dead references so ContextCleaner deletes the
+      // finished phase's shuffle files (scratch disk is the binding
+      // resource on this box — see SCALE.md)
+      System.gc()
       val secs = (System.nanoTime() - t0) / 1e9
       val after = metrics.snap()
       val heapPeak = heapPools.map(_.getPeakUsage.getUsed).sum

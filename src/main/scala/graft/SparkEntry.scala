@@ -1036,6 +1036,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Okapi BM25 top-50 against a fixed query-term set: query-filtered tf
+    * (narrow before the shuffle), df via window over tf, N/avgdl as a
+    * broadcast 1-row aggregate, integer micro-unit partials so the
+    * per-doc sum is summation-order-free cross-engine. */
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    ops.TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      Bm25Terms, k = 50)
+
+  private val Bm25Terms = Seq("join", "vector", "stream", "data", "filter")
+
   private val BpeVocab = 200
   private val BpeMerges = 16
 
@@ -1188,7 +1198,8 @@ object SparkEntry {
     "q78_ntile_deciles" -> (q78 _),
     "q79_range_frame" -> (q79 _),
     "q80_global_deciles" -> (q80 _),
-    "q81_bpe_encode" -> (q81 _))
+    "q81_bpe_encode" -> (q81 _),
+    "q82_bm25_topk" -> (q82 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -2301,5 +2312,28 @@ object SparkEntry {
            CAST(min(pc) AS BIGINT) AS min_cents,
            CAST(max(pc) AS BIGINT) AS max_cents
          FROM x GROUP BY decile ORDER BY decile""",
-    "q81_bpe_encode" -> bpeOracle(BpeVocab, BpeMerges))
+    "q81_bpe_encode" -> bpeOracle(BpeVocab, BpeMerges),
+    "q82_bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                    x -> x <> '')) AS term
+           FROM documents),
+         lens AS (SELECT id, count(*) AS len FROM toks GROUP BY id),
+         stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT coalesce(sum(len), 0) FROM lens) AS total),
+         tf AS (SELECT id, term, count(*) AS tf FROM toks
+                WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+                GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT tf.id,
+                  CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+                    (tf * 2.2) /
+                    (tf + 1.2 * (0.25 + 0.75 * len / (total / n))) * 1e6)
+                    AS BIGINT) AS micro
+                FROM tf JOIN dfreq USING (term) JOIN lens USING (id), stats),
+         agg AS (SELECT id, count(*) AS n_terms,
+                   CAST(sum(micro) AS BIGINT) AS bm25_micro
+                 FROM sc GROUP BY id)
+         SELECT id, n_terms, bm25_micro FROM agg
+         ORDER BY bm25_micro DESC, id ASC LIMIT 50""")
 }

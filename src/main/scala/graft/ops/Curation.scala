@@ -129,16 +129,20 @@ object Curation {
     * TF-IDF kernel documents), then one per-doc aggregate folds both
     * counts. The window's shingle partitioning is exactly what a df-join
     * would have shuffled on anyway, so skew exposure is unchanged and a
-    * whole second pass over the corpus disappears. The shuffle key is the
-    * shingle's md5, never the shingle text (bounded key size however long
-    * the n-gram — exact-dedup discipline). The fraction is exact integer
-    * per-mille — no double division whose rounding an engine could
-    * disagree on. */
+    * whole second pass over the corpus disappears. The shuffle key is an
+    * 8-byte xxhash64 of the shingle, never the shingle text (bounded key
+    * size however long the n-gram — exact-dedup discipline; the 500k-doc
+    * scale run switched this from a 32-hex md5 STRING after the ~1.2B-row
+    * df shuffle measured ~67 GB on disk — the long key is ~3× smaller,
+    * and a 64-bit collision merging two df counts is ~1e-4 probability
+    * at 1e8 distinct shingles, harmless for a ≥minDf threshold signal).
+    * The fraction is exact integer per-mille — no double division whose
+    * rounding an engine could disagree on. */
   def boilerplateProfile(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, minDf: Int = 5): DataFrame = {
     val inv = df.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(transform(Dedup.shinglesCol(col(textCol), n),
-        s => md5(s)))).as("shingle"))
+        s => xxhash64(s)))).as("shingle"))
     val dfWin = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     inv.withColumn("__df", count(lit(1)).over(dfWin))
       .groupBy("id")

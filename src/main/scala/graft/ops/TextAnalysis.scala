@@ -349,6 +349,53 @@ object TextAnalysis {
       .select("id", "rank", "term", "tf", "df", "tfidf")
   }
 
+  /** Okapi BM25 relevance of every document against a fixed query-term
+    * set — the standard retrieval score (k1 = 1.2, b = 0.75 per
+    * Robertson/Spärck Jones), with Lucene's non-negative idf form
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Determinism contract (oracle-hashable): each (doc, term) partial is
+    * rounded to integer MICRO-units before the per-doc sum — double
+    * summation order differs between engines, integer sums do not (same
+    * discipline as q44 surprisal / q76 linear filter). Docs matching no
+    * query term are excluded (score 0); ties at the top-k boundary break
+    * by id on the rounded score.
+    *
+    * Scale shape: tokens are filtered to the query set BEFORE the
+    * (doc,term) shuffle, so tf is ≤ |docs|·|query| rows; df is a window
+    * count over tf ([[tfidfTopTerms]]'s single-scan trick); N and total
+    * length fold in as a broadcast 1-row aggregate; the top-k is
+    * TakeOrdered (no global sort materialization). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               k: Int = 50): DataFrame = {
+    val lens = df.select(col(idCol).cast("long").as("id"),
+      size(tokensCol(col(textCol))).cast("long").as("len"))
+    val stats = broadcast(lens.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("len").cast("double").as("total")))
+    val tf = df.select(col(idCol).cast("long").as("id"),
+        explode(tokensCol(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    tf.withColumn("df", count(lit(1)).over(wTerm).cast("double"))
+      .join(lens, "id")
+      .crossJoin(stats)
+      .withColumn("micro",
+        // scalar-first products are reordered column-first (IEEE * is
+        // commutative bit-for-bit, so the DuckDB oracle tree still agrees)
+        round(log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + (lit(1.0 - b) + (col("len") * b) /
+            (col("total") / col("n"))) * k1) * 1e6).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms"), sum("micro").as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("id").asc)
+      .limit(k)
+      .select("id", "n_terms", "bm25_micro")
+  }
+
   /** Corpus-unigram-LM surprisal scoring — the classic cheap "perplexity"
     * quality signal: each token's surprisal is −ln p(token) under the
     * corpus's own unigram distribution; a document full of rare tokens

@@ -8,6 +8,29 @@ import org.apache.spark.sql.functions._
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bm25TopK: hand-computed scores, excluded non-matchers, tie order") {
+    val corpus = Seq(
+      (1L, "spark spark streams data"), // tf(spark)=2, tf(data)=1, len 4
+      (2L, "data lake"),                // tf(data)=1, len 2
+      (3L, "nothing relevant here"),    // no query terms → excluded
+      (4L, "spark")                     // tf(spark)=1, len 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark", "data"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // independent replication of the formula (N=4, avgdl=10/4)
+    def idf(df: Long) = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def part(tf: Long, dfc: Long, len: Long) =
+      math.round(idf(dfc) * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * len / (10.0 / 4.0))) * 1e6)
+    val exp1 = part(2, 2, 4) + part(1, 2, 4) // spark df=2, data df=2
+    val exp2 = part(1, 2, 2)
+    val exp4 = part(1, 2, 1)
+    assert(out.map(_._1) == out.sortBy(r => (-r._3, r._1)).map(_._1),
+      "ordered by score desc, id asc")
+    assert(out.toSet == Set((1L, 2L, exp1), (2L, 1L, exp2), (4L, 1L, exp4)))
+  }
+
   private lazy val docs = Seq(
     (0L, "the quick brown fox jumps over the lazy dog"),
     (1L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 0
