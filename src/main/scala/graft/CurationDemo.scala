@@ -44,7 +44,7 @@ object CurationDemo {
     * everything — same tuning a real web corpus needs for boilerplate. */
   def run(spark: SparkSession, docsIn: DataFrame, outDir: Option[String],
           nearDupThreshold: Double = 0.5, contamN: Int = 3,
-          contamMinHits: Int = 5): String = {
+          contamMinHits: Int = 5, benchEvery: Int = 20): String = {
     val t0 = System.nanoTime()
 
     val docs = docsIn.cache()
@@ -74,12 +74,17 @@ object CurationDemo {
       val nNear = nearDrops.count()
 
       // 3. benchmark decontamination: drop corpus docs overlapping a
-      //    held-out benchmark slice (demo benchmark: every 20th doc) on
-      //    ≥ minHits distinct word n-grams — AND the benchmark docs
-      //    themselves, which must never reach training output
-      val benchDocs = docs.filter(col("doc_id") % 20 === 0)
+      //    held-out benchmark slice (demo benchmark: every `benchEvery`-th
+      //    doc) on ≥ minHits distinct word n-grams — AND the benchmark
+      //    docs themselves, which must never reach training output.
+      //    The slice must stay BROADCAST-SIZED: its exploded n-gram
+      //    inverted index becomes an executor hash relation (real
+      //    benchmark suites are thousands of docs, so the scale run uses
+      //    benchEvery=200 ≈ 2.5k docs — every-20th at 500k docs built a
+      //    60M-row relation whose GC pause killed the local executor)
+      val benchDocs = docs.filter(col("doc_id") % benchEvery === 0)
       val contamDrops = Curation.decontaminationFlags(
-        docs.filter(col("doc_id") % 20 =!= 0), benchDocs,
+        docs.filter(col("doc_id") % benchEvery =!= 0), benchDocs,
         "doc_id", "text", n = contamN, minHits = contamMinHits).select(col("id"))
         .unionByName(benchDocs.select(col("doc_id").as("id")))
         .cache()

@@ -75,6 +75,10 @@ object ScaleRun {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
+      // local mode shares one JVM: a multi-10s full GC must not read as a
+      // dead executor (heartbeats are in-process here, nothing to detect)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .appName("graft-scale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -130,7 +134,8 @@ object ScaleRun {
       // exactly that; the CLI defaults stay tuned for organic corpora)
       val summary = CurationDemo.run(spark,
         corpus.select("doc_id", "text"), Some(s"$outRoot/curated"),
-        nearDupThreshold = 0.8, contamN = 8, contamMinHits = 20)
+        nearDupThreshold = 0.8, contamN = 8, contamMinHits = 20,
+        benchEvery = 200)
       spark.catalog.clearCache()
       summary.dropWhile(_ != ']').drop(2)
     }
