@@ -46,6 +46,9 @@ object CurationDemo {
           nearDupThreshold: Double = 0.5, contamN: Int = 3,
           contamMinHits: Int = 5, benchEvery: Int = 20): String = {
     val t0 = System.nanoTime()
+    // stage marks go to stdout so a killed run is attributable to a stage
+    def mark(stage: String): Unit =
+      println(f"[curation] +${(System.nanoTime() - t0) / 1e9}%.0fs $stage")
 
     val docs = docsIn.cache()
     val n0 = docs.count()
@@ -62,6 +65,7 @@ object CurationDemo {
       val exactDrops = Dedup.exactDropIds(docs, "doc_id", "text")
         .select(col("id")).cache()
       val nExact = exactDrops.count()
+      mark(s"exact dedup done ($nExact drops)")
 
       // 2. near-dup dedup: MinHash-LSH pairs at Jaccard >= threshold,
       //    clustered into connected components — duplicate CHAINS (a≈b≈c
@@ -72,6 +76,7 @@ object CurationDemo {
       val nearDrops = Dedup.dupClusters(nearPairs)
         .filter(col("id") =!= col("cluster")).select(col("id")).cache()
       val nNear = nearDrops.count()
+      mark(s"near-dup clustering done ($nNear drops)")
 
       // 3. benchmark decontamination: drop corpus docs overlapping a
       //    held-out benchmark slice (demo benchmark: every `benchEvery`-th
@@ -89,6 +94,7 @@ object CurationDemo {
         .unionByName(benchDocs.select(col("doc_id").as("id")))
         .cache()
       val nContam = contamDrops.count()
+      mark(s"decontamination done ($nContam drops)")
 
       // 4. merged drop list (the lists can overlap)
       val merged = exactDrops.unionByName(nearDrops)
@@ -97,6 +103,7 @@ object CurationDemo {
       (merged, nExact, nNear, nContam)
     }
     val nDrops = allDrops.count()
+    mark(s"drop list merged ($nDrops)")
     System.gc() // nudge ContextCleaner to reap the out-of-scope shuffles
     val curated = Curation.qualityFilter(docs, "text", minScore = 0.3,
       dropIds = allDrops)
@@ -120,6 +127,7 @@ object CurationDemo {
       (stats, full)
     }
     System.gc()
+    mark("boilerplate profile done")
     // 5. redact + normalize + profile + split (normalized text feeds the
     //    fingerprint so case/punctuation variants share one sketch key —
     //    served by the native normalize_text expression)
@@ -143,6 +151,7 @@ object CurationDemo {
       finalDf.filter(col("split") === "train"), "doc_id", "lang_pred",
       scale = 10.0).cache()
     val nTrainMixed = train.count()
+    mark(s"redact/split/mix done ($nTrainMixed train)")
 
     // 6. sequence packing over the mixed train split (concat-and-chunk,
     //    per shard — the dataloader-facing layout)
@@ -151,6 +160,7 @@ object CurationDemo {
         "doc_id", "text", maxTokens = 512, docsPerShard = 100)
       .cache()
     val nSeqs = packed.select("shard", "seq_in_shard").distinct().count()
+    mark(s"packing done ($nSeqs seqs)")
 
     outDir.foreach { dir =>
       finalDf.write.mode("overwrite").partitionBy("split").parquet(dir)

@@ -79,6 +79,14 @@ object ScaleRun {
       // dead executor (heartbeats are in-process here, nothing to detect)
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
+      // scratch DISK, not memory, is the binding resource for this run:
+      // zstd shuffle/spill blocks are ~2x smaller than the lz4 default on
+      // shingle/text payloads, and reaping dereferenced shuffle files
+      // every 2 min (ContextCleaner's default periodic GC is 30 min —
+      // longer than whole phases here) keeps peak scratch at the live
+      // working set instead of the phase-cumulative sum
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .appName("graft-scale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

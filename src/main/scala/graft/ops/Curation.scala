@@ -68,23 +68,59 @@ object Curation {
     * word `n`-grams with any benchmark document — the standard guard
     * against evaluation-set leakage into training data.
     *
-    * Scale shape: both sides explode to distinct (id, shingle) rows; the
-    * benchmark side (eval suites — small by definition) is broadcast, so
-    * the corpus never shuffles. Output: (id, n_contaminated, benchmark
-    * doc count it overlaps) per flagged corpus doc. */
+    * Scale shape — two passes so the corpus-sized pass never multiplies:
+    *
+    *  1. The gating count joins corpus (id, shingle) rows — per-doc
+    *     distinct, carried as 8-byte xxhash64 keys, never shingle text —
+    *     LEFT SEMI against the distinct benchmark-shingle SET. At most one
+    *     output row per (doc, distinct shingle) regardless of the
+    *     shingle's benchmark document frequency, so `n_contaminated` is a
+    *     plain map-side-combinable count(*). The obvious formulation
+    *     (inner-join the raw bench inverted index, then countDistinct)
+    *     multiplies every corpus row by the shingle's bench df before
+    *     aggregating: on a 500k-doc templated corpus a skeleton 8-gram
+    *     shared by ~2.5k benchmark docs blew the join up to billions of
+    *     rows whose countDistinct Expand sort-spilled the scratch disk
+    *     dry. Hashing cannot skew the counts — each row is already one
+    *     distinct-in-doc shingle, so a collision can only add a spurious
+    *     membership hit (64-bit: negligible), never merge counted rows.
+    *  2. `n_bench_docs` (distinct benchmark docs a flagged doc overlaps)
+    *     is intrinsically a pair count, so it is computed only for docs
+    *     that pass `minHits`: their shingles join the broadcast bench
+    *     inverted index, collapse to distinct (id, bench_id) pairs (the
+    *     fan-out dedupes map-side inside the same narrow stage), and are
+    *     counted. Cost scales with the flag rate, not the corpus — with
+    *     tuned thresholds the flagged set is a sliver; if every doc flags,
+    *     the thresholds are wrong for the corpus (see [[CurationDemo]]).
+    *
+    * The benchmark side (eval suites — small by definition) is broadcast
+    * in both passes; the corpus-side shuffles key on 8-byte ids/hashes
+    * only. Output: (id, n_contaminated, n_bench_docs) per flagged doc. */
   def decontaminationFlags(corpus: DataFrame, benchmark: DataFrame,
                            idCol: String, textCol: String, n: Int = 3,
                            minHits: Int = 1): DataFrame = {
     val corpusInv = corpus.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(Dedup.shinglesCol(col(textCol), n))).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
     val benchInv = benchmark.select(
       col(idCol).cast("long").as("bench_id"),
       explode(array_distinct(Dedup.shinglesCol(col(textCol), n))).as("shingle"))
-    corpusInv.join(broadcast(benchInv), "shingle")
-      .groupBy("id")
-      .agg(countDistinct(col("shingle")).as("n_contaminated"),
-        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .select(col("bench_id"), xxhash64(col("shingle")).as("h"))
+
+    val flagged = corpusInv
+      .join(broadcast(benchInv.select(col("h")).distinct()), Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_contaminated"))
       .filter(col("n_contaminated") >= minHits)
+
+    val benchDocCounts = corpusInv
+      .join(flagged.select(col("id")), Seq("id"), "left_semi")
+      .join(broadcast(benchInv.distinct()), Seq("h"))
+      .select(col("id"), col("bench_id")).distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("n_bench_docs"))
+
+    flagged.join(benchDocCounts, Seq("id"))
+      .select(col("id"), col("n_contaminated"), col("n_bench_docs"))
   }
 
   /** The clean corpus: everything not flagged by [[decontaminationFlags]]. */
