@@ -41,10 +41,19 @@ object CurationDemo {
     * cut. A heavily templated corpus (like the engine's own generator
     * output, where every doc shares skeleton n-grams) needs a larger
     * `contamN`/`contamMinHits` or the benchmark slice transitively drops
-    * everything — same tuning a real web corpus needs for boilerplate. */
+    * everything — same tuning a real web corpus needs for boilerplate.
+    *
+    * `lshRows`/`lshMaxBucket` tune the near-dup candidate generator the
+    * same way: at 500k templated docs the default 2-hash band key admits
+    * skeleton-similar pairs (P = s²) into every bucket and the candidate
+    * verification — though longs-only — goes quadratic-in-cap; a 4-hash
+    * key (P = s⁴: 6% at s=0.5, 41% at s=0.8 → ~88% recall over 4 bands at
+    * the 0.8 cut) with a tighter cap keeps candidates proportional to the
+    * real near-dup rate. */
   def run(spark: SparkSession, docsIn: DataFrame, outDir: Option[String],
           nearDupThreshold: Double = 0.5, contamN: Int = 3,
-          contamMinHits: Int = 5, benchEvery: Int = 20): String = {
+          contamMinHits: Int = 5, benchEvery: Int = 20,
+          lshRows: Int = 2, lshMaxBucket: Int = 1000): String = {
     val t0 = System.nanoTime()
     // stage marks go to stdout so a killed run is attributable to a stage
     def mark(stage: String): Unit =
@@ -72,7 +81,8 @@ object CurationDemo {
       //    with a!≈c) collapse to one kept doc (the min id), which
       //    per-pair dropping cannot guarantee
       val nearPairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-        threshold = nearDupThreshold).select("id_a", "id_b")
+        threshold = nearDupThreshold, rows = lshRows,
+        maxBucket = lshMaxBucket).select("id_a", "id_b")
       val nearDrops = Dedup.dupClusters(nearPairs)
         .filter(col("id") =!= col("cluster")).select(col("id")).cache()
       val nNear = nearDrops.count()

@@ -143,7 +143,7 @@ object ScaleRun {
       val summary = CurationDemo.run(spark,
         corpus.select("doc_id", "text"), Some(s"$outRoot/curated"),
         nearDupThreshold = 0.8, contamN = 8, contamMinHits = 20,
-        benchEvery = 200)
+        benchEvery = 200, lshRows = 4, lshMaxBucket = 256)
       spark.catalog.clearCache()
       summary.dropWhile(_ != ']').drop(2)
     }

@@ -202,17 +202,17 @@ object Dedup {
       }: _*)).as("band"))
   }
 
-  /** Candidate near-duplicate pairs (a < b) via MinHash LSH: equi-join on
-    * the band key. Only (id, band) rows are shuffled — shingle sets are
-    * re-attached per side after pair dedup, never carried through the join. */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, bands: Int = 4, rows: Int = 2,
-                        maxBucket: Int = 1000): DataFrame = {
+  /** Deduped candidate pairs (id_a < id_b) from the capped band buckets —
+    * the shared pair generator behind [[minhashCandidates]] and
+    * [[minhashNearDups]]. Only (id, band) rows are shuffled. */
+  private[ops] def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                                n: Int, bands: Int, rows: Int,
+                                maxBucket: Int): DataFrame = {
     val bandDf = minhashBands(df, idCol, textCol, n, bands, rows)
     // pairs within a band bucket via in-group combinations — one pass over
     // the band table (a self-join would evaluate the whole minhash pipeline
     // twice); `capBuckets` bounds the per-bucket pair blowup at scale
-    val pairs = capBuckets(bandDf, "band", maxBucket)
+    capBuckets(bandDf, "band", maxBucket)
       .groupBy("band").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -223,11 +223,24 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // re-attach shingle sets for verification through ONE join against one
-    // shingled frame (explode each pair into its two member ids, join,
-    // fold back) — joining a dist frame once per side would scan and
-    // shingle the corpus once per side, and Catalyst cannot plan-share the
-    // two branches
+  }
+
+  /** Candidate near-duplicate pairs (a < b) via MinHash LSH with the full
+    * shingle SETS attached per side — for consumers that need the sets
+    * themselves. The attach aggregates an array-typed buffer, which Spark
+    * can only plan as a SortAggregate (arrays have no mutable hash-agg
+    * buffer), so every candidate row sorts with multi-KB payloads: fine
+    * for bounded candidate sets, wrong as the bulk-verification path —
+    * [[minhashNearDups]] verifies with a longs-only count instead (the
+    * 500k-doc scale run's disk was filled by exactly this sort). */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, bands: Int = 4, rows: Int = 2,
+                        maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, n, bands, rows, maxBucket)
+    // re-attach shingle sets through ONE join against one shingled frame
+    // (explode each pair into its two member ids, join, fold back) —
+    // joining a dist frame once per side would scan and shingle the corpus
+    // once per side, and Catalyst cannot plan-share the two branches
     val dist = df.select(col(idCol).cast("long").as("id"),
       array_distinct(shinglesCol(col(textCol), n)).as("sh"))
     pairs
@@ -250,15 +263,49 @@ object Dedup {
       size(array_union(a, b)).cast("double")
   }
 
-  /** MinHash LSH candidates verified by exact shingle Jaccard ≥ threshold. */
+  /** MinHash LSH candidates verified by exact shingle Jaccard ≥ threshold.
+    *
+    * Verification never touches an array: each candidate pair explodes to
+    * its two member ids, joins the per-doc distinct shingle-HASH rows
+    * (8-byte xxhash64, never shingle text), and two hash aggregates
+    * reconstruct |A|, |B|, |A∩B| from 0/1 membership sums — identical
+    * Jaccard doubles to the set-based formula (same integer numerator and
+    * denominator), but every shuffle row is a handful of longs and every
+    * aggregate is a map-side-combinable HashAggregate. The previous
+    * formulation attached the full shingle sets per pair ([[
+    * minhashCandidates]]); its array-buffer SortAggregate sorted each
+    * candidate with multi-KB payloads and filled the 500k-doc scale run's
+    * scratch disk. Cost is Σ_pairs(|A|+|B|) longs-only rows, linear in the
+    * (bucket-capped) candidate count.
+    *
+    * A 64-bit shingle-hash collision could nudge a count by 1 (two
+    * colliding distinct shingles read as one common); at corpus scale the
+    * expected count is ~pairs·|sh|²/2⁶⁴ — negligible, and the q18 oracle
+    * hash-gate would catch any real drift. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
                       bands: Int = 4, rows: Int = 2,
-                      maxBucket: Int = 1000): DataFrame =
-    minhashCandidates(df, idCol, textCol, n, bands, rows, maxBucket)
-      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
+                      maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, n, bands, rows, maxBucket)
+    val hs = df.select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(shinglesCol(col(textCol), n))).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val perShingle = pairs
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .join(hs, "id")
+      .groupBy("id_a", "id_b", "h")
+      .agg(
+        max(when(col("id") === col("id_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("id") === col("id_b"), 1).otherwise(0)).as("in_b"))
+    perShingle.groupBy("id_a", "id_b")
+      .agg(sum("in_a").as("n_a"), sum("in_b").as("n_b"),
+        sum(col("in_a") * col("in_b")).as("n_common"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** Cross-corpus near-dup join — the INCREMENTAL dedup shape: match an
     * incoming shard against an existing corpus without re-pairing either

@@ -92,6 +92,12 @@ class PlanAuditSpec extends SparkSpec {
     val q18 = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text", 0.4)
       .queryExecution.executedPlan.toString
     assert(scans(q18) == 2, s"minhash scans=${scans(q18)}:\n$q18")
+    // verification must stay longs-only hash aggregation: an array-typed
+    // buffer (the old per-pair shingle-set attach) plans a SortAggregate
+    // that sorts every candidate with multi-KB payloads — the exact sort
+    // that filled the 500k-doc scale run's scratch disk
+    assert(!q18.contains("SortAggregate"),
+      s"array-buffer SortAggregate in the verification path:\n$q18")
     // n-gram jaccard: set sizes carried through the explode — ONE scan
     val q19 = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
@@ -220,6 +226,24 @@ class PlanAuditSpec extends SparkSpec {
     val plan = physical(report)
     assert(plan.contains("BroadcastHashJoin"),
       s"sit dim not broadcast in:\n$plan")
+  }
+
+  test("decontamination: broadcast semi gate, no Expand, shingle text never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val plan = physical(graft.ops.Curation.decontaminationFlags(
+      docs, bench, "doc_id", "text", n = 3, minHits = 2))
+    // the gating count must be a broadcast LEFT SEMI against the distinct
+    // bench-shingle set — the inner-join-then-countDistinct formulation
+    // multiplied every corpus row by the shingle's bench df and its Expand
+    // sort-spilled the scratch disk dry on the 500k-doc scale run
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"no broadcast semi-join gate in:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"multi-countDistinct Expand resurfaced in:\n$plan")
+    // shingles travel as 8-byte xxhash64 keys; no exchange may carry text
+    assert(!plan.contains("hashpartitioning(shingle"),
+      s"raw shingle strings entered a shuffle in:\n$plan")
   }
 
   test("exact global ntile: corpus-side window is bucket-partitioned") {
