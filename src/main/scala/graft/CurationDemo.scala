@@ -146,7 +146,10 @@ object CurationDemo {
         Seq("doc_id"), "left_anti"), "text", graft.pipeline.DefaultSits.all)
       .withColumn("norm_text", Curation.normalizeTextCol(col("redacted_text")))
       .withColumn("lang_pred", TextAnalysis.langIdCol(col("text")))
-      .withColumn("n_tokens", size(TextAnalysis.tokensCol(col("text"))))
+      // counting kernel, not size(tokensCol(...)): the HOF array form is
+      // CodegenFallback — interpreted per token — and this column sits in
+      // the corpus-wide profile projection (see the scale-run narrative)
+      .withColumn("n_tokens", TextAnalysis.tokenCountCol(col("text")))
       .withColumn("fingerprint", TextAnalysis.fingerprintCol(col("norm_text")))
       .withColumn("split", Curation.splitCol(col("doc_id")))
       .select("doc_id", "split", "lang_pred", "quality_score", "n_tokens",

@@ -310,8 +310,21 @@ object TextAnalysis {
       q.getField("_4") <= 0.1
   }
 
-  /** Canonical document fingerprint: md5 of the normalized token stream. */
+  /** Canonical document fingerprint: md5 of the normalized token stream.
+    *
+    * Codegen form: joining the filtered token array with single spaces is
+    * byte-identical to collapsing every separator run to one space and
+    * trimming, so the whole column compiles (lower → regexp_replace →
+    * trim → md5). The definitional array form ([[fingerprintColExpr]])
+    * rides an ArrayFilter HOF, which is CodegenFallback — interpreted
+    * per token with no subexpression reuse; the 500k-doc scale run spent
+    * most of its profile-stage wall time in exactly that fallback. */
   def fingerprintCol(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9']+", " ")))
+
+  /** Array-materializing definitional twin of [[fingerprintCol]]
+    * (OpsSpec pins equality). */
+  private[ops] def fingerprintColExpr(text: Column): Column =
     md5(array_join(tokensCol(text), " "))
 
   /** Winnowing-style sketch: the `k` smallest md5s of word 4-grams —

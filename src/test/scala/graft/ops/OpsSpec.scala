@@ -416,6 +416,20 @@ class OpsSpec extends SparkSpec {
     assert(fp(0) == fp(1))
   }
 
+  test("codegen fingerprint equals the definitional array form") {
+    // edge shapes: separator runs at both ends, all-separator, empty,
+    // apostrophes (in-class), digits, plus the real corpus
+    val edges = Seq("  Lead--trail!! ", "?!.,;", "", "don't stop", "a1 b2",
+      "ONE").toDF("text")
+    Seq(edges, docs.select("text")).foreach { d =>
+      val n = d.select(
+          TextAnalysis.fingerprintCol(col("text")).as("a"),
+          TextAnalysis.fingerprintColExpr(col("text")).as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(n == 0, "codegen fingerprint diverges from the array form")
+    }
+  }
+
   test("multimodal: real PNG/JPEG/GIF header decode yields true dimensions") {
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // PNG: signature + IHDR chunk, width=640 height=480
