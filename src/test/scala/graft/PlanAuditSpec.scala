@@ -104,6 +104,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans(q19) == 1, s"jaccard scans=${scans(q19)}:\n$q19")
   }
 
+  test("bm25: one corpus scan — the stats branch reuses the tf exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.ops.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("data", "join", "stream"))
+    // ReuseExchange is adaptive: materialize, then read the final plan
+    q.queryExecution.toRdd.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"stats branch re-tokenizes the corpus (no exchange reuse) in:\n$plan")
+  }
+
   test("as-of join: single shuffle on the union, no nested-loop join") {
     val q37 = SparkEntry.queries("q37_asof_join")(spark, sf)
     val plan = physical(q37)
@@ -113,9 +124,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("interval join: hash equi-join on (key, bucket), never a nested loop") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val ev = graft.ops.EventTime.readNanos(spark, sf)
     val plan = physical(graft.ops.IntervalJoin.countPreceding(
       ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts"),
@@ -204,16 +213,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("funnel: every stage window and the user aggregate share ONE shuffle") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      val ev = spark.read.parquet(s"$sf/events.parquet")
-        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-      val plan = physical(graft.ops.Sessions.funnelUserTimes(
-        ev, "user_id", "event_type", "ts", "event_id",
-        Seq("view", "click", "purchase")))
-      assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
-        s"cascading stage windows must reuse the user partitioning:\n$plan")
-    } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val ev = graft.ops.EventTime.readNanos(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val plan = physical(graft.ops.Sessions.funnelUserTimes(
+      ev, "user_id", "event_type", "ts", "event_id",
+      Seq("view", "click", "purchase")))
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
+      s"cascading stage windows must reuse the user partitioning:\n$plan")
   }
 
   test("validator DAG: dim joins broadcast, no driver collect in plan") {
