@@ -1120,6 +1120,52 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Multi-touch attribution: purchase revenue split across the user's
+    * preceding-7-day click/view/signup touches under first/last/linear
+    * credit, rolled up per channel — exact integer money end-to-end. */
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Attribution.byChannel(events(s, dir),
+      "event_id", "user_id", "ts", "event_type", "value",
+      convType = "purchase", touchTypes = Seq("click", "signup", "view"),
+      lookbackNanos = 7L * 24 * 3600 * 1000000000L)
+
+  /** PageRank (10 rounds, d=0.85, integer picorank fixed point) over the
+    * symmetrized customer–supplier trade graph from orders⋈lineitem. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    graft.ops.Graph.pageRank(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+  }
+
+  /** Compaction planning: documents as stand-in file metadata (size =
+    * n_chars), packed size-DESC into 64 KiB bins via the distributed
+    * prefix sum — never a single-task global window. */
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.compactionBins(t(s, dir, "documents"),
+      "doc_id", "n_chars", targetBytes = 65536L)
+
+  /** Z-order locality audit: Morton-interleave (l_partkey, l_suppkey),
+    * roll up per 2^14-wide z-cell — each cell bounds BOTH dimensions,
+    * the property parquet min/max skipping needs. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val zkey = graft.ops.Layout.zorderKey(
+      Seq(col("l_partkey"), col("l_suppkey")), bits = 21)
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        shiftright(zkey, 14).as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+      .orderBy("cell")
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1206,7 +1252,11 @@ object SparkEntry {
     "q79_range_frame" -> (q79 _),
     "q80_global_deciles" -> (q80 _),
     "q81_bpe_encode" -> (q81 _),
-    "q82_bm25_topk" -> (q82 _))
+    "q82_bm25_topk" -> (q82 _),
+    "q83_attribution" -> (q83 _),
+    "q84_pagerank" -> (q84 _),
+    "q85_compaction_bins" -> (q85 _),
+    "q86_zorder_cells" -> (q86 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -2342,5 +2392,58 @@ object SparkEntry {
                    CAST(sum(micro) AS BIGINT) AS bm25_micro
                  FROM sc GROUP BY id)
          SELECT id, n_terms, bm25_micro FROM agg
-         ORDER BY bm25_micro DESC, id ASC LIMIT 50""")
+         ORDER BY bm25_micro DESC, id ASC LIMIT 50""",
+    "q83_attribution" ->
+      """WITH c AS (SELECT event_id AS conv_id, user_id, epoch_us(ts) AS cus,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, event_type AS channel, epoch_us(ts) AS tus,
+             event_id AS tid
+           FROM events WHERE event_type IN ('click', 'signup', 'view')),
+         j AS (SELECT c.conv_id, c.cents, t.channel, t.tus, t.tid
+           FROM c JOIN t ON c.user_id = t.user_id
+           WHERE t.tus < c.cus AND t.tus >= c.cus - 604800000000),
+         r AS (SELECT *,
+             count(*) OVER (PARTITION BY conv_id) AS k,
+             row_number() OVER (PARTITION BY conv_id
+               ORDER BY tus, tid) AS rf,
+             row_number() OVER (PARTITION BY conv_id
+               ORDER BY tus DESC, tid DESC) AS rl
+           FROM j)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CASE WHEN rf = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS first_touch_cents,
+           CAST(sum(CASE WHEN rl = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS last_touch_cents,
+           CAST(sum((cents * 10000) // k) AS BIGINT) AS linear_microcents
+         FROM r GROUP BY channel ORDER BY channel""",
+    "q84_pagerank" -> graft.ops.Graph.pageRankOracleSql(
+      """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         FROM (SELECT DISTINCT o_custkey, l_suppkey
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+         UNION ALL
+         SELECT l_suppkey * 2 + 1, o_custkey * 2
+         FROM (SELECT DISTINCT o_custkey, l_suppkey
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey)"""),
+    "q85_compaction_bins" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM documents)
+         SELECT CAST((cum - n_chars) // 65536 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bytes
+         FROM f GROUP BY bin ORDER BY bin""",
+    "q86_zorder_cells" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+             (${graft.ops.Layout.zorderKeySql(
+               Seq("l_partkey", "l_suppkey"), 21)}) AS zkey
+           FROM lineitem)
+         SELECT CAST(zkey >> 14 AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_partkey) AS BIGINT) AS min_part,
+           CAST(max(l_partkey) AS BIGINT) AS max_part,
+           CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+           CAST(max(l_suppkey) AS BIGINT) AS max_supp
+         FROM z GROUP BY cell ORDER BY cell""")
 }

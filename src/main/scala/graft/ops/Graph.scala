@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over an edge list — the iterative-join workload
+  * class (label propagation's spectral sibling; dupClusters covers the
+  * other one). North-star extension in the SURVEY §8 sense.
+  *
+  * Scale shape: each iteration is ONE join of the rank frame against the
+  * edge list on the source key plus ONE aggregate on the destination key —
+  * both hash-partitioned, no windows, no driver data. `localCheckpoint`
+  * truncates lineage per round so the plan never grows with the iteration
+  * count (same discipline as [[Dedup.dupClusters]]). The driver loop
+  * carries nothing but the iteration counter. Degrees are carried INSIDE
+  * the rank frame (node, deg, rank), so the static degree table is not
+  * re-joined every round.
+  *
+  * Fixed-point arithmetic (the oracle contract): ranks live as integer
+  * "picorank" units (initial mass = 10¹² DIV n per node) and every
+  * division is a floor DIV — identical in Spark and DuckDB, so after any
+  * number of iterations the values match bit-for-bit. A float PageRank
+  * accumulates summation-order error that a 10-round iteration amplifies
+  * past any fixed rounding; deterministic mass leak (≤ deg units per
+  * node per round) is the price of an exact cross-engine gate.
+  *
+  * Update rule per round, damping d = `dampingPct`/100:
+  *   contrib(v) = Σ_{u→v} rank(u) DIV deg(u)
+  *   rank'(v)   = ((100−d)·(10¹² DIV n)) DIV 100 + (d·contrib(v)) DIV 100
+  */
+object Graph {
+
+  val Unit: Long = 1000000000000L // 10^12 picorank = total initial mass
+
+  /** PageRank over directed `edges` (src, dst). Nodes = every endpoint.
+    * Returns (node, rank) with rank in picorank units, sorted by node. */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+               dampingPct: Int = 85, checkpoint: Boolean = true): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val nodesDeg = nodes.join(deg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint()
+    val n = nodesDeg.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val init = Unit / n
+    val base = ((100L - dampingPct) * init) / 100L
+    var ranks = nodesDeg.withColumn("rank", lit(init))
+    for (_ <- 1 to iterations) {
+      val contrib = ranks.filter(col("deg") > 0)
+        .join(e, ranks("node") === e("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank div deg")).as("contrib"))
+      ranks = nodesDeg
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          expr(s"${base}L + (${dampingPct}L * coalesce(contrib, 0L)) div 100")
+            .as("rank"))
+      // truncate lineage per round (plan must not grow with iterations);
+      // `checkpoint = false` keeps the lineage for plan-audit specs
+      if (checkpoint) ranks = ranks.localCheckpoint()
+    }
+    ranks.select("node", "rank").orderBy("node")
+  }
+
+  /** The DuckDB twin: same fixed-point update, iterations unrolled as
+    * chained CTEs (recursive CTEs restrict aggregation over the recursive
+    * relation; unrolling sidesteps engine-specific recursion rules while
+    * keeping every arithmetic step identical). `edgesSql` must yield
+    * (src BIGINT, dst BIGINT). */
+  def pageRankOracleSql(edgesSql: String, iterations: Int = 10,
+                        dampingPct: Int = 85): String = {
+    val d = dampingPct.toLong
+    val head =
+      s"""WITH e AS ($edgesSql),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         |nd AS (SELECT n.node, coalesce(d.deg, 0) AS deg
+         |       FROM nodes n LEFT JOIN deg d USING (node)),
+         |consts AS (SELECT ${Unit} // count(*) AS init,
+         |                  ((100 - $d) * (${Unit} // count(*))) // 100 AS base
+         |           FROM nd),
+         |r0 AS (SELECT node, deg, (SELECT init FROM consts) AS rank FROM nd)
+         |""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT nd.node, nd.deg,
+         |         (SELECT base FROM consts)
+         |           + ($d * coalesce(c.contrib, 0)) // 100 AS rank
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(p.rank // p.deg) AS BIGINT) AS contrib
+         |    FROM $prev p JOIN e ON p.node = e.src
+         |    WHERE p.deg > 0 GROUP BY e.dst) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    head + "," + iters +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations ORDER BY node"
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators — the part of a 100 TB pipeline that decides
+  * what the NEXT job's scan costs: small-file compaction planning,
+  * multi-dimensional z-order clustering for data skipping, and the
+  * scalable global prefix-sum they both lean on.
+  *
+  * Scale stance: a "global running total" is the textbook single-task
+  * window trap (`Window.orderBy` with no partition moves every row to one
+  * task). [[runningTotal]] replaces it with the classic distributed scan:
+  * range-repartition on the sort key (parallel sort), per-partition
+  * window sums, then a broadcast join of per-partition offsets — the same
+  * discipline as `Sketches.exactGlobalNtile`. Compaction planning itself
+  * runs on file METADATA (one row per file: ~10⁶ rows for 100 TB of
+  * 100 MB files), so even its total order is metadata-scale — but the
+  * primitive stays distributed so the same code serves row-scale callers.
+  */
+object Layout {
+
+  /** Exact global running total of `value` under the total order given by
+    * `sortCols` (include a unique tie-break column — determinism of the
+    * result REQUIRES a total order, though partition boundaries don't:
+    * range boundaries are sampled, and the prefix sum is invariant to
+    * where they land). Adds `alias`; input columns pass through. */
+  def runningTotal(df: DataFrame, sortCols: Seq[Column], value: Column,
+                   alias: String, numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val within = Window.partitionBy("_pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val run = ranged.withColumn("_run", sum(value).over(within))
+    // one row per partition → the unpartitioned window is over ≤ `parts`
+    // rows, then rides a broadcast back — never a wide single-task sort
+    val offsets = run.groupBy("_pid").agg(sum(value).as("_psum"))
+      .withColumn("_off", coalesce(
+        sum("_psum").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    run.join(broadcast(offsets), "_pid")
+      .withColumn(alias, col("_run") + col("_off"))
+      .drop("_pid", "_run")
+  }
+
+  /** Compaction bin assignment: pack files into target-sized output bins
+    * by the deterministic shelf rule `bin = (runningTotal − size) DIV
+    * target` over files ordered size-DESC (biggest first keeps bins near
+    * target; the id tie-break makes the order total). Returns per-bin
+    * (bin, n_files, bytes). Exact integer arithmetic end-to-end. */
+  def compactionBins(files: DataFrame, idCol: String, sizeCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val sized = files.select(col(idCol).as("id"),
+      col(sizeCol).cast("long").as("size"))
+    runningTotal(sized, Seq(col("size").desc, col("id")), col("size"), "cum")
+      .withColumn("bin", expr(s"(cum - size) div ${targetBytes}L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum("size").as("bytes"))
+      .orderBy("bin")
+  }
+
+  /** Z-order (Morton) key: interleaves the low `bits` bits of each
+    * dimension — dimension j contributes bit i to key bit
+    * `i * dims.size + j`, so a range of keys bounds EVERY dimension at
+    * once (the data-skipping property: parquet min/max stats on a
+    * z-sorted file prune multi-column predicates, not just the leading
+    * sort column). Pure integer bit arithmetic, codegen-friendly,
+    * oracle-portable via [[zorderKeySql]]. Dimensions must be
+    * non-negative and < 2^bits. */
+  def zorderKey(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty && bits >= 1 && bits * dims.size <= 62,
+      s"need 1..62 total key bits, got ${bits * dims.size}")
+    val terms = for {
+      i <- 0 until bits; (d, j) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(d.cast("long"), i).bitwiseAND(lit(1L)),
+      i * dims.size + j)
+    terms.reduce(_ + _)
+  }
+
+  /** The identical computation as ANSI SQL (for the DuckDB oracle). */
+  def zorderKeySql(dims: Seq[String], bits: Int): String =
+    (for {
+      i <- 0 until bits; (d, j) <- dims.zipWithIndex
+    } yield s"(((CAST($d AS BIGINT) >> $i) & 1) << ${i * dims.size + j})")
+      .mkString(" + ")
+
+  /** Cluster a frame for multi-dimensional data skipping: range-partition
+    * on the z-key, sort within partitions by it. Each output file then
+    * covers a contiguous z-range ⇒ tight min/max stats on ALL `dims`.
+    * Write the result with plain `.write.parquet`; the layout is in the
+    * row order, not the writer. */
+  def zorderCluster(df: DataFrame, dims: Seq[Column], bits: Int,
+                    numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = df.withColumn("_zkey", zorderKey(dims, bits))
+    keyed.repartitionByRange(parts, col("_zkey"))
+      .sortWithinPartitions("_zkey").drop("_zkey")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: symmetric star — hub outranks leaves, leaves tie") {
+    // star: 0 — {1,2,3,4}, symmetrized
+    val edges = (1L to 4L).flatMap(i => Seq((0L, i), (i, 0L)))
+      .toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    val leaves = (1L to 4L).map(ranks)
+    assert(leaves.distinct.size === 1, "leaves must tie exactly")
+    assert(ranks(0L) > leaves.head * 2,
+      s"hub ${ranks(0L)} should clearly outrank a leaf ${leaves.head}")
+  }
+
+  test("pageRank: regular graph is the uniform fixed point (exact)") {
+    // 4-cycle, symmetrized: every node deg 2 — rank stays at init
+    // forever because contrib(v) = 2 * (init DIV 2) = init, so
+    // rank' = 15%·init + 85%·init = init (modulo exact floor arithmetic)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    val init = Graph.Unit / 4
+    assert(ranks.values.toSet === Set(init))
+  }
+
+  test("pageRank: mass is conserved up to deterministic floor leak") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L),
+      (0L, 3L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iterations = 10)
+      .as[(Long, Long)].collect()
+    val total = ranks.map(_._2).sum
+    // each round each node can leak < deg units to DIV plus < 1 to the
+    // two /100 steps; 10 rounds x 4 nodes x small degs ≪ 1000 units
+    assert(total <= Graph.Unit && total > Graph.Unit - 1000,
+      s"total mass $total drifted")
+  }
+
+  test("pageRank plan: iteration is join + hash aggregate, no window, " +
+    "no cartesian") {
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val plan = Graph.pageRank(edges, iterations = 1, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"))
+    assert(plan.contains("HashAggregate"),
+      s"contrib rollup should be a hash aggregate:\n$plan")
+  }
+}
