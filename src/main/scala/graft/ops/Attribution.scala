@@ -65,13 +65,22 @@ object Attribution {
     val joined = conv.join(touch, Seq("u"))
       .filter(col("touch_ts") < col("conv_ts") &&
         col("touch_ts") >= col("conv_ts") - lookbackNanos)
+    creditRollup(joined)
+  }
+
+  /** Credit math over materialized (conversion, touch) pairs — shared by
+    * the batch path above and the streaming interval join
+    * ([[graft.streaming.StreamingAttribution]]), so the two legs cannot
+    * drift. `pairs` needs conv_id, cents, channel, touch_ts (any ordered
+    * type), touch_id. */
+  def creditRollup(pairs: DataFrame): DataFrame = {
     // one partitioning serves all three models
     val byConv = Window.partitionBy("conv_id")
     val first = Window.partitionBy("conv_id")
       .orderBy(col("touch_ts"), col("touch_id"))
     val last = Window.partitionBy("conv_id")
       .orderBy(col("touch_ts").desc, col("touch_id").desc)
-    joined
+    pairs
       .withColumn("k", count(lit(1)).over(byConv))
       .withColumn("rf", row_number().over(first))
       .withColumn("rl", row_number().over(last))

@@ -62,7 +62,9 @@ object Dedup {
     * short texts collapse to one whole-text shingle). */
   def shingles(text: String, n: Int): Seq[String] = {
     if (text == null) return Seq("")
-    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+    // regex-free token scan — JDK regex is serial under multithreading on
+    // this JVM (see graft.expr.TokenKernel)
+    val toks = graft.expr.TokenKernel.shingleTokens(text)
     if (toks.length < n) Seq(toks.mkString(" "))
     else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
   }
@@ -458,7 +460,7 @@ object Dedup {
     * here) — kept as the arithmetic proof, not the serving path. */
   def simhashCode(text: String, bits: Int): Long = {
     if (text == null) return 0L
-    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = graft.expr.TokenKernel.shingleTokens(text)
     val acc = new Array[Int](bits)
     val md = java.security.MessageDigest.getInstance("MD5")
     toks.foreach { t =>

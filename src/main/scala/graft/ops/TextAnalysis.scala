@@ -10,43 +10,54 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lowercased word tokens. */
+  /** Lowercased word tokens — native regex-free scan ([[graft.expr
+    * .TokenKernel]]; JDK regex is serial under multithreading on this
+    * JVM — see Tokenize.scala). Regex twin: [[tokensColRegex]]. */
   def tokensCol(text: Column): Column =
+    graft.expr.Tokenize.tokensNative(text)
+
+  /** Definitional regex twin of [[tokensCol]] (TokenizeSpec equality). */
+  private[ops] def tokensColRegex(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9']+"), t => t =!= "")
 
-  /** T7 — whitespace word count (Python `len(s.split())`). */
+  /** T7 — whitespace word count (Python `len(s.split())`); native scan. */
   def wordCountCol(text: Column): Column =
-    size(filter(split(text, "\\s+"), w => w =!= ""))
+    graft.expr.Tokenize.wordCountNative(text)
+
+  /** Definitional regex twin of [[wordCountCol]]. */
+  private[ops] def wordCountColRegex(text: Column): Column =
+    size(filter(split(text, "\\s+"), w => w =!= "")).cast("long")
 
   /** Counting kernels: the Column forms materialize every match/token
     * into an array only to take its size — these count in one compiled
     * scan (same java.util.regex semantics Spark's regexp functions use).
     * Column twins retained below; OpsSpec pins equality. */
-  private val BpeishPattern =
-    java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
-
-  def bpeishCount(text: String): Long = {
+  /** Regex twin of the [[graft.expr.TokenKernel.bpeishCount]] scan
+    * (TokenizeSpec equality). */
+  private[graft] def bpeishCountRegex(text: String): Long = {
     if (text == null) return 0L
-    val m = BpeishPattern.matcher(text)
+    val m = java.util.regex.Pattern
+      .compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").matcher(text)
     var n = 0L
     while (m.find()) n += 1
     n
   }
 
-  def tokenCount(text: String): Long =
-    if (text == null) 0L
-    else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9']+").count(_.nonEmpty).toLong
+  def bpeishCount(text: String): Long = graft.expr.TokenKernel.bpeishCount(text)
+
+  def tokenCount(text: String): Long = graft.expr.TokenKernel.tokenCount(text)
 
   private val bpeishUdf = udf(bpeishCount _)
-  private val tokenCountUdf = udf(tokenCount _)
 
-  /** BPE-ish token-count estimate: word-piece-style regex segments (letters
+  /** BPE-ish token-count estimate: word-piece-style segments (letters
     * run / digits run / single symbol), the standard pre-tokenizer shape —
-    * served by the counting kernel. */
+    * served by the regex-free counting kernel. */
   def bpeishCountCol(text: Column): Column = bpeishUdf(text)
 
-  /** Count of [[tokensCol]] tokens without materializing the array. */
-  def tokenCountCol(text: Column): Column = tokenCountUdf(text)
+  /** Count of [[tokensCol]] tokens without materializing the array —
+    * native codegen expression, regex-free. */
+  def tokenCountCol(text: Column): Column =
+    graft.expr.Tokenize.tokenCountNative(text)
 
   /** Column twin of [[bpeishCountCol]] (array-materializing form). */
   private[ops] def bpeishCountColExpr(text: Column): Column =
@@ -60,8 +71,8 @@ object TextAnalysis {
     if (text == null) Seq.empty[(String, Long)]
     else {
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9']+").foreach { t =>
-        if (t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
+      graft.expr.TokenKernel.tokens(text).foreach { t =>
+        m.update(t, m.getOrElse(t, 0L) + 1L)
       }
       m.toSeq
     }
@@ -96,7 +107,7 @@ object TextAnalysis {
 
   def langId(text: String): String = {
     if (text == null) return "und"
-    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9']+").filter(_.nonEmpty)
+    val toks = graft.expr.TokenKernel.tokens(text)
     var best = "und"
     var bestScore = 0
     markerSets.foreach { case (lang, ms) =>
@@ -140,7 +151,7 @@ object TextAnalysis {
   def qualityMetrics(text: String): (Long, Long, Double, Double, Double, Double) = {
     val t = if (text == null) "" else text
     val nChars = t.codePointCount(0, t.length).toLong
-    val toks = t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9']+").filter(_.nonEmpty)
+    val toks = graft.expr.TokenKernel.tokens(t)
     val nWords = toks.length.toLong
     var punct = 0
     var i = 0
@@ -262,7 +273,7 @@ object TextAnalysis {
     var triples = 0
     var at = t.indexOf("...")
     while (at >= 0) { triples += 1; at = t.indexOf("...", at + 3) }
-    val nWords = t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9']+").count(_.nonEmpty)
+    val nWords = graft.expr.TokenKernel.tokenCount(t)
     val symbolRatio = (hashEll + triples.toDouble) / math.max(1, nWords)
     val meanLineLen =
       if (nLines > 0)
@@ -310,22 +321,18 @@ object TextAnalysis {
       q.getField("_4") <= 0.1
   }
 
-  /** Canonical document fingerprint: md5 of the normalized token stream.
-    *
-    * Codegen form: joining the filtered token array with single spaces is
-    * byte-identical to collapsing every separator run to one space and
-    * trimming, so the whole column compiles (lower → regexp_replace →
-    * trim → md5). The definitional array form ([[fingerprintColExpr]])
-    * rides an ArrayFilter HOF, which is CodegenFallback — interpreted
-    * per token with no subexpression reuse; the 500k-doc scale run spent
-    * most of its profile-stage wall time in exactly that fallback. */
+  /** Canonical document fingerprint: md5 of the normalized token stream
+    * (tokens joined by single spaces — byte-identical to collapsing every
+    * separator run to one space and trimming). Served by the regex-free
+    * native tokenizer; the definitional regex form ([[fingerprintColExpr]])
+    * is the TokenizeSpec equality twin. */
   def fingerprintCol(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "[^a-z0-9']+", " ")))
+    md5(array_join(tokensCol(text), " "))
 
   /** Array-materializing definitional twin of [[fingerprintCol]]
     * (OpsSpec pins equality). */
   private[ops] def fingerprintColExpr(text: Column): Column =
-    md5(array_join(tokensCol(text), " "))
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9']+", " ")))
 
   /** Winnowing-style sketch: the `k` smallest md5s of word 4-grams —
     * a compact rolling-hash fingerprint for containment checks. */

@@ -16,9 +16,11 @@ import graft.expr.TextGen
   */
 object ContentGen {
 
-  /** Whitespace word count, Python `len(s.split())` semantics (T7). */
+  /** Whitespace word count, Python `len(s.split())` semantics (T7) —
+    * regex-free native scan (JDK regex is serial under multithreading on
+    * this JVM; see graft.expr.TokenKernel). */
   def wordCountCol(text: Column): Column =
-    size(filter(split(text, "\\s+"), w => w =!= ""))
+    graft.expr.Tokenize.wordCountNative(text)
 
   /** One "Name: v1, v2\nContext: …" block per SIT (T5). */
   private def sitBlock(s: Column, vals: Column, detailWord: String): Column =

@@ -60,7 +60,7 @@ class ContentGenSpec extends SparkSpec {
   test("word count column matches Python split() semantics") {
     val df = Seq("a b  c", " leading", "one", "", "tab\tsep words")
       .toDF("text").select(ContentGen.wordCountCol(col("text")).as("n"))
-    assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 1, 1, 0, 3))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 1L, 1L, 0L, 3L))
   }
 
   test("upsert: incoming wins per column, new rows appended, old kept") {
