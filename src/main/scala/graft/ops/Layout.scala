@@ -102,4 +102,32 @@ object Layout {
     keyed.repartitionByRange(parts, col("_zkey"))
       .sortWithinPartitions("_zkey").drop("_zkey")
   }
+
+  /** Hive-partitioned parquet write: one directory per `partCol` value,
+    * rows repartitioned by the partition column first so each hive
+    * partition is written by one task (otherwise every task appends a
+    * file to every partition — tasks × partitions small files, the
+    * classic layout failure at 1000 executors).
+    *
+    * The payoff is scan-time partition PRUNING: a reader filtering on
+    * `partCol` never opens the other directories — the physical plan
+    * carries the predicate as `PartitionFilters`, leaving data filters
+    * for parquet row groups only. LayoutSpec pins exactly that on a
+    * read-back. */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Bucketed table write + the shuffle-free join it buys: both sides
+    * pre-hashed into the same bucket count on the join key means the
+    * sort-merge join needs NO Exchange at query time — at 100 TB the
+    * entire fact-to-fact shuffle (the single most expensive stage of a
+    * repeated join) is paid ONCE at write time and amortized over every
+    * subsequent query. LayoutSpec pins the no-Exchange plan. Requires a
+    * table (bucket metadata lives in the catalog, not the files). */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .format("parquet").saveAsTable(table)
 }

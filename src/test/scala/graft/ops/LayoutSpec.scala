@@ -91,4 +91,45 @@ class LayoutSpec extends SparkSpec {
     assert(ranges.map(_._4).min < 32 && ranges.map(_._5).min < 32,
       "z-clustering should tighten at least some partitions' dim spans")
   }
+
+  test("writePartitioned: reader filtering the partition column prunes " +
+    "at the source (PartitionFilters, not data filters)") {
+    val dir = java.nio.file.Files.createTempDirectory("hivepart").toFile
+    dir.deleteOnExit()
+    val df = (0 until 1000).map(i => (i.toLong, s"d${i % 7}", i * 2.0))
+      .toDF("id", "day", "v")
+    Layout.writePartitioned(df, dir.getAbsolutePath, "day")
+    // one directory per partition value
+    val dirs = dir.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.length === 7 && dirs.forall(_.startsWith("day=")))
+    val back = spark.read.parquet(dir.getAbsolutePath)
+      .filter(col("day") === "d3")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
+      s"day filter should prune partitions:\n$plan")
+    assert(back.count() === 1000 / 7 + (if (3 < 1000 % 7) 1 else 0))
+  }
+
+  test("writeBucketed: join of two co-bucketed tables runs with NO " +
+    "shuffle exchange (the write-once / join-free-forever trade)") {
+    val a = (0 until 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (0 until 500).map(i => (i.toLong, i * 10.0)).toDF("k", "vb")
+    Layout.writeBucketed(a, "layout_bucket_a", "k", 8)
+    Layout.writeBucketed(b, "layout_bucket_b", "k", 8)
+    try {
+      // disable broadcast so the join would otherwise shuffle both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("layout_bucket_a")
+        .join(spark.table("layout_bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === 500)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS layout_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS layout_bucket_b")
+    }
+  }
 }
