@@ -426,7 +426,10 @@ object Dedup {
           col("label").as("plabel")).alias("p"), Seq("label"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .localCheckpoint()
+        // LAZY checkpoint: the convergence aggregate right below is the
+        // round's one action and materializes it — an eager checkpoint
+        // would run a second, redundant job per round
+        .localCheckpoint(false)
       // labels are monotonically non-increasing, so the label sum strictly
       // decreases until the fixpoint — equal sums ⟺ converged. One cheap
       // aggregate instead of a per-round full join against the old labels.
