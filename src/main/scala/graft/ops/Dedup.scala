@@ -359,8 +359,14 @@ object Dedup {
     // sets — and the oracle applies the identical df filter. One corpus
     // scan; the df window, the size window, and the bucket groupBy are the
     // shuffles
+    // shingles shuffle as 8-byte xxhash64 keys, never text — the df
+    // window, the cap, and the bucket collapse only need equality, and a
+    // 64-bit collision (≈ d²/2⁶⁵ for d distinct shingles — ~10⁻⁷ at
+    // 5M) could only nudge one pair's intersection count, the same
+    // trade the decontamination and boilerplate paths document
     val inv = df.select(col(idCol).cast("long").as("id"),
-      explode(array_distinct(shinglesCol(col(textCol), n))).as("shingle"))
+      explode(array_distinct(shinglesCol(col(textCol), n))).as("sh_text"))
+      .select(col("id"), xxhash64(col("sh_text")).as("shingle"))
     val sized = capBuckets(inv, "shingle", maxBucket)
       .withColumn("n_sh", count(lit(1))
         .over(Window.partitionBy("id")))
