@@ -57,7 +57,11 @@ object Bench {
     // artifact parsed as null): the printed line must fit entirely inside the
     // tail, so round to centiseconds and shorten sf to its basename — the
     // full-precision artifact goes to the file below.
-    val qsShort = results.map { case (k, v) => f""""$k":$v%.2f""" }
+    // key = the qNN prefix alone: 86 full names push the line past the
+    // 2 KB tail (measured 2057 bytes — the r4 failure mode again); the
+    // full-name, full-precision artifact is the file below
+    val qsShort = results.map { case (k, v) =>
+      f""""${k.takeWhile(_ != '_')}":$v%.2f""" }
       .mkString("{", ",", "}")
     val sfShort = new java.io.File(sfDir).getName
     println(
