@@ -1166,6 +1166,19 @@ object SparkEntry {
       .orderBy("cell")
   }
 
+  /** ANN quality evaluation: recall@3 of the IVF index (nProbe=2)
+    * against the exact brute-force neighbors, per query — the metric an
+    * index parameter sweep tunes before a full 100 TB build. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    graft.ops.Similarity.recallAtK(
+      graft.ops.Similarity.bruteForceTopK(emb, queries, k = 3),
+      graft.ops.Similarity.ivfTopK(emb, queries, k = 3,
+        centroidStride = 50, nProbe = 2),
+      k = 3)
+  }
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1256,7 +1269,8 @@ object SparkEntry {
     "q83_attribution" -> (q83 _),
     "q84_pagerank" -> (q84 _),
     "q85_compaction_bins" -> (q85 _),
-    "q86_zorder_cells" -> (q86 _))
+    "q86_zorder_cells" -> (q86 _),
+    "q87_ann_recall" -> (q87 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -2445,5 +2459,64 @@ object SparkEntry {
            CAST(max(l_partkey) AS BIGINT) AS max_part,
            CAST(min(l_suppkey) AS BIGINT) AS min_supp,
            CAST(max(l_suppkey) AS BIGINT) AS max_supp
-         FROM z GROUP BY cell ORDER BY cell""")
+         FROM z GROUP BY cell ORDER BY cell""",
+    "q87_ann_recall" ->
+      """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         n AS (SELECT vec_id, sqrt(sum(embedding[idx.i]::DOUBLE * embedding[idx.i]::DOUBLE)) AS nrm
+               FROM embeddings, idx GROUP BY vec_id),
+         q AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id % 25 = 0),
+         bfd AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                   sum(q.eq[idx.i]::DOUBLE * c.embedding[idx.i]::DOUBLE) AS dot
+                 FROM q, embeddings c, idx
+                 WHERE c.vec_id <> q.query_id GROUP BY 1, 2),
+         bfs AS (SELECT query_id, neighbor_id,
+                   round(dot / (nq.nrm * nc.nrm), 6) AS cosine_sim
+                 FROM bfd JOIN n nq ON nq.vec_id = query_id
+                          JOIN n nc ON nc.vec_id = neighbor_id),
+         bf AS (SELECT query_id, neighbor_id FROM
+                  (SELECT query_id, neighbor_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+                   FROM bfs)
+                WHERE rank <= 3),
+         cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id % 50 = 0),
+         ad AS (SELECT e.vec_id, c.cid,
+                  round(sum(e.embedding[idx.i]::DOUBLE * c.ce[idx.i]::DOUBLE), 6)
+                    AS dot
+                FROM embeddings e, cent c, idx GROUP BY 1, 2),
+         asn AS (SELECT vec_id, cid AS cell FROM
+                   (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dot DESC, cid ASC) AS rn FROM ad)
+                 WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cid AS cell FROM
+                      (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dot DESC, cid ASC) AS rn
+                       FROM ad WHERE vec_id % 25 = 0)
+                    WHERE rn <= 2),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                  FROM probes p JOIN asn a ON a.cell = p.cell
+                  WHERE a.vec_id <> p.query_id),
+         ivd AS (SELECT query_id, neighbor_id,
+                   sum(eq.embedding[idx.i]::DOUBLE * ec.embedding[idx.i]::DOUBLE) AS dot
+                 FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+                           JOIN embeddings ec ON ec.vec_id = neighbor_id, idx
+                 GROUP BY 1, 2),
+         ivs AS (SELECT query_id, neighbor_id,
+                   round(dot / (nq.nrm * nc.nrm), 6) AS cosine_sim
+                 FROM ivd JOIN n nq ON nq.vec_id = query_id
+                          JOIN n nc ON nc.vec_id = neighbor_id),
+         ivf AS (SELECT query_id, neighbor_id FROM
+                   (SELECT query_id, neighbor_id, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+                    FROM ivs)
+                 WHERE rank <= 3),
+         sel AS (SELECT b.query_id,
+                   CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+                 FROM bf b LEFT JOIN ivf i
+                   ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id)
+         SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST(sum(hit) * 1000 // 3 AS BIGINT) AS recall_permille
+         FROM sel GROUP BY query_id ORDER BY query_id""")
 }

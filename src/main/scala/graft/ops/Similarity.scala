@@ -537,4 +537,24 @@ object Similarity {
         round(cosineCol(col("vec_a"), col("vec_b")), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
+
+  /** Recall@k of an approximate neighbor list against the exact one —
+    * ANN quality evaluation as a first-class, oracle-able operator (the
+    * metric every index parameter sweep optimizes; at 100 TB you tune
+    * nProbe/bands on a sampled recall query before committing a full
+    * index build). Both inputs carry (query_id, neighbor_id) rows; every
+    * exact query id appears in the output even at zero hits. Counts are
+    * exact integers; recall is reported as floor-divided per-mille so no
+    * float ratio can flip the cross-engine hash. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(hits, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_permille", expr(s"n_hits * 1000 div $k"))
+      .orderBy("query_id")
+  }
 }

@@ -1,0 +1,23 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("recallAtK: hand-counted hits, zero-hit queries kept, floor per-mille") {
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), // q1: 2 of 3 found
+      (2L, 20L), (2L, 21L), (2L, 22L), // q2: none found
+      (3L, 30L), (3L, 31L), (3L, 32L)) // q3: all found
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq(
+      (1L, 10L), (1L, 12L), (1L, 99L),
+      (2L, 98L), (2L, 97L), (2L, 96L),
+      (3L, 30L), (3L, 31L), (3L, 32L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(exact, approx, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 666L), (2L, 0L, 0L), (3L, 3L, 1000L)))
+  }
+}
