@@ -1179,6 +1179,21 @@ object SparkEntry {
       k = 3)
   }
 
+  /** Train/val/test near-dup leakage detector: 16-bit SimHash buckets
+    * whose members span more than one split — the contamination a naive
+    * random split leaks when near-duplicates exist (the reason dedup
+    * must run BEFORE splitting; the curation DAG orders it that way). */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.Dedup.simhashCol(col("text"), 16).as("code"),
+        graft.ops.Curation.splitCol(col("doc_id")).as("split"))
+      .groupBy("code")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .orderBy("code")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1270,7 +1285,8 @@ object SparkEntry {
     "q84_pagerank" -> (q84 _),
     "q85_compaction_bins" -> (q85 _),
     "q86_zorder_cells" -> (q86 _),
-    "q87_ann_recall" -> (q87 _))
+    "q87_ann_recall" -> (q87 _),
+    "q88_split_leakage" -> (q88 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -2518,5 +2534,28 @@ object SparkEntry {
                    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id)
          SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hits,
            CAST(sum(hit) * 1000 // 3 AS BIGINT) AS recall_permille
-         FROM sel GROUP BY query_id ORDER BY query_id""")
+         FROM sel GROUP BY query_id ORDER BY query_id""",
+    "q88_split_leakage" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+           FROM documents),
+         bits AS (SELECT doc_id, p,
+             ((CASE WHEN ascii(substring(md5(t), (p//4)+1, 1)) >= 97
+                    THEN ascii(substring(md5(t), (p//4)+1, 1)) - 87
+                    ELSE ascii(substring(md5(t), (p//4)+1, 1)) - 48 END)
+              >> (3 - (p % 4))) & 1 AS b
+           FROM tok, (SELECT unnest(generate_series(0, 15)) AS p)),
+         cnt AS (SELECT doc_id, p, sum(2*b - 1) AS c FROM bits GROUP BY doc_id, p),
+         sh AS (SELECT doc_id,
+             CAST(sum(CASE WHEN c > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS code
+           FROM cnt GROUP BY doc_id),
+         s AS (SELECT doc_id, code,
+             CASE WHEN (doc_id*2654435761) % 1000 < 800 THEN 'train'
+                  WHEN (doc_id*2654435761) % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM sh)
+         SELECT code, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits
+         FROM s GROUP BY code HAVING count(DISTINCT split) > 1
+         ORDER BY code""")
 }
