@@ -126,13 +126,79 @@ object TokenKernel {
   }
 
   // ---- catalyst-facing wrappers (UTF8String in, catalyst types out) ----
+  //
+  // ASCII fast paths scan the UTF-8 bytes directly — no String decode, no
+  // char[] lowercase copy. Any byte ≥ 0x80 falls back to the String path,
+  // because only full String.toLowerCase reproduces Unicode mappings
+  // (Kelvin K → k, dotted İ → i + U+0307) the SQL `lower()` semantics
+  // require. Byte-level `| 0x20` is NOT used as a shortcut: characters
+  // are classified by explicit range tests, uppercase letters lowered by
+  // +32 only once classified.
 
-  def tokensArray(text: UTF8String): ArrayData =
-    new GenericArrayData(
-      tokens(text.toString).map(UTF8String.fromString(_)).toArray[Any])
+  @inline private def asciiTokByte(b: Byte, apostrophe: Boolean): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || (apostrophe && b == '\'')
 
-  def tokenCountU(text: UTF8String): Long = tokenCount(text.toString)
-  def wordCountU(text: UTF8String): Long = wordCount(text.toString)
+  def tokensArray(text: UTF8String): ArrayData = {
+    val n = text.numBytes
+    var i = 0
+    while (i < n) {
+      if (text.getByte(i) < 0) // non-ASCII: exact String path
+        return new GenericArrayData(
+          tokens(text.toString).map(UTF8String.fromString(_)).toArray[Any])
+      i += 1
+    }
+    val lowered = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val b = text.getByte(i)
+      lowered(i) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      while (i < n && !asciiTokByte(lowered(i), apostrophe = true)) i += 1
+      val start = i
+      while (i < n && asciiTokByte(lowered(i), apostrophe = true)) i += 1
+      if (i > start) out += UTF8String.fromBytes(lowered, start, i - start)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def tokenCountU(text: UTF8String): Long = {
+    val n = text.numBytes
+    var cnt = 0L
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i)
+      if (b < 0) return tokenCount(text.toString)
+      val isTok = asciiTokByte(b, apostrophe = true)
+      if (isTok && !inTok) cnt += 1
+      inTok = isTok
+      i += 1
+    }
+    cnt
+  }
+
+  /** Byte scan needs no fallback: regex `\s` is ASCII-only, every UTF-8
+    * continuation/lead byte is non-space, so non-space RUNS map 1:1. */
+  def wordCountU(text: UTF8String): Long = {
+    val n = text.numBytes
+    var cnt = 0L
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i)
+      val isTok = !(b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+        b == '\f' || b == '\r')
+      if (isTok && !inTok) cnt += 1
+      inTok = isTok
+      i += 1
+    }
+    cnt
+  }
 }
 
 /** `tokenize(text)` → `array<string>`: the native, codegen, regex-free

@@ -82,6 +82,24 @@ class TokenizeSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("native expressions: the non-ASCII fallback path equals the regex " +
+    "forms (byte fast path must not change Unicode semantics)") {
+    val df = edgeCases.toDF("text")
+    val mismatches = df.select(
+        TextAnalysis.tokensCol(col("text")).as("fast"),
+        filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+          .as("slow"),
+        TextAnalysis.tokenCountCol(col("text")).as("fastN"),
+        TextAnalysis.wordCountCol(col("text")).as("fastW"),
+        size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+          .cast("long").as("slowW"))
+      .filter(col("fast") =!= col("slow") ||
+        col("fastN") =!= size(col("slow")).cast("long") ||
+        col("fastW") =!= col("slowW"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("null handling matches the twins") {
     val df = Seq[(Integer, String)]((1, null)).toDF("id", "text")
     val r = df.select(
