@@ -1194,6 +1194,14 @@ object SparkEntry {
       .filter(col("n_splits") > 1)
       .orderBy("code")
 
+  /** Dedup threshold sensitivity: pair counts per exact Jaccard decile
+    * over the q19 pair universe — the sweep one runs BEFORE committing a
+    * near-dup cutoff at full scale. Integer deciles
+    * (`10·n_common DIV union`), so the histogram is engine-exact. */
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardDecileHistogram(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, maxBucket = 100)
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1286,7 +1294,8 @@ object SparkEntry {
     "q85_compaction_bins" -> (q85 _),
     "q86_zorder_cells" -> (q86 _),
     "q87_ann_recall" -> (q87 _),
-    "q88_split_leakage" -> (q88 _))
+    "q88_split_leakage" -> (q88 _),
+    "q89_jaccard_deciles" -> (q89 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_groupby_rollup" ->
@@ -2557,5 +2566,28 @@ object SparkEntry {
          SELECT code, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT split) AS BIGINT) AS n_splits
          FROM s GROUP BY code HAVING count(DISTINCT split) > 1
-         ORDER BY code""")
+         ORDER BY code""",
+    "q89_jaccard_deciles" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+           FROM tok),
+         inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         freq AS (SELECT shingle, count(*) AS df FROM inv0 GROUP BY shingle),
+         inv AS (SELECT doc_id, i.shingle FROM inv0 i
+                 JOIN freq USING (shingle) WHERE df <= 100),
+         sz AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT (10 * n_common) // (sa.n + sb.n - n_common) AS decile
+                   FROM inter JOIN sz sa ON id_a = sa.doc_id
+                              JOIN sz sb ON id_b = sb.doc_id)
+         SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM pairs GROUP BY decile ORDER BY decile""")
 }

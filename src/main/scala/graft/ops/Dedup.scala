@@ -350,7 +350,32 @@ object Dedup {
     * path is the scale route. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000): DataFrame =
+    jaccardPairCounts(df, idCol, textCol, n, maxBucket)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Threshold-sensitivity histogram: pair counts per exact Jaccard
+    * decile — `(10·n_common) DIV (n_a+n_b−n_common)`, pure integer
+    * arithmetic, so the sweep one runs BEFORE committing a dedup cutoff
+    * at full scale is engine-exact. One extra tiny aggregate over the
+    * same pair pipeline the pair generator uses. */
+  def jaccardDecileHistogram(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, maxBucket: Int = 1000): DataFrame =
+    jaccardPairCounts(df, idCol, textCol, n, maxBucket)
+      .withColumn("decile",
+        expr("(10 * n_common) div (n_a + n_b - n_common)"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("decile")
+
+  /** Shared pair pipeline: (id_a, id_b, n_common, n_a, n_b) over the
+    * frequent-shingle-filtered universe (see [[ngramJaccardPairs]]). */
+  private def jaccardPairCounts(df: DataFrame, idCol: String, textCol: String,
+                                n: Int, maxBucket: Int): DataFrame = {
     // the metric is Jaccard over the FREQUENT-SHINGLE-FILTERED universe:
     // shingles with document frequency > maxBucket (boilerplate/stopword
     // n-grams, which carry no similarity signal and would go quadratic in
@@ -385,11 +410,6 @@ object Dedup {
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Duplicate-cluster assignment: connected components over a near-dup
