@@ -73,6 +73,33 @@ class EventTimeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("MILLIS-precision parquet (a plausible next drift) → exact nanos") {
+    // a future regeneration could ship TIMESTAMP(MILLIS); Spark surfaces
+    // it as the same TimestampNTZ/Timestamp types, so the conversion must
+    // hold at millisecond precision too
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      val dir = Files.createTempDirectory("evmillis").toFile
+      dir.deleteOnExit()
+      val msA = microsA / 1000 * 1000 // truncate to millis precision
+      val msB = microsB / 1000 * 1000
+      spark.range(2).select(
+          col("id").as("event_id"),
+          when(col("id") === 0, msA).otherwise(msB).as("us"))
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = EventTime.readNanos(spark, dir.toString)
+      assert(got.schema("ts").dataType == LongType)
+      assert(nanosOf(got) == Seq(msA * 1000, msB * 1000))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
+  }
+
   test("real testdata events read as longs in nanos range") {
     val ev = EventTime.readNanos(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType == LongType)
