@@ -30,7 +30,13 @@ object Bench {
         catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_ONLY="q84,q19" times just those queries (prefix
+    // match on the qNN part); unset = the full driver-contract sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       // Isolate each query: a fresh child session (same SparkContext, clean
       // catalog/temp-view/conf state) and a post-query cache clear + GC so the
       // ContextCleaner reclaims broadcasts/shuffles before the next timing —
@@ -53,19 +59,6 @@ object Bench {
       name -> secs
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // stdout capture keeps only a ~2 KB tail (r04 lost q01-q18 to it and the
-    // artifact parsed as null): the printed line must fit entirely inside the
-    // tail, so round to centiseconds and shorten sf to its basename — the
-    // full-precision artifact goes to the file below.
-    // key = the qNN prefix alone: 86 full names push the line past the
-    // 2 KB tail (measured 2057 bytes — the r4 failure mode again); the
-    // full-name, full-precision artifact is the file below
-    val qsShort = results.map { case (k, v) =>
-      f""""${k.takeWhile(_ != '_')}":$v%.2f""" }
-      .mkString("{", ",", "}")
-    val sfShort = new java.io.File(sfDir).getName
-    println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsShort,"sf":"$sfShort"}""")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val json =
@@ -81,6 +74,22 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // stop the session BEFORE the summary line so no late executor/cleaner
+    // log can land after it — then print the totals JSON as the ABSOLUTE
+    // LAST stdout line (five rounds of BENCH_r*.json parsed null because
+    // the line preceded trailing log output in the captured tail).
     spark.stop()
+    // stdout capture keeps only a ~2 KB tail (r04 lost q01-q18 to it and the
+    // artifact parsed as null): the printed line must fit entirely inside the
+    // tail, so round to centiseconds, shorten sf to its basename, and key by
+    // the qNN prefix alone (86 full names measured 2057 bytes — past the
+    // tail); the full-name, full-precision artifact is the file above
+    val qsShort = results.map { case (k, v) =>
+      f""""${k.takeWhile(_ != '_')}":$v%.2f""" }
+      .mkString("{", ",", "}")
+    val sfShort = new java.io.File(sfDir).getName
+    println(
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsShort,"sf":"$sfShort"}""")
+    System.out.flush()
   }
 }

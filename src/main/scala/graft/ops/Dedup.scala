@@ -412,6 +412,110 @@ object Dedup {
       .agg(count(lit(1)).as("n_common"))
   }
 
+  /** Positional n-token shingles: shingle i covers tokens [i, i+n). Unlike
+    * [[shingles]] there is NO whole-text collapse — a doc with fewer than
+    * `n` tokens cannot contain an n-token span and contributes nothing
+    * (the set-similarity ops want every doc represented; span mining
+    * wants exact positional windows only). */
+  def posShingles(text: String, n: Int): Seq[String] = {
+    if (text == null) return Seq.empty
+    val toks = graft.expr.TokenKernel.shingleTokens(text)
+    if (toks.length < n) Seq.empty
+    else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  private val posShinglesUdf = udf((text: String, n: Int) => posShingles(text, n))
+  private val shingleToksUdf =
+    udf((text: String) => graft.expr.TokenKernel.shingleTokens(text).toSeq)
+
+  /** Substring-level exact dedup, detection half (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — the span-granular op document-level dedup misses:
+    * a boilerplate paragraph repeated across otherwise-distinct pages
+    * survives every document dedup above, yet is exactly what an LLM
+    * memorizes): every MAXIMAL token span covered by `n`-token shingles
+    * occurring ≥ `minOcc` times corpus-wide (position-multiplicity, so a
+    * span repeated twice WITHIN one doc counts too).
+    *
+    * Output: (id, span_id, span_start, span_end, n_shingles) — token
+    * positions, end exclusive, span_id the per-doc 1-based island number
+    * in position order. All-integer and deterministic, so engine-exact.
+    *
+    * Scale shape — never pairwise, linear in corpus size: positional
+    * shingles shuffle once as 8-byte xxhash64 keys (same collision trade
+    * as [[jaccardPairCounts]], documented there) for the occurrence-count
+    * window (hash-partitioned on shingle — a count, so a hot boilerplate
+    * shingle costs its row count, never a pair blowup); surviving
+    * positions shuffle once more, partitioned per doc, where the classic
+    * gaps-and-islands windows merge overlapping/adjacent [pos, pos+n)
+    * intervals into maximal spans. Compare q77's repeated-passage miner
+    * (fixed disjoint chunks, no merging): this is the span-exact form. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 10, minOcc: Int = 2): DataFrame = {
+    require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
+    val sh = df.select(col(idCol).cast("long").as("id"),
+        posexplode(posShinglesUdf(col(textCol), lit(n)))
+          .as(Seq("pos", "sh_text")))
+      .select(col("id"), col("pos"), xxhash64(col("sh_text")).as("shingle"))
+    val covered = sh
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("occ") >= minOcc)
+      .select("id", "pos")
+    val byPos = Window.partitionBy("id").orderBy("pos")
+    val prevEnd = max(col("pos") + n)
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    covered
+      // island break exactly when this window starts past every previous
+      // window's end (pos > prevEnd); touching intervals merge — the
+      // covered token region is contiguous
+      .withColumn("new_span",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("span_id", sum("new_span")
+        .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "span_id")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + n).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+  }
+
+  /** Substring-level exact dedup, removal half: strip every
+    * [[repeatedSpans]] span out of each document's token stream. Returns
+    * one row per doc that HAS tokens: (id, n_tokens, n_kept, clean_md5)
+    * where clean_md5 hashes the kept tokens space-joined ("" when the
+    * whole doc was duplicated spans) — the downstream pipeline would
+    * carry the cleaned token stream itself; the md5 form is the
+    * cross-engine gate.
+    *
+    * Shape: spans collapse to one small array per affected doc and come
+    * back through ONE equi-join on id; the token array never explodes —
+    * kept-token selection is a per-row filter with an exists() probe over
+    * that doc's (few) spans. */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 10, minOcc: Int = 2): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, n, minOcc)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        shingleToksUdf(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    toks.join(spans, Seq("id"), "left")
+      .select(col("id"), col("toks"),
+        coalesce(col("spans"),
+          array().cast("array<struct<span_start:long,span_end:long>>"))
+          .as("sp"))
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(transform(col("toks"),
+            (t, p) => struct(t.as("t"), p.cast("long").as("p"))),
+          x => !exists(col("sp"), s =>
+            x.getField("p") >= s.getField("span_start") &&
+              x.getField("p") < s.getField("span_end"))).as("kept"))
+      .select(col("id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ",
+          transform(col("kept"), x => x.getField("t")))).as("clean_md5"))
+  }
+
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair graph ((id_a, id_b) rows from any pair generator above), labeling
     * every member with the minimum doc id reachable through pairs — the

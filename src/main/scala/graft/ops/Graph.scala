@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * other one). North-star extension in the SURVEY §8 sense.
   *
   * Scale shape: each iteration is ONE join of the rank frame against the
-  * edge list on the source key plus ONE aggregate on the destination key —
-  * both hash-partitioned, no windows, no driver data. `localCheckpoint`
+  * edge list on the source key plus ONE aggregate on the destination key
+  * (the per-node degree rides through the same aggregate as a max over a
+  * union'd zero-contribution row per node, so no second join reattaches
+  * it) — both hash-partitioned, no windows, no driver data. `localCheckpoint`
   * truncates lineage per round so the plan never grows with the iteration
   * count (same discipline as [[Dedup.dupClusters]]). The driver loop
   * carries nothing but the iteration counter. Degrees are carried INSIDE
@@ -21,8 +23,15 @@ import org.apache.spark.sql.functions._
   * division is a floor DIV — identical in Spark and DuckDB, so after any
   * number of iterations the values match bit-for-bit. A float PageRank
   * accumulates summation-order error that a 10-round iteration amplifies
-  * past any fixed rounding; deterministic mass leak (≤ deg units per
-  * node per round) is the price of an exact cross-engine gate.
+  * past any fixed rounding; deterministic mass leak is the price of an
+  * exact cross-engine gate. Two leak sources, both deterministic: floor
+  * division drops ≤ deg units per node per round, and — this is the
+  * PageRank-WITHOUT-dangling-redistribution variant — a sink node
+  * (deg = 0) simply drops its whole rank mass each round rather than
+  * redistributing it uniformly. The oracle twin implements the identical
+  * semantics, so results stay exact either way; callers needing the
+  * mass-conserving textbook variant should add the dangling term on both
+  * sides (or symmetrize the graph, as q84 does, so sinks cannot exist).
   *
   * Update rule per round, damping d = `dampingPct`/100:
   *   contrib(v) = Σ_{u→v} rank(u) DIV deg(u)
@@ -36,14 +45,28 @@ object Graph {
     * Returns (node, rank) with rank in picorank units, sorted by node. */
   def pageRank(edges: DataFrame, iterations: Int = 10,
                dampingPct: Int = 85, checkpoint: Boolean = true,
-               checkpointEvery: Int = 3): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+               checkpointEvery: Int = 5, copartition: Boolean = true,
+               eagerCheckpoint: Boolean = true): DataFrame = {
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // pin BOTH static frames to one hash partitioning up front — edges on
+    // src, nodes on node — and every later checkpoint preserves it
+    // (LogicalRDD carries outputPartitioning). Each iteration's rank⋈edges
+    // join (node = src) is then co-partitioned, so at scale (where AQE
+    // can't just broadcast the rank frame) EnsureRequirements re-shuffles
+    // NEITHER side per round — the only per-round exchange is the contrib
+    // aggregate's, genuinely required (contributions regroup by
+    // destination). At sf0.1 this is noise-level (AQE broadcasts the 16k-
+    // row rank side either way — measured equal ±1 s over 4 runs); the
+    // flag exists so the plan shape can be audited both ways.
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = (if (copartition) e0.repartition(parts, col("src")) else e0)
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val nodesDeg = nodes.join(deg, Seq("node"), "left")
+    val nd0 = nodes.join(deg, Seq("node"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+    val nodesDeg = (if (copartition) nd0.repartition(parts, col("node")) else nd0)
       .localCheckpoint()
     val n = nodesDeg.count()
     require(n > 0, "pageRank needs a non-empty graph")
@@ -51,23 +74,36 @@ object Graph {
     val base = ((100L - dampingPct) * init) / 100L
     var ranks = nodesDeg.withColumn("rank", lit(init))
     for (i <- 1 to iterations) {
-      val contrib = ranks.filter(col("deg") > 0)
+      // ONE join + ONE aggregate per round: the per-edge contributions
+      // union a zero row per node carrying that node's degree, and a
+      // single groupBy(node) yields (Σ contrib, deg) together — folding
+      // the former "left-join contrib back onto nodesDeg" stage into the
+      // aggregate that already shuffles on node (one fewer join per
+      // round; same floor-DIV arithmetic, so the oracle is unchanged)
+      val edgeContrib = ranks.filter(col("deg") > 0)
         .join(e, ranks("node") === e("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("rank div deg")).as("contrib"))
-      ranks = nodesDeg
-        .join(contrib, Seq("node"), "left")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"),
+          lit(null).cast("long").as("d"))
+      val zeroRows = nodesDeg.select(col("node"), lit(0L).as("c"),
+        col("deg").as("d"))
+      ranks = edgeContrib.unionByName(zeroRows)
+        .groupBy("node")
+        .agg(sum("c").as("contrib"), max("d").as("deg"))
         .select(col("node"), col("deg"),
-          expr(s"${base}L + (${dampingPct}L * coalesce(contrib, 0L)) div 100")
-            .as("rank"))
+          expr(s"${base}L + (${dampingPct}L * contrib) div 100").as("rank"))
       // truncate lineage every few rounds — each eager localCheckpoint is
       // a full materialization job, so per-round checkpointing pays ~1
-      // job of fixed overhead per iteration while a 3-round linear plan
-      // is still cheap to optimize (measured: every-1 7.8s, every-3 ~5s
-      // for 10 rounds at sf0.1). `checkpoint = false` keeps the whole
-      // lineage for plan-audit specs.
+      // job of fixed overhead per iteration while a 5-round linear plan
+      // is still cheap to optimize. r6 sweep at sf0.1 / 10 rounds (2 runs
+      // × 8 variants, one warm JVM): every-5 eager was the consistent
+      // best (5.8–6.9 s); every-1, every-3, every-10, and lazy
+      // checkpoints all landed 6.6–7.8 s; disabling AQE tripled the time
+      // (no broadcast conversion → 32-partition SMJ per round). The
+      // union+agg round shape above cut ~1 s vs the former join-back
+      // formulation. `checkpoint = false` keeps the whole lineage for
+      // plan-audit specs.
       if (checkpoint && (i % checkpointEvery == 0 || i == iterations))
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint(eagerCheckpoint)
     }
     ranks.select("node", "rank").orderBy("node")
   }

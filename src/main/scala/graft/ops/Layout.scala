@@ -71,7 +71,12 @@ object Layout {
     * z-sorted file prune multi-column predicates, not just the leading
     * sort column). Pure integer bit arithmetic, codegen-friendly,
     * oracle-portable via [[zorderKeySql]]. Dimensions must be
-    * non-negative and < 2^bits. */
+    * non-negative and < 2^bits — a value outside that domain silently
+    * loses its high bits here (the key stays well-defined and
+    * [[zorderKeySql]] truncates identically, but the locality/skipping
+    * property quietly degrades: all values sharing low bits collide).
+    * [[zorderCluster]] forecloses that with a cheap min/max precheck;
+    * callers using the raw key column own the domain. */
   def zorderKey(dims: Seq[Column], bits: Int): Column = {
     require(dims.nonEmpty && bits >= 1 && bits * dims.size <= 62,
       s"need 1..62 total key bits, got ${bits * dims.size}")
@@ -98,6 +103,24 @@ object Layout {
                     numParts: Int = 0): DataFrame = {
     val parts = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // domain precheck: one narrow min/max scan per call — negligible next
+    // to the range shuffle this operator exists to perform, and it turns
+    // the silent high-bit truncation documented on [[zorderKey]] (which
+    // would quietly destroy the data-skipping property the caller is
+    // paying the shuffle FOR) into a loud failure naming the dimension
+    val lim = 1L << bits
+    val bounds = df.select(dims.zipWithIndex.flatMap { case (d, j) =>
+      Seq(min(d.cast("long")).as(s"mn$j"), max(d.cast("long")).as(s"mx$j"))
+    }: _*).collect()(0)
+    dims.indices.foreach { j =>
+      if (!bounds.isNullAt(2 * j)) {
+        val (mn, mx) = (bounds.getLong(2 * j), bounds.getLong(2 * j + 1))
+        require(mn >= 0 && mx < lim,
+          s"zorderCluster dimension $j has range [$mn, $mx] outside " +
+            s"[0, $lim) for bits=$bits — raise bits (or offset/scale the " +
+            "dimension); truncated keys would silently lose z-locality")
+      }
+    }
     val keyed = df.withColumn("_zkey", zorderKey(dims, bits))
     keyed.repartitionByRange(parts, col("_zkey"))
       .sortWithinPartitions("_zkey").drop("_zkey")

@@ -87,6 +87,25 @@ object Similarity {
     * ivfTopK / pqTopK / ivfPqTopK) is the scale path past this. */
   val BruteForceMaxQueries: Long = 65536L
 
+  /** Hard ceiling on every codebook/centroid collect (ivfTopK, pqCodebook,
+    * ivfPqTopK coarse). A stride-derived codebook is CORPUS-PROPORTIONAL —
+    * n/stride centroids — so a fixed stride on a grown corpus silently
+    * turns the driver collect into a corpus-sized one (at 10¹⁰ docs with
+    * stride=50 that is 2×10⁸ vectors into the driver). The guard counts
+    * first (one cheap job) and fails loudly with the stride the caller
+    * actually needs; the scale-true construction is a stride that grows
+    * with n (or a capped deterministic sample), never a fixed one. */
+  val MaxCentroids: Long = 65536L
+
+  /** Count-then-require gate in front of a centroid/codebook collect. */
+  private def requireCentroidsBounded(n: Long, what: String,
+                                      stride: Long): Unit =
+    require(n <= MaxCentroids,
+      s"$what would collect $n centroid vectors into the driver " +
+        s"(max $MaxCentroids); a stride of $stride is too small for this " +
+        "corpus — centroid count is corpus_size/stride, so the stride must " +
+        "scale with the corpus (or use a capped deterministic sample)")
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
@@ -200,19 +219,24 @@ object Similarity {
     * The codebook here is deterministic — every `centroidStride`-th
     * vector — so any engine reproduces it (oracle rule: no rand()). A
     * production 100 TB run would train/sample the codebook instead; the
-    * shape is identical: a codebook small enough to broadcast (collected
-    * once on the driver — ≤ tens of thousands of rows BY CONSTRUCTION,
-    * never corpus-sized), cell assignment as one narrow pass over the
-    * corpus (no shuffle), then a hash equi-join on cell id against the
-    * broadcast probe set. Assignment dots are rounded to 6 decimals
-    * before the argmax so ULP noise can never flip a cell choice between
-    * engines (ties → lowest centroid id). */
+    * shape is identical: a codebook small enough to broadcast, collected
+    * once on the driver. That smallness is NOT free with a stride-derived
+    * codebook (centroid count = corpus_size/stride, i.e. corpus-
+    * proportional for a fixed stride), so the collect sits behind the
+    * [[MaxCentroids]] count-first gate and fails loudly when the stride
+    * hasn't kept up with the corpus. Cell assignment is one narrow pass
+    * over the corpus (no shuffle), then a hash equi-join on cell id
+    * against the broadcast probe set. Assignment dots are rounded to 6
+    * decimals before the argmax so ULP noise can never flip a cell choice
+    * between engines (ties → lowest centroid id). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidStride: Long = 50, nProbe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents: Array[(Long, Array[Double])] = corpus
+    val centSrc = corpus
       .filter(col(idCol) % centroidStride === 0)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    requireCentroidsBounded(centSrc.count(), "ivfTopK", centroidStride)
+    val cents: Array[(Long, Array[Double])] = centSrc
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
@@ -285,6 +309,10 @@ object Similarity {
     * = rank). */
   private def pqCodebook(df: DataFrame, k: Int, centroidStride: Long,
                          idCol: String, vecCol: String): Array[Array[Long]] = {
+    // bounded by the id < stride·k predicate — but only if k itself is
+    // sane, so misuse (a corpus-sized k) still fails before the collect
+    require(k >= 1 && k <= MaxCentroids,
+      s"pq codebook size k=$k out of range 1..$MaxCentroids")
     val cents = df
       .filter(col(idCol) % centroidStride === 0 &&
         col(idCol) < centroidStride * k)
@@ -366,6 +394,10 @@ object Similarity {
              nCent: Int = 8, centroidStride: Long = 50,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = pqCodebook(corpus, nCent, centroidStride, idCol, vecCol)
+    val nQ = queries.count()
+    require(nQ <= BruteForceMaxQueries,
+      s"pqTopK would collect $nQ query LUTs into the task closure " +
+        s"(max $BruteForceMaxQueries); batch the query set instead")
     val qLuts: Array[(Long, Array[Array[Long]])] = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
@@ -427,9 +459,12 @@ object Similarity {
                 nCent: Int = 8, pqStride: Long = 50,
                 coarseStride: Long = 50, nProbe: Int = 2,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val coarse: Array[(Long, Array[Long])] = corpus
+    val coarseSrc = corpus
       .filter(col(idCol) % coarseStride === 0)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    requireCentroidsBounded(coarseSrc.count(), "ivfPqTopK coarse codebook",
+      coarseStride)
+    val coarse: Array[(Long, Array[Long])] = coarseSrc
       .collect()
       .map(r => (r.getLong(0),
         toPqInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty))))
@@ -452,6 +487,10 @@ object Similarity {
     }
     // ONE collect serves both the ADC LUTs and the probe list — a second
     // collect would run a second full job over the query source
+    val nQ = queries.count()
+    require(nQ <= BruteForceMaxQueries,
+      s"ivfPqTopK would collect $nQ query vectors (LUTs + probes) into " +
+        s"the driver (max $BruteForceMaxQueries); batch the query set instead")
     val qRows: Array[(Long, Array[Long])] = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
@@ -548,9 +587,15 @@ object Similarity {
     * float ratio can flip the cross-engine hash. */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // dedup both sides: a repeated (query, neighbor) row in the approx
+    // input would multiply hit rows through the join (recall > 1000‰), and
+    // a repeated exact row would double-count a hit — the operator is
+    // public API, so it must not rely on callers emitting distinct pairs
     val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("hit", lit(1L))
     exact.select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .join(hits, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))

@@ -92,6 +92,21 @@ class LayoutSpec extends SparkSpec {
       "z-clustering should tighten at least some partitions' dim spans")
   }
 
+  test("zorderCluster refuses a dimension outside [0, 2^bits) instead of " +
+    "silently truncating high bits away") {
+    val over = Seq((0L, 1L), (5L, 64L)).toDF("x", "y") // y=64 needs 7 bits
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderCluster(over, Seq(col("x"), col("y")), bits = 6)
+    }
+    assert(e.getMessage.contains("dimension 1") &&
+      e.getMessage.contains("bits"), e.getMessage)
+    val neg = Seq((-1L, 1L)).toDF("x", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.zorderCluster(neg, Seq(col("x"), col("y")), bits = 6)
+    }
+    assert(e2.getMessage.contains("dimension 0"))
+  }
+
   test("writePartitioned: reader filtering the partition column prunes " +
     "at the source (PartitionFilters, not data filters)") {
     val dir = java.nio.file.Files.createTempDirectory("hivepart").toFile

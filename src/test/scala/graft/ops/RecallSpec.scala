@@ -20,4 +20,17 @@ class RecallSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((1L, 2L, 666L), (2L, 0L, 0L), (3L, 3L, 1000L)))
   }
+
+  test("recallAtK: duplicate pairs on either side cannot inflate recall") {
+    // the operator is public API — a caller whose approx list repeats a
+    // (query, neighbor) row must not multiply hits through the join, and a
+    // repeated exact row must not double-count; recall stays ≤ 1000‰
+    val exact = Seq((1L, 10L), (1L, 10L), (1L, 11L), (1L, 12L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 10L), (1L, 11L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(exact, approx, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 666L)))
+  }
 }

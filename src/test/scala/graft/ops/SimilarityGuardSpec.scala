@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The ANN driver-collect guards: every codebook/probe/LUT collect must
+  * fail LOUDLY (one cheap count, then require) when a fixed stride or an
+  * oversized query set would turn it corpus-proportional — never OOM the
+  * driver. Companion of the BruteForceMaxQueries test in OpsSpec. */
+class SimilarityGuardSpec extends SparkSpec {
+
+  // a corpus one row past the centroid ceiling, with stride 1 so EVERY id
+  // becomes a centroid — the fixed-stride-on-a-grown-corpus failure mode
+  private def bigCorpus = {
+    val v = array((0 until 4).map(i => lit(0.1f * i)): _*)
+    spark.range(Similarity.MaxCentroids + 1)
+      .select(col("id").as("vec_id"), v.as("embedding"))
+  }
+
+  private def smallQ = {
+    val v = array((0 until 4).map(i => lit(0.1f * i)): _*)
+    spark.range(2).select(col("id").as("vec_id"), v.as("embedding"))
+  }
+
+  test("ivfTopK refuses a corpus-proportional codebook collect") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(bigCorpus, smallQ, k = 3, centroidStride = 1)
+    }
+    assert(e.getMessage.contains("stride"),
+      s"guard message should name the stride fix: ${e.getMessage}")
+  }
+
+  test("ivfPqTopK refuses a corpus-proportional coarse codebook collect") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(bigCorpus, smallQ, k = 3, coarseStride = 1)
+    }
+    assert(e.getMessage.contains("stride"))
+  }
+
+  test("pqTopK / ivfPqTopK refuse an oversized query-side collect") {
+    val v = array((0 until 4).map(i => lit(0.1f * i)): _*)
+    val corpus = spark.range(400).select(col("id").as("vec_id"), v.as("embedding"))
+    val hugeQ = spark.range(Similarity.BruteForceMaxQueries + 1)
+      .select(col("id").as("vec_id"), v.as("embedding"))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(corpus, hugeQ, k = 3)
+    }
+    assert(e1.getMessage.contains("query"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(corpus, hugeQ, k = 3)
+    }
+    assert(e2.getMessage.contains("query"))
+  }
+
+  test("pqEncode refuses an unbounded codebook size k") {
+    val v = array((0 until 4).map(i => lit(0.1f * i)): _*)
+    val corpus = spark.range(10).select(col("id").as("vec_id"), v.as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(corpus, m = 2, k = Similarity.MaxCentroids.toInt + 1,
+        centroidStride = 1)
+    }
+    assert(e.getMessage.contains("codebook"))
+  }
+
+  test("guards stay out of the way at honest parameters") {
+    // the in-bounds path still works (q46/q63/q73 cover it at sf scale;
+    // this pins it at unit scale right next to the refusal tests)
+    val vecs = spark.range(100).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        sin(i * (col("id") % 5 + 1) * 0.7).cast("float")).as("embedding"))
+    val q = vecs.filter(col("vec_id") % 50 === 0)
+    assert(Similarity.ivfTopK(vecs, q, k = 2, centroidStride = 10).count() > 0)
+    assert(Similarity.pqTopK(vecs, q, k = 2, m = 2, nCent = 4,
+      centroidStride = 10).count() > 0)
+  }
+}

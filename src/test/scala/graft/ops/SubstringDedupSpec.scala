@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Substring-level exact dedup on hand-built corpora: span boundaries are
+  * token-exact, within-doc repeats count, overlapping windows merge to one
+  * maximal span, and the strip half reconstructs exactly the kept tokens. */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 12-token block shared by docs 1 and 2 (different surroundings), a
+  // 6-token block repeated TWICE within doc 3, and a doc 4 with no repeats
+  private val common =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+  private val rep = "papa quebec romeo sierra tango uniform"
+  private def corpus = Seq(
+    (1L, s"one two three $common four five six"),
+    (2L, s"seven eight $common nine"),
+    (3L, s"$rep mike november oscar whiskey xray yankee $rep"),
+    (4L, "zulu gamma epsilon theta iota lambda omicron upsilon")
+  ).toDF("doc_id", "text")
+
+  test("repeatedSpans: cross-doc span boundaries are exact and maximal") {
+    val spans = Dedup.repeatedSpans(corpus, "doc_id", "text", n = 5)
+      .orderBy("id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4)))
+    // doc 1: common occupies tokens [3,15); 5-token windows fully inside
+    // start at 3..10 (8 windows) → ONE merged span [3,15)
+    // doc 2: common at [2,14) → span [2,14)
+    // doc 3: rep at [0,6) and [12,18); within-rep windows start at {0,1}
+    // and {12,13} → two spans [0,6) and [12,18)
+    // doc 4: nothing
+    assert(spans.toSeq === Seq(
+      (1L, 1L, 3, 15, 8L),
+      (2L, 1L, 2, 14, 8L),
+      (3L, 1L, 0, 6, 2L),
+      (3L, 2L, 12, 18, 2L)))
+  }
+
+  test("repeatedSpans: adjacent-but-distinct repeated windows merge into " +
+    "one contiguous span") {
+    // two different repeated 3-grams sit back to back in doc 10; their
+    // [pos, pos+3) intervals touch → one maximal span, not two
+    val df = Seq(
+      (10L, "aa bb cc dd ee ff gg"), // "aa bb cc" at 0, "dd ee ff" at 3
+      (11L, "xx aa bb cc yy"),
+      (12L, "zz dd ee ff ww")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", n = 3)
+      .filter($"id" === 10L).collect()
+      .map(r => (r.getInt(2), r.getInt(3))).toSeq
+    assert(spans === Seq((0, 6)))
+  }
+
+  test("stripRepeatedSpans: kept tokens, counts, and md5 are hand-exact") {
+    val out = Dedup.stripRepeatedSpans(corpus, "doc_id", "text", n = 5)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.toSeq === Seq(
+      (1L, 18L, 6L, md5("one two three four five six")),
+      (2L, 15L, 3L, md5("seven eight nine")),
+      (3L, 18L, 6L, md5("mike november oscar whiskey xray yankee")),
+      (4L, 8L, 8L,
+        md5("zulu gamma epsilon theta iota lambda omicron upsilon"))))
+  }
+
+  test("stripRepeatedSpans: a fully-duplicated doc strips to the empty " +
+    "stream, not a missing row") {
+    val df = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(df, "doc_id", "text", n = 5)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(out === Seq((1L, 5L, 0L, emptyMd5), (2L, 5L, 0L, emptyMd5)))
+  }
+
+  test("posShingles: no whole-text collapse below n tokens") {
+    assert(Dedup.posShingles("one two three", 5) === Seq.empty)
+    assert(Dedup.posShingles("one two three", 3) === Seq("one two three"))
+    assert(Dedup.posShingles(null, 3) === Seq.empty)
+  }
+}
