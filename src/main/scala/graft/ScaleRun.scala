@@ -25,6 +25,15 @@ import scala.jdk.CollectionConverters._
   *   4. streaming — file-source [[graft.streaming.StreamingValidator]] over
   *                  the same mapping landed as CSV, state-store size
   *                  captured from StreamingQueryProgress
+  *   5. substring — span-granular exact dedup (repeatedSpans + strip) over
+  *                  the full corpus
+  *   6. attribution — multi-touch credit over 3M synthetic events
+  *   7. pagerank  — 10 fixed-point rounds over the 2×-symmetrized
+  *                  user-item graph derived from those events
+  *   8. layout    — compaction-bin planning on corpus metadata + a
+  *                  z-order-clustered parquet write of the event stream
+  *   9. ann       — IVF recall@10 sweep (nProbe 1..3) against brute force,
+  *                  500k vectors / 200 queries, stride under MaxCentroids
   *
   * Metrics come from a SparkListener (per-stage task metrics summed per
   * phase) plus JVM heap-pool peaks (reset at each phase boundary). The
@@ -69,6 +78,10 @@ object ScaleRun {
   def main(args: Array[String]): Unit = {
     val perSit = args.headOption.map(_.toInt).getOrElse(3000)
     val outRoot = args.lift(1).getOrElse("target/scale")
+    // optional phase filter ("generate,curation,…"): dev aid for re-running
+    // a subset against an existing corpus parquet; default = every phase
+    val phaseFilter = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -98,6 +111,7 @@ object ScaleRun {
     def mb(b: Long) = b >> 20
 
     def phase(name: String)(body: => String): Unit = {
+      if (phaseFilter.exists(!_.contains(name))) return
       heapPools.foreach(_.resetPeakUsage())
       val before = metrics.snap()
       val t0 = System.nanoTime()
@@ -194,6 +208,104 @@ object ScaleRun {
         s"state rows $stateRows (${mb(stateMem)} MB in store), " +
           s"$emitted windowed report rows emitted"
       } finally q.stop()
+    }
+
+    // ---- 5. substring-level exact dedup over the full corpus ----
+    phase("substring") {
+      val spans = graft.ops.Dedup.repeatedSpans(corpus, "doc_id", "text",
+        n = 10)
+      val nSpans = spans.count()
+      val agg = graft.ops.Dedup.stripRepeatedSpans(corpus, "doc_id", "text",
+          n = 10)
+        .agg(sum("n_tokens"), sum("n_kept"),
+          sum(when(col("n_kept") === 0, 1L).otherwise(0L))).collect()(0)
+      spark.catalog.clearCache()
+      s"$nSpans repeated spans; ${agg.getLong(0)} tokens -> " +
+        s"${agg.getLong(1)} kept (${agg.getLong(2)} docs fully templated)"
+    }
+
+    // ---- synthetic event stream shared by phases 6-8 (deterministic:
+    // integer arithmetic on the id, no rand) ----
+    lazy val events = {
+      val n = 3000000L
+      spark.range(n).select(
+        col("id").as("event_id"),
+        (col("id") % 100000).as("user_id"),
+        // one week of activity; per-event offset from a Knuth-hash spread
+        (lit(1704067200000000000L) +
+          ((col("id") * 2654435761L) % 604800000L) * 1000000L).as("ts"),
+        when(col("id") % 50 === 0, "purchase")
+          .when(col("id") % 3 === 0, "click")
+          .when(col("id") % 3 === 1, "view")
+          .otherwise("signup").as("event_type"),
+        ((col("id") % 9973).cast("double") / 100.0).as("value"),
+        (col("id") % 50000).as("item_id"))
+        .localCheckpoint()
+    }
+
+    // ---- 6. multi-touch attribution over 3M events ----
+    phase("attribution") {
+      val out = graft.ops.Attribution.byChannel(events,
+        "event_id", "user_id", "ts", "event_type", "value",
+        convType = "purchase", touchTypes = Seq("click", "signup", "view"),
+        lookbackNanos = 7L * 24 * 3600 * 1000000000L).collect()
+      spark.catalog.clearCache()
+      s"${events.count()} events -> ${out.length} channels, " +
+        s"${out.map(_.getAs[Long]("n_touches")).sum} credited touches"
+    }
+
+    // ---- 7. PageRank over the user-item interaction graph ----
+    phase("pagerank") {
+      val edges = events
+        .select((col("user_id") * 2).as("a"), (col("item_id") * 2 + 1).as("b"))
+        .distinct()
+        .select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val ranks = graft.ops.Graph.pageRank(edges)
+      val top = ranks.orderBy(col("rank").desc).limit(1).collect()(0)
+      spark.catalog.clearCache()
+      s"${ranks.count()} nodes ranked (10 rounds); " +
+        s"top node ${top.getLong(0)} at ${top.getLong(1)} picorank"
+    }
+
+    // ---- 8. physical layout: compaction planning + z-order write ----
+    phase("layout") {
+      val bins = graft.ops.Layout.compactionBins(
+        corpus.select(col("doc_id"), length(col("text")).as("bytes")),
+        "doc_id", "bytes", targetBytes = 64L << 20)
+      val nBins = bins.count()
+      // z-order the event stream on (user, item) — both bounded < 2^17,
+      // the write every multi-tenant event store wants for per-user AND
+      // per-item scans at once
+      graft.ops.Layout.zorderCluster(events,
+          Seq(col("user_id"), col("item_id")), bits = 17)
+        .write.mode("overwrite").parquet(s"$outRoot/events_zorder.parquet")
+      val zn = spark.read.parquet(s"$outRoot/events_zorder.parquet").count()
+      spark.catalog.clearCache()
+      s"$nBins 64MB compaction bins; $zn events z-order-clustered"
+    }
+
+    // ---- 9. ANN index quality sweep over 500k synthetic embeddings ----
+    phase("ann") {
+      val emb = spark.range(500000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          sin(i * (col("id") % 97 + 1) * 0.37 + col("id") * 0.11)
+            .cast("float")).as("embedding"))
+        .localCheckpoint()
+      val queries = emb.filter(col("vec_id") % 2500 === 0) // 200 queries
+      val exact = graft.ops.Similarity.bruteForceTopK(emb, queries, k = 10)
+        .localCheckpoint()
+      val recalls = (1 to 3).map { nProbe =>
+        val approx = graft.ops.Similarity.ivfTopK(emb, queries, k = 10,
+          centroidStride = 500, nProbe = nProbe) // 1000 centroids, guarded
+        val r = graft.ops.Similarity.recallAtK(exact, approx, k = 10)
+          .agg(avg("recall_permille")).collect()(0).getDouble(0)
+        f"nProbe=$nProbe ${r / 10}%.1f%%"
+      }
+      spark.catalog.clearCache()
+      s"recall@10 over 200 queries x 500k vectors: ${recalls.mkString(", ")}"
     }
 
     // ---- report ----

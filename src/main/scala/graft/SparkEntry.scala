@@ -212,8 +212,8 @@ object SparkEntry {
     * INPUT SYNTHESIS (the collect_list groupBy packing lineitem rows into
     * `;`-strings — no packed-string table exists in the testdata), not the
     * split/zip/posexplode operator under test, which is a narrow per-row
-    * transform. Read q13's bench entry as "synthesize + explode", and see
-    * ValidatorSpec for the operator timed in isolation on pre-packed rows. */
+    * transform. Read q13's bench entry as "synthesize + explode";
+    * ValidatorSpec exercises the operator in isolation on pre-packed rows. */
   private def q13(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -1145,9 +1145,15 @@ object SparkEntry {
       .select((col("o_custkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+    // symmetrize with ONE explode, not union(pairs, pairs.reversed): the
+    // union form evaluates the orders⋈lineitem+distinct subtree TWICE
+    // (the two legs' aliases differ, so no exchange reuse) — measured ~1 s
+    // of q84's setup at sf0.1
     graft.ops.Graph.pageRank(
-      pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+      pairs.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
   }
 
   /** Compaction planning: documents as stand-in file metadata (size =

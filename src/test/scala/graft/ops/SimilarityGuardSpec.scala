@@ -62,6 +62,19 @@ class SimilarityGuardSpec extends SparkSpec {
     assert(e.getMessage.contains("codebook"))
   }
 
+  test("strideFor keeps any corpus size under the centroid ceiling") {
+    for (n <- Seq(1L, 999L, 1024L, 1025L, 500000L, 10000000000L)) {
+      val s = Similarity.strideFor(n, targetCentroids = 1024L)
+      val centroids = (n + s - 1) / s // ids 0, s, 2s, … < n
+      assert(centroids <= 1024L, s"n=$n stride=$s -> $centroids centroids")
+      assert(s == 1L || (n + (s - 1) - 1) / (s - 1) > 1024L,
+        s"stride $s for n=$n is not minimal")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.strideFor(100L, targetCentroids = Similarity.MaxCentroids + 1)
+    }
+  }
+
   test("guards stay out of the way at honest parameters") {
     // the in-bounds path still works (q46/q63/q73 cover it at sf scale;
     // this pins it at unit scale right next to the refusal tests)
