@@ -1240,6 +1240,14 @@ object SparkEntry {
         col("clean_md5"))
       .orderBy("doc_id")
 
+  /** SemDeDup-style semantic dedup: IVF cells prune the pair space, a doc
+    * drops when a lower-id cell-mate sits at cosine ≥ 0.4 — the
+    * embedding-space (paraphrase) leg of the dedup suite. */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.4,
+      centroidStride = 50)
+      .orderBy("drop_id")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1335,7 +1343,8 @@ object SparkEntry {
     "q88_split_leakage" -> (q88 _),
     "q89_jaccard_deciles" -> (q89 _),
     "q90_substring_spans" -> (q90 _),
-    "q91_substring_strip" -> (q91 _))
+    "q91_substring_strip" -> (q91 _),
+    "q92_semantic_dedup" -> (q92 _))
 
   /** Shared CTE chain for the q90/q91 substring-dedup oracles: positional
     * 10-token shingles (pos zero-based, window [pos, pos+10)), occurrence
@@ -2660,6 +2669,40 @@ object SparkEntry {
              string_agg(CASE WHEN kept THEN tk END, ' ' ORDER BY p), ''))
              AS clean_md5
          FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "q92_semantic_dedup" ->
+      """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id % 50 = 0),
+         ad AS (SELECT e.vec_id, c.cid,
+                  round(sum(e.embedding[idx.i]::DOUBLE * c.ce[idx.i]::DOUBLE), 6)
+                    AS dot
+                FROM embeddings e, cent c, idx GROUP BY 1, 2),
+         asn AS (SELECT vec_id, cid AS cell FROM
+                   (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dot DESC, cid ASC) AS rn FROM ad)
+                 WHERE rn = 1),
+         okcell AS (SELECT cell FROM asn GROUP BY cell
+                    HAVING count(*) <= 1000),
+         pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM asn a JOIN asn b ON a.cell = b.cell
+                     AND a.vec_id < b.vec_id
+                   JOIN okcell ok ON ok.cell = a.cell),
+         n AS (SELECT vec_id,
+                 sqrt(sum(embedding[idx.i]::DOUBLE * embedding[idx.i]::DOUBLE))
+                   AS nrm
+               FROM embeddings, idx GROUP BY vec_id),
+         d AS (SELECT p.id_a, p.id_b,
+                 sum(ea.embedding[idx.i]::DOUBLE * eb.embedding[idx.i]::DOUBLE)
+                   AS dot
+               FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
+                            JOIN embeddings eb ON eb.vec_id = p.id_b, idx
+               GROUP BY 1, 2),
+         s AS (SELECT id_a, id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+               FROM d JOIN n na ON na.vec_id = id_a
+                      JOIN n nb ON nb.vec_id = id_b)
+         SELECT id_b AS drop_id, CAST(min(id_a) AS BIGINT) AS kept_by,
+           max(cos) AS max_cosine
+         FROM s WHERE cos >= 0.4 GROUP BY id_b ORDER BY drop_id""",
     "q89_jaccard_deciles" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks

@@ -110,26 +110,39 @@ object Similarity {
     math.max(1L, (corpusSize + targetCentroids - 1) / targetCentroids)
   }
 
-  /** Count-then-require gate in front of a centroid/codebook collect. */
-  private def requireCentroidsBounded(n: Long, what: String,
-                                      stride: Long): Unit =
-    require(n <= MaxCentroids,
-      s"$what would collect $n centroid vectors into the driver " +
-        s"(max $MaxCentroids); a stride of $stride is too small for this " +
+  /** Guarded centroid collect: ONE job that fetches at most
+    * `MaxCentroids + 1` rows (driver memory bounded even on a
+    * corpus-sized source) and fails loudly if the ceiling row arrived —
+    * strictly cheaper than a count-then-collect pair, which pays a second
+    * full job over the source. Row set is the full (bounded) result, so
+    * callers sort/use it exactly as an unguarded collect. */
+  private def collectCentroidsBounded(src: DataFrame, what: String,
+                                      stride: Long): Array[org.apache.spark.sql.Row] = {
+    val rows = src.limit(MaxCentroids.toInt + 1).collect()
+    require(rows.length <= MaxCentroids,
+      s"$what would collect more than $MaxCentroids centroid vectors " +
+        s"into the driver; a stride of $stride is too small for this " +
         "corpus — centroid count is corpus_size/stride, so the stride must " +
-        "scale with the corpus (or use a capped deterministic sample)")
+        "scale with the corpus (use strideFor, or a capped deterministic " +
+        "sample)")
+    rows
+  }
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val nQ = queries.count()
-    require(nQ <= BruteForceMaxQueries,
-      s"bruteForceTopK would collect $nQ query vectors into the task " +
-        s"closure (max $BruteForceMaxQueries); use annTopK/ivfTopK/pqTopK " +
-        "for large query sets")
-    val qArr: Array[(Long, Array[Double])] = queries
+    // single-job guard: fetch at most ceiling+1 rows (driver memory stays
+    // bounded even on a corpus-sized query frame), fail if the sentinel
+    // row arrived — no separate count job
+    val qCollected = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .limit(BruteForceMaxQueries.toInt + 1).collect()
+    require(qCollected.length <= BruteForceMaxQueries,
+      s"bruteForceTopK would collect more than $BruteForceMaxQueries " +
+        "query vectors into the task closure; use annTopK/ivfTopK/pqTopK " +
+        "for large query sets")
+    val qArr: Array[(Long, Array[Double])] = qCollected
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val scoreAll = udf { (id: Long, v: Seq[Double]) =>
       if (v == null) Seq.empty[(Long, Double)]
@@ -242,29 +255,41 @@ object Similarity {
     * against the broadcast probe set. Assignment dots are rounded to 6
     * decimals before the argmax so ULP noise can never flip a cell choice
     * between engines (ties → lowest centroid id). */
+  /** Deterministic stride codebook, collected through the bounded probe
+    * and sorted by id (shared by ivfTopK / semanticDedup). */
+  private def strideCodebook(df: DataFrame, what: String, stride: Long,
+                             idCol: String,
+                             vecCol: String): Array[(Long, Array[Double])] = {
+    val src = df.filter(col(idCol) % stride === 0)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val cents = collectCentroidsBounded(src, what, stride)
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids: no $idCol divisible by $stride")
+    cents
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Nearest-cells kernel over a collected codebook: rounded dot against
+    * every centroid, top-n by (dot desc, centroid id asc) — rounding
+    * before the argmax means ULP noise can never flip a cell choice
+    * between engines (same fused-UDF rationale as cosUdf). */
+  private def nearestCellsFn(cents: Array[(Long, Array[Double])])
+      : (Seq[Double], Int) => Seq[Long] =
+    (v, n) => cents.map { case (cid, ce) =>
+      var dot = 0.0; var i = 0
+      val len = math.min(v.length, ce.length)
+      while (i < len) { dot += v(i) * ce(i); i += 1 }
+      (round6(dot), cid)
+    }.sortBy { case (d, cid) => (-d, cid) }.take(n).map(_._2).toSeq
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidStride: Long = 50, nProbe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centSrc = corpus
-      .filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-    requireCentroidsBounded(centSrc.count(), "ivfTopK", centroidStride)
-    val cents: Array[(Long, Array[Double])] = centSrc
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty, s"no centroids: no $idCol divisible by $centroidStride")
-    def round6(d: Double): Double =
-      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // nearest-cells kernel: rounded dot against every centroid, top-n by
-    // (dot desc, centroid id asc) — same fused-UDF rationale as cosUdf
-    def nearestCells(v: Seq[Double], n: Int): Seq[Long] =
-      cents.map { case (cid, ce) =>
-        var dot = 0.0; var i = 0
-        val len = math.min(v.length, ce.length)
-        while (i < len) { dot += v(i) * ce(i); i += 1 }
-        (round6(dot), cid)
-      }.sortBy { case (d, cid) => (-d, cid) }.take(n).map(_._2).toSeq
+    val cents = strideCodebook(corpus, "ivfTopK", centroidStride, idCol, vecCol)
+    val nearestCells = nearestCellsFn(cents)
     // null/empty vectors follow pqEncode's degenerate-input convention:
     // treated as all-zero → dot 0 against every centroid → lowest-id cell.
     // A null row lands in one deterministic cell instead of NPEing the task.
@@ -407,13 +432,15 @@ object Similarity {
              nCent: Int = 8, centroidStride: Long = 50,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = pqCodebook(corpus, nCent, centroidStride, idCol, vecCol)
-    val nQ = queries.count()
-    require(nQ <= BruteForceMaxQueries,
-      s"pqTopK would collect $nQ query LUTs into the task closure " +
-        s"(max $BruteForceMaxQueries); batch the query set instead")
-    val qLuts: Array[(Long, Array[Array[Long]])] = queries
+    // one bounded job: fetch at most ceiling+1 rows, fail on the sentinel
+    // (same single-job guard shape as collectCentroidsBounded)
+    val qCollected = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
+      .limit(BruteForceMaxQueries.toInt + 1).collect()
+    require(qCollected.length <= BruteForceMaxQueries,
+      s"pqTopK would collect more than $BruteForceMaxQueries query LUTs " +
+        "into the task closure; batch the query set instead")
+    val qLuts: Array[(Long, Array[Array[Long]])] = qCollected
       .map { r =>
         val iv = toPqInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty))
         val sub = iv.length / m
@@ -475,10 +502,9 @@ object Similarity {
     val coarseSrc = corpus
       .filter(col(idCol) % coarseStride === 0)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-    requireCentroidsBounded(coarseSrc.count(), "ivfPqTopK coarse codebook",
-      coarseStride)
-    val coarse: Array[(Long, Array[Long])] = coarseSrc
-      .collect()
+    val coarse: Array[(Long, Array[Long])] =
+      collectCentroidsBounded(coarseSrc, "ivfPqTopK coarse codebook",
+        coarseStride)
       .map(r => (r.getLong(0),
         toPqInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty))))
       .sortBy(_._1)
@@ -498,15 +524,17 @@ object Similarity {
       val (codes, _) = pqCodes(iv, cents, m)
       (cells(iv, 1).head, codes.toSeq)
     }
-    // ONE collect serves both the ADC LUTs and the probe list — a second
-    // collect would run a second full job over the query source
-    val nQ = queries.count()
-    require(nQ <= BruteForceMaxQueries,
-      s"ivfPqTopK would collect $nQ query vectors (LUTs + probes) into " +
-        s"the driver (max $BruteForceMaxQueries); batch the query set instead")
-    val qRows: Array[(Long, Array[Long])] = queries
+    // ONE bounded collect serves both the ADC LUTs and the probe list —
+    // limit(ceiling+1) caps driver memory and detects overflow in the
+    // same single job (a count-then-collect pair would run the query
+    // source twice)
+    val qCollected = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
+      .limit(BruteForceMaxQueries.toInt + 1).collect()
+    require(qCollected.length <= BruteForceMaxQueries,
+      s"ivfPqTopK would collect more than $BruteForceMaxQueries query " +
+        "vectors (LUTs + probes) into the driver; batch the query set instead")
+    val qRows: Array[(Long, Array[Long])] = qCollected
       .map(r => (r.getLong(0),
         toPqInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty))))
     val qLuts: Map[Long, Array[Array[Long]]] = qRows.map { case (qid, iv) =>
@@ -554,9 +582,20 @@ object Similarity {
                      dim: Int = 64, idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      maxBucket: Int = 1000): DataFrame = {
-    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val keyed = df.select(col(idCol).cast("long").as("id"),
       lshBucketCol(col(vecCol), nBits, dim).as("bucket"))
+    cosinePairsInBuckets(df, keyed, threshold, idCol, vecCol, maxBucket)
+  }
+
+  /** Shared candidate machinery for [[cosineNearDups]] / [[semanticDedup]]:
+    * `keyed` is (id, bucket) with ONE bucket per id; pairs come from
+    * capped in-bucket combinations over 8-byte ids, embeddings re-attach
+    * through ONE join, output is (id_a, id_b, cosine_sim ≥ threshold). */
+  private def cosinePairsInBuckets(df: DataFrame, keyed: DataFrame,
+                                   threshold: Double, idCol: String,
+                                   vecCol: String,
+                                   maxBucket: Int): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     // one bucket per id (single table) → combinations are already distinct
     val pairs = Dedup.capBuckets(keyed, "bucket", maxBucket)
       .groupBy("bucket").agg(array_sort(collect_list(col("id"))).as("ids"))
@@ -588,6 +627,39 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosineCol(col("vec_a"), col("vec_b")), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * coarse-cluster the embeddings (the deterministic IVF codebook — same
+    * disjoint cells ivfTopK searches) and prune near-duplicates WITHIN
+    * cells only: a document is dropped when a lower-id cell-mate sits at
+    * cosine ≥ `threshold`. Output: one row per dropped doc —
+    * (drop_id, kept_by = lowest such neighbor, max_cosine).
+    *
+    * This is the embedding-space sibling of the text dedup family: MinHash
+    * catches lexical near-dups, [[semanticDedup]] catches paraphrases the
+    * shingle ops can't see. The clustering makes it scale the same way IVF
+    * search does — candidate pairs exist only inside a cell (capped by
+    * `maxBucket` against degenerate cells), never across the corpus, and
+    * everything shuffles as 8-byte ids until the one vector re-attach
+    * join. Greedy lowest-id-wins is the standard deterministic
+    * approximation of per-cluster pruning — engine-exact (rounded cosine,
+    * integer ids), so the DuckDB oracle reproduces it bit-for-bit. */
+  def semanticDedup(df: DataFrame, threshold: Double,
+                    centroidStride: Long = 50, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    maxBucket: Int = 1000): DataFrame = {
+    val cents = strideCodebook(df, "semanticDedup", centroidStride,
+      idCol, vecCol)
+    val nearestCells = nearestCellsFn(cents)
+    val cellUdf = udf { (v: Seq[Double]) =>
+      nearestCells(if (v == null) Seq.empty else v, 1).head
+    }
+    val keyed = df.select(col(idCol).cast("long").as("id"),
+      cellUdf(col(vecCol).cast("array<double>")).as("bucket"))
+    cosinePairsInBuckets(df, keyed, threshold, idCol, vecCol, maxBucket)
+      .groupBy(col("id_b").as("drop_id"))
+      .agg(min("id_a").as("kept_by"), max("cosine_sim").as("max_cosine"))
   }
 
   /** Recall@k of an approximate neighbor list against the exact one —

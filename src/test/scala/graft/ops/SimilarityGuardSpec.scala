@@ -75,6 +75,30 @@ class SimilarityGuardSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: lowest cell-mate wins, cross-cell near-dups are " +
+    "the documented blind spot") {
+    import spark.implicits._
+    // stride 4 → centroids at ids 0 and 4: c0=[1,0,0,0], c4=[0,1,1,0].
+    // cells: {0,1,2} (1,2 tie c0/c4 → lowest cid) and {3,4,5,6}.
+    val vecs = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 1f, 0f, 0f),
+      2L -> Seq(1f, 1f, 0f, 0f),     // = v1 → drop, kept_by 1
+      3L -> Seq(0f, 1f, 0f, 0f),
+      4L -> Seq(0f, 1f, 1f, 0f),
+      5L -> Seq(0f, 1f, 1f, 0f),     // = v4 → drop, kept_by 4
+      6L -> Seq(1f, 1.01f, 0f, 0f))  // ≈ v2 (cos ~0.99997) but lands in
+                                     // the OTHER cell → survives: within-
+                                     // cell-only pruning is the SemDeDup
+                                     // trade, asserted here on purpose
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, threshold = 0.95,
+        centroidStride = 4)
+      .orderBy("drop_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((2L, 1L, 1.0), (5L, 4L, 1.0)))
+  }
+
   test("guards stay out of the way at honest parameters") {
     // the in-bounds path still works (q46/q63/q73 cover it at sf scale;
     // this pins it at unit scale right next to the refusal tests)
