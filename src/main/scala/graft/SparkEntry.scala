@@ -1248,6 +1248,14 @@ object SparkEntry {
       centroidStride = 50)
       .orderBy("drop_id")
 
+  /** Trained k-means codebook (2 Lloyd rounds, scaled-integer exact):
+    * per-cell member counts + distortion under the TRAINED centroids —
+    * the codebook-training step the stride-based IVF/PQ queries
+    * deliberately skip (their docstrings point here). */
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Kmeans.kmeansCells(t(s, dir, "embeddings"), k = 8, iters = 2,
+      centroidStride = 50)
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1344,7 +1352,8 @@ object SparkEntry {
     "q89_jaccard_deciles" -> (q89 _),
     "q90_substring_spans" -> (q90 _),
     "q91_substring_strip" -> (q91 _),
-    "q92_semantic_dedup" -> (q92 _))
+    "q92_semantic_dedup" -> (q92 _),
+    "q93_kmeans_cells" -> (q93 _))
 
   /** Shared CTE chain for the q90/q91 substring-dedup oracles: positional
     * 10-token shingles (pos zero-based, window [pos, pos+10)), occurrence
@@ -2669,6 +2678,9 @@ object SparkEntry {
              string_agg(CASE WHEN kept THEN tk END, ' ' ORDER BY p), ''))
              AS clean_md5
          FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "q93_kmeans_cells" ->
+      graft.ops.Kmeans.kmeansOracleSql(k = 8, iters = 2, stride = 50,
+        dim = 64),
     "q92_semantic_dedup" ->
       """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
          cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings

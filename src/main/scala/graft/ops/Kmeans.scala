@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the TRAINED
+  * codebook the IVF/PQ docstrings point at ("production would train the
+  * codebook instead; the shape is identical"). This closes that gap with
+  * the same engine-exact discipline as the rest of the ANN family:
+  *
+  * All arithmetic is scaled-integer. Components map to
+  * `floor(x·10⁶) + 2³⁰` longs — the float→double cast, the multiply and
+  * the floor are correctly rounded (engine-identical), and the 2³⁰
+  * offset keeps every value POSITIVE, which makes Spark's truncating
+  * `div` and DuckDB's flooring `//` agree on the centroid means (they
+  * differ on negatives; L2 distances are translation-invariant, so the
+  * offset changes nothing else). Squared-L2 sums stay far under 2⁶³
+  * (≤ dim·(2·6·10⁵)² ≈ 10¹⁴ per pair), and centroid-mean sums are
+  * ≤ members·(2³⁰+10⁶) ≈ 10¹⁵ at a billion members per cell.
+  *
+  * Scale shape, per Lloyd round: ONE narrow corpus pass assigns cells
+  * against the broadcast centroids (k·dim longs in the closure, bounded
+  * by the [[Similarity.MaxCentroids]]-style `k` check — the corpus is
+  * never collected), then the centroid update posexplodes (cell, i, x)
+  * element rows into a hash aggregate whose map-side partials collapse
+  * to ≤ k·dim rows per task — the shuffle carries parts·k·dim tiny rows
+  * regardless of corpus size. Empty cells keep their previous centroid.
+  *
+  * Determinism: init = the k vectors at ids 0, stride, …, (k−1)·stride
+  * (the [[Similarity]] stride convention; oracle rule — no rand());
+  * assignment ties break to the lowest cell index; the final assignment
+  * runs against the FULLY trained centroids so the reported distortion
+  * is the trained codebook's. [[kmeansOracleSql]] generates the DuckDB
+  * twin with the iterations unrolled as CTEs (same device as
+  * `Graph.pageRankOracleSql`), bit-for-bit including the tie rules.
+  */
+object Kmeans {
+
+  private val Scale = 1000000L
+  private val Offset = 1L << 30
+
+  private def toInts(v: Seq[Double]): Array[Long] = {
+    val a = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) {
+      a(i) = math.floor(v(i) * Scale.toDouble).toLong + Offset
+      i += 1
+    }
+    a
+  }
+
+  /** Integer squared-L2 over the first min-length elements. */
+  private def l2(a: Array[Long], b: Array[Long]): Long = {
+    var d = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** (nearest cell, distance) — ties keep the lowest cell index. */
+  private def nearest(x: Array[Long],
+                      cents: Array[Array[Long]]): (Int, Long) = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = l2(x, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    (best, bestD)
+  }
+
+  /** Train `k` centroids with `iters` Lloyd rounds, then assign every row
+    * against the trained codebook. Output: (id, cell, distortion) with
+    * cell the 0-based centroid index and distortion the scaled-integer
+    * squared L2 to the trained centroid. */
+  def kmeansAssign(df: DataFrame, k: Int = 8, iters: Int = 2,
+                   centroidStride: Long = 50, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= Similarity.MaxCentroids,
+      s"k=$k out of range 1..${Similarity.MaxCentroids}")
+    require(iters >= 0, "iters must be non-negative")
+    val init = df
+      .filter(col(idCol) % centroidStride === 0 &&
+        col(idCol) < centroidStride * k)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => toInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty)))
+    require(init.length == k,
+      s"expected $k init vectors at $idCol = 0, $centroidStride, …; got ${init.length}")
+    val scaled = df.select(col(idCol).cast("long").as("id"),
+      udf((v: Seq[Double]) => toInts(if (v == null) Seq.empty else v))
+        .apply(col(vecCol).cast("array<double>")).as("xs"))
+    var cents: Array[Array[Long]] = init
+    for (_ <- 1 to iters) {
+      val cs = cents // stable reference for the task closure
+      val cellUdf = udf { (xs: Seq[Long]) => nearest(xs.toArray, cs)._1 }
+      // element rows partial-aggregate map-side to ≤ k·dim rows per task;
+      // only those tiny partials shuffle, then k·dim sums come back
+      val sums: Array[Row] = scaled
+        .select(cellUdf(col("xs")).as("cell"),
+          posexplode(col("xs")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val (cell, i) = (r.getInt(0), r.getInt(1))
+        // positive operands ⇒ truncating div == floor div == DuckDB //
+        if (i < next(cell).length) next(cell)(i) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next // cells with no members kept their previous centroid
+    }
+    val cs = cents
+    val assignUdf = udf { (xs: Seq[Long]) =>
+      val (c, d) = nearest(xs.toArray, cs)
+      (c.toLong, d)
+    }
+    scaled.select(col("id"), assignUdf(col("xs")).as("a"))
+      .select(col("id"), col("a._1").as("cell"), col("a._2").as("distortion"))
+  }
+
+  /** Per-cell rollup of [[kmeansAssign]]: (cell, n_members, distortion). */
+  def kmeansCells(df: DataFrame, k: Int = 8, iters: Int = 2,
+                  centroidStride: Long = 50, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    kmeansAssign(df, k, iters, centroidStride, idCol, vecCol)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), sum("distortion").as("distortion"))
+      .orderBy("cell")
+
+  /** DuckDB twin of [[kmeansCells]]: iterations unrolled as CTEs over
+    * element rows (vec_id, i, x). `table` must carry (vec_id, embedding
+    * list of `dim` floats). */
+  def kmeansOracleSql(k: Int, iters: Int, stride: Long, dim: Int,
+                      table: String = "embeddings"): String = {
+    val head =
+      s"""WITH idx AS (SELECT unnest(generate_series(1, $dim)) AS i),
+         |ex AS (SELECT vec_id, idx.i AS i,
+         |         CAST(floor(embedding[idx.i]::DOUBLE * $Scale) AS BIGINT)
+         |           + $Offset AS x
+         |       FROM $table, idx),
+         |c0 AS (SELECT CAST(vec_id // $stride AS BIGINT) AS cell, i, x
+         |       FROM ex WHERE vec_id % $stride = 0
+         |         AND vec_id < ${stride * k})""".stripMargin
+    def assignCte(t: Int, from: String) =
+      s"""d$t AS (SELECT e.vec_id, c.cell,
+         |         sum((e.x - c.x) * (e.x - c.x)) AS dist
+         |       FROM ex e JOIN $from c USING (i) GROUP BY 1, 2),
+         |a$t AS (SELECT vec_id, cell, dist FROM (
+         |         SELECT vec_id, cell, dist, row_number() OVER (
+         |           PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+         |         FROM d$t) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      assignCte(t, s"c${t - 1}") + ",\n" +
+        s"""c$t AS (SELECT a.cell, e.i, CAST(sum(e.x) // count(*) AS BIGINT) AS x
+           |       FROM a$t a JOIN ex e USING (vec_id) GROUP BY 1, 2
+           |       UNION ALL
+           |       SELECT cell, i, x FROM c${t - 1}
+           |       WHERE cell NOT IN (SELECT DISTINCT cell FROM a$t))""".stripMargin
+    }
+    val fin = assignCte(iters + 1, s"c$iters")
+    (Seq(head) ++ rounds ++ Seq(fin)).mkString(",\n") +
+      s"""
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(dist) AS BIGINT) AS distortion
+         |FROM a${iters + 1} GROUP BY cell ORDER BY cell""".stripMargin
+  }
+}
