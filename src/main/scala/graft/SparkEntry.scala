@@ -1256,6 +1256,29 @@ object SparkEntry {
     graft.ops.Kmeans.kmeansCells(t(s, dir, "embeddings"), k = 8, iters = 2,
       centroidStride = 50)
 
+  /** Hard-negative mining: per query, top-3 most-similar OTHER-label
+    * vectors (exact leg; hardNegativesIvf is the guarded scale path). */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 25 === 0),
+      k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Cluster-balanced sampling: every trained k-means cell capped at 3
+    * members, picked in deterministic Knuth-hash order. */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Kmeans.cellBalancedSample(t(s, dir, "embeddings"), m = 3,
+      k = 8, iters = 2, centroidStride = 50)
+      .orderBy("cell", "pick_rank")
+
+  /** LSH candidate-retrieval quality: MinHash band pairs vs exact integer
+    * Jaccard ≥ 0.4 — precision/recall per-mille, one row. */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshQualityEval(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, bands = 4, rows = 2, thresholdPermille = 400,
+      maxBucket = 1000, truthMaxBucket = 100)
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1353,7 +1376,10 @@ object SparkEntry {
     "q90_substring_spans" -> (q90 _),
     "q91_substring_strip" -> (q91 _),
     "q92_semantic_dedup" -> (q92 _),
-    "q93_kmeans_cells" -> (q93 _))
+    "q93_kmeans_cells" -> (q93 _),
+    "q94_hard_negatives" -> (q94 _),
+    "q95_cell_balanced_sample" -> (q95 _),
+    "q96_lsh_quality" -> (q96 _))
 
   /** Shared CTE chain for the q90/q91 substring-dedup oracles: positional
     * 10-token shingles (pos zero-based, window [pos, pos+10)), occurrence
@@ -2681,6 +2707,79 @@ object SparkEntry {
     "q93_kmeans_cells" ->
       graft.ops.Kmeans.kmeansOracleSql(k = 8, iters = 2, stride = 50,
         dim = 64),
+    "q94_hard_negatives" ->
+      """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         n AS (SELECT vec_id, sqrt(sum(embedding[idx.i]::DOUBLE * embedding[idx.i]::DOUBLE)) AS nrm
+               FROM embeddings, idx GROUP BY vec_id),
+         q AS (SELECT vec_id AS query_id, label AS ql, embedding AS eq
+               FROM embeddings WHERE vec_id % 25 = 0),
+         d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                 sum(q.eq[idx.i]::DOUBLE * c.embedding[idx.i]::DOUBLE) AS dot
+               FROM q, embeddings c, idx
+               WHERE c.vec_id <> q.query_id AND c.label <> q.ql
+               GROUP BY 1, 2),
+         sc AS (SELECT query_id, neighbor_id,
+                 round(dot / (nq.nrm * nc.nrm), 6) AS cosine_sim
+                FROM d JOIN n nq ON nq.vec_id = query_id
+                       JOIN n nc ON nc.vec_id = neighbor_id),
+         r AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+               FROM sc)
+         SELECT query_id, neighbor_id, cosine_sim, rank FROM r
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q95_cell_balanced_sample" ->
+      graft.ops.Kmeans.cellBalancedSampleOracleSql(m = 3, k = 8, iters = 2,
+        stride = 50, dim = 64),
+    "q96_lsh_quality" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+           FROM tok),
+         hx AS (SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h1s,
+             list_transform(sh, s -> (('0x' || substr(md5(s), 9, 8))::BIGINT | 1)) AS h2s
+           FROM sh),
+         sg AS (SELECT doc_id,
+             list_transform(generate_series(0, 7), j ->
+               list_min(list_transform(generate_series(1, len(h1s)), i ->
+                 (h1s[i] + j * h2s[i]) % 4294967296))) AS sig
+           FROM hx),
+         bands AS (SELECT doc_id,
+             ['0|' || sig[1] || '|' || sig[2],
+              '1|' || sig[3] || '|' || sig[4],
+              '2|' || sig[5] || '|' || sig[6],
+              '3|' || sig[7] || '|' || sig[8]] AS bk
+           FROM sg),
+         expd AS (SELECT doc_id, unnest(bk) AS band FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM expd a JOIN expd b ON a.band = b.band AND a.doc_id < b.doc_id),
+         dst AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+         inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM dst),
+         freq AS (SELECT shingle, count(*) AS df FROM inv0 GROUP BY shingle),
+         inv AS (SELECT doc_id, i.shingle FROM inv0 i
+                 JOIN freq USING (shingle) WHERE df <= 100),
+         sz AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         truth AS (SELECT id_a, id_b FROM inter
+                   JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+                   WHERE (1000 * n_common) // (sa.n + sb.n - n_common) >= 400),
+         u AS (SELECT id_a, id_b, 1 AS c, 0 AS t FROM cand
+               UNION ALL
+               SELECT id_a, id_b, 0 AS c, 1 AS t FROM truth),
+         g AS (SELECT id_a, id_b, max(c) AS c, max(t) AS t FROM u GROUP BY 1, 2)
+         SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(sum(t), 0) AS BIGINT) AS n_true,
+           CAST(coalesce(sum(c*t), 0) AS BIGINT) AS n_tp,
+           CAST((1000 * coalesce(sum(c*t), 0)) // greatest(1, coalesce(sum(c), 0)) AS BIGINT) AS precision_permille,
+           CAST((1000 * coalesce(sum(c*t), 0)) // greatest(1, coalesce(sum(t), 0)) AS BIGINT) AS recall_permille
+         FROM g""",
     "q92_semantic_dedup" ->
       """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
          cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings

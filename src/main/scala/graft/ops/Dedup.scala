@@ -372,6 +372,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("decile")
 
+  /** Candidate-retrieval quality of the MinHash-LSH band scheme against
+    * exact n-gram Jaccard ground truth — the eval one runs BEFORE trusting
+    * an LSH configuration on a 100 TB dedup pass (is (bands, rows) recall
+    * worth its candidate volume?).
+    *
+    * Candidates = [[minhashPairs]] (band-bucket pairs, pre-verification);
+    * truth = the [[jaccardPairCounts]] pair universe at exact integer
+    * Jaccard ≥ `thresholdPermille` (`(1000·n_common) div union ≥ t` ⇔
+    * `jaccard ≥ t/1000` — floor(x) ≥ k ⇔ x ≥ k for integer k, so the
+    * integer gate is exactly the real-threshold one, engine-identically).
+    * Output is ONE row: candidate / truth / true-positive counts plus
+    * floor per-mille precision and recall (zero denominators → 0, not
+    * null). Scale shape: both legs are the existing capped-bucket
+    * pipelines; the comparison is one marker-union + two tiny aggregates —
+    * nothing new shuffles at corpus scale. The truth leg is quadratic in
+    * near-dup group size by construction (it IS the exhaustive
+    * ground-truth pass) — run the eval on a bounded slice at 100 TB, then
+    * apply the chosen (bands, rows) with [[minhashNearDups]]. */
+  def lshQualityEval(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, bands: Int = 4, rows: Int = 2,
+                     thresholdPermille: Int = 400, maxBucket: Int = 1000,
+                     truthMaxBucket: Int = 100): DataFrame = {
+    val cand = minhashPairs(df, idCol, textCol, n, bands, rows, maxBucket)
+      .select(col("id_a"), col("id_b"), lit(1L).as("c"), lit(0L).as("t"))
+    val truth = jaccardPairCounts(df, idCol, textCol, n, truthMaxBucket)
+      .filter(expr(
+        s"(1000 * n_common) div (n_a + n_b - n_common) >= $thresholdPermille"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("c"), lit(1L).as("t"))
+    cand.unionByName(truth)
+      .groupBy("id_a", "id_b")
+      .agg(max("c").as("c"), max("t").as("t"))
+      // coalesce: a corpus with no pairs at all must report zeros, not a
+      // null row (sum over zero rows is null)
+      .agg(coalesce(sum("c"), lit(0L)).as("n_candidates"),
+        coalesce(sum("t"), lit(0L)).as("n_true"),
+        coalesce(sum(col("c") * col("t")), lit(0L)).as("n_tp"))
+      .select(col("n_candidates"), col("n_true"), col("n_tp"),
+        expr("(1000 * n_tp) div greatest(1, n_candidates)")
+          .as("precision_permille"),
+        expr("(1000 * n_tp) div greatest(1, n_true)").as("recall_permille"))
+  }
+
   /** Shared pair pipeline: (id_a, id_b, n_common, n_a, n_b) over the
     * frequent-shingle-filtered universe (see [[ngramJaccardPairs]]). */
   private def jaccardPairCounts(df: DataFrame, idCol: String, textCol: String,

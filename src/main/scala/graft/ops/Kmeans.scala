@@ -131,11 +131,38 @@ object Kmeans {
       .agg(count(lit(1)).as("n_members"), sum("distortion").as("distortion"))
       .orderBy("cell")
 
-  /** DuckDB twin of [[kmeansCells]]: iterations unrolled as CTEs over
-    * element rows (vec_id, i, x). `table` must carry (vec_id, embedding
-    * list of `dim` floats). */
-  def kmeansOracleSql(k: Int, iters: Int, stride: Long, dim: Int,
-                      table: String = "embeddings"): String = {
+  /** Cluster-balanced sampling over the trained cells — the "diverse
+    * training mix" op: cap every k-means cell at `m` members so no dense
+    * region dominates the sampled set (the cluster-then-cap recipe
+    * DoReMi/SemDeDup-style curation applies between dedup and mixing).
+    *
+    * Determinism (the oracle contract): within a cell, rows are picked in
+    * the order of a Knuth multiplicative hash of the id, reduced mod the
+    * prime 10⁹+7 BEFORE the multiply so the product stays < 2⁶³ at ANY id
+    * (ties → lowest id). Pure integer arithmetic — Spark and DuckDB agree
+    * bit-for-bit. Scale shape: [[kmeansAssign]]'s narrow pass + ONE
+    * window partitioned by cell (k cells, each a hash partition; no
+    * global sort, no driver data beyond the k·dim codebook). */
+  def cellBalancedSample(df: DataFrame, m: Int, k: Int = 8, iters: Int = 2,
+                         centroidStride: Long = 50, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1, "m (per-cell cap) must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cell")
+      .orderBy(expr("((id % 1000000007) * 2654435761) % 1000000007"),
+        col("id"))
+    kmeansAssign(df, k, iters, centroidStride, idCol, vecCol)
+      .select(col("cell"), col("id"))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= m)
+      .select(col("cell"), col("id").as(idCol), col("pick_rank"))
+  }
+
+  /** Shared CTE prefix: element rows, init codebook, `iters` unrolled
+    * Lloyd rounds, final assignment in CTE `a{iters+1}` (vec_id, cell,
+    * dist). */
+  private def assignOracleCtes(k: Int, iters: Int, stride: Long, dim: Int,
+                               table: String): String = {
     val head =
       s"""WITH idx AS (SELECT unnest(generate_series(1, $dim)) AS i),
          |ex AS (SELECT vec_id, idx.i AS i,
@@ -162,10 +189,32 @@ object Kmeans {
            |       WHERE cell NOT IN (SELECT DISTINCT cell FROM a$t))""".stripMargin
     }
     val fin = assignCte(iters + 1, s"c$iters")
-    (Seq(head) ++ rounds ++ Seq(fin)).mkString(",\n") +
+    (Seq(head) ++ rounds ++ Seq(fin)).mkString(",\n")
+  }
+
+  /** DuckDB twin of [[kmeansCells]]: iterations unrolled as CTEs over
+    * element rows (vec_id, i, x). `table` must carry (vec_id, embedding
+    * list of `dim` floats). */
+  def kmeansOracleSql(k: Int, iters: Int, stride: Long, dim: Int,
+                      table: String = "embeddings"): String =
+    assignOracleCtes(k, iters, stride, dim, table) +
       s"""
          |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
          |  CAST(sum(dist) AS BIGINT) AS distortion
          |FROM a${iters + 1} GROUP BY cell ORDER BY cell""".stripMargin
-  }
+
+  /** DuckDB twin of [[cellBalancedSample]] (same CTE prefix, same hash
+    * order, same tie rule). */
+  def cellBalancedSampleOracleSql(m: Int, k: Int, iters: Int, stride: Long,
+                                  dim: Int,
+                                  table: String = "embeddings"): String =
+    assignOracleCtes(k, iters, stride, dim, table) +
+      s"""
+         |SELECT cell, vec_id, pick_rank FROM (
+         |  SELECT cell, vec_id, CAST(row_number() OVER (
+         |      PARTITION BY cell
+         |      ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007,
+         |        vec_id) AS INT) AS pick_rank
+         |  FROM a${iters + 1})
+         |WHERE pick_rank <= $m ORDER BY cell, pick_rank""".stripMargin
 }

@@ -188,6 +188,107 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for every query
+    * vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    * label — the pairs that look alike but must embed apart, the highest-
+    * value negatives a contrastive batch can contain.
+    *
+    * Exact leg (this method): the [[bruteForceTopK]] kernel with a label
+    * gate — queries (id, label, vector) are collected once behind the
+    * [[BruteForceMaxQueries]] guard and every corpus row scores all
+    * queries whose label differs in ONE kernel call (same fused shape;
+    * boundary crossings dominate, not flops). Ranking mirrors
+    * bruteForceTopK: similarity rounded to 6 decimals BEFORE ranking,
+    * ties → lowest neighbor id — engine-reproducible. [[hardNegativesIvf]]
+    * is the scale path (guarded codebook, no corpus collect). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val qCollected = queries
+      .select(col(idCol).cast("long"), col(labelCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .limit(BruteForceMaxQueries.toInt + 1).collect()
+    require(qCollected.length <= BruteForceMaxQueries,
+      s"hardNegatives would collect more than $BruteForceMaxQueries " +
+        "query vectors into the task closure; use hardNegativesIvf for " +
+        "large query sets")
+    val qArr: Array[(Long, Long, Array[Double])] = qCollected
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    val scoreAll = udf { (id: Long, label: Long, v: Seq[Double]) =>
+      if (v == null) Seq.empty[(Long, Double)]
+      else {
+        val vv = v.toArray
+        var nvFull = 0.0
+        var i = 0
+        while (i < vv.length) { nvFull += vv(i) * vv(i); i += 1 }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](qArr.length)
+        var qi = 0
+        while (qi < qArr.length) {
+          val (qid, qLabel, qv) = qArr(qi)
+          if (qid != id && qLabel != label) {
+            var dot = 0.0; var nq = 0.0; var j = 0
+            val n = math.min(vv.length, qv.length)
+            while (j < n) { dot += vv(j) * qv(j); nq += qv(j) * qv(j); j += 1 }
+            val nv = if (n == vv.length) nvFull else {
+              var s = 0.0; var jj = 0
+              while (jj < n) { s += vv(jj) * vv(jj); jj += 1 }
+              s
+            }
+            out += ((qid, dot / (math.sqrt(nq) * math.sqrt(nv))))
+          }
+          qi += 1
+        }
+        out.toSeq
+      }
+    }
+    val scored = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        explode(scoreAll(col(idCol).cast("long"),
+          col(labelCol).cast("long"),
+          col(vecCol).cast("array<double>"))).as("s"))
+      .select(col("s._1").as("query_id"), col("neighbor_id"),
+        round(col("s._2"), 6).as("cosine_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
+  /** Scale path for [[hardNegatives]]: probe [[ivfTopK]] for
+    * `k · oversample` unlabeled candidates (guarded codebook, disjoint
+    * cells, no corpus-side collect), drop the same-label ones through ONE
+    * broadcastable label join, re-rank what survives. Approximate on two
+    * counts — IVF recall < 1, and a query whose k nearest OTHER-label
+    * vectors hide behind > k·oversample same-label ones comes back short;
+    * `oversample` trades candidate volume against that truncation. Scores
+    * and tie rules are identical to the exact leg, so every returned pair
+    * is also a correct [[hardNegatives]] pair (possibly at a later true
+    * rank). */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+                       oversample: Int = 4, centroidStride: Long = 50,
+                       nProbe: Int = 2, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    require(oversample >= 1, "oversample must be at least 1")
+    val labels = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).cast("long").as("n_label"))
+    val qLabels = queries.select(col(idCol).cast("long").as("query_id"),
+      col(labelCol).cast("long").as("q_label"))
+    val cand = ivfTopK(corpus, queries, k * oversample, centroidStride,
+      nProbe, idCol, vecCol)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    cand
+      .join(labels, "neighbor_id")
+      .join(broadcast(qLabels), "query_id")
+      .filter(col("n_label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
   /** Deterministic hyperplane coefficient for (table t, bit j, dim i): a
     * small centered integer — engine-portable, zero-mean-ish. */
   private def planeCoef(j: Int, i: Int, t: Int = 0): Int =
