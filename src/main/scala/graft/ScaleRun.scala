@@ -228,15 +228,22 @@ object ScaleRun {
     // integer arithmetic on the id, no rand) ----
     lazy val events = {
       val n = 3000000L
+      // event_type selector: Knuth hash mod a PRIME coprime to the user
+      // stride. user_id = id % 100000, so any divisor-of-100000 modulus
+      // correlates type with user — the first cut (`id % 50 == 0` ⇒
+      // purchase) made every conversion-user touchless (each user's ids
+      // share one residue mod 50) and attribution rolled up to ZERO rows;
+      // mod 997 mixes types within every user (~2% purchases)
+      val h = (col("id") * 2654435761L) % 997L
       spark.range(n).select(
         col("id").as("event_id"),
         (col("id") % 100000).as("user_id"),
         // one week of activity; per-event offset from a Knuth-hash spread
         (lit(1704067200000000000L) +
           ((col("id") * 2654435761L) % 604800000L) * 1000000L).as("ts"),
-        when(col("id") % 50 === 0, "purchase")
-          .when(col("id") % 3 === 0, "click")
-          .when(col("id") % 3 === 1, "view")
+        when(h < 20, "purchase")
+          .when(h < 350, "click")
+          .when(h < 680, "view")
           .otherwise("signup").as("event_type"),
         ((col("id") % 9973).cast("double") / 100.0).as("value"),
         (col("id") % 50000).as("item_id"))
@@ -326,5 +333,9 @@ object ScaleRun {
     Files.writeString(Paths.get("target/scale_report.json"), json)
     println(md)
     spark.stop()
+    // the streaming phase's state-store maintenance pool can outlive
+    // spark.stop() as a non-daemon straggler (observed: report printed,
+    // JVM idling) — the report is on disk, exit explicitly
+    sys.exit(0)
   }
 }

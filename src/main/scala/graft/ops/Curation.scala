@@ -159,13 +159,18 @@ object Curation {
     * standard template/boilerplate-text signal (C4 and friends drop or
     * down-weight docs dominated by corpus-frequent spans).
     *
-    * Scale shape: the tokenize+shingle+md5 explode — the dominant compute
-    * at corpus scale — runs ONCE: document frequency comes from a count
-    * window over the shingle partitioning (the same single-scan trick the
-    * TF-IDF kernel documents), then one per-doc aggregate folds both
-    * counts. The window's shingle partitioning is exactly what a df-join
-    * would have shuffled on anyway, so skew exposure is unchanged and a
-    * whole second pass over the corpus disappears. The shuffle key is an
+    * Scale shape: the tokenize+shingle explode — the dominant compute at
+    * corpus scale — runs ONCE into a single per-shingle hash aggregate
+    * carrying (document frequency, member ids); members explode back out
+    * with the df verdict attached and fold into the per-doc rollup. This
+    * deliberately replaced the count-over-window form: the window's
+    * partition SORT over the ~1.2B-row keyed stream is what OOM'd a 48 GB
+    * heap at 504k docs (UnsafeExternalSorter page allocation under 32
+    * concurrent tasks). The aggregate sorts nothing; its per-group buffer
+    * is ids-only — 8 bytes per occurrence under a spill-backed aggregate
+    * map, ≈4 MB for a shingle every doc shares at 504k docs (for corpora
+    * where one shingle can appear ~10⁹ times, pre-aggregate df in a
+    * separate pass instead). The shuffle key is an
     * 8-byte xxhash64 of the shingle, never the shingle text (bounded key
     * size however long the n-gram — exact-dedup discipline; the 500k-doc
     * scale run switched this from a 32-hex md5 STRING after the ~1.2B-row
@@ -179,11 +184,12 @@ object Curation {
     val inv = df.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(transform(Dedup.shinglesCol(col(textCol), n),
         s => xxhash64(s)))).as("shingle"))
-    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    inv.withColumn("__df", count(lit(1)).over(dfWin))
+    inv.groupBy("shingle")
+      .agg(count(lit(1)).as("__df"), collect_list(col("id")).as("ids"))
+      .select((col("__df") >= minDf).as("__b"), explode(col("ids")).as("id"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_pm",
         floor(lit(1000L) * col("n_boiler") / col("n_shingles")).cast("long"))
   }

@@ -45,10 +45,22 @@ object Dedup {
     * 10000 cap (50M pairs ≈ 1.2 GB in one task) OOMs a default executor,
     * observed on a 50k-doc clone-heavy corpus. */
   private[ops] def capBuckets(df: DataFrame, keyCol: String,
-                              maxBucket: Int): DataFrame =
-    df.withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(keyCol)))
-      .filter(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
+                              maxBucket: Int): DataFrame = {
+    // standalone oversized-bucket removal: aggregate + LEFT ANTI hash
+    // join, NOT a count-over-window — the window path SORTS the keyed
+    // stream, and that sort's page allocation is the OOM class the
+    // 504k-doc scale run exposed in the boilerplate pipeline. NOTE: the
+    // hot pair-generator paths no longer call this — they fuse the cap
+    // into their own collapse aggregate (size filter on the collected
+    // array — one exchange, zero extra passes); this utility remains for
+    // callers that need capped ROWS rather than collapsed buckets, and
+    // costs a second evaluation of `df`'s lineage for the count side.
+    val oversized = df.groupBy(keyCol)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select(keyCol)
+    df.join(oversized.hint("SHUFFLE_HASH"), Seq(keyCol), "left_anti")
+  }
 
   /** Accounting twin of the `maxBucket` guard: every bucket of `keyCol`
     * that the capped pair generators would drop, with its member count.
@@ -213,10 +225,13 @@ object Dedup {
     val bandDf = minhashBands(df, idCol, textCol, n, bands, rows)
     // pairs within a band bucket via in-group combinations — one pass over
     // the band table (a self-join would evaluate the whole minhash pipeline
-    // twice); `capBuckets` bounds the per-bucket pair blowup at scale
-    capBuckets(bandDf, "band", maxBucket)
-      .groupBy("band").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+    // twice); the bucket cap is FUSED into the collapse aggregate (size
+    // check on the collected array) — the former pre-cap count-over-window
+    // sorted the whole keyed stream, and that sort OOM'd the 504k-doc
+    // scale run in the sibling boilerplate pipeline. Buffer bound: ids
+    // only, 8 bytes per member per group, spill-backed aggregate map
+    bandDf.groupBy("band").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(
           slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
@@ -326,13 +341,19 @@ object Dedup {
                           idCol: String, textCol: String, threshold: Double,
                           n: Int = 3, bands: Int = 4, rows: Int = 2,
                           maxBucket: Int = 1000): DataFrame = {
-    val bandsEx = capBuckets(
-      minhashBands(existing, idCol, textCol, n, bands, rows), "band", maxBucket)
-      .select(col("id").as("id_ex"), col("band"))
+    // existing-side bucket cap fused into a per-band collapse: the band
+    // join then carries ONE array row per band and explodes members after
+    // the match (no pre-cap window sort — see minhashPairs); oversized
+    // boilerplate bands drop before they can join-explode
+    val bandsEx = minhashBands(existing, idCol, textCol, n, bands, rows)
+      .groupBy("band")
+      .agg(collect_list(col("id")).as("ids_ex"))
+      .filter(size(col("ids_ex")) <= maxBucket)
     val bandsIn = minhashBands(incoming, idCol, textCol, n, bands, rows)
       .select(col("id").as("id_in"), col("band"))
     val pairs = bandsIn.join(bandsEx, "band")
-      .select("id_in", "id_ex").dropDuplicates("id_in", "id_ex")
+      .select(col("id_in"), explode(col("ids_ex")).as("id_ex"))
+      .dropDuplicates("id_in", "id_ex")
     val distEx = existing.select(col(idCol).cast("long").as("id_ex"),
       array_distinct(shinglesCol(col(textCol), n)).as("sh_ex"))
     val distIn = incoming.select(col(idCol).cast("long").as("id_in"),
@@ -424,22 +445,32 @@ object Dedup {
     // the bucket collapse) are removed from BOTH the intersections and the
     // per-doc set sizes, so the ratio stays a true Jaccard of the filtered
     // sets — and the oracle applies the identical df filter. One corpus
-    // scan; the df window, the size window, and the bucket groupBy are the
-    // shuffles
+    // scan; the bucket collapse, the per-doc size window, and the member
+    // re-collapse are the shuffles
     // shingles shuffle as 8-byte xxhash64 keys, never text — the df
-    // window, the cap, and the bucket collapse only need equality, and a
+    // filter, the cap, and the bucket collapse only need equality, and a
     // 64-bit collision (≈ d²/2⁶⁵ for d distinct shingles — ~10⁻⁷ at
     // 5M) could only nudge one pair's intersection count, the same
     // trade the decontamination and boilerplate paths document
     val inv = df.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(shinglesCol(col(textCol), n))).as("sh_text"))
       .select(col("id"), xxhash64(col("sh_text")).as("shingle"))
-    val sized = capBuckets(inv, "shingle", maxBucket)
+    // df cap FUSED into the bucket collapse (size check on the collected
+    // ids — hash aggregate, no sort): the former count-over-window pre-cap
+    // sorted the whole keyed stream, the failure class that OOM'd the
+    // 504k-doc scale run in the boilerplate pipeline. Singleton buckets
+    // survive the cap — they can't pair, but their members still count
+    // toward each doc's filtered set size n_sh
+    val bucketed = inv.groupBy("shingle")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+    val members = bucketed
+      .select(col("shingle"), explode(col("ids")).as("id"))
       .withColumn("n_sh", count(lit(1))
-        .over(Window.partitionBy("id")))
+        .over(Window.partitionBy("id"))) // per-doc groups: bounded, safe
     // sorting the member structs (by id — first struct field) makes
     // (id_a, id_b) ordered by construction
-    sized
+    members
       .groupBy("shingle")
       .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ms"))
       .filter(size(col("ms")) > 1)
@@ -485,9 +516,10 @@ object Dedup {
     *
     * Scale shape — never pairwise, linear in corpus size: positional
     * shingles shuffle once as 8-byte xxhash64 keys (same collision trade
-    * as [[jaccardPairCounts]], documented there) for the occurrence-count
-    * window (hash-partitioned on shingle — a count, so a hot boilerplate
-    * shingle costs its row count, never a pair blowup); surviving
+    * as [[jaccardPairCounts]], documented there) into ONE occurrence
+    * hash aggregate whose size filter replaces a count-over-window (a
+    * hot boilerplate shingle costs its row count, never a pair blowup —
+    * and no shingle-side sort, see the inline note); surviving
     * positions shuffle once more, partitioned per doc, where the classic
     * gaps-and-islands windows merge overlapping/adjacent [pos, pos+n)
     * intervals into maximal spans. Compare q77's repeated-passage miner
@@ -499,10 +531,21 @@ object Dedup {
         posexplode(posShinglesUdf(col(textCol), lit(n)))
           .as(Seq("pos", "sh_text")))
       .select(col("id"), col("pos"), xxhash64(col("sh_text")).as("shingle"))
-    val covered = sh
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("occ") >= minOcc)
-      .select("id", "pos")
+    // occurrence filter FUSED into one hash aggregate, NOT a
+    // count-over-window: the window form sorted every positional row
+    // within its shingle partition — measured 62 GB of sort spill at 504k
+    // docs / 724M positions, and that sort's page allocation is what
+    // OOM'd the scale run in the sibling boilerplate pipeline. Collecting
+    // the (id, pos) occurrences per shingle and size-checking the array
+    // needs the same single exchange and NO sort; the per-group buffer is
+    // 16 bytes per occurrence under a spill-backed aggregate map (a
+    // corpus-frequent 10-token shingle at 504k docs ≈ 7 MB — for corpora
+    // where one shingle can repeat ~10⁹ times, pre-cap with a df pass)
+    val covered = sh.groupBy("shingle")
+      .agg(collect_list(struct(col("id"), col("pos"))).as("occs"))
+      .filter(size(col("occs")) >= minOcc)
+      .select(explode(col("occs")).as("o"))
+      .select(col("o.id").as("id"), col("o.pos").as("pos"))
     val byPos = Window.partitionBy("id").orderBy("pos")
     val prevEnd = max(col("pos") + n)
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
@@ -713,10 +756,12 @@ object Dedup {
         concat_ws(":", lit(c.toString),
           shiftrightunsigned(col("simhash"), c * chunkBits).bitwiseAND(mask))
       }: _*)).as("chunk_key"))
-    val pairs = capBuckets(keyed, "chunk_key", maxBucket)
+    // bucket cap fused into the collapse (size check on the collected
+    // members, no pre-cap window sort — see minhashPairs)
+    val pairs = keyed
       .groupBy("chunk_key")
       .agg(collect_list(struct(col("id"), col("simhash"))).as("members"))
-      .filter(size(col("members")) > 1)
+      .filter(size(col("members")).between(2, maxBucket))
       .select(explode(flatten(transform(col("members"), (x, i) =>
         transform(
           slice(col("members"), i + 2,

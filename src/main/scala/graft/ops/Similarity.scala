@@ -697,10 +697,12 @@ object Similarity {
                                    vecCol: String,
                                    maxBucket: Int): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    // one bucket per id (single table) → combinations are already distinct
-    val pairs = Dedup.capBuckets(keyed, "bucket", maxBucket)
+    // one bucket per id (single table) → combinations are already distinct;
+    // bucket cap fused into the collapse (size check on the collected ids,
+    // no pre-cap window sort — see Dedup.minhashPairs)
+    val pairs = keyed
       .groupBy("bucket").agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(
           slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),

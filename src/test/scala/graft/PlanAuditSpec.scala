@@ -54,21 +54,26 @@ class PlanAuditSpec extends SparkSpec {
       s"no map-side partial aggregation in:\n$plan")
   }
 
-  test("capBuckets guard: the window count adds NO second exchange") {
-    // minhashCandidates groups by band after the window-count cap; both
-    // need hashpartitioning(band) — EnsureRequirements must plan ONE
-    // band exchange, proving the documented no-extra-shuffle claim
+  test("bucket cap: fused into the collapse aggregate — one band " +
+    "exchange, no pre-cap window or sort") {
+    // the cap is a size filter on the collected per-band array, so the
+    // band pipeline must plan ONE exchange and NO window/sort on the band
+    // key (the former count-over-window pre-cap sorted the whole keyed
+    // stream — the sort-page OOM class the 504k scale run exposed)
     val cand = graft.ops.Dedup.minhashCandidates(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
       n = 3, bands = 4, rows = 2, maxBucket = 1000)
     val plan = physical(cand)
-    assert(countOccurrences(plan, "hashpartitioning(band") <= 2, // exchange + its reuse mention
-      s"extra band exchange introduced by capBuckets in:\n$plan")
     val bandExchanges = plan.linesIterator
       .filter(l => l.contains("Exchange hashpartitioning(band"))
       .size
     assert(bandExchanges == 1,
       s"expected exactly 1 band exchange, got $bandExchanges in:\n$plan")
+    assert(!plan.contains("Window"),
+      s"pre-cap window resurfaced in the band pipeline:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+        l.matches(""".*\bSort \[band.*""")),
+      s"band-keyed sort resurfaced in:\n$plan")
   }
 
   test("tfidf: single corpus scan — df via window, N via broadcast") {
@@ -272,18 +277,20 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("substring span dedup: shingles shuffle as xxhash64 longs, two " +
-    "keyed exchanges total, no pair blowup") {
+    "keyed exchanges total, occurrence filter sort-free") {
     val plan = physical(graft.ops.Dedup.repeatedSpans(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", n = 10))
-    // exactly TWO hash exchanges: the occurrence-count window on the
-    // 8-byte shingle hash, and the per-doc islands windows on id (the
-    // final groupBy(id, span_id) rides the id partitioning — hash(id)
-    // satisfies ClusteredDistribution(id, span_id), no third exchange)
+    // exactly TWO hash exchanges: one on the 8-byte shingle hash feeding
+    // the fused occurrence aggregate (its size filter IS the ≥minOcc
+    // gate — no window, no join), and one on id for the per-doc islands
+    // windows (the final groupBy(id, span_id) rides the id partitioning —
+    // hash(id) satisfies ClusteredDistribution(id, span_id), no third
+    // exchange)
     val keyed = plan.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(keyed.size == 2, s"expected 2 keyed exchanges, got:\n$plan")
     assert(keyed.exists(_.contains("hashpartitioning(shingle")),
-      s"occurrence window not partitioned on the shingle hash in:\n$plan")
+      s"occurrence aggregate not partitioned on the shingle hash in:\n$plan")
     assert(keyed.exists(_.contains("hashpartitioning(id")),
       s"island windows not partitioned per doc in:\n$plan")
     // shingle TEXT never crosses a shuffle: both exchange rows carry only
@@ -292,5 +299,11 @@ class PlanAuditSpec extends SparkSpec {
       s"shingle text shuffled in:\n$plan")
     // linear pipeline: no join, no pair-combination collapse anywhere
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    // the occurrence filter must never sort the positional stream
+    // (62 GB of sort spill at 504k docs, and the sort-page OOM class):
+    // the only sort allowed is the per-doc islands window's (id, pos)
+    val sorts = plan.linesIterator.count(_.matches(""".*\bSort \[.*"""))
+    assert(sorts == 1, s"expected exactly the islands-window sort, got " +
+      s"$sorts in:\n$plan")
   }
 }
