@@ -100,6 +100,15 @@ object ScaleRun {
       // working set instead of the phase-cumulative sum
       .config("spark.io.compression.codec", "zstd")
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // Tungsten's default 64 MB pages are HUMONGOUS allocations for G1
+      // at this heap size (48 GB → 32 MB regions; humongous = ≥16 MB):
+      // 32 concurrent sort tasks allocating 64 MB long[] pages fragment
+      // the old gen until a page allocation throws OutOfMemoryError with
+      // free heap still available — the exact failure the 504k-doc run
+      // hit in the boilerplate window sort (task 26/stage 91, r6). 8 MB
+      // pages sit under the humongous threshold; sorters just chain more
+      // of them
+      .config("spark.buffer.pageSize", "8m")
       .appName("graft-scale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

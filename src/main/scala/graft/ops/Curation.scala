@@ -159,18 +159,17 @@ object Curation {
     * standard template/boilerplate-text signal (C4 and friends drop or
     * down-weight docs dominated by corpus-frequent spans).
     *
-    * Scale shape: the tokenize+shingle explode — the dominant compute at
-    * corpus scale — runs ONCE into a single per-shingle hash aggregate
-    * carrying (document frequency, member ids); members explode back out
-    * with the df verdict attached and fold into the per-doc rollup. This
-    * deliberately replaced the count-over-window form: the window's
-    * partition SORT over the ~1.2B-row keyed stream is what OOM'd a 48 GB
-    * heap at 504k docs (UnsafeExternalSorter page allocation under 32
-    * concurrent tasks). The aggregate sorts nothing; its per-group buffer
-    * is ids-only — 8 bytes per occurrence under a spill-backed aggregate
-    * map, ≈4 MB for a shingle every doc shares at 504k docs (for corpora
-    * where one shingle can appear ~10⁹ times, pre-aggregate df in a
-    * separate pass instead). The shuffle key is an
+    * Scale shape: per-shingle document frequency from a codegen COUNT
+    * aggregate whose map-side partials shuffle distinct shingles (never
+    * the ~1.2B-row stream), re-attached per row through one hash join.
+    * This deliberately replaced the count-over-window form: the window's
+    * partition SORT over the keyed stream is what OOM'd a 48 GB heap at
+    * 504k docs (UnsafeExternalSorter page allocation under 32 concurrent
+    * tasks); a collect_list fusion was worse still — ObjectHashAggregate
+    * object-sorts past its 128-key fallback (242 GB spill measured on the
+    * substring sibling). The join's build side holds one partition's
+    * distinct (shingle, flag) pairs; the explode evaluates twice (count
+    * pass + probe pass) — linear CPU, no sort. The shuffle key is an
     * 8-byte xxhash64 of the shingle, never the shingle text (bounded key
     * size however long the n-gram — exact-dedup discipline; the 500k-doc
     * scale run switched this from a 32-hex md5 STRING after the ~1.2B-row
@@ -184,9 +183,17 @@ object Curation {
     val inv = df.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(transform(Dedup.shinglesCol(col(textCol), n),
         s => xxhash64(s)))).as("shingle"))
-    inv.groupBy("shingle")
-      .agg(count(lit(1)).as("__df"), collect_list(col("id")).as("ids"))
-      .select((col("__df") >= minDf).as("__b"), explode(col("ids")).as("id"))
+    // per-shingle df as a codegen COUNT aggregate (long buffer, map-side
+    // combine — shuffles distinct shingles, never the row stream), then
+    // one inner SHUFFLE_HASH join re-attaches the ≥minDf verdict per row
+    // (every shingle matches: freq is unfiltered). collect_list fusion is
+    // NOT usable here — ObjectHashAggregate object-sorts past its 128-key
+    // fallback (measured 242 GB spill on the substring sibling); the
+    // explode evaluates twice instead (count pass + probe pass), linear
+    // CPU with no sort and bounded memory
+    val freq = inv.groupBy("shingle")
+      .agg((count(lit(1)) >= minDf).as("__b"))
+    inv.join(freq.hint("SHUFFLE_HASH"), Seq("shingle"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__b"), 1L).otherwise(0L)).as("n_boiler"))

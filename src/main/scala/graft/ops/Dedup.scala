@@ -455,22 +455,20 @@ object Dedup {
     val inv = df.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(shinglesCol(col(textCol), n))).as("sh_text"))
       .select(col("id"), xxhash64(col("sh_text")).as("shingle"))
-    // df cap FUSED into the bucket collapse (size check on the collected
-    // ids — hash aggregate, no sort): the former count-over-window pre-cap
-    // sorted the whole keyed stream, the failure class that OOM'd the
-    // 504k-doc scale run in the boilerplate pipeline. Singleton buckets
-    // survive the cap — they can't pair, but their members still count
-    // toward each doc's filtered set size n_sh
-    val bucketed = inv.groupBy("shingle")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) <= maxBucket)
-    val members = bucketed
-      .select(col("shingle"), explode(col("ids")).as("id"))
+    // df cap via capBuckets (codegen count aggregate + left-anti hash
+    // join on the TINY oversized-key set): the former count-over-window
+    // pre-cap sorted the whole keyed stream — the failure class that
+    // OOM'd the 504k-doc scale run in the boilerplate pipeline — and a
+    // collect-first collapse object-sorts past ObjectHashAggregate's
+    // 128-key fallback (242 GB spill measured on the substring sibling).
+    // Singleton buckets survive the cap — they can't pair, but their
+    // members still count toward each doc's filtered set size n_sh
+    val sized = capBuckets(inv, "shingle", maxBucket)
       .withColumn("n_sh", count(lit(1))
         .over(Window.partitionBy("id"))) // per-doc groups: bounded, safe
     // sorting the member structs (by id — first struct field) makes
     // (id_a, id_b) ordered by construction
-    members
+    sized
       .groupBy("shingle")
       .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ms"))
       .filter(size(col("ms")) > 1)
@@ -515,11 +513,11 @@ object Dedup {
     * in position order. All-integer and deterministic, so engine-exact.
     *
     * Scale shape — never pairwise, linear in corpus size: positional
-    * shingles shuffle once as 8-byte xxhash64 keys (same collision trade
-    * as [[jaccardPairCounts]], documented there) into ONE occurrence
-    * hash aggregate whose size filter replaces a count-over-window (a
-    * hot boilerplate shingle costs its row count, never a pair blowup —
-    * and no shingle-side sort, see the inline note); surviving
+    * shingles shuffle ONCE as 8-byte xxhash64 keys (same collision trade
+    * as [[jaccardPairCounts]], documented there) into a count-over-window
+    * occurrence filter — measured fastest of three shapes on this
+    * mostly-unique key profile, see the inline note (a hot boilerplate
+    * shingle costs its row count, never a pair blowup); surviving
     * positions shuffle once more, partitioned per doc, where the classic
     * gaps-and-islands windows merge overlapping/adjacent [pos, pos+n)
     * intervals into maximal spans. Compare q77's repeated-passage miner
@@ -531,21 +529,26 @@ object Dedup {
         posexplode(posShinglesUdf(col(textCol), lit(n)))
           .as(Seq("pos", "sh_text")))
       .select(col("id"), col("pos"), xxhash64(col("sh_text")).as("shingle"))
-    // occurrence filter FUSED into one hash aggregate, NOT a
-    // count-over-window: the window form sorted every positional row
-    // within its shingle partition — measured 62 GB of sort spill at 504k
-    // docs / 724M positions, and that sort's page allocation is what
-    // OOM'd the scale run in the sibling boilerplate pipeline. Collecting
-    // the (id, pos) occurrences per shingle and size-checking the array
-    // needs the same single exchange and NO sort; the per-group buffer is
-    // 16 bytes per occurrence under a spill-backed aggregate map (a
-    // corpus-frequent 10-token shingle at 504k docs ≈ 7 MB — for corpora
-    // where one shingle can repeat ~10⁹ times, pre-cap with a df pass)
-    val covered = sh.groupBy("shingle")
-      .agg(collect_list(struct(col("id"), col("pos"))).as("occs"))
-      .filter(size(col("occs")) >= minOcc)
-      .select(explode(col("occs")).as("o"))
-      .select(col("o.id").as("id"), col("o.pos").as("pos"))
+    // occurrence filter: count-over-window — the shape that WON a
+    // three-way measurement at 504k docs / 724M positions. Positional
+    // 10-token shingles are MOSTLY UNIQUE (only ~5% of positions repeat),
+    // which inverts the usual aggregate-beats-window rule: a groupBy
+    // count's map-side partial combine collapses nothing on unique keys,
+    // so the hash aggregate spill-sorts the whole stream TWICE (partial +
+    // final: 267 GB spill, 1154 s); a collect_list collapse object-sorts
+    // past ObjectHashAggregate's 128-key fallback (242 GB, 1452 s); the
+    // window pays exactly ONE binary sort of the keyed stream (62 GB,
+    // fastest measured) and its count frame streams each group. Contrast
+    // [[graft.ops.Curation.boilerplateProfile]], where 3-gram keys repeat
+    // corpus-wide and the count aggregate + join wins — pick the
+    // primitive by the key-repetition profile. The sort's 64 MB Tungsten
+    // page allocations are G1-humongous at large heaps (the OOM class the
+    // scale run exposed); the harness sets spark.buffer.pageSize=8m,
+    // which ScaleRun documents.
+    val covered = sh
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("occ") >= minOcc)
+      .select("id", "pos")
     val byPos = Window.partitionBy("id").orderBy("pos")
     val prevEnd = max(col("pos") + n)
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))

@@ -103,10 +103,14 @@ class PlanAuditSpec extends SparkSpec {
     // that filled the 500k-doc scale run's scratch disk
     assert(!q18.contains("SortAggregate"),
       s"array-buffer SortAggregate in the verification path:\n$q18")
-    // n-gram jaccard: set sizes carried through the explode — ONE scan
+    // n-gram jaccard: TWO scans by design — capBuckets' oversized-key
+    // count pass + the probe pass (the one-scan window form sorted the
+    // keyed stream: the 504k-run OOM class; a collect-first collapse
+    // object-sorts past ObjectHashAggregate's fallback). Linear rescan
+    // beats a corpus-sized sort.
     val q19 = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(scans(q19) == 1, s"jaccard scans=${scans(q19)}:\n$q19")
+    assert(scans(q19) == 2, s"jaccard scans=${scans(q19)}:\n$q19")
   }
 
   test("bm25: one corpus scan — the stats branch reuses the tf exchange") {
@@ -280,30 +284,30 @@ class PlanAuditSpec extends SparkSpec {
     "keyed exchanges total, occurrence filter sort-free") {
     val plan = physical(graft.ops.Dedup.repeatedSpans(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", n = 10))
-    // exactly TWO hash exchanges: one on the 8-byte shingle hash feeding
-    // the fused occurrence aggregate (its size filter IS the ≥minOcc
-    // gate — no window, no join), and one on id for the per-doc islands
-    // windows (the final groupBy(id, span_id) rides the id partitioning —
-    // hash(id) satisfies ClusteredDistribution(id, span_id), no third
-    // exchange)
+    // exactly TWO keyed exchanges: the occurrence-count window on the
+    // 8-byte shingle hash, and the per-doc islands windows on id (the
+    // final groupBy(id, span_id) rides the id partitioning — hash(id)
+    // satisfies ClusteredDistribution(id, span_id), no third exchange).
+    // The window form is a MEASURED choice for this mostly-unique key
+    // profile (see repeatedSpans' inline note): one binary sort, 62 GB
+    // spill at 504k docs, vs 267 GB for a count aggregate (partial
+    // combine collapses nothing on unique keys) and 242 GB for a
+    // collect_list collapse (ObjectHashAggregate's 128-key fallback)
     val keyed = plan.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(keyed.size == 2, s"expected 2 keyed exchanges, got:\n$plan")
     assert(keyed.exists(_.contains("hashpartitioning(shingle")),
-      s"occurrence aggregate not partitioned on the shingle hash in:\n$plan")
+      s"occurrence window not partitioned on the shingle hash in:\n$plan")
     assert(keyed.exists(_.contains("hashpartitioning(id")),
       s"island windows not partitioned per doc in:\n$plan")
     // shingle TEXT never crosses a shuffle: both exchange rows carry only
     // long-typed columns (id/pos/shingle), not sh_text
     assert(!keyed.exists(_.contains("sh_text")),
       s"shingle text shuffled in:\n$plan")
-    // linear pipeline: no join, no pair-combination collapse anywhere
+    // linear pipeline: no join, no pair blowup, no object-buffer
+    // aggregate anywhere
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
-    // the occurrence filter must never sort the positional stream
-    // (62 GB of sort spill at 504k docs, and the sort-page OOM class):
-    // the only sort allowed is the per-doc islands window's (id, pos)
-    val sorts = plan.linesIterator.count(_.matches(""".*\bSort \[.*"""))
-    assert(sorts == 1, s"expected exactly the islands-window sort, got " +
-      s"$sorts in:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"object-buffer aggregate in the span pipeline:\n$plan")
   }
 }
