@@ -345,22 +345,26 @@ object TextAnalysis {
     * second scan, no collect, no driver-side count.
     * tf = term count in doc; idf = ln((N+1)/(df+1)); ties broken by term.
     *
-    * Scale shape: tf rows are distinct per (doc,term), so df(term) is
-    * exactly `count(*) over (partition by term)` on tf — a shuffle of the
-    * compact tf table rather than a join against a separately-computed
-    * vocabulary (a dfreq branch is NOT plan-shared: column pruning turns
-    * it into a distinct-aggregate subtree that defeats ReuseExchange, so
-    * the corpus would be scanned and exploded twice — verified in
-    * PlanAuditSpec, which pins the single-scan shape). N folds in as a
-    * broadcast 1-row aggregate over a footer-only row-count scan. */
+    * Scale shape: tf rows are distinct per (doc,term), so df(term) is a
+    * codegen COUNT aggregate over tf re-attached through one hash join.
+    * Corpus TERM keys repeat corpus-wide ("the" is in every doc), which
+    * is exactly the profile where SCALE.md finding 9 measured the
+    * aggregate + join beating — and the count-over-window OOMing on —
+    * a ~1.2B-row keyed stream: the window SORTS the full stream by term,
+    * while the aggregate's map-side combine collapses it toward the
+    * vocabulary before the wire and the probe streams unsorted. Cost:
+    * the tokenize evaluates twice (Catalyst does not plan-share the
+    * pruned aggregate branch) — linear CPU for a corpus-sized sort, the
+    * same trade boilerplateProfile measured at 504k docs. N folds in as
+    * a broadcast 1-row aggregate over a footer-only row-count scan. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     val tf = termFrequencies(df, idCol, textCol) // narrow, no tf shuffle
     val nDf = df.agg(count(lit(1)).cast("double").as("n_docs"))
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val wRank = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.withColumn("df", count(lit(1)).over(wTerm))
+    tf.join(termDf.hint("SHUFFLE_HASH"), Seq("term"))
       .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
@@ -448,18 +452,20 @@ object TextAnalysis {
     * between engines. Output: (id, n_tokens, avg_surprisal).
     *
     * Scale shape: explode → (doc,term) counts → corpus term count as a
-    * window sum over the compact tf frame (same single-shuffle trick as
-    * [[tfidfTopTerms]], verified no extra exchange in PlanAuditSpec) →
-    * doc-level aggregate. The total token count T is one extra NARROW
-    * scan (map-side partial count, no shuffle) folded in as a broadcast
-    * 1-row frame — re-deriving it from the doc aggregate would re-execute
-    * the whole explode+shuffle pipeline (Catalyst does not plan-share
-    * pruned aggregate branches). */
+    * codegen SUM aggregate over the compact tf frame re-attached through
+    * one hash join (same repeating-key reasoning as [[tfidfTopTerms]] —
+    * SCALE.md finding 9: the term window sorts the full stream, the
+    * aggregate's map-side combine collapses it to the vocabulary; the
+    * tokenize evaluates twice in trade) → doc-level aggregate. The total
+    * token count T is one extra NARROW scan (map-side partial count, no
+    * shuffle) folded in as a broadcast 1-row frame — re-deriving it from
+    * the doc aggregate would re-execute the whole explode+shuffle
+    * pipeline (Catalyst does not plan-share pruned aggregate branches). */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = termFrequencies(df, idCol, textCol) // narrow, no tf shuffle
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val termC = tf.groupBy("term").agg(sum("tf").as("c"))
     val doc = tf
-      .withColumn("c", sum("tf").over(wTerm))
+      .join(termC.hint("SHUFFLE_HASH"), Seq("term"))
       .groupBy("id")
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * round(log(col("c")) * 1e6).cast("long")).as("partial"))
