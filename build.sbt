@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON. Two sbt layers used to break that even though Bench prints the
+// JSON as the program's literal last line: the forked child's stdout was
+// re-logged with an "[info] " prefix, and sbt appended "[success] Total
+// time: …" after it. Pass child stdout through unwrapped and drop the
+// success epilogue so the JSON line really is the last line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
