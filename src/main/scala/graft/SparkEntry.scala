@@ -1588,8 +1588,12 @@ object SparkEntry {
               '3|' || sig[7] || '|' || sig[8]] AS bk
            FROM sg),
          expd AS (SELECT doc_id, unnest(bk) AS band FROM bands),
+         -- model the engine's maxBucket=1000 band cap: an oversized band
+         -- bucket contributes no candidate pairs (BoundedCollect collapse)
+         capped AS (SELECT doc_id, band FROM expd
+                    QUALIFY count(*) OVER (PARTITION BY band) <= 1000),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM expd a JOIN expd b ON a.band = b.band AND a.doc_id < b.doc_id),
+                  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
          dist AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
          j AS (SELECT id_a, id_b,
                  CAST(len(list_intersect(da.s, db.s)) AS DOUBLE) /
@@ -1903,8 +1907,11 @@ object SparkEntry {
               '3|' || sig[7] || '|' || sig[8]] AS bk
            FROM sg),
          expd AS (SELECT doc_id, unnest(bk) AS band FROM bands),
+         -- model the engine's maxBucket=1000 band cap (see q18)
+         capped AS (SELECT doc_id, band FROM expd
+                    QUALIFY count(*) OVER (PARTITION BY band) <= 1000),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM expd a JOIN expd b ON a.band = b.band AND a.doc_id < b.doc_id),
+                  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
          edges AS (SELECT id_a AS s, id_b AS d FROM cand
                    UNION SELECT id_b, id_a FROM cand),
          reach AS (SELECT s, d FROM edges
@@ -2115,9 +2122,13 @@ object SparkEntry {
               '3|' || sig[7] || '|' || sig[8]] AS bk
            FROM sg),
          expd AS (SELECT doc_id, unnest(bk) AS band FROM bands),
+         -- the engine caps only the EXISTING side's band buckets
+         -- (crossCorpusNearDups collapses bandsEx through BoundedCollect)
+         ex AS (SELECT doc_id, band FROM expd WHERE doc_id % 20 = 0
+                QUALIFY count(*) OVER (PARTITION BY band) <= 1000),
          cand AS (SELECT DISTINCT b.doc_id AS id_in, a.doc_id AS id_ex
-                  FROM expd a JOIN expd b ON a.band = b.band
-                  WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0),
+                  FROM ex a JOIN expd b ON a.band = b.band
+                  WHERE b.doc_id % 20 <> 0),
          dist AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
          j AS (SELECT id_in, id_ex,
                  CAST(len(list_intersect(di.s, de.s)) AS DOUBLE) /
@@ -2756,8 +2767,12 @@ object SparkEntry {
               '3|' || sig[7] || '|' || sig[8]] AS bk
            FROM sg),
          expd AS (SELECT doc_id, unnest(bk) AS band FROM bands),
+         -- candidate leg models the engine's maxBucket=1000 band cap (the
+         -- truth leg already models its own df<=100 cap via freq below)
+         capped AS (SELECT doc_id, band FROM expd
+                    QUALIFY count(*) OVER (PARTITION BY band) <= 1000),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM expd a JOIN expd b ON a.band = b.band AND a.doc_id < b.doc_id),
+                  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
          dst AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
          inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM dst),
          freq AS (SELECT shingle, count(*) AS df FROM inv0 GROUP BY shingle),

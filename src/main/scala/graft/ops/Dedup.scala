@@ -51,10 +51,12 @@ object Dedup {
     // stream, and that sort's page allocation is the OOM class the
     // 504k-doc scale run exposed in the boilerplate pipeline. NOTE: the
     // hot pair-generator paths no longer call this — they fuse the cap
-    // into their own collapse aggregate (size filter on the collected
-    // array — one exchange, zero extra passes); this utility remains for
-    // callers that need capped ROWS rather than collapsed buckets, and
-    // costs a second evaluation of `df`'s lineage for the count side.
+    // into their own collapse aggregate with the limit enforced inside
+    // the update ([[BoundedCollect]]: one exchange, zero extra passes,
+    // per-group buffer ≤ maxBucket even on a degenerate hot key); this
+    // utility remains for callers that need capped ROWS rather than
+    // collapsed buckets, and costs a second evaluation of `df`'s lineage
+    // for the count side.
     val oversized = df.groupBy(keyCol)
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > maxBucket)
@@ -225,13 +227,17 @@ object Dedup {
     val bandDf = minhashBands(df, idCol, textCol, n, bands, rows)
     // pairs within a band bucket via in-group combinations — one pass over
     // the band table (a self-join would evaluate the whole minhash pipeline
-    // twice); the bucket cap is FUSED into the collapse aggregate (size
-    // check on the collected array) — the former pre-cap count-over-window
-    // sorted the whole keyed stream, and that sort OOM'd the 504k-doc
-    // scale run in the sibling boilerplate pipeline. Buffer bound: ids
-    // only, 8 bytes per member per group, spill-backed aggregate map
-    bandDf.groupBy("band").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+    // twice); the bucket cap is FUSED into the collapse aggregate and
+    // enforced INSIDE the update ([[BoundedCollect]] — an overflowed
+    // bucket's buffer is dropped the moment it passes maxBucket, so a
+    // degenerate hot band never materializes its members even transiently;
+    // the former plain collect_list held the full bucket until the size
+    // filter). The former pre-cap count-over-window sorted the whole keyed
+    // stream, and that sort OOM'd the 504k-doc scale run in the sibling
+    // boilerplate pipeline. Buffer bound: ≤ maxBucket 8-byte ids per group
+    bandDf.groupBy("band")
+      .agg(BoundedCollect.longs(maxBucket)(col("id")).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(
           slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
@@ -343,12 +349,13 @@ object Dedup {
                           maxBucket: Int = 1000): DataFrame = {
     // existing-side bucket cap fused into a per-band collapse: the band
     // join then carries ONE array row per band and explodes members after
-    // the match (no pre-cap window sort — see minhashPairs); oversized
-    // boilerplate bands drop before they can join-explode
+    // the match (no pre-cap window sort — see minhashPairs); the cap is
+    // enforced inside the aggregate update (BoundedCollect), so oversized
+    // boilerplate bands drop before their members ever materialize
     val bandsEx = minhashBands(existing, idCol, textCol, n, bands, rows)
       .groupBy("band")
-      .agg(collect_list(col("id")).as("ids_ex"))
-      .filter(size(col("ids_ex")) <= maxBucket)
+      .agg(BoundedCollect.longs(maxBucket)(col("id")).as("ids_ex"))
+      .filter(col("ids_ex").isNotNull)
     val bandsIn = minhashBands(incoming, idCol, textCol, n, bands, rows)
       .select(col("id").as("id_in"), col("band"))
     val pairs = bandsIn.join(bandsEx, "band")
@@ -759,20 +766,23 @@ object Dedup {
         concat_ws(":", lit(c.toString),
           shiftrightunsigned(col("simhash"), c * chunkBits).bitwiseAND(mask))
       }: _*)).as("chunk_key"))
-    // bucket cap fused into the collapse (size check on the collected
-    // members, no pre-cap window sort — see minhashPairs)
+    // bucket cap fused into the collapse and enforced inside the
+    // aggregate update (BoundedCollect — a hot chunk key never
+    // materializes past maxBucket members; no pre-cap window sort — see
+    // minhashPairs). Members are (_1=id, _2=simhash) structs.
     val pairs = keyed
       .groupBy("chunk_key")
-      .agg(collect_list(struct(col("id"), col("simhash"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+      .agg(BoundedCollect.pairs(maxBucket)(col("id"), col("simhash"))
+        .as("members"))
+      .filter(col("members").isNotNull && size(col("members")) >= 2)
       .select(explode(flatten(transform(col("members"), (x, i) =>
         transform(
           slice(col("members"), i + 2,
             greatest(size(col("members")) - i - 1, lit(0))),
           y => struct(
-            least(x.getField("id"), y.getField("id")).as("id_a"),
-            greatest(x.getField("id"), y.getField("id")).as("id_b"),
-            hammingCol(x.getField("simhash"), y.getField("simhash"))
+            least(x.getField("_1"), y.getField("_1")).as("id_a"),
+            greatest(x.getField("_1"), y.getField("_1")).as("id_b"),
+            hammingCol(x.getField("_2"), y.getField("_2"))
               .as("hamming")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.hamming").as("hamming"))

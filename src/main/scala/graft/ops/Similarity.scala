@@ -200,7 +200,13 @@ object Similarity {
     * boundary crossings dominate, not flops). Ranking mirrors
     * bruteForceTopK: similarity rounded to 6 decimals BEFORE ranking,
     * ties → lowest neighbor id — engine-reproducible. [[hardNegativesIvf]]
-    * is the scale path (guarded codebook, no corpus collect). */
+    * is the scale path (guarded codebook, no corpus collect).
+    *
+    * CONTRACT: `labelCol` must be non-null on BOTH sides. A null label
+    * cannot be "a label that differs" — silently treating it either way
+    * would shrink or pollute the negative pool — so both legs fail loudly:
+    * a null query label trips a named require at collect time, a null
+    * corpus label raises from the scoring task. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
@@ -212,6 +218,10 @@ object Similarity {
       s"hardNegatives would collect more than $BruteForceMaxQueries " +
         "query vectors into the task closure; use hardNegativesIvf for " +
         "large query sets")
+    qCollected.foreach(r => require(!r.isNullAt(1),
+      s"hardNegatives: NULL $labelCol on query id " +
+        s"${if (r.isNullAt(0)) "NULL" else r.getLong(0)} — labels must be " +
+        "non-null on both sides (a null label can neither match nor differ)"))
     val qArr: Array[(Long, Long, Array[Double])] = qCollected
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
       .sortBy(_._1)
@@ -244,7 +254,7 @@ object Similarity {
     }
     val scored = corpus.select(col(idCol).cast("long").as("neighbor_id"),
         explode(scoreAll(col(idCol).cast("long"),
-          col(labelCol).cast("long"),
+          nonNullLabel(col(labelCol), "corpus", labelCol),
           col(vecCol).cast("array<double>"))).as("s"))
       .select(col("s._1").as("query_id"), col("neighbor_id"),
         round(col("s._2"), 6).as("cosine_sim"))
@@ -256,6 +266,18 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  /** Non-null label gate for the hard-negative legs: a null label would
+    * otherwise null the primitive-arg scoring UDF (row silently dropped
+    * from every candidate set) or null the IVF leg's label-inequality
+    * filter — raise from the task with a named message instead. */
+  private def nonNullLabel(c: Column, side: String,
+                           labelCol: String): Column =
+    when(c.isNull, raise_error(lit(
+      s"hardNegatives: NULL $labelCol on the $side side — labels must be " +
+        "non-null on both sides (a null label can neither match nor differ)"))
+      .cast("long"))
+      .otherwise(c.cast("long"))
+
   /** Scale path for [[hardNegatives]]: probe [[ivfTopK]] for
     * `k · oversample` unlabeled candidates (guarded codebook, disjoint
     * cells, no corpus-side collect), drop the same-label ones through ONE
@@ -265,7 +287,8 @@ object Similarity {
     * `oversample` trades candidate volume against that truncation. Scores
     * and tie rules are identical to the exact leg, so every returned pair
     * is also a correct [[hardNegatives]] pair (possibly at a later true
-    * rank). */
+    * rank). Same non-null label contract as the exact leg — a null label
+    * on either side raises from the join instead of silently dropping. */
   def hardNegativesIvf(corpus: DataFrame, queries: DataFrame, k: Int,
                        oversample: Int = 4, centroidStride: Long = 50,
                        nProbe: Int = 2, idCol: String = "vec_id",
@@ -273,9 +296,9 @@ object Similarity {
                        labelCol: String = "label"): DataFrame = {
     require(oversample >= 1, "oversample must be at least 1")
     val labels = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      col(labelCol).cast("long").as("n_label"))
+      nonNullLabel(col(labelCol), "corpus", labelCol).as("n_label"))
     val qLabels = queries.select(col(idCol).cast("long").as("query_id"),
-      col(labelCol).cast("long").as("q_label"))
+      nonNullLabel(col(labelCol), "query", labelCol).as("q_label"))
     val cand = ivfTopK(corpus, queries, k * oversample, centroidStride,
       nProbe, idCol, vecCol)
     val w = Window.partitionBy("query_id")
@@ -698,11 +721,15 @@ object Similarity {
                                    maxBucket: Int): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     // one bucket per id (single table) → combinations are already distinct;
-    // bucket cap fused into the collapse (size check on the collected ids,
-    // no pre-cap window sort — see Dedup.minhashPairs)
+    // bucket cap fused into the collapse and enforced inside the aggregate
+    // update (Dedup.BoundedCollect — a degenerate hot cell never
+    // materializes past maxBucket members; no pre-cap window sort — see
+    // Dedup.minhashPairs). Collection order is merge-order — sort after.
     val pairs = keyed
-      .groupBy("bucket").agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .groupBy("bucket")
+      .agg(BoundedCollect.longs(maxBucket)(col("id")).as("ids_raw"))
+      .filter(col("ids_raw").isNotNull && size(col("ids_raw")) >= 2)
+      .select(array_sort(col("ids_raw")).as("ids"))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(
           slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),

@@ -30,12 +30,41 @@ class TrainingMixSpec extends SparkSpec {
   }
 
   test("hardNegatives: self never scores even against a different label") {
-    // query id 3 (label 1): candidates are 0, 4 (labels 0, 2) — never 3
+    // query id 3 (label 1): candidates are 0, 1, 4 (labels 0, 0, 2) — never 3
     val q = labeled.filter(col("vec_id") === 3)
     val ids = Similarity.hardNegatives(labeled, q, k = 10)
       .collect().map(_.getLong(1)).toSet
     assert(ids === Set(0L, 1L, 4L)) // label-1 rows (2, 3) excluded
   }
+
+  test("hardNegatives: a NULL label fails loudly on either side instead " +
+      "of silently shrinking the negative pool") {
+    val nullLabeled = labeled.unionByName(
+      Seq((9L, Seq(0.3f, 0.3f))).toDF("vec_id", "embedding")
+        .withColumn("label", lit(null).cast("int")))
+    val q = labeled.filter(col("vec_id") === 0)
+    // corpus-side null: raises from the scoring task with the named message
+    val eCorpus = intercept[Exception] {
+      Similarity.hardNegatives(nullLabeled, q, k = 3).collect()
+    }
+    assert(exceptionChain(eCorpus).exists(_.contains("NULL label")), eCorpus)
+    // query-side null: trips the collect-time require
+    val eQuery = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(labeled,
+        nullLabeled.filter(col("vec_id") === 9), k = 3)
+    }
+    assert(eQuery.getMessage.contains("NULL label"))
+    // IVF leg: corpus-side null raises from the label join
+    val eIvf = intercept[Exception] {
+      Similarity.hardNegativesIvf(nullLabeled, q, k = 3,
+        centroidStride = 1, nProbe = 5).collect()
+    }
+    assert(exceptionChain(eIvf).exists(_.contains("NULL label")), eIvf)
+  }
+
+  private def exceptionChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
 
   test("hardNegativesIvf at full probe width equals the exact leg") {
     val q = labeled.filter(col("vec_id") === 0)
