@@ -34,6 +34,9 @@ import scala.jdk.CollectionConverters._
   *                  z-order-clustered parquet write of the event stream
   *   9. ann       — IVF recall@10 sweep (nProbe 1..3) against brute force,
   *                  500k vectors / 200 queries, stride under MaxCentroids
+  *  10. featurize — raw text → hashed-trick embeddings (Featurize) →
+  *                  SemDeDup-style semantic dedup over the OWN-featurized
+  *                  vectors: the end-to-end no-pre-supplied-embeddings lane
   *
   * Metrics come from a SparkListener (per-stage task metrics summed per
   * phase) plus JVM heap-pool peaks (reset at each phase boundary). The
@@ -311,7 +314,10 @@ object ScaleRun {
             .cast("float")).as("embedding"))
         .localCheckpoint()
       val queries = emb.filter(col("vec_id") % 2500 === 0) // 200 queries
-      val exact = graft.ops.Similarity.bruteForceTopK(emb, queries, k = 10)
+      // aggregator-ranked exact leg: the window form sorted all 100M
+      // scored (query, neighbor) rows and was 339 s of this phase in r6;
+      // bounded per-query top-k state shuffles ≤ partitions·queries·k rows
+      val exact = graft.ops.Similarity.bruteForceTopKAgg(emb, queries, k = 10)
         .localCheckpoint()
       val recalls = (1 to 3).map { nProbe =>
         val approx = graft.ops.Similarity.ivfTopK(emb, queries, k = 10,
@@ -322,6 +328,26 @@ object ScaleRun {
       }
       spark.catalog.clearCache()
       s"recall@10 over 200 queries x 500k vectors: ${recalls.mkString(", ")}"
+    }
+
+    // ---- 10. featurize: raw text → hashed embeddings → semantic dedup ----
+    phase("featurize") {
+      // one narrow fused pass over the corpus; checkpoint so the cell
+      // assignment and the pair verify don't re-featurize the text
+      val vecs = graft.ops.Featurize.featurize(corpus, "doc_id", "text",
+          dim = 64)
+        .select(col("id").as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val n = vecs.count()
+      // corpus-size-proof stride (ivf discipline): ~4096 cells keeps the
+      // average cell ≈ n/4096 well under the 1000-member pair cap
+      val stride = graft.ops.Similarity.strideFor(n, targetCentroids = 4096)
+      val dropped = graft.ops.Similarity.semanticDedup(vecs,
+        threshold = 0.99, centroidStride = stride)
+      val nd = dropped.count()
+      spark.catalog.clearCache()
+      s"$n docs featurized (dim 64, stride $stride); " +
+        s"$nd semantic near-dups dropped at cosine >= 0.99"
     }
 
     // ---- report ----

@@ -1279,6 +1279,29 @@ object SparkEntry {
       n = 3, bands = 4, rows = 2, thresholdPermille = 400,
       maxBucket = 1000, truthMaxBucket = 100)
 
+  /** Deterministic text→embedding featurizer (hashing trick, md5 bucket +
+    * sign hash, scaled-integer L2 norm): per-component signed count and
+    * micro-normalized value, exploded to scalars — gates the full
+    * raw-text→vector chain the similarity/k-means stack consumes. */
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Featurize.featurize(t(s, dir, "documents"), "doc_id", "text",
+        dim = 64)
+      .select(col("id").as("doc_id"),
+        posexplode(arrays_zip(col("counts"), col("embedding_micro")))
+          .as(Seq("i", "z")))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        col("z.counts").as("cnt"), col("z.embedding_micro").as("val_micro"))
+      .orderBy("doc_id", "i")
+
+  /** Trained char-bigram Naive Bayes language ID (integer micro-nat
+    * log-probs, add-one smoothing), trained on the corpus's own lang
+    * labels and self-classified — gates train AND inference arithmetic. */
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LangModel.langIdTrained(t(s, dir, "documents"), "doc_id",
+        "text", "lang", n = 2)
+      .select(col("id").as("doc_id"), col("pred_lang"), col("score_micro"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1379,7 +1402,9 @@ object SparkEntry {
     "q93_kmeans_cells" -> (q93 _),
     "q94_hard_negatives" -> (q94 _),
     "q95_cell_balanced_sample" -> (q95 _),
-    "q96_lsh_quality" -> (q96 _))
+    "q96_lsh_quality" -> (q96 _),
+    "q97_featurize" -> (q97 _),
+    "q98_langid_trained" -> (q98 _))
 
   /** Shared CTE chain for the q90/q91 substring-dedup oracles: positional
     * 10-token shingles (pos zero-based, window [pos, pos+10)), occurrence
@@ -2795,6 +2820,64 @@ object SparkEntry {
            CAST((1000 * coalesce(sum(c*t), 0)) // greatest(1, coalesce(sum(c), 0)) AS BIGINT) AS precision_permille,
            CAST((1000 * coalesce(sum(c*t), 0)) // greatest(1, coalesce(sum(t), 0)) AS BIGINT) AS recall_permille
          FROM g""",
+    "q97_featurize" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM documents),
+         tkn AS (SELECT doc_id, unnest(toks) AS tk FROM tok),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5(tk), 1, 8))::BIGINT % 64 AS i,
+             CASE WHEN ('0x' || substr(md5(tk), 9, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+           FROM tkn),
+         c AS (SELECT doc_id, i, CAST(sum(s) AS BIGINT) AS cnt
+               FROM h GROUP BY 1, 2),
+         spine AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+                   FROM documents),
+         f AS (SELECT doc_id, i, coalesce(cnt, 0) AS cnt
+               FROM spine LEFT JOIN c USING (doc_id, i)),
+         ss AS (SELECT doc_id, sum(cnt * cnt) AS ss FROM f GROUP BY 1)
+         SELECT f.doc_id, CAST(f.i AS BIGINT) AS i, f.cnt,
+           CAST(CASE WHEN ss.ss = 0 THEN 0
+                     ELSE floor((1000000 * f.cnt) / sqrt(ss.ss)) END
+             AS BIGINT) AS val_micro
+         FROM f JOIN ss ON f.doc_id = ss.doc_id
+         ORDER BY f.doc_id, i""",
+    "q98_langid_trained" ->
+      """WITH g0 AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+         grams AS (SELECT doc_id, lang,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> substr(t, i, 2))) AS gram
+           FROM g0),
+         cnt AS (SELECT lang, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+         vocab AS (SELECT count(DISTINCT gram) AS v FROM grams),
+         tot AS (SELECT lang, count(*) AS tot FROM grams GROUP BY 1),
+         w AS (SELECT lang, gram,
+             CAST(round(ln((c + 1.0) / (tot + v)) * 1000000) AS BIGINT) AS w_micro
+           FROM cnt JOIN tot USING (lang) CROSS JOIN vocab),
+         langs AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         alln AS (SELECT count(*) AS n_all FROM documents),
+         stats AS (SELECT lang,
+             CAST(round(ln(CAST(n_docs AS DOUBLE) / n_all) * 1000000) AS BIGINT) AS prior_micro,
+             CAST(round(ln(1.0 / (tot + v)) * 1000000) AS BIGINT) AS default_micro
+           FROM langs JOIN tot USING (lang) CROSS JOIN vocab CROSS JOIN alln),
+         dg AS (SELECT doc_id, gram, count(*) AS tf FROM grams GROUP BY 1, 2),
+         seen AS (SELECT doc_id, w.lang, sum(tf * w_micro) AS sum_seen,
+                    sum(tf) AS tf_seen
+                  FROM dg JOIN w USING (gram) GROUP BY 1, 2),
+         ng AS (SELECT doc_id, greatest(len(lower(text)) - 1, 0) AS n_grams
+                FROM documents),
+         scored AS (SELECT ng.doc_id, s.lang,
+             s.prior_micro + coalesce(sum_seen, 0)
+               + (n_grams - coalesce(tf_seen, 0)) * s.default_micro AS score_micro
+           FROM ng CROSS JOIN stats s
+           LEFT JOIN seen ON seen.doc_id = ng.doc_id AND seen.lang = s.lang)
+         SELECT doc_id, lang AS pred_lang, CAST(score_micro AS BIGINT) AS score_micro
+         FROM scored
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY score_micro DESC, lang ASC) = 1
+         ORDER BY doc_id""",
     "q92_semantic_dedup" ->
       """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
          cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trained character-n-gram Naive Bayes language identifier — the
+  * data-driven sibling of `TextAnalysis.langIdCol`'s marker-word argmax
+  * (markers need a hand-seeded wordlist per language; this model learns
+  * its evidence from any labeled corpus, e.g. a crawl's self-declared
+  * lang tags, and generalizes to languages with no curated markers).
+  *
+  * Arithmetic follows the repo's integer micro-nat discipline (same as
+  * the surprisal/BM25 lanes): every log-probability is
+  * `round(10⁶·ln(x))` as a BIGINT, scores are integer sums, and the
+  * argmax breaks ties on the smaller lang string — so training AND
+  * inference are engine-exact and the whole train→classify chain sits
+  * behind a DuckDB oracle (q98).
+  *
+  * Model (add-one smoothing over the corpus gram vocabulary V):
+  *   w(L,g)     = round(10⁶·ln((c(L,g)+1)/(tot(L)+V)))
+  *   default(L) = round(10⁶·ln(1/(tot(L)+V)))         — unseen gram
+  *   prior(L)   = round(10⁶·ln(docs(L)/docs))
+  *   score(d,L) = prior(L) + Σ_seen tf·w(L,g) + (n_d−tf_seen)·default(L)
+  *
+  * Scale shape: gram keys are at most |charset|ⁿ distinct (a few
+  * thousand for bigrams) regardless of corpus size, so training is two
+  * map-side-combining aggregates whose outputs are TINY; the weight
+  * table broadcasts, classification is one broadcast join over per-doc
+  * gram counts plus one (id, lang)-keyed aggregate — no corpus-sized
+  * shuffle carries anything but 8-byte ids and short grams. The (docs ×
+  * langs) spine is a broadcast of a ≤|langs|-row frame. */
+object LangModel {
+
+  /** Overlapping character n-grams of lower(text): positions
+    * 1..len−n+1, each `substr(lower(text), i, n)` — exactly the
+    * DuckDB-reproducible form. Docs shorter than `n` chars have none. */
+  def charNgrams(text: String, n: Int): Seq[String] = {
+    if (text == null) return Seq.empty
+    val t = text.toLowerCase(java.util.Locale.ROOT)
+    if (t.length < n) Seq.empty
+    else (0 to t.length - n).map(i => t.substring(i, i + n))
+  }
+
+  private val charNgramsUdf = udf(charNgrams _)
+
+  /** Trained model: `gramWeights` (lang, gram, w_micro) and `langStats`
+    * (lang, prior_micro, default_micro) — both bounded by the charset,
+    * not the corpus. */
+  case class NaiveBayesModel(gramWeights: DataFrame, langStats: DataFrame)
+
+  private def microLn(x: Column): Column =
+    round(log(x) * 1000000).cast("long")
+
+  def trainLangNB(df: DataFrame, textCol: String, labelCol: String,
+                  n: Int = 2): NaiveBayesModel = {
+    val grams = df.select(col(labelCol).as("lang"),
+      explode(charNgramsUdf(col(textCol), lit(n))).as("gram"))
+    val counts = grams.groupBy("lang", "gram")
+      .agg(count(lit(1)).as("c"))
+    // V = corpus-wide distinct gram vocabulary; tot(L) = gram occurrences
+    // in L; both tiny aggregates over the charset-bounded key space
+    val vocab = counts.select("gram").distinct()
+      .agg(count(lit(1)).as("v"))
+    val totals = counts.groupBy("lang").agg(sum("c").as("tot"))
+    val docsPerLang = df.groupBy(col(labelCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nDocs = df.agg(count(lit(1)).as("n_all"))
+    val gramWeights = counts
+      .join(broadcast(totals), "lang").crossJoin(broadcast(vocab))
+      .select(col("lang"), col("gram"),
+        microLn((col("c") + lit(1.0)) / (col("tot") + col("v")))
+          .as("w_micro"))
+    val langStats = docsPerLang
+      .join(broadcast(totals), "lang").crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(nDocs))
+      .select(col("lang"),
+        microLn(col("n_docs").cast("double") / col("n_all")).as("prior_micro"),
+        microLn(lit(1.0) / (col("tot") + col("v"))).as("default_micro"))
+    NaiveBayesModel(gramWeights, langStats)
+  }
+
+  /** Classify every doc: (id, pred_lang, score_micro) — argmax language
+    * by integer micro-nat score, ties to the smaller lang string. Docs
+    * with zero grams (shorter than `n` chars) score prior-only. */
+  def classifyLangNB(model: NaiveBayesModel, df: DataFrame, idCol: String,
+                     textCol: String, n: Int = 2): DataFrame = {
+    val docGrams = df.select(col(idCol).cast("long").as("id"),
+        explode(charNgramsUdf(col(textCol), lit(n))).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("tf"))
+    val seen = docGrams.join(broadcast(model.gramWeights), "gram")
+      .groupBy("id", "lang")
+      .agg(sum(col("tf") * col("w_micro")).as("sum_seen"),
+        sum("tf").as("tf_seen"))
+    val nGrams = df.select(col(idCol).cast("long").as("id"),
+      greatest(coalesce(length(lower(col(textCol))), lit(0)) - (n - 1),
+        lit(0)).cast("long").as("n_grams"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score_micro").desc, col("lang").asc)
+    nGrams.crossJoin(broadcast(model.langStats))
+      .join(seen, Seq("id", "lang"), "left")
+      .select(col("id"), col("lang"),
+        (col("prior_micro")
+          + coalesce(col("sum_seen"), lit(0L))
+          + (col("n_grams") - coalesce(col("tf_seen"), lit(0L)))
+            * col("default_micro")).as("score_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("lang").as("pred_lang"), col("score_micro"))
+  }
+
+  /** Train on the labeled corpus, classify the same corpus — the
+    * self-prediction surface the q98 oracle gates end-to-end. */
+  def langIdTrained(df: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, n: Int = 2): DataFrame =
+    classifyLangNB(trainLangNB(df, textCol, labelCol, n), df, idCol,
+      textCol, n)
+}

@@ -131,6 +131,39 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    val scored = bruteForceScores(corpus, queries, idCol, vecCol)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
+  /** Aggregator-ranked twin of [[bruteForceTopK]] — identical output
+    * (same rounded scores, same score-desc/id-asc tie rule, proven in
+    * RecallSpec), different rank shape for the huge-pair regime: the
+    * window form shuffles and SORTS every scored (query, neighbor) row —
+    * |corpus|·|queries| rows, the dominant cost of an exact-recall ground
+    * truth at scale (339 s of the 504k-doc run's ann phase) — while
+    * [[TopK.grouped]]'s bounded typed aggregator keeps k entries per
+    * query in map-side partial state, so the exchange carries at most
+    * partitions·queries·k rows and nothing ever sorts. Pick per regime:
+    * the window wins when pairs-per-query is small (see TopK's measured
+    * crossover), this form wins when the pair product explodes. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val scored = bruteForceScores(corpus, queries, idCol, vecCol)
+    TopK.grouped(scored, "query_id", "neighbor_id", "cosine_sim", k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
+  /** Shared scoring kernel behind both rank shapes: (query_id,
+    * neighbor_id, cosine_sim rounded to 6dp), one fused UDF call per
+    * corpus row scoring every collected query. */
+  private def bruteForceScores(corpus: DataFrame, queries: DataFrame,
+                               idCol: String, vecCol: String): DataFrame = {
     // single-job guard: fetch at most ceiling+1 rows (driver memory stays
     // bounded even on a corpus-sized query frame), fail if the sentinel
     // row arrived — no separate count job
@@ -175,17 +208,11 @@ object Similarity {
         out.toSeq
       }
     }
-    val scored = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+    corpus.select(col(idCol).cast("long").as("neighbor_id"),
         explode(scoreAll(col(idCol).cast("long"),
           col(vecCol).cast("array<double>"))).as("s"))
       .select(col("s._1").as("query_id"), col("neighbor_id"),
         round(col("s._2"), 6).as("cosine_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
   /** Hard-negative mining for contrastive training: for every query

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three synthetic "languages" with disjoint character distributions —
+  // the signal a char-ngram model should learn perfectly, and that the
+  // marker-word heuristic (which only knows real human-language markers)
+  // cannot see at all
+  private def word(chars: String, seed: Int, len: Int): String =
+    (0 until len).map(i => chars(((seed + i * 7) % chars.length + chars.length)
+      % chars.length)).mkString
+  private def doc(chars: String, seed: Int): String =
+    (0 until 12).map(w => word(chars, seed + w * 13, 3 + (seed + w) % 4))
+      .mkString(" ")
+  private lazy val fixture = (0 until 60).map { i =>
+    val (lang, chars) = (i % 3) match {
+      case 0 => ("aaa", "abcde")
+      case 1 => ("mmm", "mnopq")
+      case _ => ("xxx", "vwxyz")
+    }
+    (i.toLong, doc(chars, i), lang)
+  }.toDF("doc_id", "text", "lang")
+
+  test("A/B: trained NB reaches perfect holdout accuracy on a corpus with " +
+    "real char-level signal; the marker heuristic scores zero there") {
+    val train = fixture.filter(col("doc_id") % 5 =!= 0)
+    val hold = fixture.filter(col("doc_id") % 5 === 0)
+    val model = LangModel.trainLangNB(train, "text", "lang")
+    val pred = LangModel.classifyLangNB(model, hold, "doc_id", "text")
+      .join(hold.select(col("doc_id").cast("long").as("id"),
+        col("lang").as("truth")), "id")
+    val n = pred.count()
+    val correct = pred.filter(col("pred_lang") === col("truth")).count()
+    assert(n == 12 && correct == n,
+      s"trained NB holdout accuracy $correct/$n, expected perfect")
+    // the marker argmax can only answer from its seeded human-language
+    // wordlists — on this synthetic charset corpus it never matches
+    val markerCorrect = hold
+      .withColumn("marker_pred", TextAnalysis.langIdCol(col("text")))
+      .filter(col("marker_pred") === col("lang")).count()
+    assert(markerCorrect == 0,
+      "marker heuristic should have no signal on the synthetic charsets")
+  }
+
+  test("prior-only scoring for gram-less docs; ties break to the " +
+    "smaller lang string") {
+    val model = LangModel.trainLangNB(fixture, "text", "lang")
+    // one-char text has zero bigrams → score = prior only; priors here are
+    // equal (20 docs each), so the argmax must fall to lang 'aaa'
+    val out = LangModel.classifyLangNB(model,
+      Seq((99L, "k")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(out.length == 1 && out(0).getString(1) == "aaa")
+  }
+
+  test("self-prediction on the real corpus matches the q98 surface and " +
+    "beats nothing — the labels carry no text signal, documented") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = LangModel.langIdTrained(docs, "doc_id", "text", "lang")
+    assert(out.count() == docs.count(), "one prediction per doc")
+    // the synthetic corpus draws text independently of the lang label, so
+    // trained accuracy ~ majority-class share; assert the mechanical
+    // floor, not intelligence
+    val acc = out.join(docs.select(col("doc_id").cast("long").as("id"),
+        col("lang").as("truth")), "id")
+      .agg(avg(when(col("pred_lang") === col("truth"), 1.0).otherwise(0.0)))
+      .collect()(0).getDouble(0)
+    assert(acc >= 0.2 && acc <= 1.0, s"accuracy $acc outside sanity range")
+  }
+}

@@ -21,6 +21,21 @@ class RecallSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 666L), (2L, 0L, 0L), (3L, 3L, 1000L)))
   }
 
+  test("bruteForceTopKAgg is row-identical to the window-ranked " +
+    "bruteForceTopK, ties included") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val window = rows(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val agg = rows(Similarity.bruteForceTopKAgg(emb, queries, k = 5))
+    assert(window == agg,
+      s"rank shapes diverge: ${window.diff(agg).take(3)} vs ${agg.diff(window).take(3)}")
+  }
+
   test("recallAtK: duplicate pairs on either side cannot inflate recall") {
     // the operator is public API — a caller whose approx list repeats a
     // (query, neighbor) row must not multiply hits through the join, and a
