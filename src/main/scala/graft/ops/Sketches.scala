@@ -140,6 +140,12 @@ object Sketches {
         }
         counts.keysIterator
       }
+      // driver collect bound: ≤ poolSize keys per PARTITION survive
+      // Misra–Gries, so the candidate pool is at most poolSize × partitions
+      // rows after distinct — fine at default 1024×32, but the bound GROWS
+      // WITH THE PARTITION COUNT: at 10⁵ partitions it is a 10⁸-key
+      // collect. At that scale coalesce the candidate frame (or lower
+      // poolSize) first; the sketch estimates are partition-count-free.
       .distinct().collect()
     candidates.map(key => key -> cmsEstimate(sketch, key, depth, width))
       .sortBy { case (key, n) => (-n, key) }

@@ -392,7 +392,38 @@ object TextAnalysis {
     * TakeOrdered (no global sort materialization). */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-               k: Int = 50): DataFrame = {
+               k: Int = 50): DataFrame =
+    bm25TopKImpl(df, idCol, textCol, queryTerms, k1, b, k,
+      reusePlan = reuseExchangeFires(df.sparkSession))
+
+  /** Once-per-Spark-build probe: does AQE collapse the two consumptions
+    * of a pruned aggregate (the keepAlive trick below) into ONE exchange
+    * via ReuseExchange? Probed on a 100-row range with the same plan
+    * shape, cached by Spark version. When a future Spark stops reusing,
+    * [[bm25TopK]] degrades to a checkpointed perDoc — correct, still one
+    * tokenize, one extra materialization — instead of silently
+    * re-tokenizing the corpus (or failing the PlanAuditSpec pin). */
+  private val reuseProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] def reuseExchangeFires(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    reuseProbeCache.computeIfAbsent(spark.version, _ => {
+      val agg = spark.range(100)
+        .selectExpr("id % 10 AS id", "id AS v")
+        .groupBy("id")
+        .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      val stats = agg.agg(sum("s").cast("double").as("ts"), sum("c").as("tc"))
+      val keep = col("tc").isNull || col("tc") >= 0
+      val out = agg.crossJoin(broadcast(stats.filter(keep).select("ts")))
+      out.queryExecution.toRdd.count()
+      Boolean.box(
+        out.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+    })
+
+  private[graft] def bm25TopKImpl(df: DataFrame, idCol: String, textCol: String,
+                                queryTerms: Seq[String], k1: Double,
+                                b: Double, k: Int,
+                                reusePlan: Boolean): DataFrame = {
     // ONE tokenize of the corpus (the dominant compute at scale): explode
     // once, then a single groupBy(id) yields both the doc length (count of
     // non-null term rows — explode_outer keeps token-less docs, so N and
@@ -402,7 +433,11 @@ object TextAnalysis {
       explode_outer(tokensCol(col(textCol))).as("term"))
     val tfAggs = queryTerms.map(q =>
       sum(when(col("term") === q, 1L).otherwise(0L)).as(s"tf_$q"))
-    val perDoc = base.groupBy("id").agg(count(col("term")).as("len"), tfAggs: _*)
+    val perDoc0 = base.groupBy("id").agg(count(col("term")).as("len"), tfAggs: _*)
+    // fallback when this Spark build's ReuseExchange won't fire for the
+    // keepAlive shape: materialize perDoc once so the stats branch reads
+    // the checkpoint instead of re-running the tokenize+shuffle lineage
+    val perDoc = if (reusePlan) perDoc0 else perDoc0.localCheckpoint()
     // Corpus stats (N docs, total len) come from a second consumption of
     // perDoc — normally Catalyst prunes the two branches differently (the
     // stats branch doesn't need the tf columns), the partial aggregates

@@ -123,8 +123,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans(q19) == 2, s"jaccard scans=${scans(q19)}:\n$q19")
   }
 
-  test("bm25: one corpus scan — the stats branch reuses the tf exchange") {
+  test("bm25: one corpus scan — the stats branch reuses the tf exchange, " +
+    "and the no-reuse fallback stays row-identical") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // this Spark build must support the reuse trick (the probe gates the
+    // serving path onto it) …
+    assert(graft.ops.TextAnalysis.reuseExchangeFires(spark),
+      "ReuseExchange probe came back false on this Spark build — the " +
+        "keepAlive single-scan shape no longer fires; bm25 now runs the " +
+        "checkpoint fallback, re-measure before accepting")
     val q = graft.ops.TextAnalysis.bm25TopK(docs, "doc_id", "text",
       Seq("data", "join", "stream"))
     // ReuseExchange is adaptive: materialize, then read the final plan
@@ -132,6 +139,15 @@ class PlanAuditSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange"),
       s"stats branch re-tokenizes the corpus (no exchange reuse) in:\n$plan")
+    // … and the degraded shape (a Spark upgrade flipping the probe) must
+    // produce the identical result through the checkpointed perDoc
+    val reuse = q.collect().map(_.toSeq).toSeq
+    val fallback = graft.ops.TextAnalysis.bm25TopKImpl(docs, "doc_id",
+        "text", Seq("data", "join", "stream"), k1 = 1.2, b = 0.75, k = 50,
+        reusePlan = false)
+      .collect().map(_.toSeq).toSeq
+    assert(reuse == fallback,
+      "checkpoint fallback diverged from the reuse-plan result")
   }
 
   test("as-of join: single shuffle on the union, no nested-loop join") {

@@ -46,6 +46,25 @@ class TableDriftSpec extends SparkSpec {
       "event_type" -> StringType, "value" -> DoubleType)
   }
 
+  test("dimension tables carry the pinned star-join columns") {
+    SchemaContract.requirePinned(tbl("region"), "region",
+      "r_regionkey" -> IntegerType, "r_name" -> StringType)
+    SchemaContract.requirePinned(tbl("nation"), "nation",
+      "n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType)
+    SchemaContract.requirePinned(tbl("customer"), "customer",
+      "c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType)
+    SchemaContract.requirePinned(tbl("supplier"), "supplier",
+      "s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
+    SchemaContract.requirePinned(tbl("part"), "part",
+      "p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType)
+  }
+
   test("a mutated fixture fails with the full actionable fix list") {
     val tmp = Files.createTempDirectory("drift").toFile
     tmp.deleteOnExit()
