@@ -224,11 +224,15 @@ object ScaleRun {
 
     // ---- 5. substring-level exact dedup over the full corpus ----
     phase("substring") {
+      // detect ONCE (checkpoint the small span frame), strip reuses it —
+      // recomputing spans inside strip would pay the corpus-wide shingle
+      // exchange twice (r7 measured the double-exchange shape at 788 s /
+      // 57 GB spill; see SCALE.md finding 10)
       val spans = graft.ops.Dedup.repeatedSpans(corpus, "doc_id", "text",
-        n = 10)
+        n = 10).localCheckpoint()
       val nSpans = spans.count()
       val agg = graft.ops.Dedup.stripRepeatedSpans(corpus, "doc_id", "text",
-          n = 10)
+          n = 10, precomputedSpans = Some(spans))
         .agg(sum("n_tokens"), sum("n_kept"),
           sum(when(col("n_kept") === 0, 1L).otherwise(0L))).collect()(0)
       spark.catalog.clearCache()

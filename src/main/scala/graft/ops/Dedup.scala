@@ -530,32 +530,142 @@ object Dedup {
     * intervals into maximal spans. Compare q77's repeated-passage miner
     * (fixed disjoint chunks, no merging): this is the span-exact form. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = 10, minOcc: Int = 2): DataFrame = {
+                    n: Int = 10, minOcc: Int = 2,
+                    occParts: Int = 0): DataFrame = {
     require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
     val sh = df.select(col(idCol).cast("long").as("id"),
         posexplode(posShinglesUdf(col(textCol), lit(n)))
           .as(Seq("pos", "sh_text")))
       .select(col("id"), col("pos"), xxhash64(col("sh_text")).as("shingle"))
-    // occurrence filter: count-over-window — the shape that WON a
-    // three-way measurement at 504k docs / 724M positions. Positional
-    // 10-token shingles are MOSTLY UNIQUE (only ~5% of positions repeat),
-    // which inverts the usual aggregate-beats-window rule: a groupBy
-    // count's map-side partial combine collapses nothing on unique keys,
-    // so the hash aggregate spill-sorts the whole stream TWICE (partial +
-    // final: 267 GB spill, 1154 s); a collect_list collapse object-sorts
-    // past ObjectHashAggregate's 128-key fallback (242 GB, 1452 s); the
-    // window pays exactly ONE binary sort of the keyed stream (62 GB,
-    // fastest measured) and its count frame streams each group. Contrast
-    // [[graft.ops.Curation.boilerplateProfile]], where 3-gram keys repeat
-    // corpus-wide and the count aggregate + join wins — pick the
-    // primitive by the key-repetition profile. The sort's 64 MB Tungsten
-    // page allocations are G1-humongous at large heaps (the OOM class the
-    // scale run exposed); the harness sets spark.buffer.pageSize=8m,
-    // which ScaleRun documents.
-    val covered = sh
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("shingle")))
+    // occurrence filter: the sort-FREE hash shape ([[
+    // coveredPositionsHash]]) — r7's fourth entrant in the 504k-doc /
+    // 724M-position head-to-head (r6 sweep: count-over-window won with
+    // one binary sort, 62 GB spill, 628 s; groupBy count spill-sorts the
+    // mostly-unique stream twice, 267 GB, 1154 s; collect_list collapse
+    // object-sorts past ObjectHashAggregate's fallback, 242 GB, 1452 s —
+    // see SCALE.md finding 9 and the SCALE_REPORT substring row for the
+    // hash shape's measured numbers). It pays the SAME one exchange on
+    // the 8-byte shingle key but replaces the per-partition sort with a
+    // primitive-array hash count + buffered emit, so per-task memory is
+    // the partition's byte size — bounded by `occParts`, never by key
+    // distribution — and nothing sorts or spills at any corpus size.
+    // Window twin retained below (SubstringDedupSpec pins row equality).
+    // Contrast [[graft.ops.Curation.boilerplateProfile]], where 3-gram
+    // keys repeat corpus-wide and a count aggregate + join wins — pick
+    // the primitive by the key-repetition profile.
+    val covered = coveredPositionsHash(sh, minOcc, occParts)
+    islandsToSpans(covered, n)
+  }
+
+  /** Occurrence filter, sort-free hash shape: hash-exchange the
+    * (id, pos, shingle) stream on the shingle key so every occurrence of
+    * a key co-locates, then count and emit per partition with primitive
+    * arrays — ONE exchange, ZERO sorts, zero aggregate buffers.
+    *
+    * Why not the obvious aggregates: on a MOSTLY-UNIQUE key stream
+    * (positional 10-token shingles — ~95% singletons) both groupBy-count
+    * and count-over-window degrade into full-stream sorts (finding 9's
+    * measured 267/62 GB spills at 724M positions); the decisive fact is
+    * that after the exchange each task holds ALL occurrences of its keys,
+    * so an open-addressing count over primitive longs plus one buffered
+    * replay answers `occ >= minOcc` exactly with task memory equal to the
+    * partition's byte size. `parts` bounds that size (0 → 8× the session
+    * shuffle parallelism); an explicit repartition count also keeps AQE
+    * from coalescing partitions back into big tasks. Skewed keys cost
+    * their row count linearly — never a sort, never a pair blowup. */
+  private[graft] def coveredPositionsHash(sh: DataFrame, minOcc: Int,
+                                          parts: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val p = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions * 8
+    sh.select(col("shingle"), col("id"), col("pos").cast("long").as("pos"))
+      .repartition(p, col("shingle"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // open-addressing count map over primitive longs (no boxing, no
+        // per-key objects); empty slot ⇔ cnts == 0 (a present key always
+        // counts ≥ 1, so hash-key 0 needs no sentinel)
+        var cap = 1 << 12
+        var mask = cap - 1
+        var keys = new Array[Long](cap)
+        var cnts = new Array[Int](cap)
+        var used = 0
+        def mix(k: Long): Int = {
+          var h = k ^ (k >>> 33)
+          h *= 0xff51afd7ed558ccdL // murmur3 fmix64 multiplier
+          h ^= h >>> 29
+          (h & mask).toInt
+        }
+        def grow(): Unit = {
+          val ok = keys; val oc = cnts
+          cap <<= 1; mask = cap - 1
+          keys = new Array[Long](cap); cnts = new Array[Int](cap)
+          var i = 0
+          while (i < ok.length) {
+            if (oc(i) != 0) {
+              var j = mix(ok(i))
+              while (cnts(j) != 0) j = (j + 1) & mask
+              keys(j) = ok(i); cnts(j) = oc(i)
+            }
+            i += 1
+          }
+        }
+        def add(k: Long): Unit = {
+          if (used * 10 >= cap * 6) grow() // 0.6 load factor
+          var j = mix(k)
+          while (cnts(j) != 0 && keys(j) != k) j = (j + 1) & mask
+          if (cnts(j) == 0) { keys(j) = k; used += 1 }
+          cnts(j) += 1
+        }
+        def count(k: Long): Int = {
+          var j = mix(k)
+          while (cnts(j) != 0 && keys(j) != k) j = (j + 1) & mask
+          cnts(j)
+        }
+        // buffered replay: the emit decision needs the key's FINAL count,
+        // so rows park in growing primitive arrays (24 B/row — the
+        // partition's byte size, the deliberate `parts`-bounded budget)
+        var bufCap = 1 << 12
+        var bk = new Array[Long](bufCap)
+        var bi = new Array[Long](bufCap)
+        var bp = new Array[Long](bufCap)
+        var nRows = 0
+        it.foreach { case (k, id, pos) =>
+          if (nRows == bufCap) {
+            bufCap <<= 1
+            bk = java.util.Arrays.copyOf(bk, bufCap)
+            bi = java.util.Arrays.copyOf(bi, bufCap)
+            bp = java.util.Arrays.copyOf(bp, bufCap)
+          }
+          bk(nRows) = k; bi(nRows) = id; bp(nRows) = pos; nRows += 1
+          add(k)
+        }
+        (0 until nRows).iterator
+          .filter(r => count(bk(r)) >= minOcc)
+          .map(r => (bi(r), bp(r)))
+      }
+      .toDF("id", "pos")
+      // restore the public int position type (posexplode's) so the span
+      // schema is identical across occurrence-filter shapes
+      .select(col("id"), col("pos").cast("int").as("pos"))
+  }
+
+  /** Occurrence filter, count-over-window twin — r6's measured winner
+    * over the aggregate shapes (one binary sort of the keyed stream),
+    * superseded as the serving path by [[coveredPositionsHash]]; kept as
+    * the proof twin (SubstringDedupSpec pins row equality) and for
+    * engines where the object boundary is unavailable. */
+  private[graft] def coveredPositionsWindow(sh: DataFrame,
+                                            minOcc: Int): DataFrame =
+    sh.withColumn("occ", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("occ") >= minOcc)
       .select("id", "pos")
+
+  /** Gaps-and-islands merge of covered positions into maximal spans —
+    * shared tail of [[repeatedSpans]] regardless of occurrence-filter
+    * shape. */
+  private def islandsToSpans(covered: DataFrame, n: Int): DataFrame = {
     val byPos = Window.partitionBy("id").orderBy("pos")
     val prevEnd = max(col("pos") + n)
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
@@ -584,16 +694,28 @@ object Dedup {
     * Shape: spans collapse to one small array per affected doc and come
     * back through ONE equi-join on id; the token array never explodes —
     * kept-token selection is a per-row filter with an exists() probe over
-    * that doc's (few) spans. */
+    * that doc's (few) spans. The join is hint-forced to SHUFFLE_HASH with
+    * the spans side as the build: a sort-merge join would SORT the token
+    * frame, whose rows carry the whole document as a token array
+    * (multi-KB payloads — the same sort class that filled the 500k-doc
+    * scale run's scratch disk in the old minhash verify), while the spans
+    * build side is a per-doc bounded frame.
+    *
+    * `precomputedSpans` lets a caller that already materialized
+    * [[repeatedSpans]] output (e.g. to COUNT it — the ScaleRun phase)
+    * reuse it: without this, detect + strip pays the corpus-wide shingle
+    * exchange twice. */
   def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                         n: Int = 10, minOcc: Int = 2): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, n, minOcc)
+                         n: Int = 10, minOcc: Int = 2,
+                         precomputedSpans: Option[DataFrame] = None): DataFrame = {
+    val spans = precomputedSpans
+      .getOrElse(repeatedSpans(df, idCol, textCol, n, minOcc))
       .groupBy("id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val toks = df.select(col(idCol).cast("long").as("id"),
         shingleToksUdf(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
-    toks.join(spans, Seq("id"), "left")
+    toks.join(spans.hint("SHUFFLE_HASH"), Seq("id"), "left")
       .select(col("id"), col("toks"),
         coalesce(col("spans"),
           array().cast("array<struct<span_start:long,span_end:long>>"))

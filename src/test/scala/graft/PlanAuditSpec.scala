@@ -312,23 +312,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("substring span dedup: shingles shuffle as xxhash64 longs, two " +
-    "keyed exchanges total, occurrence filter sort-free") {
+    "keyed exchanges total, occurrence filter truly sort-free") {
     val plan = physical(graft.ops.Dedup.repeatedSpans(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", n = 10))
-    // exactly TWO keyed exchanges: the occurrence-count window on the
-    // 8-byte shingle hash, and the per-doc islands windows on id (the
+    // exactly TWO keyed exchanges: the occurrence-filter repartition on
+    // the 8-byte shingle hash, and the per-doc islands windows on id (the
     // final groupBy(id, span_id) rides the id partitioning — hash(id)
     // satisfies ClusteredDistribution(id, span_id), no third exchange).
-    // The window form is a MEASURED choice for this mostly-unique key
-    // profile (see repeatedSpans' inline note): one binary sort, 62 GB
-    // spill at 504k docs, vs 267 GB for a count aggregate (partial
-    // combine collapses nothing on unique keys) and 242 GB for a
-    // collect_list collapse (ObjectHashAggregate's 128-key fallback)
+    // The hash-count shape (coveredPositionsHash) replaced r6's
+    // count-over-window winner: same single exchange, but the binary
+    // per-partition sort (62 GB spill at 504k docs) is gone — per-task
+    // state is a primitive count map + the partition's buffered rows
     val keyed = plan.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(keyed.size == 2, s"expected 2 keyed exchanges, got:\n$plan")
     assert(keyed.exists(_.contains("hashpartitioning(shingle")),
-      s"occurrence window not partitioned on the shingle hash in:\n$plan")
+      s"occurrence filter not partitioned on the shingle hash in:\n$plan")
     assert(keyed.exists(_.contains("hashpartitioning(id")),
       s"island windows not partitioned per doc in:\n$plan")
     // shingle TEXT never crosses a shuffle: both exchange rows carry only
@@ -340,5 +339,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
     assert(!plan.contains("ObjectHashAggregate"),
       s"object-buffer aggregate in the span pipeline:\n$plan")
+    // the occurrence side must not sort: the ONLY sorts in the plan are
+    // the id-keyed islands windows
+    val sorts = plan.linesIterator.filter(_.trim.startsWith("Sort ")).toSeq
+    assert(!sorts.exists(_.contains("shingle")),
+      s"occurrence filter sorts the shingle stream in:\n$plan")
   }
 }

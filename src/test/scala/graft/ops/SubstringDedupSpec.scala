@@ -53,6 +53,28 @@ class SubstringDedupSpec extends SparkSpec {
     assert(spans === Seq((0, 6)))
   }
 
+  test("occurrence filter: sort-free hash shape is row-identical to the " +
+    "count-over-window twin, real corpus included") {
+    import org.apache.spark.sql.functions.{col, posexplode, lit, xxhash64}
+    def shingled(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").cast("long").as("id"),
+          posexplode(
+            org.apache.spark.sql.functions.udf(Dedup.posShingles _)
+              .apply(col("text"), lit(10))).as(Seq("pos", "sh_text")))
+        .select(col("id"), col("pos"), xxhash64(col("sh_text")).as("shingle"))
+    for (df <- Seq(corpus,
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))) {
+      val sh = shingled(df)
+      val hash = Dedup.coveredPositionsHash(sh, minOcc = 2, parts = 7)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val window = Dedup.coveredPositionsWindow(sh, minOcc = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(hash == window,
+        s"filter shapes diverge: only-hash=${hash.diff(window).take(5)} " +
+          s"only-window=${window.diff(hash).take(5)}")
+    }
+  }
+
   test("stripRepeatedSpans: kept tokens, counts, and md5 are hand-exact") {
     val out = Dedup.stripRepeatedSpans(corpus, "doc_id", "text", n = 5)
       .orderBy("id")
