@@ -546,9 +546,10 @@ object Dedup {
     // see SCALE.md finding 9 and the SCALE_REPORT substring row for the
     // hash shape's measured numbers). It pays the SAME one exchange on
     // the 8-byte shingle key but replaces the per-partition sort with a
-    // primitive-array hash count + buffered emit, so per-task memory is
-    // the partition's byte size — bounded by `occParts`, never by key
-    // distribution — and nothing sorts or spills at any corpus size.
+    // primitive-array hash count + early-emit stream ([[OccurrenceFilter]]):
+    // per-task memory is the partition's DISTINCT-key count (plus at most
+    // minOcc−1 parked rows per key), never any single key's row count —
+    // a head-of-zipf hot shingle streams through in O(1) extra memory.
     // Window twin retained below (SubstringDedupSpec pins row equality).
     // Contrast [[graft.ops.Curation.boilerplateProfile]], where 3-gram
     // keys repeat corpus-wide and a count aggregate + join wins — pick
@@ -559,20 +560,26 @@ object Dedup {
 
   /** Occurrence filter, sort-free hash shape: hash-exchange the
     * (id, pos, shingle) stream on the shingle key so every occurrence of
-    * a key co-locates, then count and emit per partition with primitive
-    * arrays — ONE exchange, ZERO sorts, zero aggregate buffers.
+    * a key co-locates, then count and emit per partition with the
+    * primitive-array [[OccurrenceFilter]] kernel — ONE exchange, ZERO
+    * sorts, zero aggregate buffers.
     *
     * Why not the obvious aggregates: on a MOSTLY-UNIQUE key stream
     * (positional 10-token shingles — ~95% singletons) both groupBy-count
     * and count-over-window degrade into full-stream sorts (finding 9's
     * measured 267/62 GB spills at 724M positions); the decisive fact is
     * that after the exchange each task holds ALL occurrences of its keys,
-    * so an open-addressing count over primitive longs plus one buffered
-    * replay answers `occ >= minOcc` exactly with task memory equal to the
-    * partition's byte size. `parts` bounds that size (0 → 8× the session
-    * shuffle parallelism); an explicit repartition count also keeps AQE
-    * from coalescing partitions back into big tasks. Skewed keys cost
-    * their row count linearly — never a sort, never a pair blowup. */
+    * so an open-addressing count over primitive longs answers
+    * `occ >= minOcc` exactly with NO sort. Rows stream through with
+    * early emit (see the kernel doc): per-task state is the count table
+    * (distinct keys in the partition) plus at most `minOcc − 1` parked
+    * rows per key — genuinely independent of any single key's row count,
+    * so a head-of-zipf boilerplate shingle with 10⁹ occurrences costs
+    * its partition CPU linearly and O(1) memory, where a buffer-to-drain
+    * replay would park all 10⁹ rows in one unspillable task heap. `parts`
+    * sizes the partitions (0 → 8× the session shuffle parallelism); an
+    * explicit repartition count also keeps AQE from coalescing partitions
+    * back into big tasks. Never a sort, never a pair blowup. */
   private[graft] def coveredPositionsHash(sh: DataFrame, minOcc: Int,
                                           parts: Int): DataFrame = {
     val spark = sh.sparkSession
@@ -582,69 +589,7 @@ object Dedup {
     sh.select(col("shingle"), col("id"), col("pos").cast("long").as("pos"))
       .repartition(p, col("shingle"))
       .as[(Long, Long, Long)]
-      .mapPartitions { it =>
-        // open-addressing count map over primitive longs (no boxing, no
-        // per-key objects); empty slot ⇔ cnts == 0 (a present key always
-        // counts ≥ 1, so hash-key 0 needs no sentinel)
-        var cap = 1 << 12
-        var mask = cap - 1
-        var keys = new Array[Long](cap)
-        var cnts = new Array[Int](cap)
-        var used = 0
-        def mix(k: Long): Int = {
-          var h = k ^ (k >>> 33)
-          h *= 0xff51afd7ed558ccdL // murmur3 fmix64 multiplier
-          h ^= h >>> 29
-          (h & mask).toInt
-        }
-        def grow(): Unit = {
-          val ok = keys; val oc = cnts
-          cap <<= 1; mask = cap - 1
-          keys = new Array[Long](cap); cnts = new Array[Int](cap)
-          var i = 0
-          while (i < ok.length) {
-            if (oc(i) != 0) {
-              var j = mix(ok(i))
-              while (cnts(j) != 0) j = (j + 1) & mask
-              keys(j) = ok(i); cnts(j) = oc(i)
-            }
-            i += 1
-          }
-        }
-        def add(k: Long): Unit = {
-          if (used * 10 >= cap * 6) grow() // 0.6 load factor
-          var j = mix(k)
-          while (cnts(j) != 0 && keys(j) != k) j = (j + 1) & mask
-          if (cnts(j) == 0) { keys(j) = k; used += 1 }
-          cnts(j) += 1
-        }
-        def count(k: Long): Int = {
-          var j = mix(k)
-          while (cnts(j) != 0 && keys(j) != k) j = (j + 1) & mask
-          cnts(j)
-        }
-        // buffered replay: the emit decision needs the key's FINAL count,
-        // so rows park in growing primitive arrays (24 B/row — the
-        // partition's byte size, the deliberate `parts`-bounded budget)
-        var bufCap = 1 << 12
-        var bk = new Array[Long](bufCap)
-        var bi = new Array[Long](bufCap)
-        var bp = new Array[Long](bufCap)
-        var nRows = 0
-        it.foreach { case (k, id, pos) =>
-          if (nRows == bufCap) {
-            bufCap <<= 1
-            bk = java.util.Arrays.copyOf(bk, bufCap)
-            bi = java.util.Arrays.copyOf(bi, bufCap)
-            bp = java.util.Arrays.copyOf(bp, bufCap)
-          }
-          bk(nRows) = k; bi(nRows) = id; bp(nRows) = pos; nRows += 1
-          add(k)
-        }
-        (0 until nRows).iterator
-          .filter(r => count(bk(r)) >= minOcc)
-          .map(r => (bi(r), bp(r)))
-      }
+      .mapPartitions(it => new OccurrenceFilter(minOcc)(it))
       .toDF("id", "pos")
       // restore the public int position type (posexplode's) so the span
       // schema is identical across occurrence-filter shapes
@@ -704,10 +649,23 @@ object Dedup {
     * `precomputedSpans` lets a caller that already materialized
     * [[repeatedSpans]] output (e.g. to COUNT it — the ScaleRun phase)
     * reuse it: without this, detect + strip pays the corpus-wide shingle
-    * exchange twice. */
+    * exchange twice. CONTRACT: the frame must be [[repeatedSpans]] output
+    * over the SAME `df` built with the SAME `n` and `minOcc` — span
+    * positions are `n`-dependent token indexes, so spans from different
+    * parameters would silently strip the wrong ranges. The schema
+    * (id/span_start/span_end) is asserted here; the parameter coupling
+    * cannot be checked from the frame and is the caller's obligation. */
   def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 10, minOcc: Int = 2,
                          precomputedSpans: Option[DataFrame] = None): DataFrame = {
+    precomputedSpans.foreach { ps =>
+      val missing = Seq("id", "span_start", "span_end")
+        .filterNot(ps.columns.contains)
+      require(missing.isEmpty,
+        s"precomputedSpans must be repeatedSpans output (missing columns: " +
+          s"${missing.mkString(", ")}; got: ${ps.columns.mkString(", ")}) " +
+          s"built with the same n=$n, minOcc=$minOcc")
+    }
     val spans = precomputedSpans
       .getOrElse(repeatedSpans(df, idCol, textCol, n, minOcc))
       .groupBy("id")

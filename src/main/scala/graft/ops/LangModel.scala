@@ -29,17 +29,25 @@ import org.apache.spark.sql.functions._
   * table broadcasts, classification is one broadcast join over per-doc
   * gram counts plus one (id, lang)-keyed aggregate — no corpus-sized
   * shuffle carries anything but 8-byte ids and short grams. The (docs ×
-  * langs) spine is a broadcast of a ≤|langs|-row frame. */
+  * langs) spine is a broadcast of a ≤|langs|-row frame.
+  * [[langIdTrained]] (train + self-classify, the q98 surface) tokenizes
+  * the corpus ONCE: the per-doc gram arrays are materialized via
+  * `localCheckpoint` and both the training counts and the inference tfs
+  * derive from that one frame (r7 verdict #6 — previously the dominant
+  * tokenize ran twice). */
 object LangModel {
 
-  /** Overlapping character n-grams of lower(text): positions
-    * 1..len−n+1, each `substr(lower(text), i, n)` — exactly the
-    * DuckDB-reproducible form. Docs shorter than `n` chars have none. */
+  /** Overlapping character n-grams of lower(text) over Unicode CODE
+    * POINTS — positions 1..cps−n+1, matching DuckDB's code-point
+    * `substr`/`len` semantics exactly (a UTF-16 code-unit walk would
+    * split surrogate pairs on non-BMP text and disagree with the q98
+    * oracle — r7 advice). Docs shorter than `n` code points have none. */
   def charNgrams(text: String, n: Int): Seq[String] = {
     if (text == null) return Seq.empty
     val t = text.toLowerCase(java.util.Locale.ROOT)
-    if (t.length < n) Seq.empty
-    else (0 to t.length - n).map(i => t.substring(i, i + n))
+    val cps = t.codePoints().toArray
+    if (cps.length < n) Seq.empty
+    else (0 to cps.length - n).map(i => new String(cps, i, n))
   }
 
   private val charNgramsUdf = udf(charNgrams _)
@@ -52,10 +60,11 @@ object LangModel {
   private def microLn(x: Column): Column =
     round(log(x) * 1000000).cast("long")
 
-  def trainLangNB(df: DataFrame, textCol: String, labelCol: String,
-                  n: Int = 2): NaiveBayesModel = {
-    val grams = df.select(col(labelCol).as("lang"),
-      explode(charNgramsUdf(col(textCol), lit(n))).as("gram"))
+  /** Training tail shared by [[trainLangNB]] and [[langIdTrained]]:
+    * `grams` = one (lang, gram) row per gram occurrence; `docsPerLang` /
+    * `nDocs` count the labeled docs (all docs, gram-less included). */
+  private def trainFromGrams(grams: DataFrame, docsPerLang: DataFrame,
+                             nDocs: DataFrame): NaiveBayesModel = {
     val counts = grams.groupBy("lang", "gram")
       .agg(count(lit(1)).as("c"))
     // V = corpus-wide distinct gram vocabulary; tot(L) = gram occurrences
@@ -63,9 +72,6 @@ object LangModel {
     val vocab = counts.select("gram").distinct()
       .agg(count(lit(1)).as("v"))
     val totals = counts.groupBy("lang").agg(sum("c").as("tot"))
-    val docsPerLang = df.groupBy(col(labelCol).as("lang"))
-      .agg(count(lit(1)).as("n_docs"))
-    val nDocs = df.agg(count(lit(1)).as("n_all"))
     val gramWeights = counts
       .join(broadcast(totals), "lang").crossJoin(broadcast(vocab))
       .select(col("lang"), col("gram"),
@@ -80,21 +86,25 @@ object LangModel {
     NaiveBayesModel(gramWeights, langStats)
   }
 
-  /** Classify every doc: (id, pred_lang, score_micro) — argmax language
-    * by integer micro-nat score, ties to the smaller lang string. Docs
-    * with zero grams (shorter than `n` chars) score prior-only. */
-  def classifyLangNB(model: NaiveBayesModel, df: DataFrame, idCol: String,
-                     textCol: String, n: Int = 2): DataFrame = {
-    val docGrams = df.select(col(idCol).cast("long").as("id"),
-        explode(charNgramsUdf(col(textCol), lit(n))).as("gram"))
-      .groupBy("id", "gram").agg(count(lit(1)).as("tf"))
+  def trainLangNB(df: DataFrame, textCol: String, labelCol: String,
+                  n: Int = 2): NaiveBayesModel =
+    trainFromGrams(
+      df.select(col(labelCol).as("lang"),
+        explode(charNgramsUdf(col(textCol), lit(n))).as("gram")),
+      df.groupBy(col(labelCol).as("lang")).agg(count(lit(1)).as("n_docs")),
+      df.agg(count(lit(1)).as("n_all")))
+
+  /** Classification tail: `docGrams` = (id, gram, tf); `nGrams` =
+    * (id, n_grams) — n_grams MUST count the same grams `docGrams` was
+    * built from (the unseen-gram term is n_grams − tf_seen), which both
+    * public entry points guarantee by deriving the two from one gram
+    * array per doc. */
+  private def classifyFromGrams(model: NaiveBayesModel, docGrams: DataFrame,
+                                nGrams: DataFrame): DataFrame = {
     val seen = docGrams.join(broadcast(model.gramWeights), "gram")
       .groupBy("id", "lang")
       .agg(sum(col("tf") * col("w_micro")).as("sum_seen"),
         sum("tf").as("tf_seen"))
-    val nGrams = df.select(col(idCol).cast("long").as("id"),
-      greatest(coalesce(length(lower(col(textCol))), lit(0)) - (n - 1),
-        lit(0)).cast("long").as("n_grams"))
     val w = Window.partitionBy("id")
       .orderBy(col("score_micro").desc, col("lang").asc)
     nGrams.crossJoin(broadcast(model.langStats))
@@ -109,10 +119,44 @@ object LangModel {
       .select(col("id"), col("lang").as("pred_lang"), col("score_micro"))
   }
 
+  /** Classify every doc: (id, pred_lang, score_micro) — argmax language
+    * by integer micro-nat score, ties to the smaller lang string. Docs
+    * with zero grams (shorter than `n` code points) score prior-only.
+    * n_grams derives from the SAME gram array as the tfs (one
+    * `size(grams)` per doc), so the unseen-gram term is exact on any
+    * Unicode content (r7 advice: a `length()`-based count disagreed on
+    * non-BMP text). */
+  def classifyLangNB(model: NaiveBayesModel, df: DataFrame, idCol: String,
+                     textCol: String, n: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      charNgramsUdf(col(textCol), lit(n)).as("grams"))
+    classifyFromGrams(model,
+      base.select(col("id"), explode(col("grams")).as("gram"))
+        .groupBy("id", "gram").agg(count(lit(1)).as("tf")),
+      base.select(col("id"), size(col("grams")).cast("long").as("n_grams")))
+  }
+
   /** Train on the labeled corpus, classify the same corpus — the
-    * self-prediction surface the q98 oracle gates end-to-end. */
+    * self-prediction surface the q98 oracle gates end-to-end. The
+    * per-doc gram arrays materialize ONCE (`localCheckpoint`, the same
+    * idiom as bm25TopK's fallback): training counts, per-doc tfs, and
+    * the n_grams totals all read the checkpoint instead of re-running
+    * the tokenize UDF over the corpus — at scale the tokenize is the
+    * dominant compute and the checkpoint is ~2× the text bytes. */
   def langIdTrained(df: DataFrame, idCol: String, textCol: String,
-                    labelCol: String, n: Int = 2): DataFrame =
-    classifyLangNB(trainLangNB(df, textCol, labelCol, n), df, idCol,
-      textCol, n)
+                    labelCol: String, n: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(labelCol).as("lang"),
+        charNgramsUdf(col(textCol), lit(n)).as("grams"))
+      .localCheckpoint()
+    val exploded = base.select(col("id"), col("lang"),
+      explode(col("grams")).as("gram"))
+    val model = trainFromGrams(
+      exploded.select("lang", "gram"),
+      base.groupBy("lang").agg(count(lit(1)).as("n_docs")),
+      base.agg(count(lit(1)).as("n_all")))
+    classifyFromGrams(model,
+      exploded.groupBy("id", "gram").agg(count(lit(1)).as("tf")),
+      base.select(col("id"), size(col("grams")).cast("long").as("n_grams")))
+  }
 }

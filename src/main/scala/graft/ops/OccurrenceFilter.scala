@@ -1,0 +1,149 @@
+package graft.ops
+
+/** Per-partition kernel of [[Dedup.coveredPositionsHash]]: streams a
+  * shingle-key-partitioned `(key, id, pos)` iterator and emits exactly the
+  * `(id, pos)` rows whose key occurs ≥ `minOcc` times in the partition —
+  * no sort, no full-partition buffering.
+  *
+  * Memory contract (the hot-key property the r7 buffered-replay shape
+  * lacked): the emit decision is monotone — once a key's running count
+  * REACHES `minOcc`, every one of its rows qualifies — so only the first
+  * `minOcc − 1` rows of each key ever park; the moment the count hits
+  * `minOcc` the parked rows flush together with the current row, and
+  * every later row of that key emits immediately. Per-task state is
+  * therefore the open-addressing count table (8 B key + 4 B count + 4 B
+  * park head per distinct key) plus ≤ `minOcc − 1` parked rows (20 B
+  * each) per distinct key — bounded by the partition's DISTINCT-key
+  * count, never by any single key's occurrence count. A boilerplate
+  * shingle with 10⁹ occurrences (hash partitioning cannot split one key
+  * across tasks) streams through in O(1) extra memory; the superseded
+  * window twin pays a spillable sort for the same safety.
+  *
+  * Output order interleaves parked flushes with the input stream — the
+  * consumer frame is unordered (SubstringDedupSpec pins set equality
+  * against the window twin).
+  *
+  * Both the count table and the parked store double with a Long-domain
+  * load check and a hard 2³⁰ capacity ceiling that fails with an explicit
+  * message instead of the confusing `NegativeArraySizeException` an Int
+  * `cap <<= 1` overflow would throw (r7 advice) — reaching it means ~640M
+  * distinct keys in ONE task, i.e. `parts` is mis-sized for the corpus.
+  */
+private[graft] final class OccurrenceFilter(minOcc: Int) {
+  require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+
+  private[this] val MaxCap = 1 << 30
+
+  // open-addressing count map over primitive longs (no boxing, no
+  // per-key objects); empty slot ⇔ cnts == 0 (a present key always
+  // counts ≥ 1, so hash-key 0 needs no sentinel). heads(j) = index of
+  // the key's newest parked row, -1 = none.
+  private[this] var cap = 1 << 12
+  private[this] var mask = cap - 1
+  private[this] var keys = new Array[Long](cap)
+  private[this] var cnts = new Array[Int](cap)
+  private[this] var heads = newHeads(cap)
+  private[this] var used = 0
+
+  // parked store: singly-linked per key through pNext; entries of keys
+  // that reached minOcc become garbage but each key parks ≤ minOcc−1
+  // rows EVER, so the store is bounded by distinct × (minOcc − 1).
+  private[this] var pCap = 1 << 12
+  private[this] var pId = new Array[Long](pCap)
+  private[this] var pPos = new Array[Long](pCap)
+  private[this] var pNext = new Array[Int](pCap)
+  private[this] var pN = 0
+
+  /** observability for the hot-key stress spec */
+  private[graft] def tableCapacity: Int = cap
+  private[graft] def parkedCapacity: Int = pCap
+  private[graft] def parkedCount: Int = pN
+
+  private def newHeads(n: Int): Array[Int] = {
+    val h = new Array[Int](n)
+    java.util.Arrays.fill(h, -1)
+    h
+  }
+
+  private def mix(k: Long): Int = {
+    var h = k ^ (k >>> 33)
+    h *= 0xff51afd7ed558ccdL // murmur3 fmix64 multiplier
+    h ^= h >>> 29
+    (h & mask).toInt
+  }
+
+  private def grow(): Unit = {
+    if (cap == MaxCap)
+      throw new IllegalStateException(
+        s"OccurrenceFilter: > ~${(MaxCap.toLong * 6 / 10) / 1000000}M " +
+          "distinct keys in one partition — raise occParts/parts so " +
+          "partitions carry fewer distinct shingles")
+    val ok = keys; val oc = cnts; val oh = heads
+    cap <<= 1; mask = cap - 1
+    keys = new Array[Long](cap); cnts = new Array[Int](cap)
+    heads = newHeads(cap)
+    var i = 0
+    while (i < ok.length) {
+      if (oc(i) != 0) {
+        var j = mix(ok(i))
+        while (cnts(j) != 0) j = (j + 1) & mask
+        keys(j) = ok(i); cnts(j) = oc(i); heads(j) = oh(i)
+      }
+      i += 1
+    }
+  }
+
+  /** slot of `k`, inserting (count 0) if absent — caller increments. */
+  private def slotFor(k: Long): Int = {
+    var j = mix(k)
+    while (cnts(j) != 0 && keys(j) != k) j = (j + 1) & mask
+    if (cnts(j) == 0) {
+      if ((used + 1).toLong * 10 >= cap.toLong * 6) { // 0.6 load, Long math
+        grow()
+        return slotFor(k)
+      }
+      keys(j) = k
+      used += 1
+    }
+    j
+  }
+
+  private def park(slot: Int, id: Long, pos: Long): Unit = {
+    if (pN == pCap) {
+      if (pCap == MaxCap)
+        throw new IllegalStateException(
+          "OccurrenceFilter: parked-row store exceeded 2^30 entries — " +
+            "raise occParts/parts (store is distinct-keys × (minOcc−1))")
+      pCap <<= 1
+      pId = java.util.Arrays.copyOf(pId, pCap)
+      pPos = java.util.Arrays.copyOf(pPos, pCap)
+      pNext = java.util.Arrays.copyOf(pNext, pCap)
+    }
+    pId(pN) = id; pPos(pN) = pos
+    pNext(pN) = heads(slot); heads(slot) = pN
+    pN += 1
+  }
+
+  def apply(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long)] =
+    it.flatMap { case (k, id, pos) =>
+      val j = slotFor(k)
+      cnts(j) += 1
+      val c = cnts(j)
+      if (c < minOcc) {
+        park(j, id, pos)
+        Iterator.empty
+      } else if (c == minOcc) {
+        // threshold crossed: flush the key's minOcc−1 parked rows + this
+        val out = new Array[(Long, Long)](c)
+        var i = 0
+        var cur = heads(j)
+        while (cur != -1) {
+          out(i) = (pId(cur), pPos(cur)); i += 1
+          cur = pNext(cur)
+        }
+        heads(j) = -1 // parked entries become garbage; never re-parks
+        out(i) = (id, pos)
+        out.iterator
+      } else Iterator.single((id, pos))
+    }
+}

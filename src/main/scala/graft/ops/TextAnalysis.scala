@@ -399,15 +399,21 @@ object TextAnalysis {
   /** Once-per-Spark-build probe: does AQE collapse the two consumptions
     * of a pruned aggregate (the keepAlive trick below) into ONE exchange
     * via ReuseExchange? Probed on a 100-row range with the same plan
-    * shape, cached by Spark version. When a future Spark stops reusing,
-    * [[bm25TopK]] degrades to a checkpointed perDoc — correct, still one
-    * tokenize, one extra materialization — instead of silently
-    * re-tokenizing the corpus (or failing the PlanAuditSpec pin). */
+    * shape, cached by (Spark version, exchange-reuse conf, AQE conf) —
+    * firing depends on the session conf too, so a session with reuse
+    * disabled must not inherit a stale `true` probed under defaults (r7
+    * advice). When reuse won't fire, [[bm25TopK]] degrades to a
+    * checkpointed perDoc — correct, still one tokenize, one extra
+    * materialization — instead of silently re-tokenizing the corpus (or
+    * failing the PlanAuditSpec pin). */
   private val reuseProbeCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private[graft] def reuseExchangeFires(
-      spark: org.apache.spark.sql.SparkSession): Boolean =
-    reuseProbeCache.computeIfAbsent(spark.version, _ => {
+      spark: org.apache.spark.sql.SparkSession): Boolean = {
+    val key = Seq(spark.version,
+      spark.conf.get("spark.sql.exchange.reuse", "true"),
+      spark.conf.get("spark.sql.adaptive.enabled", "true")).mkString("|")
+    reuseProbeCache.computeIfAbsent(key, _ => {
       val agg = spark.range(100)
         .selectExpr("id % 10 AS id", "id AS v")
         .groupBy("id")
@@ -419,6 +425,7 @@ object TextAnalysis {
       Boolean.box(
         out.queryExecution.executedPlan.toString.contains("ReusedExchange"))
     })
+  }
 
   private[graft] def bm25TopKImpl(df: DataFrame, idCol: String, textCol: String,
                                 queryTerms: Seq[String], k1: Double,

@@ -59,13 +59,14 @@ class BoundedCollectSpec extends SparkSpec {
     var buf = agg.zero
     (1L to 100L).foreach { i =>
       buf = agg.reduce(buf, i)
-      assert(buf.items.size <= 3, s"buffer grew past cap at item $i")
+      assert(BoundedCollect.bufN(buf) <= 3, s"buffer grew past cap at item $i")
+      assert(buf.length <= 1 + 3, s"buffer capacity grew past cap at item $i")
     }
-    assert(buf.over && buf.items.isEmpty,
+    assert(BoundedCollect.bufN(buf) == -1L && buf.length == 1,
       "overflowed buffer must be flagged and emptied")
     // merge of an overflowed partial poisons the group the same way
     val merged = agg.merge(agg.reduce(agg.zero, 7L), buf)
-    assert(merged.over && merged.items.isEmpty)
+    assert(BoundedCollect.bufN(merged) == -1L && merged.length == 1)
     assert(agg.finish(merged) == null)
     // merge of two small partials that jointly exceed the cap also drops
     val a = agg.reduce(agg.reduce(agg.zero, 1L), 2L)

@@ -57,6 +57,41 @@ class LangModelSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getString(1) == "aaa")
   }
 
+  test("charNgrams walks Unicode code points: supplementary chars don't " +
+    "split, and the unseen-gram term counts the same grams") {
+    // "a𝐛c" = 3 code points (𝐛 is U+1D41B, a surrogate pair in UTF-16);
+    // a code-unit walk would emit 3 grams incl. two half-surrogate ones
+    assert(LangModel.charNgrams("a𝐛c", 2)
+      === Seq("a𝐛", "𝐛c"))
+    // all-supplementary doc: 4 code points → 3 bigrams, all unseen by the
+    // fixture model → score(L) = prior(L) + 3·default(L) EXACTLY (the old
+    // length()-based count saw 8 UTF-16 units → 7 unseen grams and skewed
+    // every score)
+    val model = LangModel.trainLangNB(fixture, "text", "lang")
+    val stats = model.langStats.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = stats.map { case (l, p, d) => (l, p + 3 * d) }
+      .sortBy { case (l, s) => (-s, l) }.head
+    val out = LangModel.classifyLangNB(model,
+      Seq((1L, "𝐚𝐛𝐜𝐝"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(out.length == 1)
+    assert((out(0).getString(1), out(0).getLong(2)) === expected)
+  }
+
+  test("langIdTrained tokenizes the corpus ONCE: every branch reads the " +
+    "gram checkpoint — no tokenize UDF in the serving plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = LangModel.langIdTrained(docs, "doc_id", "text", "lang")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"),
+      "tokenize UDF must run only inside the localCheckpoint " +
+        "materialization, not in the downstream plan:\n" + plan.take(2000))
+    assert(plan.contains("ExistingRDD"),
+      "expected the checkpointed gram frame in the plan")
+  }
+
   test("self-prediction on the real corpus matches the q98 surface and " +
     "beats nothing — the labels carry no text signal, documented") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
