@@ -36,33 +36,48 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
+    // Variance discipline (r7: a +14% cross-round drift was unreadable
+    // against the documented ~2× host multicore noise): each query runs
+    // `reps` times and reports the MEDIAN — cross-round deltas compare
+    // medians, while `wall` keeps the honest total spent benchmarking.
+    // SPARK_GRAFT_BENCH_REPS=1 restores the old single-shot behavior.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val wallT0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
-      // Isolate each query: a fresh child session (same SparkContext, clean
-      // catalog/temp-view/conf state) and a post-query cache clear + GC so the
-      // ContextCleaner reclaims broadcasts/shuffles before the next timing —
-      // otherwise late-running queries inherit ~30 queries of accumulated
-      // driver state and their recorded times drift far above isolated runs.
-      val qSession = spark.newSession()
-      val t0 = System.nanoTime()
-      // toRdd materializes the FULL output projection — a plain count()
-      // lets Catalyst prune computed columns, so narrow per-row queries
-      // (simhash, langid, filename formatting …) would time a scan only
-      val n = try { fn(qSession, sfDir).queryExecution.toRdd.count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
-          -1L
+      val times = (1 to reps).map { rep =>
+        // Isolate each run: a fresh child session (same SparkContext, clean
+        // catalog/temp-view/conf state) and a post-query cache clear + GC so
+        // the ContextCleaner reclaims broadcasts/shuffles before the next
+        // timing — otherwise late-running queries inherit ~30 queries of
+        // accumulated driver state and their recorded times drift far above
+        // isolated runs.
+        val qSession = spark.newSession()
+        val t0 = System.nanoTime()
+        // toRdd materializes the FULL output projection — a plain count()
+        // lets Catalyst prune computed columns, so narrow per-row queries
+        // (simhash, langid, filename formatting …) would time a scan only
+        val n = try { fn(qSession, sfDir).queryExecution.toRdd.count() } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] $name FAILED: ${e.getMessage.take(200)}")
+            -1L
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        qSession.catalog.clearCache()
+        System.gc()
+        System.err.println(f"[bench] $name rep $rep: $secs%.2f s ($n rows)")
+        secs
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      qSession.catalog.clearCache()
-      System.gc()
-      System.err.println(f"[bench] $name: $secs%.2f s ($n rows)")
-      name -> secs
+      val median = times.sorted.apply((times.size - 1) / 2)
+      System.err.println(f"[bench] $name median: $median%.2f s")
+      name -> median
     }
+    val wall = (System.nanoTime() - wallT0) / 1e9
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"wall":$wall,"queries":$qs,"sf":"$sfDir"}"""
     // stdout is a log tail that can truncate (r03 lost q01-q15 to the
     // capture window) — persist the full artifact to a file as well
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
@@ -89,7 +104,7 @@ object Bench {
       .mkString("{", ",", "}")
     val sfShort = new java.io.File(sfDir).getName
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsShort,"sf":"$sfShort"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","reps":$reps,"wall":$wall%.1f,"queries":$qsShort,"sf":"$sfShort"}""")
     System.out.flush()
   }
 }

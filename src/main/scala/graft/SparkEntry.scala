@@ -1302,6 +1302,26 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("pred_lang"), col("score_micro"))
       .orderBy("doc_id")
 
+  /** RAW TEXT → hashed embedding → semantic dedup, end to end: q97's
+    * featurizer feeds q92's SemDeDup directly (no pre-supplied embeddings
+    * table anywhere in the chain) — the oracle gate for the own-featurized
+    * vector lane ScaleRun phase 10 runs at 504k docs. Threshold 0.9 on
+    * 64-dim hashed bag-of-words vectors (the common-word mass puts the
+    * unrelated-pair cosine around 0.66 — 0.9 isolates genuine near-dups). */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(
+      // semanticDedup scans its input three times (codebook collect, cell
+      // assignment, pair re-attach); checkpointing the featurized frame
+      // runs the md5 featurizer ONCE instead of 3× (6.3 s → ~3 s at
+      // sf0.1, and at scale the checkpoint is |docs|·dim·8 B — far
+      // smaller than three corpus tokenizations)
+      graft.ops.Featurize.featurize(t(s, dir, "documents"), "doc_id",
+        "text", dim = 64)
+        .select("id", "embedding").localCheckpoint(),
+      threshold = 0.9, centroidStride = 50, idCol = "id",
+      vecCol = "embedding")
+      .orderBy("drop_id")
+
   // ------------------------------------------------------------------
   //  assembled maps (ListMap: stable iteration order for Bench output)
   // ------------------------------------------------------------------
@@ -1404,7 +1424,8 @@ object SparkEntry {
     "q95_cell_balanced_sample" -> (q95 _),
     "q96_lsh_quality" -> (q96 _),
     "q97_featurize" -> (q97 _),
-    "q98_langid_trained" -> (q98 _))
+    "q98_langid_trained" -> (q98 _),
+    "q99_featurize_dedup" -> (q99 _))
 
   /** Shared CTE chain for the q90/q91 substring-dedup oracles: positional
     * 10-token shingles (pos zero-based, window [pos, pos+10)), occurrence
@@ -2934,5 +2955,57 @@ object SparkEntry {
                               JOIN sz sb ON id_b = sb.doc_id)
          SELECT CAST(decile AS BIGINT) AS decile,
            CAST(count(*) AS BIGINT) AS n_pairs
-         FROM pairs GROUP BY decile ORDER BY decile""")
+         FROM pairs GROUP BY decile ORDER BY decile""",
+    // q97's featurize chain composed into q92's SemDeDup chain — the
+    // raw-text→embedding→semantic-dedup path gated cross-engine end to end
+    "q99_featurize_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM documents),
+         tkn AS (SELECT doc_id, unnest(toks) AS tk FROM tok),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5(tk), 1, 8))::BIGINT % 64 AS i,
+             CASE WHEN ('0x' || substr(md5(tk), 9, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+           FROM tkn),
+         c AS (SELECT doc_id, i, CAST(sum(s) AS BIGINT) AS cnt
+               FROM h GROUP BY 1, 2),
+         spine AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+                   FROM documents),
+         f AS (SELECT doc_id, i, coalesce(cnt, 0) AS cnt
+               FROM spine LEFT JOIN c USING (doc_id, i)),
+         ssq AS (SELECT doc_id, sum(cnt * cnt) AS ss FROM f GROUP BY 1),
+         emb AS (SELECT f.doc_id, f.i,
+             CAST(CASE WHEN ssq.ss = 0 THEN 0
+                       ELSE floor((1000000 * f.cnt) / sqrt(ssq.ss)) END
+               AS BIGINT) / 1000000.0 AS e
+           FROM f JOIN ssq ON f.doc_id = ssq.doc_id),
+         cent AS (SELECT doc_id AS cid, i, e AS ce FROM emb
+                  WHERE doc_id % 50 = 0),
+         ad AS (SELECT emb.doc_id AS vec_id, c.cid,
+                  round(sum(emb.e * c.ce), 6) AS dot
+                FROM emb JOIN cent c USING (i) GROUP BY 1, 2),
+         asn AS (SELECT vec_id, cid AS cell FROM
+                   (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dot DESC, cid ASC) AS rn FROM ad)
+                 WHERE rn = 1),
+         okcell AS (SELECT cell FROM asn GROUP BY cell
+                    HAVING count(*) <= 1000),
+         pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM asn a JOIN asn b ON a.cell = b.cell
+                     AND a.vec_id < b.vec_id
+                   JOIN okcell ok ON ok.cell = a.cell),
+         n AS (SELECT doc_id, sqrt(sum(e * e)) AS nrm FROM emb
+               GROUP BY doc_id),
+         d AS (SELECT p.id_a, p.id_b, sum(ea.e * eb.e) AS dot
+               FROM pairs p JOIN emb ea ON ea.doc_id = p.id_a
+                            JOIN emb eb ON eb.doc_id = p.id_b
+                              AND ea.i = eb.i
+               GROUP BY 1, 2),
+         s AS (SELECT id_a, id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+               FROM d JOIN n na ON na.doc_id = id_a
+                      JOIN n nb ON nb.doc_id = id_b)
+         SELECT id_b AS drop_id, CAST(min(id_a) AS BIGINT) AS kept_by,
+           max(cos) AS max_cosine
+         FROM s WHERE cos >= 0.9 GROUP BY id_b ORDER BY drop_id""")
 }

@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions.udaf
   * when a partial does spill or shuffle — no per-element boxing, no
   * case-class field walk. Unused tail capacity serializes as garbage longs
   * (≤ `max` per buffer) — only spilled/shuffled partials pay it.
+  * Measured (median-of-3, sf0.1): the swap returned the family to its
+  * pre-cap times — q18 2.45→2.18 s (r6 uncapped: 2.39), q19 4.10→3.53
+  * (r6: 4.52), q32 2.26→1.74 (r6: 2.16), q96 5.13→3.85 (r6: 3.56).
+  * Guidance for future Aggregators: an object buffer through
+  * `ExpressionEncoder` of a case class with immutable collections costs
+  * tens of percent on collapse-heavy groupBys; prefer a mutable primitive
+  * array with an inline size/flag slot whenever the member type allows.
   *
   * Collection order is whatever partial-merge order produced — callers must
   * not depend on it (the pair generators don't: they `least/greatest` or

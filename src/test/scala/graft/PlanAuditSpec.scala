@@ -322,7 +322,8 @@ class PlanAuditSpec extends SparkSpec {
     // The hash-count shape (coveredPositionsHash) replaced r6's
     // count-over-window winner: same single exchange, but the binary
     // per-partition sort (62 GB spill at 504k docs) is gone — per-task
-    // state is a primitive count map + the partition's buffered rows
+    // state is a primitive count map + ≤ minOcc−1 parked rows per key
+    // (early emit at the threshold — hot-key safe, r8)
     val keyed = plan.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(keyed.size == 2, s"expected 2 keyed exchanges, got:\n$plan")
