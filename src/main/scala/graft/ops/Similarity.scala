@@ -767,22 +767,35 @@ object Similarity {
       // and repeated rows — same guards as Dedup.minhashCandidates
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // re-attach embeddings through ONE join (explode each pair into its
-    // member ids, join, fold back) — a join per side would scan and
-    // shuffle the wide vector table once per side, and Catalyst cannot
-    // plan-share the two branches (same pattern as Dedup.minhashCandidates)
+    // re-attach embeddings through TWO hash joins with the vector table as
+    // the build side. The previous shape (explode each pair into its member
+    // ids, ONE join, fold back with a first(when) groupBy) aggregated
+    // |pairs|·2 rows EACH CARRYING a dim·8-byte vector through an object
+    // aggregate — past ObjectHashAggregate's 128-key fallback that is a
+    // full payload-row sort, and at 504k docs it spilled 211 GB in the
+    // ScaleRun featurize phase (SCALE.md finding 11: never sort or
+    // aggregate payload-carrying rows; finding 10's lesson applied to
+    // joins). SHUFFLE_HASH on the vector side sorts nothing: vectors cross
+    // the wire once per side and land in per-task build maps
+    // (|v|/numShufflePartitions rows — spillable in Spark 3.2+, sized by
+    // the shuffle parallelism, not by pair count). The pair stream stays
+    // narrow until the cosine is computed and projected, so no
+    // payload-carrying row is ever sorted, aggregated, or buffered past
+    // the build maps. Callers whose `df` lineage is expensive (e.g. a
+    // featurizer UDF) should checkpoint before calling — the two joins
+    // scan `v` twice (q99 and ScaleRun phase 10 do).
+    // Duplicate input ids multiply the joins where the old groupBy
+    // collapsed them: the narrow pair-keyed dropDuplicates below restores
+    // one arbitrary row per pair (the same pick-one semantics first()
+    // gave), BEFORE the threshold filter so a pair keeps one cosine.
+    val va = v.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = v.select(col("id").as("id_b"), col("vec").as("vec_b"))
     pairs
-      .select(col("id_a"), col("id_b"),
-        explode(array(col("id_a"), col("id_b"))).as("id"))
-      .join(v, "id")
-      .groupBy("id_a", "id_b")
-      .agg(
-        first(when(col("id") === col("id_a"), col("vec")), ignoreNulls = true)
-          .as("vec_a"),
-        first(when(col("id") === col("id_b"), col("vec")), ignoreNulls = true)
-          .as("vec_b"))
+      .join(va.hint("SHUFFLE_HASH"), Seq("id_a"))
+      .join(vb.hint("SHUFFLE_HASH"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosineCol(col("vec_a"), col("vec_b")), 6).as("cosine_sim"))
+      .dropDuplicates("id_a", "id_b")
       .filter(col("cosine_sim") >= threshold)
   }
 
