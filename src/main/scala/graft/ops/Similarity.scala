@@ -423,18 +423,77 @@ object Similarity {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** [[round6]] without the per-call BigDecimal — bit-identical result.
+    * BigDecimal(d) rounds the SHORTEST-DECIMAL form of d (Double.toString
+    * semantics) HALF_UP at 6 places; away from the x.5 boundary that
+    * equals nearest-integer of d·10⁶, and the binary `d * 1e6` differs
+    * from the true decimal-scaled value by ≲ |scaled|·2⁻⁵² — far inside
+    * the 10⁻⁴ guard band. Boundary-band or huge/NaN inputs take the
+    * exact BigDecimal path, so no input can round differently. The cell
+    * assignments call this |corpus|·|codebook| times (2·10⁹ in the
+    * 504k-doc featurize phase); the BigDecimal allocation there WAS the
+    * phase's dominant CPU (SCALE.md finding 12). */
+  private[ops] def round6Fast(d: Double): Double = {
+    val scaled = d * 1e6
+    // fast path only where the combined binary-multiply + shortest-decimal
+    // error (≲ |scaled|·2⁻⁵² + |d|-ULP·10⁶ ≈ 10⁻⁷ at |scaled| = 10⁹) is
+    // orders of magnitude inside the 10⁻⁴ boundary band; NaN, huge, or
+    // near-boundary values take the exact decimal path
+    if (!(math.abs(scaled) < 1e9)) return round6(d)
+    val fl = math.floor(scaled)
+    val frac = scaled - fl
+    if (math.abs(frac - 0.5) <= 1e-4) round6(d)
+    else if (frac > 0.5) (fl + 1) / 1e6
+    else fl / 1e6
+  }
+
   /** Nearest-cells kernel over a collected codebook: rounded dot against
     * every centroid, top-n by (dot desc, centroid id asc) — rounding
     * before the argmax means ULP noise can never flip a cell choice
-    * between engines (same fused-UDF rationale as cosUdf). */
+    * between engines (same fused-UDF rationale as cosUdf). The inner
+    * loop is allocation-free: primitive centroid matrix, [[round6Fast]]
+    * rounding, and an insertion top-n over two small arrays instead of
+    * materializing+sorting |codebook| tuples per row (which allocated
+    * ~3 objects per centroid per row — the other half of finding 12). */
   private def nearestCellsFn(cents: Array[(Long, Array[Double])])
-      : (Seq[Double], Int) => Seq[Long] =
-    (v, n) => cents.map { case (cid, ce) =>
-      var dot = 0.0; var i = 0
-      val len = math.min(v.length, ce.length)
-      while (i < len) { dot += v(i) * ce(i); i += 1 }
-      (round6(dot), cid)
-    }.sortBy { case (d, cid) => (-d, cid) }.take(n).map(_._2).toSeq
+      : (Seq[Double], Int) => Seq[Long] = {
+    val k = cents.length
+    val ids: Array[Long] = cents.map(_._1)
+    val mat: Array[Array[Double]] = cents.map(_._2)
+    (v, n) => {
+      val va = new Array[Double](v.length)
+      var x = 0
+      while (x < va.length) { va(x) = v(x); x += 1 }
+      val m = math.min(n, k)
+      val bd = new Array[Double](m) // best dots, desc
+      val bc = new Array[Long](m)   // their cids (asc on dot ties)
+      var filled = 0
+      var c = 0
+      while (c < k) {
+        val ce = mat(c)
+        var dot = 0.0; var i = 0
+        val len = math.min(va.length, ce.length)
+        while (i < len) { dot += va(i) * ce(i); i += 1 }
+        val d = round6Fast(dot)
+        val cid = ids(c)
+        // better than current worst (or slots free)? (d desc, cid asc)
+        if (filled < m || d > bd(m - 1) ||
+          (d == bd(m - 1) && cid < bc(m - 1))) {
+          var p = math.min(filled, m - 1)
+          while (p > 0 && (bd(p - 1) < d ||
+            (bd(p - 1) == d && bc(p - 1) > cid))) {
+            bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1
+          }
+          bd(p) = d; bc(p) = cid
+          if (filled < m) filled += 1
+        }
+        c += 1
+      }
+      val out = new Array[Long](filled)
+      System.arraycopy(bc, 0, out, 0, filled)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+  }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidStride: Long = 50, nProbe: Int = 2,

@@ -75,6 +75,25 @@ class SimilarityGuardSpec extends SparkSpec {
     }
   }
 
+  test("round6Fast is bit-identical to the BigDecimal HALF_UP reference " +
+    "on boundaries, negatives, zeros, and bulk random values") {
+    def ref(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rng = new scala.util.Random(11)
+    val adversarial = Seq(0.0, -0.0, 1.0, -1.0, 0.1234565, -0.1234565,
+      2.5e-6, -2.5e-6, 0.9999995, -0.9999995, 0.5e-6, -0.5e-6,
+      1.5e-6, 123456.1234575, 64.0, -64.0, 1e8 + 0.5e-6, 1e10, -1e10,
+      4.5e15, 9.9e18, Double.MaxValue, Double.MinPositiveValue)
+    val bulk =
+      Seq.fill(100000)(rng.nextDouble() * 2 - 1) ++ // cosine range
+      Seq.fill(50000)((rng.nextInt(2000001) - 1000000) / 2.0 / 1e6) ++
+      Seq.fill(50000)(rng.nextGaussian() * 1e7) // large-dot range
+    (adversarial ++ bulk).foreach { d =>
+      assert(Similarity.round6Fast(d) == ref(d),
+        s"round6Fast diverged from BigDecimal at $d")
+    }
+  }
+
   test("semanticDedup: lowest cell-mate wins, cross-cell near-dups are " +
     "the documented blind spot") {
     import spark.implicits._
