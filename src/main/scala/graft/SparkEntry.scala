@@ -451,9 +451,13 @@ object SparkEntry {
     val pats = Seq(
       "SSN" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
       "IP" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b")
+    // the fused gated kernel (RedactKernel, SCALE.md finding 13) — the
+    // serving path of Curation.redactSits, so the DuckDB oracle gates the
+    // gated scan itself (both patterns classify as digit-window here);
+    // RedactKernelSpec pins bit equality with the legacy chain twin
     planted.select(col("doc_id"),
-      graft.ops.Curation.redactionCountCol(col("text2"), pats).as("n_redactions"),
-      md5(graft.ops.Curation.redactCol(col("text2"), pats)).as("redacted_md5"))
+      graft.expr.RedactExprs.countAllCol(col("text2"), pats).as("n_redactions"),
+      md5(graft.expr.RedactExprs.redactAllCol(col("text2"), pats)).as("redacted_md5"))
       .orderBy("doc_id")
   }
 

@@ -49,8 +49,18 @@ object Curation {
   def redactSits(df: DataFrame, textCol: String,
                  sitDim: Seq[graft.pipeline.SitDef]): DataFrame = {
     val pats = sitDim.filter(_.regex.nonEmpty).map(s => s.id -> s.regex)
-    df.withColumn("n_redactions", redactionCountCol(col(textCol), pats))
-      .withColumn("redacted_text", redactCol(col(textCol), pats))
+    // fused native kernel (SCALE.md finding 13): one conversion per doc,
+    // every pattern scan gated by RegexFacts-proven facts (digit windows /
+    // required literals / the DigitGated lookahead path), copy only on an
+    // actual match — vs the [[redactCol]]/[[redactionCountCol]] Column
+    // chains, which pay ~3 full-document copies per pattern even at zero
+    // matches and run every regex over all of every doc. The chains remain
+    // the proof twin (RedactKernelSpec pins bit equality on real corpora
+    // and adversarial boundary docs).
+    df.withColumn("n_redactions",
+        graft.expr.RedactExprs.countAllCol(col(textCol), pats))
+      .withColumn("redacted_text",
+        graft.expr.RedactExprs.redactAllCol(col(textCol), pats))
   }
 
   /** Deterministic train/val/test assignment from key arithmetic:
