@@ -305,14 +305,34 @@ object Dedup {
     * colliding distinct shingles read as one common); at corpus scale the
     * expected count is ~pairs·|sh|²/2⁶⁴ — negligible, and the q18 oracle
     * hash-gate would catch any real drift. */
+  /** Candidate-verify legs must cost O(candidates), not O(corpus)
+    * (SCALE.md finding 14): when the pair set's id side fits this
+    * broadcast bound (4M ids ≈ 32 MB), the corpus-wide shingle frame is
+    * semi-filtered MAP-SIDE before its exchange, so the verify shuffle
+    * carries only candidate docs' shingles — without it, the 504k-doc
+    * near-dup stage spent ~260 s shuffling 724M shingle rows to verify
+    * ZERO candidates. Oversized pair sets keep the plain shuffle plan
+    * (a left-semi on the join key is a pure filter — row set identical
+    * either way). */
+  private final val MaxVerifyIdBroadcast = 4L << 20
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
                       bands: Int = 4, rows: Int = 2,
                       maxBucket: Int = 1000): DataFrame = {
+    // materialize the (bucket-cap-bounded) pair frame once so its size
+    // can pick the verify plan; the count also spares the band pipeline
+    // a second evaluation through the two hs consumers below
     val pairs = minhashPairs(df, idCol, textCol, n, bands, rows, maxBucket)
-    val hs = df.select(col(idCol).cast("long").as("id"),
+      .localCheckpoint()
+    val nPairs = pairs.count()
+    val hs0 = df.select(col(idCol).cast("long").as("id"),
         explode(array_distinct(shinglesCol(col(textCol), n))).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
+    val hs = if (nPairs * 2 <= MaxVerifyIdBroadcast) {
+      val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      hs0.join(broadcast(ids), Seq("id"), "left_semi")
+    } else hs0
     val perShingle = pairs
       .select(col("id_a"), col("id_b"),
         explode(array(col("id_a"), col("id_b"))).as("id"))
@@ -358,13 +378,24 @@ object Dedup {
       .filter(col("ids_ex").isNotNull)
     val bandsIn = minhashBands(incoming, idCol, textCol, n, bands, rows)
       .select(col("id").as("id_in"), col("band"))
+    // same verify gate as [[minhashNearDups]] (finding 14) — here BOTH
+    // corpora's shingle-ARRAY frames would otherwise shuffle whole into
+    // the verify joins regardless of how few band buckets matched
     val pairs = bandsIn.join(bandsEx, "band")
       .select(col("id_in"), explode(col("ids_ex")).as("id_ex"))
       .dropDuplicates("id_in", "id_ex")
-    val distEx = existing.select(col(idCol).cast("long").as("id_ex"),
+      .localCheckpoint()
+    val nPairs = pairs.count()
+    val distEx0 = existing.select(col(idCol).cast("long").as("id_ex"),
       array_distinct(shinglesCol(col(textCol), n)).as("sh_ex"))
-    val distIn = incoming.select(col(idCol).cast("long").as("id_in"),
+    val distIn0 = incoming.select(col(idCol).cast("long").as("id_in"),
       array_distinct(shinglesCol(col(textCol), n)).as("sh_in"))
+    val (distEx, distIn) = if (nPairs <= MaxVerifyIdBroadcast) {
+      (distEx0.join(broadcast(pairs.select("id_ex")), Seq("id_ex"),
+        "left_semi"),
+        distIn0.join(broadcast(pairs.select("id_in")), Seq("id_in"),
+          "left_semi"))
+    } else (distEx0, distIn0)
     pairs
       .join(distIn, "id_in").join(distEx, "id_ex")
       .withColumn("jaccard", jaccardCol(col("sh_in"), col("sh_ex")))

@@ -102,11 +102,17 @@ class PlanAuditSpec extends SparkSpec {
     def scans(plan: String) =
       plan.linesIterator.count(_.contains("FileScan parquet"))
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    // minhash: one scan for the band/signature side + one for the shingle
-    // re-attach (both pair sides fold back through a single joined frame)
+    // minhash: the band/signature side materializes once into the pair
+    // checkpoint (its scan runs at checkpoint time, outside this plan),
+    // so the served plan scans the corpus ONCE — the shingle re-attach —
+    // and that scan is semi-gated by the broadcast candidate-id set
+    // BEFORE its exchange (finding 14: verify cost scales with
+    // candidates, not corpus)
     val q18 = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text", 0.4)
       .queryExecution.executedPlan.toString
-    assert(scans(q18) == 2, s"minhash scans=${scans(q18)}:\n$q18")
+    assert(scans(q18) == 1, s"minhash scans=${scans(q18)}:\n$q18")
+    assert(q18.contains("LeftSemi"),
+      s"verify scan not candidate-gated in:\n$q18")
     // verification must stay longs-only hash aggregation: an array-typed
     // buffer (the old per-pair shingle-set attach) plans a SortAggregate
     // that sorts every candidate with multi-KB payloads — the exact sort
