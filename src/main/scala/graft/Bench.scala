@@ -41,10 +41,23 @@ object Bench {
     // `reps` times and reports the MEDIAN — cross-round deltas compare
     // medians, while `wall` keeps the honest total spent benchmarking.
     // SPARK_GRAFT_BENCH_REPS=1 restores the old single-shot behavior.
+    // The wall BUDGET protects the driver artifact (rounds 1–6 lost it
+    // to log-capture issues; a driver-side timeout would lose it again):
+    // once `budget` seconds have elapsed, remaining queries run their
+    // first rep only — every query still gets measured, extra reps are
+    // what degrade. Measured full-sweep wall at 3 reps is ~385 s on a
+    // quiet box; the 420 s default absorbs that and degrades gracefully
+    // on a slow window instead of risking the whole artifact.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val budget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
     val wallT0 = System.nanoTime()
+    def overBudget: Boolean = (System.nanoTime() - wallT0) / 1e9 > budget
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { rep =>
+      val times = (1 to reps).flatMap { rep =>
+        if (rep > 1 && overBudget) {
+          None // budget hit: keep rep-1 times, skip the extra reps
+        } else Some {
         // Isolate each run: a fresh child session (same SparkContext, clean
         // catalog/temp-view/conf state) and a post-query cache clear + GC so
         // the ContextCleaner reclaims broadcasts/shuffles before the next
@@ -67,6 +80,7 @@ object Bench {
         System.gc()
         System.err.println(f"[bench] $name rep $rep: $secs%.2f s ($n rows)")
         secs
+        }
       }
       val median = times.sorted.apply((times.size - 1) / 2)
       System.err.println(f"[bench] $name median: $median%.2f s")
