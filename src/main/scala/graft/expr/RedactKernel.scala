@@ -166,11 +166,16 @@ private[graft] object RegexFacts {
                 case _ => fail() // named group — unsupported
               }
             case c if c == 'i' || c == 'm' || c == 's' || c == 'u' ||
-                c == 'x' || c == 'd' =>
-              // inline flag group (?i) / (?i:...) — flags don't change the
-              // digit/length facts; ci literals still gate (the literal
-              // check is always case-insensitive)
-              while (!eof && peek != ')' && peek != ':') pos += 1
+                c == 'd' || c == '-' =>
+              // inline flag group (?i) / (?i:...) / (?i-m:...) — these
+              // flags don't change the digit/length facts; ci literals
+              // still gate (the literal check is always case-insensitive).
+              // COMMENTS mode (?x) DOES change how the remainder parses
+              // (whitespace and #-comments are ignored by the engine but
+              // would become literal atoms here) → unsupported, as is any
+              // flag letter outside the validated set.
+              while (!eof && (peek == 'i' || peek == 'm' || peek == 's' ||
+                peek == 'u' || peek == 'd' || peek == '-')) pos += 1
               if (peek == ':') { pos += 1; val f = parseAlternation(); expect(')'); f }
               else { expect(')'); Zero }
             case _ => fail()
@@ -232,6 +237,12 @@ private[graft] object RegexFacts {
         if (hi >= '\uD800') wide = true
       }
       while (!eof && peek != ']') {
+        // Java class-intersection / nested-class syntax would mis-parse as
+        // ordinary members (the inner ']' would close the class early and
+        // leave trailing chars as mandatory literal atoms) → unsupported
+        if (peek == '[') fail()
+        if (peek == '&' && pos + 1 < s.length && s.charAt(pos + 1) == '&')
+          fail()
         val lo: Char = peek match {
           case '\\' =>
             pos += 1
@@ -273,7 +284,9 @@ private[graft] object RegexFacts {
       }
       expect(']')
       if (!sawMember) fail()
-      Facts(allDigits, if (wide) 2 else 1, Nil)
+      // a negated class can never PROVE a digit requirement: [^0-9] has
+      // only digit members but matches exclusively NON-digits
+      Facts(allDigits && !negated, if (wide) 2 else 1, Nil)
     }
 
     /** (min, max) repetitions; (1, 1) when no quantifier follows */
@@ -367,6 +380,8 @@ object RedactKernel {
       case GatedLookahead(_) => "digit-gated-lookahead"
     }
 
+  private def isAsciiLit(lit: String): Boolean = lit.forall(_ < 128)
+
   private def deriveGate(regex: String): Gate =
     DigitGated.split(regex) match {
       case Some(residual) => GatedLookahead(residual)
@@ -374,9 +389,12 @@ object RedactKernel {
         RegexFacts.analyze(regex) match {
           case Some(f) if f.requiresDigit && f.maxLen <= WindowRadius =>
             DigitWindow
-          case Some(f) if f.literals.nonEmpty =>
-            RequiredLiteral(f.literals.maxBy(_.length).toLowerCase(
-              java.util.Locale.ROOT))
+          case Some(f) if f.literals.exists(isAsciiLit) =>
+            // only pure-ASCII literals: containsCi folds ASCII A-Z only,
+            // so a non-ASCII uppercase char (É → "é") could never match
+            // the document scan and would silently gate out real matches
+            RequiredLiteral(f.literals.filter(isAsciiLit).maxBy(_.length)
+              .toLowerCase(java.util.Locale.ROOT))
           case _ => FullScan
         }
     }

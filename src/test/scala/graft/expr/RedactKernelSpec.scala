@@ -68,6 +68,36 @@ class RedactKernelSpec extends SparkSpec {
     assert(RegexFacts.analyze("(?<name>\\d+)").isEmpty)
   }
 
+  test("RegexFacts soundness holes from the round-8 audit are closed") {
+    def facts(re: String) = RegexFacts.analyze(re).get
+    // a negated class never proves a digit requirement: [^0-9] has only
+    // digit MEMBERS but matches only NON-digits
+    assert(!facts("X[^0-9]{2}").requiresDigit)
+    assert(!facts("X[^\\d]{2}").requiresDigit)
+    assert(RedactKernel.gateName("X[^0-9]{2}") == "literal:x")
+    // ...and the gated scan still finds digit-free matches
+    val df = Seq("see Xab here").toDF("text")
+    val n = df.select(RedactExprs.countAllCol(col("text"),
+      Seq("T" -> "X[^0-9]{2}")).as("n")).head.getLong(0)
+    assert(n == 1L)
+    // class intersection / nested classes mis-parse → must refuse
+    assert(RegexFacts.analyze("[a-z&&[b]]").isEmpty)
+    assert(RegexFacts.analyze("[[ab]c]").isEmpty)
+    // COMMENTS mode changes how the remainder parses → must refuse;
+    // known fact-neutral flags (incl. negation) still parse
+    assert(RegexFacts.analyze("(?x)abc def").isEmpty)
+    assert(RegexFacts.analyze("(?xi:abc)").isEmpty)
+    assert(facts("(?i)abc\\d").requiresDigit)
+    assert(facts("(?i-m:abc)\\d{2}").literals == Seq("abc"))
+    // non-ASCII literal can never pass the ASCII-fold containsCi → the
+    // pattern must take the full scan, not a dead literal gate
+    assert(RedactKernel.gateName("MÉTRO[a-z]+") == "full")
+    val dfU = Seq("le MÉTROx stop").toDF("text")
+    val nU = dfU.select(RedactExprs.countAllCol(col("text"),
+      Seq("T" -> "MÉTRO[a-z]+")).as("n")).head.getLong(0)
+    assert(nU == 1L)
+  }
+
   // the legacy chain — reference semantics for the equality pin
   private def legacy(df: org.apache.spark.sql.DataFrame) = df
     .withColumn("n_legacy",
