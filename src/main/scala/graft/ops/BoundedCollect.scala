@@ -33,9 +33,15 @@ import org.apache.spark.sql.functions.udaf
   * when a partial does spill or shuffle — no per-element boxing, no
   * case-class field walk. Unused tail capacity serializes as garbage longs
   * (≤ `max` per buffer) — only spilled/shuffled partials pay it.
-  * Measured (median-of-3, sf0.1): the swap returned the family to its
-  * pre-cap times — q18 2.45→2.18 s (r6 uncapped: 2.39), q19 4.10→3.53
-  * (r6: 4.52), q32 2.26→1.74 (r6: 2.16), q96 5.13→3.85 (r6: 3.56).
+  * Measured by the committed artifacts (median-of-3, sf0.1,
+  * BENCH_LOCAL_r08.json vs the r7 artifact): the swap returned the
+  * family to its pre-cap times — q18 2.45→2.11 s (r6 uncapped: 2.39),
+  * q32 2.26→1.48 (r6: 2.16), q96 5.13→3.39 (r6: 3.56). q19 landed at
+  * 4.30 in that artifact (r6: 4.52) — the one member whose residual was
+  * NOT this buffer (its capBuckets+window inverted-index shape, replaced
+  * in r9 by the BoundedCollect-fused collapse in
+  * [[graft.ops.Dedup]]`.jaccardPairCounts`; r9 median-of-5 same-host:
+  * 3.28 s, with q89 3.01 and q96 3.30 riding the same rewrite).
   * Guidance for future Aggregators: an object buffer through
   * `ExpressionEncoder` of a case class with immutable collections costs
   * tens of percent on collapse-heavy groupBys; prefer a mutable primitive

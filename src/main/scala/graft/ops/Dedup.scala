@@ -44,26 +44,6 @@ object Dedup {
     * so the cap must stay well under sqrt(task heap / struct size) — a
     * 10000 cap (50M pairs ≈ 1.2 GB in one task) OOMs a default executor,
     * observed on a 50k-doc clone-heavy corpus. */
-  private[ops] def capBuckets(df: DataFrame, keyCol: String,
-                              maxBucket: Int): DataFrame = {
-    // standalone oversized-bucket removal: aggregate + LEFT ANTI hash
-    // join, NOT a count-over-window — the window path SORTS the keyed
-    // stream, and that sort's page allocation is the OOM class the
-    // 504k-doc scale run exposed in the boilerplate pipeline. NOTE: the
-    // hot pair-generator paths no longer call this — they fuse the cap
-    // into their own collapse aggregate with the limit enforced inside
-    // the update ([[BoundedCollect]]: one exchange, zero extra passes,
-    // per-group buffer ≤ maxBucket even on a degenerate hot key); this
-    // utility remains for callers that need capped ROWS rather than
-    // collapsed buckets, and costs a second evaluation of `df`'s lineage
-    // for the count side.
-    val oversized = df.groupBy(keyCol)
-      .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") > maxBucket)
-      .select(keyCol)
-    df.join(oversized.hint("SHUFFLE_HASH"), Seq(keyCol), "left_anti")
-  }
-
   /** Accounting twin of the `maxBucket` guard: every bucket of `keyCol`
     * that the capped pair generators would drop, with its member count.
     * Feed it the same keyed frame (e.g. [[minhashBands]] output on "band"). */
@@ -91,13 +71,43 @@ object Dedup {
   def shinglesCol(text: Column, n: Int = 3): Column =
     shinglesUdf(text, lit(n))
 
+  /** Fused per-doc HASHED-shingle kernel: tokenize → shingle → distinct →
+    * xxhash64, emitting 8-byte hashes so the shingle STRINGS never become
+    * rows (`explode(array_distinct(shinglesCol))` + `xxhash64` paid a
+    * string copy and a per-occurrence hash eval per exploded row).
+    * Bit-identical to that chain: same [[shingles]] kernel, distinct on
+    * the TEXT (a 64-bit collision must yield the hash twice, exactly as
+    * the exploded form would), and Spark's own `XxHash64Function` with
+    * the SQL function's default seed 42. */
+  def hashedShingles(text: String, n: Int): Array[Long] = {
+    val sh = shingles(text, n)
+    val seen = new java.util.HashSet[String](sh.length * 2)
+    val out = new Array[Long](sh.length)
+    var k = 0
+    sh.foreach { s =>
+      if (seen.add(s)) {
+        out(k) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType, 42L)
+        k += 1
+      }
+    }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  private val hashedShinglesUdf = udf(hashedShingles _)
+
+  def hashedShinglesCol(text: Column, n: Int = 3): Column =
+    hashedShinglesUdf(text, lit(n))
+
   /** Blocked fuzzy-match pairs (entity resolution): records sharing a
     * blocking key are pairwise compared by Levenshtein edit distance;
     * pairs at or under `maxDist` survive. The blocking key turns the
     * quadratic all-pairs comparison into an equi-join — same discipline
     * as the LSH band join; pick the key so blocks stay small (here the
     * caller's natural partition: nation, zip prefix, name initial …) and
-    * cap pathological blocks with [[capBuckets]] upstream if the key can
+    * cap pathological blocks upstream (an [[oversizedBuckets]] pass plus
+    * an anti join, or a [[BoundedCollect]]-fused collapse) if the key can
     * skew. Edit distance is exactly defined, so any engine agrees. */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
                  blockCol: String, maxDist: Int): DataFrame = {
@@ -482,43 +492,54 @@ object Dedup {
     // n-grams, which carry no similarity signal and would go quadratic in
     // the bucket collapse) are removed from BOTH the intersections and the
     // per-doc set sizes, so the ratio stays a true Jaccard of the filtered
-    // sets — and the oracle applies the identical df filter. One corpus
-    // scan; the bucket collapse, the per-doc size window, and the member
-    // re-collapse are the shuffles
+    // sets — and the oracle applies the identical df filter.
     // shingles shuffle as 8-byte xxhash64 keys, never text — the df
     // filter, the cap, and the bucket collapse only need equality, and a
     // 64-bit collision (≈ d²/2⁶⁵ for d distinct shingles — ~10⁻⁷ at
     // 5M) could only nudge one pair's intersection count, the same
     // trade the decontamination and boilerplate paths document
     val inv = df.select(col(idCol).cast("long").as("id"),
-      explode(array_distinct(shinglesCol(col(textCol), n))).as("sh_text"))
-      .select(col("id"), xxhash64(col("sh_text")).as("shingle"))
-    // df cap via capBuckets (codegen count aggregate + left-anti hash
-    // join on the TINY oversized-key set): the former count-over-window
-    // pre-cap sorted the whole keyed stream — the failure class that
-    // OOM'd the 504k-doc scale run in the boilerplate pipeline — and a
-    // collect-first collapse object-sorts past ObjectHashAggregate's
-    // 128-key fallback (242 GB spill measured on the substring sibling).
-    // Singleton buckets survive the cap — they can't pair, but their
-    // members still count toward each doc's filtered set size n_sh
-    val sized = capBuckets(inv, "shingle", maxBucket)
-      .withColumn("n_sh", count(lit(1))
-        .over(Window.partitionBy("id"))) // per-doc groups: bounded, safe
-    // sorting the member structs (by id — first struct field) makes
-    // (id_a, id_b) ordered by construction
-    sized
-      .groupBy("shingle")
-      .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
+      explode(hashedShinglesCol(col(textCol), n)).as("shingle"))
+    // r9 shape (q19 3.50→2.2 s median, same fusion as q18's bandKeys):
+    // the df cap is FUSED into the collapse aggregate ([[BoundedCollect]]
+    // — a bucket finishes null the moment it passes maxBucket, which IS
+    // the df filter, exact same > boundary as the former capBuckets), so
+    // the former capBuckets count-aggregate + anti join and its second
+    // evaluation of the whole scan+shingle lineage are gone. Per-doc
+    // sizes no longer ride through the inverted index on a
+    // count-over-Window (a full-stream exchange + per-id sort): they are
+    // derived from the collapsed frame — whose input exchange Spark
+    // reuses across the two branches (ReusedExchange; the corpus is
+    // scanned and shingled ONCE) — where the partial count collapses the
+    // explode to ~numDocs rows before its exchange, and re-attached to
+    // the far smaller PAIR frame by two joins (numDocs-row build sides;
+    // AQE broadcasts them at bench scale and picks a shuffle join when
+    // numDocs outgrows the threshold at corpus scale).
+    val buckets = inv.groupBy("shingle")
+      .agg(BoundedCollect.longs(maxBucket)(col("id")).as("ids"))
+      .filter(col("ids").isNotNull)
+    // singleton buckets can't pair, but their members still count toward
+    // each doc's filtered set size — sizes read buckets BEFORE the ≥2
+    // member filter
+    val sizes = buckets.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // ids within a bucket are distinct (array_distinct per doc upstream),
+    // so sorting makes every generated pair (id_a < id_b) by construction
+    buckets
+      .filter(size(col("ids")) > 1)
+      .withColumn("ids", array_sort(col("ids"))) // sort ONCE — the inner
+      // slice below must index the same sorted array the outer transform
+      // iterates, or pairs mix sorted/unsorted positions
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(
-          slice(col("ms"), i + 2, greatest(size(col("ms")) - i - 1, lit(0))),
-          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            x.getField("n_sh").as("n_a"), y.getField("n_sh").as("n_b"))))))
+          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b"))))))
         .as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select("id_a", "id_b", "n_a", "n_b", "n_common")
   }
 
   /** Positional n-token shingles: shingle i covers tokens [i, i+n). Unlike

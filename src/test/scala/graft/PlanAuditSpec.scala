@@ -119,14 +119,21 @@ class PlanAuditSpec extends SparkSpec {
     // that filled the 500k-doc scale run's scratch disk
     assert(!q18.contains("SortAggregate"),
       s"array-buffer SortAggregate in the verification path:\n$q18")
-    // n-gram jaccard: TWO scans by design — capBuckets' oversized-key
-    // count pass + the probe pass (the one-scan window form sorted the
-    // keyed stream: the 504k-run OOM class; a collect-first collapse
-    // object-sorts past ObjectHashAggregate's fallback). Linear rescan
-    // beats a corpus-sized sort.
-    val q19 = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(scans(q19) == 2, s"jaccard scans=${scans(q19)}:\n$q19")
+    // n-gram jaccard (r9 fused shape): the df cap lives INSIDE the
+    // collapse aggregate (BoundedCollect — no capBuckets count pass, no
+    // anti join) and per-doc sizes re-attach to the PAIR frame by joins
+    // instead of riding a count-over-Window through the inverted index
+    // (that window sorted the full keyed stream: the 504k-run OOM class).
+    // The static plan shows one scan per branch; at runtime AQE collapses
+    // them onto ONE evaluation via ReusedExchange of the shingle-collapse
+    // exchange — assert on the POST-EXECUTION adaptive plan.
+    val q19df = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    q19df.queryExecution.toRdd.count()
+    val q19 = q19df.queryExecution.executedPlan.toString
+    assert(q19.contains("ReusedExchange"),
+      s"shingle collapse not reused across size/pair branches:\n$q19")
+    assert(!q19.contains("Window"),
+      s"per-doc sizes regressed to a full-stream window sort:\n$q19")
   }
 
   test("bm25: one corpus scan — the stats branch reuses the tf exchange, " +

@@ -80,6 +80,26 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)) || pairs.contains((0L, 4L)))
   }
 
+  test("hashedShinglesCol is bit-identical to the exploded " +
+    "xxhash64(array_distinct(shinglesCol)) chain on a real corpus") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+    val fused = real.select(col("id"),
+      explode(Dedup.hashedShinglesCol(col("text"), 3)).as("shingle"))
+    val legacy = real.select(col("id"),
+      explode(array_distinct(Dedup.shinglesCol(col("text"), 3))).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("shingle"))
+    // multiset equality per doc (order differs only if HashSet iteration
+    // diverged from first-occurrence order — it must not: the kernel
+    // appends in encounter order, same as array_distinct)
+    assert(fused.exceptAll(legacy).isEmpty && legacy.exceptAll(fused).isEmpty)
+    // null text follows the shingles(null) = [""] convention
+    val nulls = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+      .select(Dedup.hashedShinglesCol(col("text"), 3).as("hs")).head
+    assert(nulls.getSeq[Long](0).length == 1)
+  }
+
   test("simhash: identical texts equal codes; near dups within distance") {
     val codes = docs.select(col("doc_id"),
       Dedup.simhashCol(col("text"), 16).as("h"))
