@@ -638,15 +638,37 @@ object Dedup {
     import spark.implicits._
     val p = if (parts > 0) parts
       else spark.sessionState.conf.numShufflePartitions * 8
-    sh.select(col("shingle"), col("id"), col("pos").cast("long").as("pos"))
+    // (id, pos) pack into ONE long — id << 20 | pos (r9, verdict item 2):
+    // the corpus-wide exchange here was the report's last spill (28.6 GB
+    // at 724M rows of (key, id, pos)); packing drops each row 24 → 16 B
+    // and halves the kernel's parked store. Range guards are LOUD, same
+    // policy as the kernel's capacity ceilings: pos < 2²⁰ (a 1M-token
+    // doc — posexplode positions, so this bounds doc length, not corpus)
+    // and 0 ≤ id < 2⁴³ (dense doc ids; 8.8T headroom) — a violation
+    // raises with the offending values, never silently corrupts spans.
+    val packed = sh.select(col("shingle"),
+      when(col("id").between(0L, (1L << 43) - 1) &&
+        col("pos").between(0, PackPosLimit - 1),
+        shiftleft(col("id"), PackPosBits)
+          .bitwiseOR(col("pos").cast("long")))
+        .otherwise(raise_error(concat(
+          lit("repeatedSpans: (id, pos) outside packing range " +
+            "(0 <= id < 2^43, 0 <= pos < 2^20): id="),
+          col("id"), lit(" pos="), col("pos"))))
+        .as("idpos"))
+    packed
       .repartition(p, col("shingle"))
-      .as[(Long, Long, Long)]
+      .as[(Long, Long)]
       .mapPartitions(it => new OccurrenceFilter(minOcc)(it))
-      .toDF("id", "pos")
-      // restore the public int position type (posexplode's) so the span
-      // schema is identical across occurrence-filter shapes
-      .select(col("id"), col("pos").cast("int").as("pos"))
+      .toDF("idpos")
+      // restore the public (long id, int pos) schema (posexplode's) so it
+      // is identical across occurrence-filter shapes
+      .select(shiftrightunsigned(col("idpos"), PackPosBits).as("id"),
+        col("idpos").bitwiseAND(lit(PackPosLimit - 1)).cast("int").as("pos"))
   }
+
+  private final val PackPosBits = 20
+  private final val PackPosLimit = 1L << PackPosBits
 
   /** Occurrence filter, count-over-window twin — r6's measured winner
     * over the aggregate shapes (one binary sort of the keyed stream),

@@ -1,9 +1,14 @@
 package graft.ops
 
 /** Per-partition kernel of [[Dedup.coveredPositionsHash]]: streams a
-  * shingle-key-partitioned `(key, id, pos)` iterator and emits exactly the
-  * `(id, pos)` rows whose key occurs ≥ `minOcc` times in the partition —
+  * shingle-key-partitioned `(key, payload)` iterator and emits exactly the
+  * `payload` values whose key occurs ≥ `minOcc` times in the partition —
   * no sort, no full-partition buffering.
+  *
+  * The payload is ONE opaque long (r9: the caller packs `id << 20 | pos`
+  * — verdict item 2 — so the corpus-wide exchange feeding this kernel
+  * carries 16 B rows instead of 24 B, and the parked store here holds one
+  * long per row instead of two; the kernel itself never looks inside).
   *
   * Memory contract (the hot-key property the r7 buffered-replay shape
   * lacked): the emit decision is monotone — once a key's running count
@@ -12,7 +17,7 @@ package graft.ops
   * `minOcc` the parked rows flush together with the current row, and
   * every later row of that key emits immediately. Per-task state is
   * therefore the open-addressing count table (8 B key + 4 B count + 4 B
-  * park head per distinct key) plus ≤ `minOcc − 1` parked rows (20 B
+  * park head per distinct key) plus ≤ `minOcc − 1` parked rows (12 B
   * each) per distinct key — bounded by the partition's DISTINCT-key
   * count, never by any single key's occurrence count. A boilerplate
   * shingle with 10⁹ occurrences (hash partitioning cannot split one key
@@ -49,8 +54,7 @@ private[graft] final class OccurrenceFilter(minOcc: Int) {
   // that reached minOcc become garbage but each key parks ≤ minOcc−1
   // rows EVER, so the store is bounded by distinct × (minOcc − 1).
   private[this] var pCap = 1 << 12
-  private[this] var pId = new Array[Long](pCap)
-  private[this] var pPos = new Array[Long](pCap)
+  private[this] var pVal = new Array[Long](pCap)
   private[this] var pNext = new Array[Int](pCap)
   private[this] var pN = 0
 
@@ -108,42 +112,41 @@ private[graft] final class OccurrenceFilter(minOcc: Int) {
     j
   }
 
-  private def park(slot: Int, id: Long, pos: Long): Unit = {
+  private def park(slot: Int, v: Long): Unit = {
     if (pN == pCap) {
       if (pCap == MaxCap)
         throw new IllegalStateException(
           "OccurrenceFilter: parked-row store exceeded 2^30 entries — " +
             "raise occParts/parts (store is distinct-keys × (minOcc−1))")
       pCap <<= 1
-      pId = java.util.Arrays.copyOf(pId, pCap)
-      pPos = java.util.Arrays.copyOf(pPos, pCap)
+      pVal = java.util.Arrays.copyOf(pVal, pCap)
       pNext = java.util.Arrays.copyOf(pNext, pCap)
     }
-    pId(pN) = id; pPos(pN) = pos
+    pVal(pN) = v
     pNext(pN) = heads(slot); heads(slot) = pN
     pN += 1
   }
 
-  def apply(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long)] =
-    it.flatMap { case (k, id, pos) =>
+  def apply(it: Iterator[(Long, Long)]): Iterator[Long] =
+    it.flatMap { case (k, v) =>
       val j = slotFor(k)
       cnts(j) += 1
       val c = cnts(j)
       if (c < minOcc) {
-        park(j, id, pos)
+        park(j, v)
         Iterator.empty
       } else if (c == minOcc) {
         // threshold crossed: flush the key's minOcc−1 parked rows + this
-        val out = new Array[(Long, Long)](c)
+        val out = new Array[Long](c)
         var i = 0
         var cur = heads(j)
         while (cur != -1) {
-          out(i) = (pId(cur), pPos(cur)); i += 1
+          out(i) = pVal(cur); i += 1
           cur = pNext(cur)
         }
         heads(j) = -1 // parked entries become garbage; never re-parks
-        out(i) = (id, pos)
+        out(i) = v
         out.iterator
-      } else Iterator.single((id, pos))
+      } else Iterator.single(v)
     }
 }

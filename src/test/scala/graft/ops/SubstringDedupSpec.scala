@@ -75,6 +75,33 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("occurrence filter: (id,pos) packing guard raises loudly outside " +
+    "range instead of silently corrupting spans") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // id at the 2^43 boundary and pos at the 2^20 boundary must both fail
+    val badId = Seq((1L << 43, 0, 7L)).toDF("id", "pos", "shingle")
+      .select(col("id"), col("pos"), col("shingle"))
+    val badPos = Seq((1L, 1 << 20, 7L)).toDF("id", "pos", "shingle")
+    for (bad <- Seq(badId, badPos)) {
+      val e = intercept[Exception] {
+        Dedup.coveredPositionsHash(bad, minOcc = 2, parts = 2).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("packing range")),
+        s"expected the loud packing-range error, got: $e")
+    }
+    // …and the boundary-minus-one packs fine, round-tripping exactly
+    val edge = Seq(((1L << 43) - 1, (1 << 20) - 1, 7L), (0L, 0, 7L))
+      .toDF("id", "pos", "shingle")
+    val got = Dedup.coveredPositionsHash(edge, minOcc = 2, parts = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // shared shingle occurs twice → both rows emit, round-tripped exactly
+    assert(got === Set(((1L << 43) - 1, (1 << 20) - 1), (0L, 0)))
+  }
+
   test("stripRepeatedSpans: kept tokens, counts, and md5 are hand-exact") {
     val out = Dedup.stripRepeatedSpans(corpus, "doc_id", "text", n = 5)
       .orderBy("id")
