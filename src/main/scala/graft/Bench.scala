@@ -53,45 +53,57 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
     val wallT0 = System.nanoTime()
     def overBudget: Boolean = (System.nanoTime() - wallT0) / 1e9 > budget
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { rep =>
-        if (rep > 1 && overBudget) {
-          None // budget hit: keep rep-1 times, skip the extra reps
-        } else Some {
-        // Isolate each run: a fresh child session (same SparkContext, clean
-        // catalog/temp-view/conf state) and a post-query cache clear + GC so
-        // the ContextCleaner reclaims broadcasts/shuffles before the next
-        // timing — otherwise late-running queries inherit ~30 queries of
-        // accumulated driver state and their recorded times drift far above
-        // isolated runs.
-        val qSession = spark.newSession()
-        val t0 = System.nanoTime()
-        // toRdd materializes the FULL output projection — a plain count()
-        // lets Catalyst prune computed columns, so narrow per-row queries
-        // (simhash, langid, filename formatting …) would time a scan only
-        val n = try { fn(qSession, sfDir).queryExecution.toRdd.count() } catch {
-          case e: Throwable =>
-            System.err.println(
-              s"[bench] $name FAILED: ${e.getMessage.take(200)}")
-            -1L
-        }
-        val secs = (System.nanoTime() - t0) / 1e9
-        qSession.catalog.clearCache()
-        System.gc()
-        System.err.println(f"[bench] $name rep $rep: $secs%.2f s ($n rows)")
-        secs
-        }
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, rep: Int): Double = {
+      // Isolate each run: a fresh child session (same SparkContext, clean
+      // catalog/temp-view/conf state) and a post-query cache clear + GC so
+      // the ContextCleaner reclaims broadcasts/shuffles before the next
+      // timing — otherwise late-running queries inherit ~30 queries of
+      // accumulated driver state and their recorded times drift far above
+      // isolated runs.
+      val qSession = spark.newSession()
+      val t0 = System.nanoTime()
+      // toRdd materializes the FULL output projection — a plain count()
+      // lets Catalyst prune computed columns, so narrow per-row queries
+      // (simhash, langid, filename formatting …) would time a scan only
+      val n = try { fn(qSession, sfDir).queryExecution.toRdd.count() } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] $name FAILED: ${e.getMessage.take(200)}")
+          -1L
       }
-      val median = times.sorted.apply((times.size - 1) / 2)
-      System.err.println(f"[bench] $name median: $median%.2f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      qSession.catalog.clearCache()
+      System.gc()
+      System.err.println(f"[bench] $name rep $rep: $secs%.2f s ($n rows)")
+      secs
+    }
+    // Reps run ROUND-ROBIN across queries (all rep-1 first, then rep-2, …),
+    // not back-to-back per query: the r8 artifact hit the budget on its last
+    // query and only the TAIL lost reps, making tail queries systematically
+    // the noisiest. Now a budget hit costs every not-yet-repeated query one
+    // rep equally, and rep-1 is always complete for every query.
+    val ordered = selected.toSeq
+    val times = scala.collection.mutable.LinkedHashMap(
+      ordered.map { case (name, _) => name -> List.newBuilder[Double] }: _*)
+    for (rep <- 1 to reps; (name, fn) <- ordered) {
+      if (rep == 1 || !overBudget) times(name) += runOnce(name, fn, rep)
+    }
+    val repCounts = times.map { case (k, b) => k -> b.result().size }
+    val results = times.map { case (name, b) =>
+      val ts = b.result()
+      val median = ts.sorted.apply((ts.size - 1) / 2)
+      System.err.println(
+        f"[bench] $name median: $median%.2f s (${ts.size} reps)")
       name -> median
     }
     val wall = (System.nanoTime() - wallT0) / 1e9
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val rcs = repCounts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"wall":$wall,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"wall":$wall,"queries":$qs,"rep_counts":$rcs,"sf":"$sfDir"}"""
     // stdout is a log tail that can truncate (r03 lost q01-q15 to the
     // capture window) — persist the full artifact to a file as well
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
@@ -117,8 +129,11 @@ object Bench {
       f""""${k.takeWhile(_ != '_')}":$v%.2f""" }
       .mkString("{", ",", "}")
     val sfShort = new java.io.File(sfDir).getName
+    // per-query rep counts live in the file artifact; the tail line carries
+    // only the min actually run (== reps unless the budget degraded a rep)
+    val repsMin = if (repCounts.nonEmpty) repCounts.values.min else reps
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","reps":$reps,"wall":$wall%.1f,"queries":$qsShort,"sf":"$sfShort"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","reps":$reps,"reps_min":$repsMin,"wall":$wall%.1f,"queries":$qsShort,"sf":"$sfShort"}""")
     System.out.flush()
   }
 }
