@@ -1314,11 +1314,11 @@ object SparkEntry {
     * unrelated-pair cosine around 0.66 — 0.9 isolates genuine near-dups). */
   private def q99(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(
-      // semanticDedup scans its input three times (codebook collect, cell
-      // assignment, pair re-attach); checkpointing the featurized frame
-      // runs the md5 featurizer ONCE instead of 3× (6.3 s → ~3 s at
-      // sf0.1, and at scale the checkpoint is |docs|·dim·8 B — far
-      // smaller than three corpus tokenizations)
+      // semanticDedup scans its input twice (codebook collect, then the
+      // fused cell-assign + in-cell pair kernel — finding 15);
+      // checkpointing the featurized frame runs the md5 featurizer ONCE,
+      // and at scale the checkpoint is |docs|·dim·8 B — far smaller than
+      // repeated corpus tokenizations
       graft.ops.Featurize.featurize(t(s, dir, "documents"), "doc_id",
         "text", dim = 64)
         .select("id", "embedding").localCheckpoint(),

@@ -791,71 +791,150 @@ object Similarity {
   def cosineNearDups(df: DataFrame, threshold: Double, nBits: Int = 8,
                      dim: Int = 64, idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     maxBucket: Int = 1000): DataFrame = {
-    val keyed = df.select(col(idCol).cast("long").as("id"),
-      lshBucketCol(col(vecCol), nBits, dim).as("bucket"))
-    cosinePairsInBuckets(df, keyed, threshold, idCol, vecCol, maxBucket)
-  }
+                     maxBucket: Int = 1000): DataFrame =
+    cosinePairsInBuckets(df, lshBucketCol(col(vecCol), nBits, dim),
+      threshold, idCol, vecCol, maxBucket)
 
   /** Shared candidate machinery for [[cosineNearDups]] / [[semanticDedup]]:
-    * `keyed` is (id, bucket) with ONE bucket per id; pairs come from
-    * capped in-bucket combinations over 8-byte ids, embeddings re-attach
-    * through ONE join, output is (id_a, id_b, cosine_sim ≥ threshold). */
-  private def cosinePairsInBuckets(df: DataFrame, keyed: DataFrame,
+    * `bucketCol` assigns ONE bucket per input row; pairs are capped
+    * in-bucket id combinations, cosine is computed IN the bucket, output
+    * is (id_a, id_b, cosine_sim ≥ threshold) with id_a < id_b.
+    *
+    * Shape (r9, SCALE.md finding 15): ONE exchange, partitioned on the
+    * bucket id, carrying each vector exactly ONCE — then a per-partition
+    * kernel groups the bucket's members (rows arrive bucket-contiguous via
+    * sortWithinPartitions; per-task live state is one bucket, ≤ maxBucket
+    * vectors ≈ maxBucket·dim·8 B) and emits only the pairs that survive
+    * the rounded-cosine threshold. The r8 shape generated the id pairs
+    * first and re-attached vectors through two SHUFFLE_HASH joins; with
+    * ~n/cells members per cell every vector crossed the second join's
+    * exchange once PER PAIR MEMBERSHIP (~members−1 times — 16.5 of the
+    * featurize phase's 20.4 GB shuffle at 504k docs), even though only
+    * ~0.15% of pairs survived the 0.99 threshold. Computing the cosine
+    * where the vectors already are ships |corpus| vectors instead of
+    * 2·|pairs| and drops every pair-frame exchange (measured same-host
+    * isolated A/B at 503,876 docs: the featurize phase's shuffle r/w
+    * 20,379→143 MB, wall 332.7→121.9 s, identical 47,302-drop output;
+    * SCALE.md finding 15).
+    *
+    * Semantics are pinned to the r8 aggregate+join shape (SimilaritySpec
+    * twin): the cap counts every INPUT ROW of the bucket (duplicate ids
+    * included) and an overflowed bucket (> maxBucket rows) emits nothing;
+    * pairs are distinct ids only (no self-pairs, no repeats); cosine is
+    * the same ordered fold as [[graft.expr.CosineKernel]] over the first
+    * instance of each id, rounded via [[round6Fast]] (bit-identical to
+    * Spark's `round(_, 6)`, spec-pinned); NaN/±Inf pass through unrounded
+    * exactly like Spark's round, then fail/pass the ≥ filter natively.
+    * A duplicate id that lands in TWO buckets (possible only when the
+    * same id carries different vectors) can emit the same pair from each —
+    * the trailing narrow dropDuplicates keeps one survivor, matching the
+    * old shape's arbitrary pick-one-instance semantics. */
+  private def cosinePairsInBuckets(df: DataFrame, bucketCol: Column,
                                    threshold: Double, idCol: String,
                                    vecCol: String,
                                    maxBucket: Int): DataFrame = {
-    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    // one bucket per id (single table) → combinations are already distinct;
-    // bucket cap fused into the collapse and enforced inside the aggregate
-    // update (Dedup.BoundedCollect — a degenerate hot cell never
-    // materializes past maxBucket members; no pre-cap window sort — see
-    // Dedup.minhashPairs). Collection order is merge-order — sort after.
-    val pairs = keyed
-      .groupBy("bucket")
-      .agg(BoundedCollect.longs(maxBucket)(col("id")).as("ids_raw"))
-      .filter(col("ids_raw").isNotNull && size(col("ids_raw")) >= 2)
-      .select(array_sort(col("ids_raw")).as("ids"))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(
-          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      // duplicate ids in the INPUT put the same id in a bucket list twice,
-      // which the sorted combinations turn into self-pairs (cosine 1.0)
-      // and repeated rows — same guards as Dedup.minhashCandidates
-      .filter(col("id_a") < col("id_b"))
+    val rows = df.select(bucketCol.cast("long").as("bucket"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .repartition(col("bucket"))
+      // bucket-contiguity sort: payload rows, but ONE narrow pass over
+      // |corpus|/partitions rows per task — bounded by the scan split
+      // size at any corpus size, never by pair count
+      .sortWithinPartitions("bucket")
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long, Double)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble)
+    rows.mapPartitions(it => cellPairs(it, threshold, maxBucket))
+      .toDF("id_a", "id_b", "cosine_sim")
       .dropDuplicates("id_a", "id_b")
-    // re-attach embeddings through TWO hash joins with the vector table as
-    // the build side. The previous shape (explode each pair into its member
-    // ids, ONE join, fold back with a first(when) groupBy) aggregated
-    // |pairs|·2 rows EACH CARRYING a dim·8-byte vector through an object
-    // aggregate — past ObjectHashAggregate's 128-key fallback that is a
-    // full payload-row sort, and at 504k docs it spilled 211 GB in the
-    // ScaleRun featurize phase (SCALE.md finding 11: never sort or
-    // aggregate payload-carrying rows; finding 10's lesson applied to
-    // joins). SHUFFLE_HASH on the vector side sorts nothing: vectors cross
-    // the wire once per side and land in per-task build maps
-    // (|v|/numShufflePartitions rows — spillable in Spark 3.2+, sized by
-    // the shuffle parallelism, not by pair count). The pair stream stays
-    // narrow until the cosine is computed and projected, so no
-    // payload-carrying row is ever sorted, aggregated, or buffered past
-    // the build maps. Callers whose `df` lineage is expensive (e.g. a
-    // featurizer UDF) should checkpoint before calling — the two joins
-    // scan `v` twice (q99 and ScaleRun phase 10 do).
-    // Duplicate input ids multiply the joins where the old groupBy
-    // collapsed them: the narrow pair-keyed dropDuplicates below restores
-    // one arbitrary row per pair (the same pick-one semantics first()
-    // gave), BEFORE the threshold filter so a pair keeps one cosine.
-    val va = v.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val vb = v.select(col("id").as("id_b"), col("vec").as("vec_b"))
-    pairs
-      .join(va.hint("SHUFFLE_HASH"), Seq("id_a"))
-      .join(vb.hint("SHUFFLE_HASH"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosineCol(col("vec_a"), col("vec_b")), 6).as("cosine_sim"))
-      .dropDuplicates("id_a", "id_b")
-      .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** Per-partition kernel for [[cosinePairsInBuckets]]: streams
+    * bucket-contiguous (bucket, id, vec) rows, holds ONE bucket's members
+    * (first instance per id, every row counted toward the cap), and lazily
+    * emits surviving pairs — memory O(maxBucket·dim), output O(survivors). */
+  private def cellPairs(rows: Iterator[org.apache.spark.sql.Row],
+                        threshold: Double, maxBucket: Int)
+      : Iterator[(Long, Long, Double)] = new Iterator[(Long, Long, Double)] {
+    private val it = rows.buffered
+    private var cur: Iterator[(Long, Long, Double)] = Iterator.empty
+
+    private def sameBucket(r: org.apache.spark.sql.Row, isNull: Boolean,
+                           b: Long): Boolean =
+      r.isNullAt(0) == isNull && (isNull || r.getLong(0) == b)
+
+    private def cos(a: Array[Double], b: Array[Double]): Double = {
+      // identical ordered fold to graft.expr.CosineKernel.cosineSim
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    private def nextBucket(): Iterator[(Long, Long, Double)] = {
+      val head = it.head
+      val isNull = head.isNullAt(0)
+      val bVal = if (isNull) 0L else head.getLong(0)
+      val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+      val vecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      val seen = new scala.collection.mutable.HashSet[Long]()
+      var rowCount = 0L
+      var over = false
+      while (it.hasNext && sameBucket(it.head, isNull, bVal)) {
+        val r = it.next()
+        rowCount += 1
+        if (!over && rowCount > maxBucket) {
+          // cap semantics = BoundedCollect: strictly-more-than-max rows
+          // overflow the bucket; drop its state NOW (hot-cell safe), keep
+          // consuming its rows
+          over = true; ids.clear(); vecs.clear(); seen.clear()
+        }
+        if (!over) {
+          val id = if (r.isNullAt(1)) 0L else r.getLong(1)
+          if (seen.add(id)) {
+            val s = r.getSeq[Double](2)
+            ids += id
+            vecs += (if (s == null) null else s.toArray)
+          }
+        }
+      }
+      val n = ids.length
+      if (over || n < 2) Iterator.empty
+      else Iterator.range(0, n).flatMap { i =>
+        val va = vecs(i)
+        if (va == null) Iterator.empty
+        else Iterator.range(i + 1, n).flatMap { j =>
+          val vb = vecs(j)
+          if (vb == null) Iterator.empty
+          else {
+            val c = cos(va, vb)
+            // Spark's round(d, 6) returns NaN/±Inf unrounded; round6Fast
+            // is its bit-identical finite path (spec-pinned)
+            val r6 = if (java.lang.Double.isNaN(c) ||
+              java.lang.Double.isInfinite(c)) c else round6Fast(c)
+            if (r6 >= threshold) {
+              val a = ids(i); val b = ids(j)
+              Iterator.single(
+                if (a < b) (a, b, r6) else (b, a, r6))
+            } else Iterator.empty
+          }
+        }
+      }
+    }
+
+    def hasNext: Boolean = {
+      while (!cur.hasNext && it.hasNext) cur = nextBucket()
+      cur.hasNext
+    }
+    def next(): (Long, Long, Double) = {
+      if (!hasNext) throw new NoSuchElementException("cellPairs exhausted")
+      cur.next()
+    }
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -870,8 +949,9 @@ object Similarity {
     * shingle ops can't see. The clustering makes it scale the same way IVF
     * search does — candidate pairs exist only inside a cell (capped by
     * `maxBucket` against degenerate cells), never across the corpus, and
-    * everything shuffles as 8-byte ids until the one vector re-attach
-    * join. Greedy lowest-id-wins is the standard deterministic
+    * each vector crosses exactly ONE cell-keyed exchange; pairs are scored
+    * in-cell and only survivors leave the task (finding 15 — no pair-frame
+    * shuffle at all). Greedy lowest-id-wins is the standard deterministic
     * approximation of per-cluster pruning — engine-exact (rounded cosine,
     * integer ids), so the DuckDB oracle reproduces it bit-for-bit. */
   def semanticDedup(df: DataFrame, threshold: Double,
@@ -884,9 +964,8 @@ object Similarity {
     val cellUdf = udf { (v: Seq[Double]) =>
       nearestCells(if (v == null) Seq.empty else v, 1).head
     }
-    val keyed = df.select(col(idCol).cast("long").as("id"),
-      cellUdf(col(vecCol).cast("array<double>")).as("bucket"))
-    cosinePairsInBuckets(df, keyed, threshold, idCol, vecCol, maxBucket)
+    cosinePairsInBuckets(df, cellUdf(col(vecCol).cast("array<double>")),
+        threshold, idCol, vecCol, maxBucket)
       .groupBy(col("id_b").as("drop_id"))
       .agg(min("id_a").as("kept_by"), max("cosine_sim").as("max_cosine"))
   }

@@ -324,6 +324,30 @@ class PlanAuditSpec extends SparkSpec {
       s"offsets frame not broadcast in:\n$plan")
   }
 
+  test("semantic dedup: vectors cross ONE cell-keyed exchange, pairs are " +
+    "scored in-cell — no join, no pair-frame payload shuffle") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = physical(graft.ops.Similarity.semanticDedup(
+      emb, threshold = 0.4, centroidStride = 50))
+    // finding 15: the r8 shape re-attached vectors to the candidate pairs
+    // through two SHUFFLE_HASH joins, shipping each vector once per pair
+    // membership (16.5 of the featurize phase's 20.4 GB shuffle at 504k
+    // docs); the kernel computes the cosine where the vectors already are
+    assert(!plan.contains("Join"),
+      s"pair path regressed to a vector re-attach join in:\n$plan")
+    val keyed = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // the ONLY vector-carrying exchange is the bucket repartition; the
+    // dropDuplicates and drop_id aggregates ride survivor-sized frames
+    assert(keyed.exists(_.contains("hashpartitioning(bucket")),
+      s"bucket repartition missing in:\n$plan")
+    assert(keyed.size == 3,
+      s"expected bucket + pair-dedup + drop_id exchanges only, got " +
+        s"${keyed.size} in:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("ObjectHashAggregate"),
+      s"payload-buffering operator in the pair path:\n$plan")
+  }
+
   test("substring span dedup: shingles shuffle as xxhash64 longs, two " +
     "keyed exchanges total, occurrence filter truly sort-free") {
     val plan = physical(graft.ops.Dedup.repeatedSpans(
