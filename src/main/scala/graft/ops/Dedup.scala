@@ -583,9 +583,22 @@ object Dedup {
     * (fixed disjoint chunks, no merging): this is the span-exact form. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 10, minOcc: Int = 2,
-                    occParts: Int = 0): DataFrame = {
+                    occParts: Int = 0, docParts: Int = 0): DataFrame = {
     require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
-    val sh = df.select(col(idCol).cast("long").as("id"),
+    // Pre-shingle parallelism (r9): posexplode amplifies each doc into
+    // ~|tokens| shingle rows (~450× the scan bytes at 504k docs), so a
+    // scan-split-sized map task writes a shuffle buffer ~450× its input —
+    // past per-task execution memory, and the shuffle WRITER's external
+    // sorter flushes to disk (booked as the substring phase's 23 GB
+    // "spill"; the occurrence filter itself is sort-free). One narrow
+    // round-robin exchange of the DOC frame first (docs cross the wire
+    // once, ~1/450th of the shingle stream) sizes the post-explode write
+    // buffers to memory. Same 8× default as `occParts`.
+    val spark = df.sparkSession
+    val pDocs = if (docParts > 0) docParts
+      else spark.sessionState.conf.numShufflePartitions * 8
+    val sh = df.repartition(pDocs)
+      .select(col(idCol).cast("long").as("id"),
         posexplode(posShinglesUdf(col(textCol), lit(n)))
           .as(Seq("pos", "sh_text")))
       .select(col("id"), col("pos"), xxhash64(col("sh_text")).as("shingle"))
