@@ -55,9 +55,33 @@ object CurationDemo {
           contamMinHits: Int = 5, benchEvery: Int = 20,
           lshRows: Int = 2, lshMaxBucket: Int = 1000): String = {
     val t0 = System.nanoTime()
-    // stage marks go to stdout so a killed run is attributable to a stage
-    def mark(stage: String): Unit =
-      println(f"[curation] +${(System.nanoTime() - t0) / 1e9}%.0fs $stage")
+    // stage marks go to stdout so a killed run is attributable to a stage;
+    // each mark carries the spill/shuffle-write DELTA since the previous
+    // one (r9: the 2× headroom probe booked 48 GB of curation spill with
+    // no way to tell WHICH stage — per-stage deltas make regressions and
+    // probe findings attributable without re-instrumenting)
+    val spillB = new java.util.concurrent.atomic.AtomicLong
+    val shufB = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          shufB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    var lastSpill = 0L
+    var lastShuf = 0L
+    def mark(stage: String): Unit = {
+      val sp = spillB.get; val sh = shufB.get
+      println(f"[curation] +${(System.nanoTime() - t0) / 1e9}%.0fs $stage " +
+        f"(stage spill ${(sp - lastSpill) >> 20} MB, " +
+        f"shuffle ${(sh - lastShuf) >> 20} MB)")
+      lastSpill = sp; lastShuf = sh
+    }
 
     val docs = docsIn.cache()
     val n0 = docs.count()
@@ -196,6 +220,7 @@ object CurationDemo {
     }
 
     val kept = finalDf.count()
+    spark.sparkContext.removeSparkListener(listener)
     val secs = (System.nanoTime() - t0) / 1e9
     f"[curation] $n0 docs -> removed $nDrops docs " +
       f"($nExact exact-dup, $nNear near-dup-clustered, $nContam contaminated; " +
