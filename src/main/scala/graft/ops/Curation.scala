@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Flagged-id broadcast bound for [[decontaminationFlags]]'s pass-2
+    * semi gate (4M ids ≈ 32 MB as a broadcast hash relation) — same
+    * bound and rationale as the near-dup verify gate, SCALE.md
+    * finding 14/17. */
+  private final val MaxFlaggedIdBroadcast = 4L << 20
+
   /** Redact every match of `patterns` (name → regex) with `[NAME]` tokens —
     * a fold of `regexp_replace` over the pattern table (plan constants,
     * compiled once per task). Patterns in the `\b(?=.*\d)TOKEN\b` family
@@ -103,6 +109,19 @@ object Curation {
     *     tuned thresholds the flagged set is a sliver; if every doc flags,
     *     the thresholds are wrong for the corpus (see [[CurationDemo]]).
     *
+    * "Only for docs that pass minHits" needs the finding-14 gate to be
+    * true in the PLAN, not just the row counts: the flagged frame is
+    * materialized once (localCheckpoint — it is consumed three times
+    * below, and each un-checkpointed consumption re-ran the corpus-wide
+    * explode), and under the id-broadcast bound the pass-2 inverted index
+    * is LEFT-SEMI filtered MAP-SIDE inside the scan stage. Left as a
+    * bare semi-join, Catalyst planned a SortMergeJoin whose Sort
+    * externally sorted the full corpus inverted index — the 2× headroom
+    * probe booked 47.9 GB of spill (ALL of the curation phase's spill)
+    * in exactly that sort (SCALE.md finding 17). Oversized flag sets
+    * (> 4M ids ≈ 32 MB) keep the shuffle plan — a semi-join is a pure
+    * filter, so the row set is identical either way.
+    *
     * The benchmark side (eval suites — small by definition) is broadcast
     * in both passes; the corpus-side shuffles key on 8-byte ids/hashes
     * only. Output: (id, n_contaminated, n_bench_docs) per flagged doc. */
@@ -122,9 +141,14 @@ object Curation {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_contaminated"))
       .filter(col("n_contaminated") >= minHits)
+      .localCheckpoint()
+    val nFlagged = flagged.count()
 
-    val benchDocCounts = corpusInv
-      .join(flagged.select(col("id")), Seq("id"), "left_semi")
+    val gated =
+      if (nFlagged <= MaxFlaggedIdBroadcast)
+        corpusInv.join(broadcast(flagged.select(col("id"))), Seq("id"), "left_semi")
+      else corpusInv.join(flagged.select(col("id")), Seq("id"), "left_semi")
+    val benchDocCounts = gated
       .join(broadcast(benchInv.distinct()), Seq("h"))
       .select(col("id"), col("bench_id")).distinct()
       .groupBy(col("id")).agg(count(lit(1)).as("n_bench_docs"))
