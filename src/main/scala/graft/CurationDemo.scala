@@ -217,6 +217,7 @@ object CurationDemo {
         .select(col("shard"), col("e.name").as("name"), col("e.bytes").as("bytes"))
       graft.sink.TarShards.writeShards(samples, s"$dir/train_wds",
         "shard", "name", "bytes")
+      mark("parquet + tar shards written")
     }
 
     val kept = finalDf.count()

@@ -153,7 +153,12 @@ object Curation {
       .select(col("id"), col("bench_id")).distinct()
       .groupBy(col("id")).agg(count(lit(1)).as("n_bench_docs"))
 
-    flagged.join(benchDocCounts, Seq("id"))
+    // the verdict re-attach is flag-rate-bounded on BOTH sides — under
+    // the same gate, broadcast the checkpointed side so no sort appears
+    // anywhere in the plan (PlanAuditSpec pins SortMergeJoin-free)
+    val flaggedB =
+      if (nFlagged <= MaxFlaggedIdBroadcast) broadcast(flagged) else flagged
+    flaggedB.join(benchDocCounts, Seq("id"))
       .select(col("id"), col("n_contaminated"), col("n_bench_docs"))
   }
 

@@ -303,6 +303,15 @@ class PlanAuditSpec extends SparkSpec {
     // shingles travel as 8-byte xxhash64 keys; no exchange may carry text
     assert(!plan.contains("hashpartitioning(shingle"),
       s"raw shingle strings entered a shuffle in:\n$plan")
+    // finding 17: under the 4M-flagged-id bound the doc-pair leg's semi
+    // filter must be a BROADCAST join fused map-side into the scan stage —
+    // a bare semi-join planned as SortMergeJoin, whose Sort externally
+    // sorted the corpus inverted index (47.9 GB of spill at 1M docs, ALL
+    // of the curation phase's 2× spill). The final flagged⋈pair-count
+    // join runs on two flag-rate-bounded frames, so NO SortMergeJoin may
+    // appear anywhere in the decontamination plan
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-sized sort-merge join resurfaced in:\n$plan")
   }
 
   test("exact global ntile: corpus-side window is bucket-partitioned") {
