@@ -181,6 +181,7 @@ object CurationDemo {
       .cache()
     val perSplit = finalDf.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mark(s"quality/redact/profile/split done (${perSplit.values.sum} kept)")
 
     // 5b. temperature mixing on the train split: sqrt-quota per predicted
     //     language rebalances the head language before packing
@@ -188,7 +189,7 @@ object CurationDemo {
       finalDf.filter(col("split") === "train"), "doc_id", "lang_pred",
       scale = 10.0).cache()
     val nTrainMixed = train.count()
-    mark(s"redact/split/mix done ($nTrainMixed train)")
+    mark(s"train mix done ($nTrainMixed train)")
 
     // 6. sequence packing over the mixed train split (concat-and-chunk,
     //    per shard — the dataloader-facing layout)
