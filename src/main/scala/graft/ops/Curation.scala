@@ -193,51 +193,127 @@ object Curation {
     df.filter(stratifiedSampleCol(col(keyCol), col(stratumCol),
       ratesPerMille, defaultPerMille))
 
+  /** Frequent-shingle broadcast bound for [[boilerplateProfile]]: 8M
+    * 8-byte hashes ≈ 64 MB broadcast (the open-addressing probe table
+    * built from it is ≤ 2× that). Real corpora are head-of-zipf — the
+    * ≥minDf set is a small fraction of the distinct-shingle universe
+    * (504k-doc scale corpus: the whole universe's map-side partials are
+    * 135 MB) — but the bound is a guard, not an assumption: past it the
+    * join fallback below keeps the operator correct at any scale. */
+  private final val MaxFrequentShingleBroadcast = 8 << 20
+
   /** Corpus-frequent n-gram ("boilerplate") profile: per document, how many
     * of its distinct word `n`-grams occur in ≥ `minDf` documents — the
     * standard template/boilerplate-text signal (C4 and friends drop or
     * down-weight docs dominated by corpus-frequent spans).
     *
-    * Scale shape: per-shingle document frequency from a codegen COUNT
-    * aggregate whose map-side partials shuffle distinct shingles (never
-    * the ~1.2B-row stream), re-attached per row through one hash join.
-    * This deliberately replaced the count-over-window form: the window's
-    * partition SORT over the keyed stream is what OOM'd a 48 GB heap at
-    * 504k docs (UnsafeExternalSorter page allocation under 32 concurrent
-    * tasks); a collect_list fusion was worse still — ObjectHashAggregate
-    * object-sorts past its 128-key fallback (242 GB spill measured on the
-    * substring sibling). The join's build side holds one partition's
-    * distinct (shingle, flag) pairs; the explode evaluates twice (count
-    * pass + probe pass) — linear CPU, no sort. The shuffle key is an
-    * 8-byte xxhash64 of the shingle, never the shingle text (bounded key
-    * size however long the n-gram — exact-dedup discipline; the 500k-doc
-    * scale run switched this from a 32-hex md5 STRING after the ~1.2B-row
-    * df shuffle measured ~67 GB on disk — the long key is ~3× smaller,
-    * and a 64-bit collision merging two df counts is ~1e-4 probability
-    * at 1e8 distinct shingles, harmless for a ≥minDf threshold signal).
-    * The fraction is exact integer per-mille — no double division whose
-    * rounding an engine could disagree on. */
+    * Scale shape (SCALE.md finding 19): the ONLY corpus-sized exchange is
+    * the per-shingle document-frequency COUNT aggregate, whose map-side
+    * partials shuffle distinct shingles (135 MB at 504k docs), never the
+    * ~0.5B-row (id, shingle) stream. The ≥minDf ("frequent") set is then
+    * collected under [[MaxFrequentShingleBroadcast]] (single-job
+    * limit-guarded fetch, same idiom as the ANN codebook guards) into a
+    * driver-built open-addressing long set, broadcast, and each doc's
+    * verdict counts are computed NARROW — one fused tokenize+hash+probe
+    * kernel call per doc against the broadcast table, no join, no second
+    * exchange. Before this shape the verdict re-attach was a
+    * SHUFFLE_HASH join of the full (id, shingle) stream (a 4.6 GB
+    * exchange + 4.7 GB read + one BytesToBytesMap probe per occurrence +
+    * a corpus-wide groupBy(id)): same-host isolated A/B at 503,876 docs
+    * (`BoilerProbe`), bit-identical output, **70.6 → 26.6 s** with
+    * shuffle r/w 9.3 GB → 270 MB. Past the broadcast bound the old join
+    * shape runs unchanged as the fallback — correct at any scale, just
+    * not exchange-free. That join shape itself deliberately replaced the
+    * count-over-window form: the window's partition SORT over the keyed
+    * stream is what OOM'd a 48 GB heap at 504k docs, and a collect_list
+    * fusion was worse still (ObjectHashAggregate object-sorts past its
+    * 128-key fallback; 242 GB spill measured on the substring sibling).
+    *
+    * Shingles enter as 8-byte xxhash64 longs via the fused
+    * [[Dedup.hashedShingles]] kernel (tokenize → shingle → distinct →
+    * hash in one pass — distinct on the shingle TEXT, exactly the
+    * oracle's `list_distinct` semantics; shingle strings never become
+    * rows or array cells). Bounded key size however long the n-gram —
+    * exact-dedup discipline; a 64-bit collision merging two df counts is
+    * ~1e-4 probability at 1e8 distinct shingles, harmless for a ≥minDf
+    * threshold signal. The fraction is exact integer per-mille — no
+    * double division whose rounding an engine could disagree on. */
   def boilerplateProfile(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, minDf: Int = 5): DataFrame = {
-    val inv = df.select(col(idCol).cast("long").as("id"),
-      explode(array_distinct(transform(Dedup.shinglesCol(col(textCol), n),
-        s => xxhash64(s)))).as("shingle"))
-    // per-shingle df as a codegen COUNT aggregate (long buffer, map-side
-    // combine — shuffles distinct shingles, never the row stream), then
-    // one inner SHUFFLE_HASH join re-attaches the ≥minDf verdict per row
-    // (every shingle matches: freq is unfiltered). collect_list fusion is
-    // NOT usable here — ObjectHashAggregate object-sorts past its 128-key
-    // fallback (measured 242 GB spill on the substring sibling); the
-    // explode evaluates twice instead (count pass + probe pass), linear
-    // CPU with no sort and bounded memory
-    val freq = inv.groupBy("shingle")
+    val hashes = Dedup.shingleHashesCol(col(textCol), n)
+    val freq = df.select(explode(hashes).as("shingle"))
+      .groupBy("shingle")
       .agg((count(lit(1)) >= minDf).as("__b"))
-    inv.join(freq.hint("SHUFFLE_HASH"), Seq("shingle"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("__b"), 1L).otherwise(0L)).as("n_boiler"))
-      .withColumn("boiler_pm",
-        floor(lit(1000L) * col("n_boiler") / col("n_shingles")).cast("long"))
+    // single-job guarded fetch of the frequent set (bound + 1 rows max —
+    // driver memory stays bounded on any corpus)
+    val frequent = freq.filter(col("__b")).select(col("shingle"))
+      .limit(MaxFrequentShingleBroadcast + 1)
+      .collect().map(_.getLong(0))
+    if (frequent.length <= MaxFrequentShingleBroadcast) {
+      // open-addressing membership table, built once on the driver:
+      // power-of-2 capacity ≥ 2×n (load ≤ 0.5), fmix64 probe hash,
+      // 0 ⇔ empty slot with an explicit flag for a genuine 0L key
+      var cap = 4
+      while (cap < frequent.length * 2) cap <<= 1
+      val mask = cap - 1
+      val table = new Array[Long](cap)
+      var hasZero = false
+      frequent.foreach { k =>
+        if (k == 0L) hasZero = true
+        else {
+          var h = k ^ (k >>> 33)
+          h *= 0xff51afd7ed558ccdL
+          h ^= h >>> 29
+          var j = (h & mask).toInt
+          while (table(j) != 0L && table(j) != k) j = (j + 1) & mask
+          table(j) = k
+        }
+      }
+      val bcTable = df.sparkSession.sparkContext.broadcast(table)
+      val zeroIn = hasZero
+      val nLocal = n
+      // fused verdict kernel: ONE tokenize+hash pass per doc, membership
+      // probes against the broadcast table, both counts in one struct
+      val verdict = udf { (text: String) =>
+        val hs = Dedup.shingleHashes(text, nLocal)
+        val t = bcTable.value
+        val m = t.length - 1
+        var c = 0L
+        var i = 0
+        while (i < hs.length) {
+          val k = hs(i)
+          if (k == 0L) { if (zeroIn) c += 1L }
+          else {
+            var h = k ^ (k >>> 33)
+            h *= 0xff51afd7ed558ccdL
+            h ^= h >>> 29
+            var j = (h & m).toInt
+            while (t(j) != 0L && t(j) != k) j = (j + 1) & m
+            if (t(j) == k) c += 1L
+          }
+          i += 1
+        }
+        (hs.length.toLong, c)
+      }
+      df.select(col(idCol).cast("long").as("id"),
+          verdict(col(textCol)).as("__r"))
+        .select(col("id"),
+          col("__r._1").as("n_shingles"), col("__r._2").as("n_boiler"))
+        .withColumn("boiler_pm",
+          floor(lit(1000L) * col("n_boiler") / col("n_shingles")).cast("long"))
+    } else {
+      // fallback past the broadcast bound: the verdict re-attach join
+      // (full inv exchange — linear, no sort, bounded build maps; costs
+      // one extra freq-aggregate evaluation after the failed guard)
+      val inv = df.select(col(idCol).cast("long").as("id"),
+        explode(hashes).as("shingle"))
+      inv.join(freq.hint("SHUFFLE_HASH"), Seq("shingle"))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("__b"), 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_pm",
+          floor(lit(1000L) * col("n_boiler") / col("n_shingles")).cast("long"))
+    }
   }
 
   /** Unicode text-normalization kernel — see [[graft.expr.TextNorm]] for

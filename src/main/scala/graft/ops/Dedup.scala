@@ -100,6 +100,80 @@ object Dedup {
   def hashedShinglesCol(text: Column, n: Int = 3): Column =
     hashedShinglesUdf(text, lit(n))
 
+  /** Distinct shingle hashes with distinct-on-HASH semantics — the
+    * boilerplate chain's committed `array_distinct(transform(shinglesCol,
+    * xxhash64))` form (contrast [[hashedShingles]], whose distinct is on
+    * the shingle TEXT, the jaccard chain's form; the two differ only when
+    * two shingles of ONE doc collide in 64 bits, ~1.3e-14 per doc).
+    * Allocation-lean where both older chains were allocation-bound
+    * (SCALE.md finding 19): tokens are UTF-8-encoded ONCE, each shingle
+    * window is assembled into a reused byte buffer (token bytes joined by
+    * single spaces — exactly the UTF-8 bytes of the `shingles` string,
+    * since UTF-8 concatenates) and hashed IN PLACE with Spark's XXH64 at
+    * the `xxhash64` SQL function's seed 42; dedup is an open-addressed
+    * long set. No shingle String, slice, or UTF8String copy per window.
+    * First-occurrence order, like `array_distinct`. Bit-identity vs the
+    * legacy chain is property-spec-pinned (`ShingleHashesSpec`). */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val toks: Array[String] =
+      if (text == null) Array("")
+      else graft.expr.TokenKernel.shingleTokens(text)
+    val nWin = if (toks.length < n) 1 else toks.length - n + 1
+    val win = math.min(n, toks.length) // < n tokens → one whole-text shingle
+    // UTF-8 token bytes, encoded once
+    val tb = new Array[Array[Byte]](toks.length)
+    var maxLen = 0
+    var i = 0
+    while (i < toks.length) {
+      tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (tb(i).length > maxLen) maxLen = tb(i).length
+      i += 1
+    }
+    val buf = new Array[Byte](math.max(1, win * (maxLen + 1)))
+    // per-doc open-addressed long set (0 ⇔ empty slot + explicit 0L flag)
+    var cap = 4
+    while (cap < nWin * 2) cap <<= 1
+    val mask = cap - 1
+    val set = new Array[Long](cap)
+    var hasZero = false
+    val out = new Array[Long](nWin)
+    var k = 0
+    var w = 0
+    while (w < nWin) {
+      var len = 0
+      var j = 0
+      while (j < win) {
+        if (j > 0) { buf(len) = ' '; len += 1 }
+        val b = tb(w + j)
+        System.arraycopy(b, 0, buf, len, b.length)
+        len += b.length
+        j += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      val fresh =
+        if (h == 0L) { val f = !hasZero; hasZero = true; f }
+        else {
+          var hh = h ^ (h >>> 33)
+          hh *= 0xff51afd7ed558ccdL
+          hh ^= hh >>> 29
+          var s = (hh & mask).toInt
+          while (set(s) != 0L && set(s) != h) s = (s + 1) & mask
+          val f = set(s) != h
+          set(s) = h
+          f
+        }
+      if (fresh) { out(k) = h; k += 1 }
+      w += 1
+    }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  private val shingleHashesUdf = udf(shingleHashes _)
+
+  def shingleHashesCol(text: Column, n: Int = 3): Column =
+    shingleHashesUdf(text, lit(n))
+
   /** Blocked fuzzy-match pairs (entity resolution): records sharing a
     * blocking key are pairwise compared by Levenshtein edit distance;
     * pairs at or under `maxDist` survive. The blocking key turns the
