@@ -128,13 +128,14 @@ object Curation {
   def decontaminationFlags(corpus: DataFrame, benchmark: DataFrame,
                            idCol: String, textCol: String, n: Int = 3,
                            minHits: Int = 1): DataFrame = {
+    // the fused byte-level kernel is bit-identical to the previous
+    // explode(array_distinct(shinglesCol)) + xxhash64 chain (OpsSpec's
+    // real-corpus identity pin) and skips the per-window String build
     val corpusInv = corpus.select(col(idCol).cast("long").as("id"),
-      explode(array_distinct(Dedup.shinglesCol(col(textCol), n))).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
+      explode(Dedup.hashedShinglesCol(col(textCol), n)).as("h"))
     val benchInv = benchmark.select(
       col(idCol).cast("long").as("bench_id"),
-      explode(array_distinct(Dedup.shinglesCol(col(textCol), n))).as("shingle"))
-      .select(col("bench_id"), xxhash64(col("shingle")).as("h"))
+      explode(Dedup.hashedShinglesCol(col(textCol), n)).as("h"))
 
     val flagged = corpusInv
       .join(broadcast(benchInv.select(col("h")).distinct()), Seq("h"), "left_semi")

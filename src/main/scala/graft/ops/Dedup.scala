@@ -75,22 +75,83 @@ object Dedup {
     * xxhash64, emitting 8-byte hashes so the shingle STRINGS never become
     * rows (`explode(array_distinct(shinglesCol))` + `xxhash64` paid a
     * string copy and a per-occurrence hash eval per exploded row).
-    * Bit-identical to that chain: same [[shingles]] kernel, distinct on
-    * the TEXT (a 64-bit collision must yield the hash twice, exactly as
-    * the exploded form would), and Spark's own `XxHash64Function` with
-    * the SQL function's default seed 42. */
+    * Bit-identical to that chain: distinct on the TEXT (a 64-bit
+    * collision of two different shingles must yield the hash twice,
+    * exactly as the exploded form would — hash-hit entries are
+    * byte-compared against an arena of the distinct shingles seen), and
+    * the same hash value as the `xxhash64` SQL function (XXH64 over the
+    * shingle's UTF-8 bytes, seed 42). Byte-level like [[shingleHashes]]
+    * and [[bandKeys]] (SCALE.md finding 19): tokens are UTF-8-encoded
+    * once and windows assembled into a reused buffer — the previous body
+    * built every window as a slice+mkString String, deduped through
+    * `HashSet[String]`, and re-copied each survivor into a `UTF8String`
+    * to hash. Pinned by OpsSpec's real-corpus identity test +
+    * ShingleHashesSpec's sibling random-unicode battery. */
   def hashedShingles(text: String, n: Int): Array[Long] = {
-    val sh = shingles(text, n)
-    val seen = new java.util.HashSet[String](sh.length * 2)
-    val out = new Array[Long](sh.length)
+    val toks: Array[String] =
+      if (text == null) Array.empty
+      else graft.expr.TokenKernel.shingleTokens(text)
+    val nWin = if (toks.length < n) 1 else toks.length - n + 1
+    val win = math.min(n, toks.length)
+    val tb = new Array[Array[Byte]](toks.length)
+    var maxLen = 0
+    var i = 0
+    while (i < toks.length) {
+      tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (tb(i).length > maxLen) maxLen = tb(i).length
+      i += 1
+    }
+    val buf = new Array[Byte](math.max(1, win * (maxLen + 1)))
+    var cap = 4
+    while (cap < nWin * 2) cap <<= 1
+    val mask = cap - 1
+    val slots = new Array[Int](cap)
+    java.util.Arrays.fill(slots, -1)
+    val eHash = new Array[Long](nWin)
+    val eOff = new Array[Int](nWin)
+    val eLen = new Array[Int](nWin)
+    var arena = new Array[Byte](math.max(64, math.min(nWin * 16, 1 << 14)))
+    var arenaLen = 0
+    val out = new Array[Long](nWin)
     var k = 0
-    sh.foreach { s =>
-      if (seen.add(s)) {
-        out(k) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s),
-            org.apache.spark.sql.types.StringType, 42L)
+    var w = 0
+    while (w < nWin) {
+      var len = 0
+      var j = 0
+      while (j < win) {
+        if (j > 0) { buf(len) = ' '; len += 1 }
+        val b = tb(w + j)
+        System.arraycopy(b, 0, buf, len, b.length)
+        len += b.length
+        j += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      var hh = h ^ (h >>> 33)
+      hh *= 0xff51afd7ed558ccdL
+      hh ^= hh >>> 29
+      var s = (hh & mask).toInt
+      var dup = false
+      while (!dup && slots(s) != -1) {
+        val e = slots(s)
+        if (eHash(e) == h && eLen(e) == len &&
+          java.util.Arrays.equals(
+            arena, eOff(e), eOff(e) + len, buf, 0, len)) dup = true
+        else s = (s + 1) & mask
+      }
+      if (!dup) {
+        if (arenaLen + len > arena.length) {
+          arena = java.util.Arrays.copyOf(arena,
+            math.max(arena.length * 2, arenaLen + len))
+        }
+        System.arraycopy(buf, 0, arena, arenaLen, len)
+        eHash(k) = h; eOff(k) = arenaLen; eLen(k) = len
+        arenaLen += len
+        slots(s) = k
+        out(k) = h
         k += 1
       }
+      w += 1
     }
     if (k == out.length) out else java.util.Arrays.copyOf(out, k)
   }

@@ -64,4 +64,35 @@ class ShingleHashesSpec extends AnyFunSuite {
     assert(Dedup.shingleHashes(t, 2).length == 2)
     assert(java.util.Arrays.equals(Dedup.shingleHashes(t, 2), legacy(t, 2)))
   }
+
+  /** The pre-r9 string form of [[Dedup.hashedShingles]], verbatim —
+    * distinct on the shingle TEXT through HashSet[String]. */
+  private def legacyHashed(text: String, n: Int): Array[Long] = {
+    val sh = Dedup.shingles(text, n)
+    val seen = new java.util.HashSet[String](sh.length * 2)
+    val out = new Array[Long](sh.length)
+    var k = 0
+    sh.foreach { s =>
+      if (seen.add(s)) {
+        out(k) = XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+        k += 1
+      }
+    }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  test("hashedShingles (distinct-on-text twin): bit-identical to the " +
+    "legacy HashSet[String] form on 40k random texts, n in 1..5") {
+    for (i <- 0 until 40000) {
+      val t = randText()
+      val n = 1 + rnd.nextInt(5)
+      assert(java.util.Arrays.equals(
+        Dedup.hashedShingles(t, n), legacyHashed(t, n)),
+        s"mismatch on n=$n text=${t.map(_.toInt).mkString(",")} (case $i)")
+    }
+    for (n <- 1 to 4; t <- Seq(null, "", "   ", "one", "a b a b a b")) {
+      assert(java.util.Arrays.equals(
+        Dedup.hashedShingles(t, n), legacyHashed(t, n)), s"n=$n t=$t")
+    }
+  }
 }
