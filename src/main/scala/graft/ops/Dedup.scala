@@ -508,9 +508,10 @@ object Dedup {
     val pairs = minhashPairs(df, idCol, textCol, n, bands, rows, maxBucket)
       .localCheckpoint()
     val nPairs = pairs.count()
+    // fused byte-level kernel — bit-identical to the previous
+    // explode(array_distinct(shinglesCol)) + xxhash64 chain (OpsSpec pin)
     val hs0 = df.select(col(idCol).cast("long").as("id"),
-        explode(array_distinct(shinglesCol(col(textCol), n))).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
+      explode(hashedShinglesCol(col(textCol), n)).as("h"))
     val hs = if (nPairs * 2 <= MaxVerifyIdBroadcast) {
       val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       hs0.join(broadcast(ids), Seq("id"), "left_semi")
