@@ -30,6 +30,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * ~400× on the measured corpus. Equality with the regex twins is
   * property-pinned in TokenizeSpec (ASCII + Unicode edge cases).
   */
+/** Shingle tokens as UTF-8 bytes over ONE PRE-SPACED arena — see
+  * [[TokenKernel.shingleTokenBytes]]. `bytes[0 until used)` holds the
+  * tokens joined by single spaces (exactly `tokens.mkString(" ")`), so
+  * ANY n-token shingle window is a CONTIGUOUS slice: window w spans
+  * `bytes[starts(w) until starts(w + win) - 1)` under the sentinel
+  * convention `starts(count) = used + 1` (a virtual next token after a
+  * virtual space). `starts` carries `count + 1` entries. */
+final class TokenBytes(val bytes: Array[Byte], val starts: Array[Int],
+                       val count: Int, val used: Int)
+
+object TokenBytes {
+  val Empty = new TokenBytes(Array.emptyByteArray, Array(1), 0, 0)
+}
+
 object TokenKernel {
 
   @inline private def isTokenChar(c: Char, apostrophe: Boolean): Boolean =
@@ -79,6 +93,63 @@ object TokenKernel {
   def shingleTokens(text: String): Array[String] =
     if (text == null) Array.empty
     else runs(text.toLowerCase(java.util.Locale.ROOT), apostrophe = false)
+
+  /** Shingle tokens as UTF-8 bytes + offsets over one arena — token i is
+    * `bytes[starts(i) until starts(i+1))`, `starts` has `count + 1`
+    * entries. Tokens of the shingle class are ALWAYS pure `[a-z0-9]`
+    * (any other char, including every non-ASCII char, is a separator),
+    * so a token's UTF-8 bytes are exactly its chars; and on pure-ASCII
+    * input ROOT `toLowerCase` is exactly the per-char A-Z map (ASCII has
+    * no contextual or multi-char lowercase mappings), so the whole
+    * tokenize pipeline collapses to ONE scan with no String, no
+    * full-text lowercase copy, and no per-token allocation. Non-ASCII
+    * input falls back to a full-string `toLowerCase` first — REQUIRED
+    * for exactness, because Unicode lowercasing can surface new token
+    * chars (İ → i + combining dot, K (Kelvin) → k) — and then the same
+    * offsets scan runs over the lowered string. Equality with
+    * [[shingleTokens]] is property-pinned (`TokenizeSpec`). */
+  def shingleTokenBytes(text: String): TokenBytes = {
+    if (text == null) return TokenBytes.Empty
+    var ascii = true
+    var i = 0
+    val n0 = text.length
+    while (ascii && i < n0) {
+      if (text.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    val s = if (ascii) text else text.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    // arena bound: Σ tokLen + (count-1) spaces ≤ n (tokens are separated
+    // by ≥ 1 non-token char in the source string)
+    val bytes = new Array[Byte](n)
+    var starts = new Array[Int](16)
+    var count = 0
+    var used = 0
+    var inTok = false
+    i = 0
+    while (i < n) {
+      val c0 = s.charAt(i)
+      // the lowered string has no A-Z; the ASCII path maps them inline
+      val c = if (ascii && c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (!inTok) {
+          if (count > 0) { bytes(used) = ' '; used += 1 }
+          if (count + 1 >= starts.length)
+            starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+          starts(count) = used
+          count += 1
+          inTok = true
+        }
+        bytes(used) = c.toByte
+        used += 1
+      } else inTok = false
+      i += 1
+    }
+    if (count + 1 > starts.length)
+      starts = java.util.Arrays.copyOf(starts, count + 1)
+    starts(count) = used + 1 // sentinel: virtual next token after a space
+    new TokenBytes(bytes, starts, count, used)
+  }
 
   @inline private def isJavaSpace(c: Char): Boolean = // regex \s, ASCII-only
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'

@@ -81,27 +81,20 @@ object Dedup {
     * byte-compared against an arena of the distinct shingles seen), and
     * the same hash value as the `xxhash64` SQL function (XXH64 over the
     * shingle's UTF-8 bytes, seed 42). Byte-level like [[shingleHashes]]
-    * and [[bandKeys]] (SCALE.md finding 19): tokens are UTF-8-encoded
-    * once and windows assembled into a reused buffer — the previous body
-    * built every window as a slice+mkString String, deduped through
-    * `HashSet[String]`, and re-copied each survivor into a `UTF8String`
-    * to hash. Pinned by OpsSpec's real-corpus identity test +
-    * ShingleHashesSpec's sibling random-unicode battery. */
+    * and [[bandKeys]] (SCALE.md finding 19): one tokenize scan emits a
+    * pre-spaced byte arena ([[graft.expr.TokenBytes]]), every window is
+    * a CONTIGUOUS arena slice hashed/compared in place — zero copies per
+    * window. The original body built every window as a slice+mkString
+    * String, deduped through `HashSet[String]`, and re-copied each
+    * survivor into a `UTF8String` to hash (5.16 → 2.86 s/30k docs
+    * single-thread across the two r9 rewrites). Pinned by OpsSpec's
+    * real-corpus identity test + ShingleHashesSpec's sibling
+    * random-unicode battery. */
   def hashedShingles(text: String, n: Int): Array[Long] = {
-    val toks: Array[String] =
-      if (text == null) Array.empty
-      else graft.expr.TokenKernel.shingleTokens(text)
-    val nWin = if (toks.length < n) 1 else toks.length - n + 1
-    val win = math.min(n, toks.length)
-    val tb = new Array[Array[Byte]](toks.length)
-    var maxLen = 0
-    var i = 0
-    while (i < toks.length) {
-      tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      if (tb(i).length > maxLen) maxLen = tb(i).length
-      i += 1
-    }
-    val buf = new Array[Byte](math.max(1, win * (maxLen + 1)))
+    val tk = graft.expr.TokenKernel.shingleTokenBytes(text)
+    val count = tk.count
+    val nWin = if (count < n) 1 else count - n + 1
+    val win = math.min(n, count)
     var cap = 4
     while (cap < nWin * 2) cap <<= 1
     val mask = cap - 1
@@ -110,23 +103,16 @@ object Dedup {
     val eHash = new Array[Long](nWin)
     val eOff = new Array[Int](nWin)
     val eLen = new Array[Int](nWin)
-    var arena = new Array[Byte](math.max(64, math.min(nWin * 16, 1 << 14)))
-    var arenaLen = 0
     val out = new Array[Long](nWin)
     var k = 0
     var w = 0
     while (w < nWin) {
-      var len = 0
-      var j = 0
-      while (j < win) {
-        if (j > 0) { buf(len) = ' '; len += 1 }
-        val b = tb(w + j)
-        System.arraycopy(b, 0, buf, len, b.length)
-        len += b.length
-        j += 1
-      }
+      // window w is a contiguous pre-spaced arena slice (TokenBytes)
+      val p0 = if (win == 0) 0 else tk.starts(w)
+      val len = if (win == 0) 0 else tk.starts(w + win) - 1 - p0
       val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+        tk.bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + p0,
+        len, 42L)
       var hh = h ^ (h >>> 33)
       hh *= 0xff51afd7ed558ccdL
       hh ^= hh >>> 29
@@ -134,19 +120,16 @@ object Dedup {
       var dup = false
       while (!dup && slots(s) != -1) {
         val e = slots(s)
+        // distinct-on-TEXT: equal-hash entries byte-compare, both sides
+        // slices of the same arena
         if (eHash(e) == h && eLen(e) == len &&
           java.util.Arrays.equals(
-            arena, eOff(e), eOff(e) + len, buf, 0, len)) dup = true
+            tk.bytes, eOff(e), eOff(e) + len, tk.bytes, p0, p0 + len))
+          dup = true
         else s = (s + 1) & mask
       }
       if (!dup) {
-        if (arenaLen + len > arena.length) {
-          arena = java.util.Arrays.copyOf(arena,
-            math.max(arena.length * 2, arenaLen + len))
-        }
-        System.arraycopy(buf, 0, arena, arenaLen, len)
-        eHash(k) = h; eOff(k) = arenaLen; eLen(k) = len
-        arenaLen += len
+        eHash(k) = h; eOff(k) = p0; eLen(k) = len
         slots(s) = k
         out(k) = h
         k += 1
@@ -167,30 +150,20 @@ object Dedup {
     * the shingle TEXT, the jaccard chain's form; the two differ only when
     * two shingles of ONE doc collide in 64 bits, ~1.3e-14 per doc).
     * Allocation-lean where both older chains were allocation-bound
-    * (SCALE.md finding 19): tokens are UTF-8-encoded ONCE, each shingle
-    * window is assembled into a reused byte buffer (token bytes joined by
-    * single spaces — exactly the UTF-8 bytes of the `shingles` string,
-    * since UTF-8 concatenates) and hashed IN PLACE with Spark's XXH64 at
-    * the `xxhash64` SQL function's seed 42; dedup is an open-addressed
-    * long set. No shingle String, slice, or UTF8String copy per window.
+    * (SCALE.md finding 19): one tokenize scan emits a pre-spaced byte
+    * arena ([[graft.expr.TokenBytes]] — token bytes joined by single
+    * spaces, exactly the UTF-8 bytes of the `shingles` strings, since
+    * UTF-8 concatenates), every window is a CONTIGUOUS arena slice
+    * hashed IN PLACE with Spark's XXH64 at the `xxhash64` SQL function's
+    * seed 42; dedup is an open-addressed long set. No shingle String,
+    * slice, or UTF8String copy per window.
     * First-occurrence order, like `array_distinct`. Bit-identity vs the
     * legacy chain is property-spec-pinned (`ShingleHashesSpec`). */
   def shingleHashes(text: String, n: Int): Array[Long] = {
-    val toks: Array[String] =
-      if (text == null) Array("")
-      else graft.expr.TokenKernel.shingleTokens(text)
-    val nWin = if (toks.length < n) 1 else toks.length - n + 1
-    val win = math.min(n, toks.length) // < n tokens → one whole-text shingle
-    // UTF-8 token bytes, encoded once
-    val tb = new Array[Array[Byte]](toks.length)
-    var maxLen = 0
-    var i = 0
-    while (i < toks.length) {
-      tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      if (tb(i).length > maxLen) maxLen = tb(i).length
-      i += 1
-    }
-    val buf = new Array[Byte](math.max(1, win * (maxLen + 1)))
+    val tk = graft.expr.TokenKernel.shingleTokenBytes(text)
+    val count = tk.count
+    val nWin = if (count < n) 1 else count - n + 1
+    val win = math.min(n, count) // < n tokens → one whole-text shingle
     // per-doc open-addressed long set (0 ⇔ empty slot + explicit 0L flag)
     var cap = 4
     while (cap < nWin * 2) cap <<= 1
@@ -201,17 +174,12 @@ object Dedup {
     var k = 0
     var w = 0
     while (w < nWin) {
-      var len = 0
-      var j = 0
-      while (j < win) {
-        if (j > 0) { buf(len) = ' '; len += 1 }
-        val b = tb(w + j)
-        System.arraycopy(b, 0, buf, len, b.length)
-        len += b.length
-        j += 1
-      }
+      // window w is a contiguous pre-spaced arena slice (TokenBytes)
+      val p0 = if (win == 0) 0 else tk.starts(w)
+      val len = if (win == 0) 0 else tk.starts(w + win) - 1 - p0
       val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+        tk.bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + p0,
+        len, 42L)
       val fresh =
         if (h == 0L) { val f = !hasZero; hasZero = true; f }
         else {
@@ -305,47 +273,34 @@ object Dedup {
     * |1 = h2, (h1 + j·h2) mod 2³²), so the DuckDB oracle and the
     * exploded twin reproduce it exactly. */
   def bandKeys(text: String, n: Int, bands: Int, rows: Int): Seq[String] = {
-    // byte-level window assembly (SCALE.md finding 19's recipe): the md5
+    // byte-level window digestion (SCALE.md finding 19's recipe): the md5
     // input is the shingle string's UTF-8 bytes, and UTF-8 concatenates —
-    // so tokens are encoded once and each window is assembled into a
-    // reused buffer, digesting the EXACT bytes `shingles(text,n).map(
-    // _.getBytes("UTF-8"))` would produce, with no slice/mkString/String
-    // per window (jstack at 504k docs put over half this kernel's CPU in
-    // that string building). Duplicate shingles need no dedup here: the
-    // running min is idempotent. Bit-identity vs the string form is
-    // pinned by BandKeysBytesSpec (20k random + edge cases), the exploded
-    // twin, and a 20k-real-doc × {3,5,8}-gram sweep over the 504k scale
-    // corpus (zero mismatches). Interleaved single-thread microbench on
-    // 30k real corpus docs × 3 reps: 53.63 → 30.81 s (1.74×).
-    val toks: Array[String] =
-      if (text == null) Array.empty
-      else graft.expr.TokenKernel.shingleTokens(text)
-    val nWin = if (toks.length < n) 1 else toks.length - n + 1
-    val win = math.min(n, toks.length)
-    val tb = new Array[Array[Byte]](toks.length)
-    var maxLen = 0
-    var i = 0
-    while (i < toks.length) {
-      tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      if (tb(i).length > maxLen) maxLen = tb(i).length
-      i += 1
-    }
-    val buf = new Array[Byte](math.max(1, win * (maxLen + 1)))
+    // one tokenize scan emits a pre-spaced byte arena (TokenBytes) and
+    // each window digests a CONTIGUOUS arena slice, the EXACT bytes
+    // `shingles(text,n).map(_.getBytes("UTF-8"))` would produce, with no
+    // slice/mkString/String/copy per window (jstack at 504k docs put over
+    // half this kernel's CPU in that string building). Duplicate shingles
+    // need no dedup here: the running min is idempotent. Bit-identity vs
+    // the string form is pinned by BandKeysBytesSpec (20k random + edge
+    // cases), the exploded twin, and a 20k-real-doc × {3,5,8}-gram sweep
+    // over the 504k scale corpus (zero mismatches). Interleaved
+    // single-thread microbenches across the two r9 rewrites:
+    // 53.63 → 30.81 s/90k docs (strings → per-token bytes), then
+    // 9.88 → 8.06 s/30k docs (per-token bytes → arena slices; md5 is now
+    // the kernel's floor).
+    val tk = graft.expr.TokenKernel.shingleTokenBytes(text)
+    val count = tk.count
+    val nWin = if (count < n) 1 else count - n + 1
+    val win = math.min(n, count)
     val sigs = Array.fill(bands * rows)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
     var w = 0
     while (w < nWin) {
-      var len = 0
-      var j = 0
-      while (j < win) {
-        if (j > 0) { buf(len) = ' '; len += 1 }
-        val b = tb(w + j)
-        System.arraycopy(b, 0, buf, len, b.length)
-        len += b.length
-        j += 1
-      }
+      // window w is a contiguous pre-spaced arena slice (TokenBytes)
+      val p0 = if (win == 0) 0 else tk.starts(w)
+      val len = if (win == 0) 0 else tk.starts(w + win) - 1 - p0
       md.reset()
-      md.update(buf, 0, len)
+      md.update(tk.bytes, p0, len)
       val d = md.digest()
       val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)

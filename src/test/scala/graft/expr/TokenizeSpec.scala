@@ -64,6 +64,41 @@ class TokenizeSpec extends SparkSpec {
     }
   }
 
+  /** Decode a [[TokenBytes]] arena back to tokens via the offsets. */
+  private def decodeTokenBytes(tk: TokenBytes): Seq[String] =
+    (0 until tk.count).map { i =>
+      val end = tk.starts(i + 1) - 1 // sentinel convention
+      new String(tk.bytes, tk.starts(i), end - tk.starts(i),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+  test("shingleTokenBytes: arena+offsets decode to exactly shingleTokens, " +
+    "arena is the mkString(\" \") bytes (property incl. unicode)") {
+    val rnd = new scala.util.Random(20260815L)
+    def randChar(): Char = rnd.nextInt(9) match {
+      case 0 | 1 | 2 | 3 => ('a' + rnd.nextInt(26)).toChar
+      case 4 => ('0' + rnd.nextInt(10)).toChar
+      case 5 => (' ' + rnd.nextInt(95)).toChar
+      case 6 => "\t\n\f\rÉüİK".charAt(rnd.nextInt(8)) // incl. İ and Kelvin K
+      case _ =>
+        var c = rnd.nextInt(0xFFFF).toChar
+        while (c >= 0xD800 && c <= 0xDFFF) c = rnd.nextInt(0xFFFF).toChar
+        c
+    }
+    (edgeCases ++ (1 to 2000).map(_ =>
+      new String(Array.fill(rnd.nextInt(120))(randChar())))).foreach { s =>
+      val tk = TokenKernel.shingleTokenBytes(s)
+      val expect = TokenKernel.shingleTokens(s).toSeq
+      assert(decodeTokenBytes(tk) === expect, s"input: [$s]")
+      assert(new String(tk.bytes, 0, tk.used,
+        java.nio.charset.StandardCharsets.UTF_8) === expect.mkString(" "),
+        s"arena mismatch on [$s]")
+      assert(tk.starts(tk.count) == tk.used + 1)
+    }
+    val e = TokenKernel.shingleTokenBytes(null)
+    assert(e.count == 0 && e.used == 0)
+  }
+
   test("native expressions equal the Column regex forms on real docs") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
