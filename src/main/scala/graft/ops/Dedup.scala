@@ -686,6 +686,35 @@ object Dedup {
   private val shingleToksUdf =
     udf((text: String) => graft.expr.TokenKernel.shingleTokens(text).toSeq)
 
+  /** Positional shingle HASHES — hash i is exactly
+    * `xxhash64(posShingles(text, n)(i))` (XXH64 over the shingle's UTF-8
+    * bytes, seed 42), with [[posShingles]]' semantics: no dedup, no
+    * whole-text collapse, empty below `n` tokens. The fused byte-level
+    * form (SCALE.md finding 19): windows are contiguous slices of the
+    * pre-spaced [[graft.expr.TokenBytes]] arena, hashed in place — the
+    * substring pipeline previously materialized ~724M shingle STRINGS
+    * per corpus pass through the posShingles UDF before the `xxhash64`
+    * expression could hash them. Identity pinned in SubstringDedupSpec. */
+  def posShingleHashes(text: String, n: Int): Array[Long] = {
+    val tk = graft.expr.TokenKernel.shingleTokenBytes(text)
+    val count = tk.count
+    if (count < n) return Array.emptyLongArray
+    val nWin = count - n + 1
+    val out = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      val p0 = tk.starts(w)
+      val len = tk.starts(w + n) - 1 - p0
+      out(w) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        tk.bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + p0,
+        len, 42L)
+      w += 1
+    }
+    out
+  }
+
+  private val posShingleHashesUdf = udf(posShingleHashes _)
+
   /** Substring-level exact dedup, detection half (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499 — the span-granular op document-level dedup misses:
@@ -727,9 +756,8 @@ object Dedup {
       else spark.sessionState.conf.numShufflePartitions * 8
     val sh = df.repartition(pDocs)
       .select(col(idCol).cast("long").as("id"),
-        posexplode(posShinglesUdf(col(textCol), lit(n)))
-          .as(Seq("pos", "sh_text")))
-      .select(col("id"), col("pos"), xxhash64(col("sh_text")).as("shingle"))
+        posexplode(posShingleHashesUdf(col(textCol), lit(n)))
+          .as(Seq("pos", "shingle")))
     // occurrence filter: the sort-FREE hash shape ([[
     // coveredPositionsHash]]) — r7's fourth entrant in the 504k-doc /
     // 724M-position head-to-head (r6 sweep: count-over-window won with

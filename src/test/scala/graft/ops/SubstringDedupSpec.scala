@@ -130,6 +130,27 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out === Seq((1L, 5L, 0L, emptyMd5), (2L, 5L, 0L, emptyMd5)))
   }
 
+  test("posShingleHashes == xxhash64 of every posShingles string " +
+    "(property, incl. unicode + real corpus sample)") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def legacy(t: String, n: Int): Array[Long] =
+      Dedup.posShingles(t, n).map(s =>
+        XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L))
+        .toArray
+    val rnd = new scala.util.Random(20260815L)
+    val alphabets = Seq("abc d  e", "a😀é üİK x1 ,.", "words and 42 numbers!")
+    val texts = Seq(null, "", "   ", "one two") ++ (1 to 5000).map { _ =>
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      new String(Array.fill(rnd.nextInt(150))(a.charAt(rnd.nextInt(a.length))))
+    } ++ corpus.select("text").limit(300).collect().map(_.getString(0))
+    for (t <- texts; n <- Seq(2, 10)) {
+      assert(java.util.Arrays.equals(Dedup.posShingleHashes(t, n), legacy(t, n)),
+        s"mismatch n=$n on [${if (t == null) "null" else t.take(60)}]")
+    }
+  }
+
   test("posShingles: no whole-text collapse below n tokens") {
     assert(Dedup.posShingles("one two three", 5) === Seq.empty)
     assert(Dedup.posShingles("one two three", 3) === Seq("one two three"))
