@@ -1011,17 +1011,24 @@ object Dedup {
     * here) — kept as the arithmetic proof, not the serving path. */
   def simhashCode(text: String, bits: Int): Long = {
     if (text == null) return 0L
-    val toks = graft.expr.TokenKernel.shingleTokens(text)
+    // tokens digest straight from the TokenBytes arena (finding 19's
+    // zero-copy recipe at token granularity — same md5 input bytes)
+    val tk = graft.expr.TokenKernel.shingleTokenBytes(text)
     val acc = new Array[Int](bits)
     val md = java.security.MessageDigest.getInstance("MD5")
-    toks.foreach { t =>
+    var i = 0
+    while (i < tk.count) {
+      val p0 = tk.starts(i)
+      val len = tk.starts(i + 1) - 1 - p0
       md.reset()
-      val d = md.digest(t.getBytes("UTF-8"))
+      md.update(tk.bytes, p0, len)
+      val d = md.digest()
       var p = 0
       while (p < bits) {
         acc(p) += (((d(p >> 3) >> (7 - (p & 7))) & 1) * 2 - 1)
         p += 1
       }
+      i += 1
     }
     var code = 0L
     var p = 0
