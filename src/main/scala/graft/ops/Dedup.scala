@@ -628,7 +628,9 @@ object Dedup {
     // trade the decontamination and boilerplate paths document
     val inv = df.select(col(idCol).cast("long").as("id"),
       explode(hashedShinglesCol(col(textCol), n)).as("shingle"))
-    // r9 shape (q19 3.50→2.2 s median, same fusion as q18's bandKeys):
+    // r9 shape (q19 3.50→3.28 s same-host median-of-5, same fusion as
+    // q18's bandKeys; committed artifacts read 3.09–3.63 across host
+    // windows, ≤ the r6 4.52 target in every window):
     // the df cap is FUSED into the collapse aggregate ([[BoundedCollect]]
     // — a bucket finishes null the moment it passes maxBucket, which IS
     // the df filter, exact same > boundary as the former capBuckets), so
