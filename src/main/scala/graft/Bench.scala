@@ -80,8 +80,12 @@ object Bench {
     // Reps run ROUND-ROBIN across queries (all rep-1 first, then rep-2, …),
     // not back-to-back per query: the r8 artifact hit the budget on its last
     // query and only the TAIL lost reps, making tail queries systematically
-    // the noisiest. Now a budget hit costs every not-yet-repeated query one
-    // rep equally, and rep-1 is always complete for every query.
+    // the noisiest. A budget hit now costs AT MOST ONE rep of skew: the
+    // check is per (rep, query), so queries before the trip point in the
+    // ordering keep that round's rep while later ones lose it — bounded
+    // bias, accepted over a per-round check because an all-or-nothing
+    // round could overshoot the wall by a full ~2-minute round right at
+    // the budget edge. rep-1 is always complete for every query.
     val ordered = selected.toSeq
     val times = scala.collection.mutable.LinkedHashMap(
       ordered.map { case (name, _) => name -> List.newBuilder[Double] }: _*)

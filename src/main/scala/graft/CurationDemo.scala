@@ -59,7 +59,11 @@ object CurationDemo {
     // each mark carries the spill/shuffle-write DELTA since the previous
     // one (r9: the 2× headroom probe booked 48 GB of curation spill with
     // no way to tell WHICH stage — per-stage deltas make regressions and
-    // probe findings attributable without re-instrumenting)
+    // probe findings attributable without re-instrumenting).
+    // BEST-EFFORT attribution: stage-completed events arrive on the async
+    // listener bus, so a stage finishing right at a mark can have its bytes
+    // booked under the NEXT mark's delta. Fine for this diagnostic stdout —
+    // the phase TOTALS (what SCALE_REPORT records) are unaffected.
     val spillB = new java.util.concurrent.atomic.AtomicLong
     val shufB = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -73,6 +77,10 @@ object CurationDemo {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // the listener must not outlive this run even when a stage throws —
+    // leaked onto the shared SparkContext it would keep accumulating into
+    // every later query in the session (ADVICE r9); hence try/finally
+    try {
     var lastSpill = 0L
     var lastShuf = 0L
     def mark(stage: String): Unit = {
@@ -222,7 +230,6 @@ object CurationDemo {
     }
 
     val kept = finalDf.count()
-    spark.sparkContext.removeSparkListener(listener)
     val secs = (System.nanoTime() - t0) / 1e9
     f"[curation] $n0 docs -> removed $nDrops docs " +
       f"($nExact exact-dup, $nNear near-dup-clustered, $nContam contaminated; " +
@@ -234,5 +241,6 @@ object CurationDemo {
       f"(${boilerStats.getLong(1)} fully-templated); " +
       f"train mixed to $nTrainMixed docs, packed into $nSeqs 512-token sequences " +
       f"in $secs%.1f s"
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

@@ -246,10 +246,15 @@ object Curation {
       .groupBy("shingle")
       .agg((count(lit(1)) >= minDf).as("__b"))
     // single-job guarded fetch of the frequent set (bound + 1 rows max —
-    // driver memory stays bounded on any corpus)
+    // driver memory stays bounded on any corpus). Collected as a typed
+    // Dataset[Long] so the driver materializes a primitive long[] directly:
+    // a Row collect at the 2²³ bound would transiently box ~8M GenericRow +
+    // java.lang.Long objects (~5-8× the packed 64 MB the sizing note
+    // counts); the typed path's deserializer writes primitives.
     val frequent = freq.filter(col("__b")).select(col("shingle"))
       .limit(MaxFrequentShingleBroadcast + 1)
-      .collect().map(_.getLong(0))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
     if (frequent.length <= MaxFrequentShingleBroadcast) {
       // open-addressing membership table, built once on the driver:
       // power-of-2 capacity ≥ 2×n (load ≤ 0.5), fmix64 probe hash,

@@ -49,7 +49,7 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** UDF form of [[cosineCol]] (proof twin; SimilaritySpec asserts
+  /** UDF form of [[cosineCol]] (proof twin; NativeExpressionsSpec asserts
     * bit-identical results). */
   def cosineUdfCol(a: Column, b: Column): Column =
     cosUdf(a.cast("array<double>"), b.cast("array<double>"))
@@ -817,8 +817,9 @@ object Similarity {
     * 20,379→143 MB, wall 332.7→121.9 s, identical 47,302-drop output;
     * SCALE.md finding 15).
     *
-    * Semantics are pinned to the r8 aggregate+join shape (SimilaritySpec
-    * twin): the cap counts every INPUT ROW of the bucket (duplicate ids
+    * Semantics are pinned to the r8 aggregate+join shape
+    * (SimilarityGuardSpec + OpsSpec pin the semantics, PlanAuditSpec the
+    * no-join plan shape): the cap counts every INPUT ROW of the bucket (duplicate ids
     * included) and an overflowed bucket (> maxBucket rows) emits nothing;
     * pairs are distinct ids only (no self-pairs, no repeats); cosine is
     * the same ordered fold as [[graft.expr.CosineKernel]] over the first
