@@ -753,10 +753,37 @@ object Dedup {
     // round-robin exchange of the DOC frame first (docs cross the wire
     // once, ~1/450th of the shingle stream) sizes the post-explode write
     // buffers to memory. Same 8× default as `occParts`.
+    //
+    // ADAPTIVE by default (r10, closing the r9 verdict's q90/q91 item):
+    // on a SMALL corpus the exchange is pure overhead — the whole
+    // post-explode stream fits scan-split write buffers with room to
+    // spare. SubstringAbProbe (interleaved same-JVM legs at the bench
+    // shape, median-of-5) measured the exchange costing q90 1.29→1.53 s
+    // (+19%) and q91 2.02→2.09 s at sf0.1 — the mechanism behind the
+    // r8→r9 bench medians the r9 verdict flagged (local q90 2.15→3.64,
+    // q91 3.01→3.96; full-sweep context amplifies the isolated delta).
+    // The passthrough leg RETAINS the r9 kernel/pack work and still beats
+    // the r8 bench medians, so the exchange was the whole regression,
+    // not the kernel swap. `docParts = 0` therefore
+    // consults plan statistics the way `ParquetSink.writeSized` does and
+    // repartitions only when the doc frame's estimated bytes reach
+    // [[DocRepartitionMinBytes]] (64 MB — post-explode that is ~1.3 GB
+    // packed across a 32-split scan, still comfortably inside write
+    // buffers; the 504k-doc scale corpus is 1.7 GB, 27× past the gate,
+    // and an UNKNOWN size estimates to Long.Max → repartition, the
+    // scale-safe direction). Explicit `docParts > 0` forces the exchange
+    // at that width; `docParts < 0` forces passthrough (the A/B leg).
     val spark = df.sparkSession
-    val pDocs = if (docParts > 0) docParts
-      else spark.sessionState.conf.numShufflePartitions * 8
-    val sh = df.repartition(pDocs)
+    val repartitionDocs =
+      if (docParts > 0) true
+      else if (docParts < 0) false
+      else df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        DocRepartitionMinBytes
+    val base =
+      if (!repartitionDocs) df
+      else df.repartition(if (docParts > 0) docParts
+        else spark.sessionState.conf.numShufflePartitions * 8)
+    val sh = base
       .select(col(idCol).cast("long").as("id"),
         posexplode(posShingleHashesUdf(col(textCol), lit(n)))
           .as(Seq("pos", "shingle")))
@@ -841,6 +868,11 @@ object Dedup {
   private final val PackPosBits = 20
   private final val PackPosLimit = 1L << PackPosBits
 
+  /** Plan-stats gate for [[repeatedSpans]]'s pre-shingle repartition (see
+    * the inline note there): doc frames estimated below this skip the
+    * exchange. Package-visible so specs can pin both sides of the gate. */
+  private[graft] final val DocRepartitionMinBytes = 64L << 20
+
   /** Occurrence filter, count-over-window twin — r6's measured winner
     * over the aggregate shapes (one binary sort of the keyed stream),
     * superseded as the serving path by [[coveredPositionsHash]]; kept as
@@ -902,7 +934,8 @@ object Dedup {
     * cannot be checked from the frame and is the caller's obligation. */
   def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 10, minOcc: Int = 2,
-                         precomputedSpans: Option[DataFrame] = None): DataFrame = {
+                         precomputedSpans: Option[DataFrame] = None,
+                         docParts: Int = 0): DataFrame = {
     precomputedSpans.foreach { ps =>
       val missing = Seq("id", "span_start", "span_end")
         .filterNot(ps.columns.contains)
@@ -912,7 +945,8 @@ object Dedup {
           s"built with the same n=$n, minOcc=$minOcc")
     }
     val spans = precomputedSpans
-      .getOrElse(repeatedSpans(df, idCol, textCol, n, minOcc))
+      .getOrElse(repeatedSpans(df, idCol, textCol, n, minOcc,
+        docParts = docParts))
       .groupBy("id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val toks = df.select(col(idCol).cast("long").as("id"),

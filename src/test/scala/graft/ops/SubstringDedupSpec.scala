@@ -53,6 +53,27 @@ class SubstringDedupSpec extends SparkSpec {
     assert(spans === Seq((0, 6)))
   }
 
+  test("repeatedSpans: adaptive docParts gate — a small frame skips the " +
+    "pre-shingle exchange, a forced width pins it, rows identical") {
+    def spans(docParts: Int) =
+      Dedup.repeatedSpans(corpus, "doc_id", "text", n = 5, docParts = docParts)
+    def roundRobins(docParts: Int): Int =
+      "RoundRobinPartitioning".r
+        .findAllIn(spans(docParts).queryExecution.executedPlan.toString)
+        .length
+    // the 4-row corpus sits far below DocRepartitionMinBytes, so the
+    // adaptive default (0) dispatches to passthrough — same plan as the
+    // forced passthrough leg (−1): no round-robin exchange anywhere
+    assert(roundRobins(0) === 0)
+    assert(roundRobins(-1) === 0)
+    // an explicit width forces the exchange regardless of size
+    assert(roundRobins(7) >= 1)
+    // and all three legs emit identical spans
+    val ref = spans(-1).orderBy("id", "span_start").collect().toSeq
+    assert(spans(0).orderBy("id", "span_start").collect().toSeq === ref)
+    assert(spans(7).orderBy("id", "span_start").collect().toSeq === ref)
+  }
+
   test("occurrence filter: sort-free hash shape is row-identical to the " +
     "count-over-window twin, real corpus included") {
     import org.apache.spark.sql.functions.{col, posexplode, lit, xxhash64}
