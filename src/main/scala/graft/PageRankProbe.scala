@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev aid: interleaved same-JVM sweep of the q84 PageRank floor at the
+  * BENCH shape (local[4], 4 shuffle partitions) — the r9 verdict's item 3:
+  * q84 is the bench's #1 at ~7 s warm, flat since r6 while everything
+  * around it halved. Each variant runs the EXACT q84 query (setup join +
+  * 10 fixed-point rounds); legs rotate within each rep so host drift hits
+  * every variant equally.
+  *
+  * Usage: sbt "runMain graft.PageRankProbe /root/testdata/sf0.1 4"
+  */
+object PageRankProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-pagerank-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").count()
+
+    def edges(s: SparkSession): DataFrame = {
+      val pairs = s.read.parquet(s"$sfDir/orders.parquet")
+        .join(s.read.parquet(s"$sfDir/lineitem.parquet"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      pairs.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
+
+    case class V(name: String, sp: Option[Int] = None,
+                 ckptEvery: Int = 5, copart: Boolean = true,
+                 eager: Boolean = true, ckpt: Boolean = true,
+                 bcastMax: Long = 2000000L)
+    // round-2 sweep: round 1 (committed in the r10 history) found
+    // nocopart the consistent winner (5.93 vs 6.76 default median) with
+    // ckpt2 ≈ default and sp1/sp16/ckpt10 worse; this sweep stacks the
+    // winner with the n-gated broadcast hint and checkpoint cadence
+    val variants = Seq(
+      V("default"),
+      V("nocopart_ckpt1", copart = false, ckptEvery = 1),
+      V("nocopart_ckpt2", copart = false, ckptEvery = 2),
+      V("nocopart_ckpt2_nobcast", copart = false, ckptEvery = 2,
+        bcastMax = 0L),
+      V("nocopart_ckpt3", copart = false, ckptEvery = 3))
+
+    val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+      .withDefaultValue(Nil)
+    for (rep <- 1 to reps; v <- variants) {
+      val qSession = spark.newSession()
+      v.sp.foreach(p =>
+        qSession.conf.set("spark.sql.shuffle.partitions", p))
+      val t0 = System.nanoTime()
+      val n = graft.ops.Graph.pageRank(edges(qSession),
+          checkpoint = v.ckpt, checkpointEvery = v.ckptEvery,
+          copartition = v.copart, eagerCheckpoint = v.eager,
+          broadcastRanksMaxNodes = v.bcastMax)
+        .queryExecution.toRdd.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      qSession.catalog.clearCache()
+      System.gc()
+      println(f"[pr] ${v.name} rep $rep: $secs%.2f s ($n rows)")
+      times(v.name) = times(v.name) :+ secs
+    }
+    times.foreach { case (k, ts) =>
+      val med = ts.sorted.apply((ts.size - 1) / 2)
+      println(f"[pr] MEDIAN $k: $med%.2f s over ${ts.size} reps " +
+        s"(${ts.map(t => f"$t%.2f").mkString(", ")})")
+    }
+    spark.stop()
+  }
+}

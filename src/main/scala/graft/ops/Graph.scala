@@ -46,7 +46,8 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int = 10,
                dampingPct: Int = 85, checkpoint: Boolean = true,
                checkpointEvery: Int = 5, copartition: Boolean = true,
-               eagerCheckpoint: Boolean = true): DataFrame = {
+               eagerCheckpoint: Boolean = true,
+               broadcastRanksMaxNodes: Long = 2000000L): DataFrame = {
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     // pin BOTH static frames to one hash partitioning up front — edges on
     // src, nodes on node — and every later checkpoint preserves it
@@ -55,9 +56,14 @@ object Graph {
     // can't just broadcast the rank frame) EnsureRequirements re-shuffles
     // NEITHER side per round — the only per-round exchange is the contrib
     // aggregate's, genuinely required (contributions regroup by
-    // destination). At sf0.1 this is noise-level (AQE broadcasts the 16k-
-    // row rank side either way — measured equal ±1 s over 4 runs); the
-    // flag exists so the plan shape can be audited both ways.
+    // destination). INSIDE the broadcast regime, though, the setup
+    // repartitions + their checkpoints are pure overhead: the r10
+    // PageRankProbe sweep (interleaved same-JVM legs at the bench shape)
+    // measured copartition = false consistently faster at sf0.1 (5.93 vs
+    // 6.76 s median, every rep), superseding the r6 "equal ±1 s" note.
+    // The default stays TRUE — the scale regime this parameter exists for
+    // is exactly the one where it saves a full edge re-shuffle per round —
+    // and small-graph callers (q84) pass false with the measurement cited.
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val e = (if (copartition) e0.repartition(parts, col("src")) else e0)
       .localCheckpoint()
@@ -75,6 +81,15 @@ object Graph {
       .localCheckpoint()
     val n = nodesDeg.count()
     require(n > 0, "pageRank needs a non-empty graph")
+    // n is MEASURED before the loop, so the broadcast decision is
+    // scale-true: a rank frame of ≤ `broadcastRanksMaxNodes` rows (24 B
+    // packed each — ≤ ~48 MB at the 2M default) gets an explicit
+    // BROADCAST hint on the join's rank side, pinning the plan AQE would
+    // discover per round anyway without waiting on per-stage runtime
+    // stats; past the bound the hint is withheld and the co-partitioned
+    // exchange path serves (a billion-node graph must never collect its
+    // rank frame to the driver).
+    val hintBroadcastRanks = n <= broadcastRanksMaxNodes
     val init = Unit / n
     val base = ((100L - dampingPct) * init) / 100L
     var ranks = nodesDeg.withColumn("rank", lit(init))
@@ -85,8 +100,12 @@ object Graph {
       // the former "left-join contrib back onto nodesDeg" stage into the
       // aggregate that already shuffles on node (one fewer join per
       // round; same floor-DIV arithmetic, so the oracle is unchanged)
-      val edgeContrib = ranks.filter(col("deg") > 0)
-        .join(e, ranks("node") === e("src"))
+      val rankSide = {
+        val live = ranks.filter(col("deg") > 0)
+        if (hintBroadcastRanks) live.hint("BROADCAST") else live
+      }
+      val edgeContrib = rankSide
+        .join(e, rankSide("node") === e("src"))
         .select(col("dst").as("node"), expr("rank div deg").as("c"),
           lit(null).cast("long").as("d"))
       val zeroRows = nodesDeg.select(col("node"), lit(0L).as("c"),
@@ -115,6 +134,16 @@ object Graph {
       // scale (≥20 jobs: 2 setup + 10 round-pairs + checkpoints), which
       // shrinks in RELATIVE terms as data grows — the per-round plan
       // (one co-partitioned join + one aggregate) is already minimal.
+      // r10 REVISION: the floor moved. With the n-gated broadcast hint
+      // landed (jstack showed the warm reps spending time in janino
+      // re-compiles and driver-side re-planning of the growing 5-round
+      // lineage, not in tasks), SHORTER cadences win in the broadcast
+      // regime: PageRankProbe measured nocopart+ckpt2 at 5.03 s and
+      // ckpt1 at 4.90 vs 6.03 default (interleaved medians, 5 reps) —
+      // short lineage keeps each re-plan/codegen unit small. The default
+      // stays 5 (at scale each eager checkpoint is a full rank-frame
+      // materialization, and the broadcast-regime numbers don't transfer
+      // past the gate); q84 passes checkpointEvery = 2 with the citation.
       if (checkpoint && (i % checkpointEvery == 0 || i == iterations))
         ranks = ranks.localCheckpoint(eagerCheckpoint)
     }

@@ -53,4 +53,32 @@ class GraphSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"),
       s"contrib rollup should be a hash aggregate:\n$plan")
   }
+
+  test("pageRank: n-gated broadcast hint — in-gate graphs pin the " +
+    "broadcast join up front, past-the-gate graphs withhold it, ranks " +
+    "identical") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    def initialPlan(bcastMax: Long): String =
+      Graph.pageRank(edges, iterations = 1, checkpoint = false,
+          broadcastRanksMaxNodes = bcastMax)
+        .queryExecution.executedPlan.toString
+    // 3 nodes ≤ any positive gate → the INITIAL plan (pre-AQE) already
+    // carries the broadcast join with the RANK side as the build
+    // (BuildLeft — rankSide is the join's left). The negative side can't
+    // assert "no broadcast" on spec-sized frames: the planner
+    // auto-broadcasts ANY side under autoBroadcastJoinThreshold — but
+    // unhinted it picks by size estimate (the edges LocalRelation,
+    // BuildRight here), so the build side is the observable hint effect.
+    val hintedPlan = initialPlan(2000000L)
+    assert(hintedPlan.contains("BroadcastHashJoin") &&
+      hintedPlan.contains("BuildLeft"), s"rank side not pinned:\n$hintedPlan")
+    assert(!initialPlan(0L).contains("BuildLeft"))
+    val hinted = Graph.pageRank(edges, iterations = 5)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val unhinted = Graph.pageRank(edges, iterations = 5,
+        broadcastRanksMaxNodes = 0L)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(hinted === unhinted)
+  }
 }
