@@ -78,6 +78,86 @@ object ScaleRun {
       shuffleReadMb: Long, shuffleWriteMb: Long, spillMb: Long,
       inputMb: Long, outputMb: Long, heapPeakMb: Long, note: String)
 
+  /** Deterministic single-thread IVF kernel microbench (r10, r9 verdict
+    * item 4): host wall noise on this box is ~2× on multicore Spark
+    * phases (SCALE.md noise protocol), which made cross-round ann-phase
+    * wall deltas unreadable — r9 booked 22.2→41.4 s on 2 MB of shuffle as
+    * host variance with nothing to separate kernel time from weather.
+    * This runs the phase's actual hot kernels in-process —
+    * [[graft.ops.Similarity.nearestCellsFn]] cell assignment over a
+    * stride codebook (finding 12's hot path) plus the exact-cosine
+    * probe/re-rank — on 30k deterministic vectors (same sin recipe as
+    * the phase), 1 warmup + 3 timed reps, ONE thread, zero Spark
+    * scheduling. The reported median moves only when the kernel itself
+    * changes; the checksum pins cross-round result identity, so a
+    * checksum flip means semantics changed, not just speed. */
+  private def ivfKernelMicrobench(): String = {
+    val n = 30000; val dim = 64; val stride = 150; val nProbe = 2; val k = 10
+    def vec(id: Long): Array[Double] = {
+      val a = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        a(i) = math.sin(i * (id % 97 + 1) * 0.37 + id * 0.11); i += 1
+      }
+      a
+    }
+    val corpus = Array.tabulate(n)(i => vec(i.toLong))
+    val cents = (0 until n by stride).map(i => (i.toLong, corpus(i))).toArray
+    val nearest = graft.ops.Similarity.nearestCellsFn(cents)
+    import scala.collection.immutable.ArraySeq
+    def runOnce(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val cellOf = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        cellOf(i) = nearest(ArraySeq.unsafeWrapArray(corpus(i)), 1).head
+        i += 1
+      }
+      val members = corpus.indices.groupBy(cellOf(_))
+      var checksum = 0L
+      var q = 75 // 200 queries: 75, 225, … — never a centroid id
+      while (q < n) {
+        val qv = corpus(q)
+        val bd = new Array[Double](k); val bi = new Array[Int](k)
+        var filled = 0
+        nearest(ArraySeq.unsafeWrapArray(qv), nProbe).foreach { cell =>
+          members.getOrElse(cell, Nil).foreach { m =>
+            if (m != q) {
+              val mv = corpus(m)
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var x = 0
+              while (x < dim) {
+                val av = qv(x); val bv = mv(x)
+                dot += av * bv; na += av * av; nb += bv * bv; x += 1
+              }
+              val c = dot / (math.sqrt(na) * math.sqrt(nb))
+              if (filled < k || c > bd(k - 1) ||
+                (c == bd(k - 1) && m < bi(k - 1))) {
+                var p = math.min(filled, k - 1)
+                while (p > 0 && (bd(p - 1) < c ||
+                  (bd(p - 1) == c && bi(p - 1) > m))) {
+                  bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1
+                }
+                bd(p) = c; bi(p) = m
+                if (filled < k) filled += 1
+              }
+            }
+          }
+        }
+        var z = 0
+        while (z < filled) { checksum += bi(z); z += 1 }
+        q += stride
+      }
+      ((System.nanoTime() - t0) / 1e6, checksum)
+    }
+    runOnce() // warmup: JIT-compile the kernels before the timed reps
+    val reps = (1 to 3).map(_ => runOnce())
+    val sums = reps.map(_._2).distinct
+    require(sums.size == 1, s"ivf microbench nondeterministic: $sums")
+    val times = reps.map(_._1).sorted
+    f"kernel-ubench ${times(1)}%.0f ms median " +
+      f"(${times.map(t => f"$t%.0f").mkString("/")}, checksum ${sums.head})"
+  }
+
   def main(args: Array[String]): Unit = {
     val perSit = args.headOption.map(_.toInt).getOrElse(3000)
     val outRoot = args.lift(1).getOrElse("target/scale")
@@ -331,7 +411,8 @@ object ScaleRun {
         f"nProbe=$nProbe ${r / 10}%.1f%%"
       }
       spark.catalog.clearCache()
-      s"recall@10 over 200 queries x 500k vectors: ${recalls.mkString(", ")}"
+      s"recall@10 over 200 queries x 500k vectors: ${recalls.mkString(", ")}; " +
+        ivfKernelMicrobench()
     }
 
     // ---- 10. featurize: raw text → hashed embeddings → semantic dedup ----

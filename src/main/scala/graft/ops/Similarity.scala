@@ -455,7 +455,7 @@ object Similarity {
     * rounding, and an insertion top-n over two small arrays instead of
     * materializing+sorting |codebook| tuples per row (which allocated
     * ~3 objects per centroid per row — the other half of finding 12). */
-  private def nearestCellsFn(cents: Array[(Long, Array[Double])])
+  private[graft] def nearestCellsFn(cents: Array[(Long, Array[Double])])
       : (Seq[Double], Int) => Seq[Long] = {
     val k = cents.length
     val ids: Array[Long] = cents.map(_._1)
