@@ -165,9 +165,15 @@ object ScaleRun {
     // a subset against an existing corpus parquet; default = every phase
     val phaseFilter = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_SCALE_PARTITIONS (default 32): the headroom probe's
+    // partition-scaling leg (r10) re-runs the 2× corpus at 64 to test the
+    // "a real cluster scales partitions with data" claim the fixed-32
+    // probe rows could only assert — see SCALE.md "Headroom probe"
+    val scaleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", "32").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", scaleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")

@@ -1272,6 +1272,27 @@ object SparkEntry {
         col("clean_md5"))
       .orderBy("doc_id")
 
+  /** Incremental substring dedup (the q52 cross-corpus pattern applied to
+    * q90): even-id docs play the persisted base corpus — their per-shingle
+    * occurrence table is built once — and odd-id docs arrive as the
+    * increment, probing the table without re-shingling the base. The
+    * oracle is deliberately the BATCH form's SQL over the full corpus
+    * restricted to odd ids: a hash match proves the incremental path
+    * computes exactly what re-running batch dedup over the union would. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val baseOcc = Dedup.shingleOccurrenceTable(
+      docs.filter(col("doc_id") % 2 === 0), "text", n = 10)
+    Dedup.incrementalRepeatedSpans(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", baseOcc, n = 10)
+      .select(col("id").as("doc_id"),
+        col("span_id").cast("long").as("span_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("n_shingles").cast("long").as("n_shingles"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** SemDeDup-style semantic dedup: IVF cells prune the pair space, a doc
     * drops when a lower-id cell-mate sits at cosine ≥ 0.4 — the
     * embedding-space (paraphrase) leg of the dedup suite. */
@@ -1457,7 +1478,8 @@ object SparkEntry {
     "q96_lsh_quality" -> (q96 _),
     "q97_featurize" -> (q97 _),
     "q98_langid_trained" -> (q98 _),
-    "q99_featurize_dedup" -> (q99 _))
+    "q99_featurize_dedup" -> (q99 _),
+    "q100_incremental_spans" -> (q100 _))
 
   /** Shared CTE chain for the q90/q91 substring-dedup oracles: positional
     * 10-token shingles (pos zero-based, window [pos, pos+10)), occurrence
@@ -3039,5 +3061,17 @@ object SparkEntry {
                       JOIN n nb ON nb.doc_id = id_b)
          SELECT id_b AS drop_id, CAST(min(id_a) AS BIGINT) AS kept_by,
            max(cos) AS max_cosine
-         FROM s WHERE cos >= 0.9 GROUP BY id_b ORDER BY drop_id""")
+         FROM s WHERE cos >= 0.9 GROUP BY id_b ORDER BY drop_id""",
+    // the q100 oracle is the BATCH form over the FULL corpus restricted
+    // to the increment's (odd) ids — hash equality against the Spark
+    // side's incremental computation (base table from even ids, probe
+    // with odd ids) is exactly the incremental lane's correctness claim
+    "q100_incremental_spans" ->
+      s"""$substringSpanCtes
+         SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 10 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_shingles
+         FROM sp WHERE doc_id % 2 = 1 GROUP BY doc_id, span_id
+         ORDER BY doc_id, span_start""")
 }

@@ -773,17 +773,7 @@ object Dedup {
     // and an UNKNOWN size estimates to Long.Max → repartition, the
     // scale-safe direction). Explicit `docParts > 0` forces the exchange
     // at that width; `docParts < 0` forces passthrough (the A/B leg).
-    val spark = df.sparkSession
-    val repartitionDocs =
-      if (docParts > 0) true
-      else if (docParts < 0) false
-      else df.queryExecution.optimizedPlan.stats.sizeInBytes >=
-        DocRepartitionMinBytes
-    val base =
-      if (!repartitionDocs) df
-      else df.repartition(if (docParts > 0) docParts
-        else spark.sessionState.conf.numShufflePartitions * 8)
-    val sh = base
+    val sh = adaptiveDocBase(df, docParts)
       .select(col(idCol).cast("long").as("id"),
         posexplode(posShingleHashesUdf(col(textCol), lit(n)))
           .as(Seq("pos", "shingle")))
@@ -872,6 +862,21 @@ object Dedup {
     * the inline note there): doc frames estimated below this skip the
     * exchange. Package-visible so specs can pin both sides of the gate. */
   private[graft] final val DocRepartitionMinBytes = 64L << 20
+
+  /** The shared pre-shingle parallelism dispatch of [[repeatedSpans]] /
+    * [[incrementalRepeatedSpans]] / [[shingleOccurrenceTable]] — the full
+    * rationale (amplification regime, measured costs on both sides, the
+    * loud docParts contract) lives at the [[repeatedSpans]] call site. */
+  private def adaptiveDocBase(df: DataFrame, docParts: Int): DataFrame = {
+    val repartitionDocs =
+      if (docParts > 0) true
+      else if (docParts < 0) false
+      else df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        DocRepartitionMinBytes
+    if (!repartitionDocs) df
+    else df.repartition(if (docParts > 0) docParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions * 8)
+  }
 
   /** Occurrence filter, count-over-window twin — r6's measured winner
     * over the aggregate shapes (one binary sort of the keyed stream),
@@ -968,6 +973,131 @@ object Dedup {
         size(col("kept")).cast("long").as("n_kept"),
         md5(concat_ws(" ",
           transform(col("kept"), x => x.getField("t")))).as("clean_md5"))
+  }
+
+  /** Persisted state of the INCREMENTAL substring-dedup lane: per-shingle
+    * corpus-wide occurrence counts — (shingle: long xxhash64 key, occ:
+    * long position-multiplicity count), the exact quantity
+    * [[repeatedSpans]]'s occurrence filter thresholds on. Built once over
+    * a base corpus, persisted (parquet), probed by
+    * [[incrementalRepeatedSpans]] for each arriving batch, advanced with
+    * [[mergeOccurrenceTables]] — the q52 cross-corpus pattern applied to
+    * span-level dedup.
+    *
+    * Scale shape: ONE exchange of bare 8-byte keys (ids/positions are
+    * dropped before the shuffle — counts don't need them), then the
+    * sort-free [[KeyedSum]] kernel per partition. groupBy().count() on
+    * this mostly-unique key stream is the measured finding-9 pathology
+    * (sort-based aggregate fallbacks, 267 GB spill at 724M positions);
+    * the kernel's memory is the partition's distinct-key count, same
+    * contract as [[OccurrenceFilter]]. Singletons (occ = 1) are KEPT —
+    * a later increment can push them over the threshold; the table is
+    * therefore distinct-shingle-sized, the inherent state of span-level
+    * dedup (it shuffles and persists on 8-byte keys, never text). */
+  def shingleOccurrenceTable(df: DataFrame, textCol: String,
+                             n: Int = 10, parts: Int = 0,
+                             docParts: Int = 0): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions * 8
+    adaptiveDocBase(df, docParts)
+      .select(explode(posShingleHashesUdf(col(textCol), lit(n)))
+        .as("shingle"))
+      .select(col("shingle"), lit(1L).as("w"))
+      .repartition(p, col("shingle"))
+      .as[(Long, Long)]
+      .mapPartitions(it => new KeyedSum()(it))
+      .toDF("shingle", "occ")
+  }
+
+  /** Advance the incremental lane's state: element-wise sum of two
+    * occurrence tables (either from [[shingleOccurrenceTable]] or a prior
+    * merge). Union + one 8-byte-key exchange + the [[KeyedSum]] kernel —
+    * never a join, never a sort. */
+  def mergeOccurrenceTables(a: DataFrame, b: DataFrame,
+                            parts: Int = 0): DataFrame = {
+    Seq(a, b).foreach { t =>
+      require(t.columns.contains("shingle") && t.columns.contains("occ"),
+        s"occurrence table needs (shingle, occ); got ${t.columns.mkString(", ")}")
+    }
+    val spark = a.sparkSession
+    import spark.implicits._
+    val p = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions * 8
+    a.select(col("shingle"), col("occ"))
+      .unionByName(b.select(col("shingle"), col("occ")))
+      .repartition(p, col("shingle"))
+      .as[(Long, Long)]
+      .mapPartitions(it => new KeyedSum()(it))
+      .toDF("shingle", "occ")
+  }
+
+  /** Incremental substring-level exact dedup: [[repeatedSpans]] for an
+    * ARRIVING batch against a persisted base corpus, without re-shingling
+    * the base — the lane that closes the dedup suite's last batch-only
+    * asymmetry (StreamingDedup gates exact content hashes at ingest;
+    * span-level detection was batch-only before this).
+    *
+    * Contract: `baseOcc` is [[shingleOccurrenceTable]] output over the
+    * base corpus with the SAME `n` (the schema is asserted; the `n`
+    * coupling — shingle hashes are n-dependent — is the caller's
+    * obligation, same policy as [[stripRepeatedSpans]]'s
+    * `precomputedSpans`). A new-doc position is covered exactly when its
+    * shingle's occurrences across base + batch reach `minOcc`, so the
+    * output row-equals `repeatedSpans(base ∪ batch).filter(id ∈ batch)`
+    * (IncrementalDedupSpec pins this on hand and real corpora; the
+    * q100 oracle re-derives it in SQL over the union corpus). Spans for
+    * BASE docs newly pushed over the threshold by the batch are NOT
+    * re-emitted — base history is immutable, the q52 semantics; a caller
+    * wanting them runs the batch form. Chained increments are
+    * history-ordered by construction: spans emitted for batch k see
+    * exactly base + batches 1..k.
+    *
+    * Scale shape: the batch shingles once and crosses ONE exchange as
+    * (id, pos, shingle) rows partitioned on the 8-byte shingle key; that
+    * exchange is read TWICE (plan-level reuse — built once) — once
+    * projected to bare keys through the [[KeyedSum]] batch-count kernel,
+    * once as the left of a SHUFFLE_HASH left-semi join against the
+    * covered-key set (batch-count ⋈ broadcast-free base-table lookup,
+    * both sides 8-byte keys). The base corpus never re-shingles and
+    * never crosses the wire: only its (distinct-shingle-sized) count
+    * table joins, partitioned on the same key. Islands merge per doc
+    * exactly as the batch form. */
+  def incrementalRepeatedSpans(batch: DataFrame, idCol: String,
+                               textCol: String, baseOcc: DataFrame,
+                               n: Int = 10, minOcc: Int = 2,
+                               occParts: Int = 0,
+                               docParts: Int = 0): DataFrame = {
+    require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
+    require(baseOcc.columns.contains("shingle") &&
+      baseOcc.columns.contains("occ"),
+      s"baseOcc must be shingleOccurrenceTable output (shingle, occ) " +
+        s"built with the same n=$n; got ${baseOcc.columns.mkString(", ")}")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val p = if (occParts > 0) occParts
+      else spark.sessionState.conf.numShufflePartitions * 8
+    val shEx = adaptiveDocBase(batch, docParts)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(posShingleHashesUdf(col(textCol), lit(n)))
+          .as(Seq("pos", "shingle")))
+      .repartition(p, col("shingle"))
+    val batchCnt = shEx
+      .select(col("shingle"), lit(1L).as("w"))
+      .as[(Long, Long)]
+      .mapPartitions(it => new KeyedSum()(it))
+      .toDF("shingle", "occ_new")
+    val covered = batchCnt
+      .join(baseOcc.select(col("shingle"), col("occ").as("occ_base")),
+        Seq("shingle"), "left")
+      .filter(col("occ_new") + coalesce(col("occ_base"), lit(0L)) >= minOcc)
+      .select("shingle")
+    val coveredPos = shEx
+      .join(covered.hint("SHUFFLE_HASH"), Seq("shingle"), "left_semi")
+      .select("id", "pos")
+    islandsToSpans(coveredPos, n)
   }
 
   /** Duplicate-cluster assignment: connected components over a near-dup

@@ -34,6 +34,80 @@ package graft.ops
   * `cap <<= 1` overflow would throw (r7 advice) — reaching it means ~640M
   * distinct keys in ONE task, i.e. `parts` is mis-sized for the corpus.
   */
+/** Per-partition kernel of [[Dedup.shingleOccurrenceTable]] /
+  * [[Dedup.mergeOccurrenceTables]]: sums `weight` per key over a
+  * key-partitioned `(key, weight)` iterator and emits one `(key, sum)`
+  * row per distinct key — the sort-free twin of `groupBy(key).sum()`,
+  * which on a MOSTLY-UNIQUE key stream degrades into full-stream
+  * sort-based aggregate fallbacks (the measured finding-9 pathology that
+  * motivated [[OccurrenceFilter]]; this kernel is the AGGREGATING sibling
+  * for when the counts themselves are the output, e.g. the persisted
+  * occurrence table of the incremental substring-dedup lane).
+  *
+  * Memory contract: the open-addressing table (8 B key + 8 B sum per
+  * distinct key, 0.6 load) — bounded by the partition's DISTINCT-key
+  * count, never by any key's row count. Same doubling + loud 2³⁰
+  * capacity ceiling as [[OccurrenceFilter]]. Emission happens after the
+  * input drains (it is an aggregate), in table-slot order — consumers
+  * must not assume ordering. */
+private[graft] final class KeyedSum {
+  private[this] val MaxCap = 1 << 30
+  private[this] var cap = 1 << 12
+  private[this] var mask = cap - 1
+  private[this] var keys = new Array[Long](cap)
+  private[this] var sums = new Array[Long](cap)
+  private[this] var present = new Array[Boolean](cap)
+  private[this] var used = 0
+
+  private def mix(k: Long): Int = {
+    var h = k ^ (k >>> 33)
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 29
+    (h & mask).toInt
+  }
+
+  private def grow(): Unit = {
+    if (cap == MaxCap)
+      throw new IllegalStateException(
+        s"KeyedSum: > ~${(MaxCap.toLong * 6 / 10) / 1000000}M distinct " +
+          "keys in one partition — raise parts so partitions carry fewer " +
+          "distinct keys")
+    val ok = keys; val os = sums; val op = present
+    cap <<= 1; mask = cap - 1
+    keys = new Array[Long](cap); sums = new Array[Long](cap)
+    present = new Array[Boolean](cap)
+    var i = 0
+    while (i < ok.length) {
+      if (op(i)) {
+        var j = mix(ok(i))
+        while (present(j)) j = (j + 1) & mask
+        keys(j) = ok(i); sums(j) = os(i); present(j) = true
+      }
+      i += 1
+    }
+  }
+
+  def apply(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    while (it.hasNext) {
+      val (k, w) = it.next()
+      var j = mix(k)
+      while (present(j) && keys(j) != k) j = (j + 1) & mask
+      if (!present(j)) {
+        if ((used + 1).toLong * 10 >= cap.toLong * 6) {
+          grow()
+          j = mix(k)
+          while (present(j) && keys(j) != k) j = (j + 1) & mask
+        }
+        keys(j) = k; present(j) = true
+        used += 1
+      }
+      sums(j) += w
+    }
+    val ks = keys; val ss = sums; val ps = present
+    (0 until cap).iterator.filter(ps(_)).map(i => (ks(i), ss(i)))
+  }
+}
+
 private[graft] final class OccurrenceFilter(minOcc: Int) {
   require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
 
