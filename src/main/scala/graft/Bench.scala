@@ -45,12 +45,15 @@ object Bench {
     // to log-capture issues; a driver-side timeout would lose it again):
     // once `budget` seconds have elapsed, remaining queries run their
     // first rep only — every query still gets measured, extra reps are
-    // what degrade. Measured full-sweep wall at 3 reps is ~385 s on a
-    // quiet box; the 420 s default absorbs that and degrades gracefully
-    // on a slow window instead of risking the whole artifact.
+    // what degrade. r10 (verdict item: the r9 artifact finished 2.4 s
+    // under the 420 s budget): the sweep is now 100 queries and a
+    // moderately-loaded window measured 410.7 s at 3 full reps
+    // (BENCH_LOCAL_r10.json) even after the q13/q84/q90/q91 shaves, so
+    // the default budget is 460 s — headroom for a slow window at 3
+    // reps while staying inside the driver's capture patience.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val budget =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "460").toDouble
     val wallT0 = System.nanoTime()
     def overBudget: Boolean = (System.nanoTime() - wallT0) / 1e9 > budget
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, rep: Int): Double = {
