@@ -92,8 +92,42 @@ object Bench {
     val ordered = selected.toSeq
     val times = scala.collection.mutable.LinkedHashMap(
       ordered.map { case (name, _) => name -> List.newBuilder[Double] }: _*)
-    for (rep <- 1 to reps; (name, fn) <- ordered) {
-      if (rep == 1 || !overBudget) times(name) += runOnce(name, fn, rep)
+    // stdout is a log tail that can truncate (r03 lost q01-q15 to the
+    // capture window) — persist the full artifact to a file as well.
+    // The file is (re)written after EVERY completed rep round, not only
+    // at the end (r10): a ~7-minute 100-query sweep killed by a driver
+    // timeout used to lose the whole artifact; now a kill after round k
+    // leaves a valid k-rep artifact on disk (medians over the reps run
+    // so far, rep_counts recording how many).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    def artifactJson(): String = {
+      val repCounts = times.map { case (k, b) => k -> b.result().size }
+      val results = times.collect { case (name, b) if b.result().nonEmpty =>
+        val ts = b.result()
+        name -> ts.sorted.apply((ts.size - 1) / 2)
+      }
+      val wall = (System.nanoTime() - wallT0) / 1e9
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val rcs = repCounts.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"wall":$wall,"queries":$qs,"rep_counts":$rcs,"sf":"$sfDir"}"""
+    }
+    def writeArtifact(label: String): Unit = try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(outFile).toAbsolutePath.getParent)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), artifactJson())
+      System.err.println(s"[bench] wrote $outFile ($label)")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    for (rep <- 1 to reps) {
+      for ((name, fn) <- ordered) {
+        if (rep == 1 || !overBudget) times(name) += runOnce(name, fn, rep)
+      }
+      writeArtifact(s"after rep round $rep")
     }
     val repCounts = times.map { case (k, b) => k -> b.result().size }
     val results = times.map { case (name, b) =>
@@ -105,23 +139,6 @@ object Bench {
     }
     val wall = (System.nanoTime() - wallT0) / 1e9
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val rcs = repCounts.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"wall":$wall,"queries":$qs,"rep_counts":$rcs,"sf":"$sfDir"}"""
-    // stdout is a log tail that can truncate (r03 lost q01-q15 to the
-    // capture window) — persist the full artifact to a file as well
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    try {
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(outFile).toAbsolutePath.getParent)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
-      System.err.println(s"[bench] wrote $outFile")
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
-    }
     // stop the session BEFORE the summary line so no late executor/cleaner
     // log can land after it — then print the totals JSON as the ABSOLUTE
     // LAST stdout line (five rounds of BENCH_r*.json parsed null because
