@@ -27,6 +27,10 @@ import scala.jdk.CollectionConverters._
   *                  captured from StreamingQueryProgress
   *   5. substring — span-granular exact dedup (repeatedSpans + strip) over
   *                  the full corpus
+  *  5b. incremental — the q100 lane at scale: 90% base → persisted
+  *                  occurrence table (KeyedSum at the distinct-shingle
+  *                  universe), 10% increment probed without re-shingling
+  *                  the base
   *   6. attribution — multi-touch credit over 3M synthetic events
   *   7. pagerank  — 10 fixed-point rounds over the 2×-symmetrized
   *                  user-item graph derived from those events
@@ -324,6 +328,38 @@ object ScaleRun {
       spark.catalog.clearCache()
       s"$nSpans repeated spans; ${agg.getLong(0)} tokens -> " +
         s"${agg.getLong(1)} kept (${agg.getLong(2)} docs fully templated)"
+    }
+
+    // ---- 5b. incremental substring dedup (r10): the q100 lane at scale —
+    // 90% of the corpus plays the persisted base (its occurrence table is
+    // built once, exchanging bare 8-byte keys into the KeyedSum kernel),
+    // the remaining 10% arrives as the increment and probes the table
+    // WITHOUT re-shingling the base. Exercises the kernel at the
+    // distinct-shingle universe's full size (~0.6B keys) and proves the
+    // increment's cost is batch-sized, not corpus-sized. ----
+    phase("incremental") {
+      val base = corpus.filter(col("doc_id") % 10 =!= 0)
+      val batch = corpus.filter(col("doc_id") % 10 === 0)
+      // deployment-true state: the table persists as PARQUET (the
+      // streaming lane's state format) and the probe reads it back —
+      // zstd columnar beats localCheckpoint's deserialized blocks ~5×
+      // on I/O for this 0.6B-row frame (the first cut of this phase
+      // checkpointed instead: 83 GB of block re-reads). Written STRAIGHT
+      // from the KeyedSum kernel's 256 partitions (~19 MB/file — sized
+      // fine without help), because routing through writeSized's
+      // repartition re-exchanged the whole 10 GB table just to change
+      // the file count (measured +4.8 GB shuffle, +~35 s).
+      val tablePath = s"$outRoot/occ_table.parquet"
+      graft.ops.Dedup.shingleOccurrenceTable(base, "text", n = 10)
+        .write.mode("overwrite").parquet(tablePath)
+      val table = spark.read.parquet(tablePath)
+      val nKeys = table.count()
+      val nSpans = graft.ops.Dedup.incrementalRepeatedSpans(batch,
+        "doc_id", "text", table, n = 10).count()
+      spark.catalog.clearCache()
+      s"$nKeys distinct shingles persisted (parquet) from the 90% base; " +
+        s"$nSpans spans emitted for the 10% increment " +
+        "without re-shingling the base"
     }
 
     // ---- synthetic event stream shared by phases 6-8 (deterministic:

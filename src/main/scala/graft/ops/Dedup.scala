@@ -1089,9 +1089,24 @@ object Dedup {
       .as[(Long, Long)]
       .mapPartitions(it => new KeyedSum()(it))
       .toDF("shingle", "occ_new")
+    // Join-shape discipline (measured at 504k docs, ScaleRun phase 5b):
+    // the table side is CORPUS-sized (623M rows at 504k docs) while the
+    // batch is small by contract — a direct left join goes SortMergeJoin
+    // and SORTS the table side (39 GB of spill measured). Instead the
+    // table is slimmed to the batch's keys FIRST via a hash semi-join
+    // (build side = the batch counts, table streams past — its one
+    // inherent exchange), and the value join then runs batch-sized on
+    // both sides. No sort anywhere; the table crosses the wire exactly
+    // once per increment. (At deployment scale the persisted table
+    // would be BUCKETED on `shingle`, making even that exchange a
+    // one-time write cost rather than per-increment — the parquet state
+    // written by StreamingSpanDedup is bucket-ready.)
+    val baseSlim = baseOcc
+      .select(col("shingle"), col("occ").as("occ_base"))
+      .join(batchCnt.select("shingle").hint("SHUFFLE_HASH"),
+        Seq("shingle"), "left_semi")
     val covered = batchCnt
-      .join(baseOcc.select(col("shingle"), col("occ").as("occ_base")),
-        Seq("shingle"), "left")
+      .join(baseSlim.hint("SHUFFLE_HASH"), Seq("shingle"), "left")
       .filter(col("occ_new") + coalesce(col("occ_base"), lit(0L)) >= minOcc)
       .select("shingle")
     val coveredPos = shEx
