@@ -392,4 +392,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!sorts.exists(_.contains("shingle")),
       s"occurrence filter sorts the shingle stream in:\n$plan")
   }
+
+  test("incremental span dedup (finding 20): every join is hash, the " +
+    "corpus-sized table is slimmed by a LEFT-SEMI before the value join") {
+    // broadcast disabled so spec-sized frames expose the at-scale join
+    // shapes the hints pin (with auto-broadcast on, tiny sides hide them)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val baseOcc = graft.ops.Dedup.shingleOccurrenceTable(
+      docs.filter(col("doc_id") % 2 === 0), "text", n = 10)
+    val plan = physical(graft.ops.Dedup.incrementalRepeatedSpans(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", baseOcc,
+      n = 10))
+    // finding 20's regression class: a SortMergeJoin here sorted the
+    // 623M-row table side at 504k docs (39.1 GB of spill)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-table join went sort-merge (finding 20 regression):\n$plan")
+    // exactly three hash joins: the table-slim LEFT-SEMI (build = batch
+    // counts), the batch-sized value join, the covered-positions LEFT-SEMI
+    assert(countOccurrences(plan, "ShuffledHashJoin") == 3,
+      s"expected 3 shuffled hash joins in:\n$plan")
+    assert(countOccurrences(plan, "LeftSemi") == 2,
+      s"expected the 2 left-semi legs in:\n$plan")
+    // the table's one inherent exchange and every other keyed exchange
+    // ride 8-byte keys — shingle text never shuffles
+    assert(plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .forall(!_.contains("sh_text")),
+      s"shingle text crossed an exchange in:\n$plan")
+    // no sort on the shingle-keyed stream (islands windows sort on id)
+    assert(!plan.linesIterator.filter(_.trim.startsWith("Sort "))
+      .exists(_.contains("shingle")),
+      s"a sort reached the shingle stream in:\n$plan")
+  }
 }
