@@ -1130,7 +1130,8 @@ object Dedup {
     * truncates the lineage so the plan stays flat across iterations. The
     * driver loop carries only a scalar per round (the change count), never
     * data. */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+                  broadcastLabelsMaxNodes: Long = 2000000L): DataFrame = {
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs
@@ -1138,12 +1139,24 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    // the pageRank recipe (r10) transferred to the sibling iterative op:
+    // the node count is MEASURED off the eager setup checkpoint (cheap —
+    // and only docs WITH near-dup pairs are nodes here, a small set even
+    // on corpora where most docs are unique), so in the broadcast regime
+    // every per-round lookup side gets the explicit hint instead of
+    // waiting on AQE's per-stage runtime stats; past the gate the hint is
+    // withheld and the exchange path serves (a corpus-sized label frame
+    // must never collect to the driver).
+    val hintLabels = labels.count() <= broadcastLabelsMaxNodes
+    def lookup(df: DataFrame): DataFrame =
+      if (hintLabels) df.hint("BROADCAST") else df
     var labelSum: Option[Long] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .join(lookup(labels.select(col("id").as("dst"),
+          col("label").as("nlabel"))), "dst")
         .groupBy(col("src").as("id")).agg(min("nlabel").as("nmin"))
       val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
@@ -1151,8 +1164,8 @@ object Dedup {
       // pointer jump: follow my label to ITS label (labels are node ids,
       // so the lookup table is the label frame itself)
       val updated = propagated.alias("a")
-        .join(propagated.select(col("id").as("label"),
-          col("label").as("plabel")).alias("p"), Seq("label"), "left")
+        .join(lookup(propagated.select(col("id").as("label"),
+          col("label").as("plabel"))).alias("p"), Seq("label"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         // LAZY checkpoint: the convergence aggregate right below is the

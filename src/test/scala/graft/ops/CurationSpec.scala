@@ -69,6 +69,20 @@ class CurationSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dup clusters: identical labels with the broadcast hint withheld " +
+    "(the past-the-gate path)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (4L, 1L))
+      .toDF("id_a", "id_b")
+    val hinted = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unhinted = Dedup.dupClusters(pairs, broadcastLabelsMaxNodes = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hinted === unhinted)
+    assert(hinted === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("dup clusters: a 100-node chain converges within the round budget") {
     import spark.implicits._
     // worst case for plain propagation (needs diameter=99 rounds);
