@@ -375,15 +375,94 @@ object Dedup {
     bandDf.groupBy("band")
       .agg(BoundedCollect.longs(maxBucket)(col("id")).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(
-          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
-        .as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // in-bucket combinations via the compiled kernel (sorts per bucket
+      // → id_a < id_b by construction); the a<b filter stays as the
+      // guard against duplicate ids ever reaching one bucket
+      .select(explode(sortedPairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** All unordered pairs of a bucket's id array, emitted (min, max) — the
+    * COMPILED kernel behind every in-bucket pair generator (minhash
+    * bands, jaccard buckets; the simhash members form is
+    * [[simhashPairsUdf]]). The former nested-transform Column form (kept
+    * as [[pairsHofCol]], the identity-spec twin) is INTERPRETED:
+    * higher-order functions have no codegen, so each outer element paid
+    * a `slice` array copy and each emitted pair an InternalRow
+    * allocation through `ArrayTransform.eval` — the r10 jstack of the
+    * warm q19 loop put the family's task CPU exactly there
+    * (`CreateNamedStruct.eval` under doubly-nested `ArrayTransform`).
+    * This is the same O(m²) combination loop compiled; it sorts
+    * internally (bucket-local, m ≤ maxBucket), so pairs come out
+    * (min, max) by construction. PairGenSpec pins element-exact identity
+    * to the HOF twin over a sorted input. */
+  private val sortedPairsUdf = udf { (ids: Seq[Long]) =>
+    val n = ids.length
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = ids(i); i += 1 }
+    java.util.Arrays.sort(a)
+    val out = new Array[(Long, Long)](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { out(k) = (a(i), a(j)); k += 1; j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** The interpreted nested-transform twin (PairGenSpec pins identity;
+    * not a serving path — see [[sortedPairsUdf]]). Emits index pairs
+    * i<j of the array AS GIVEN. */
+  private[graft] def pairsHofCol(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(
+        slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
+        y => struct(x.as("_1"), y.as("_2")))))
+
+  /** Compiled pair kernel over (id, simhash) members: (min id, max id,
+    * hamming) per unordered pair — `Long.bitCount(a ^ b)` is exactly
+    * `bit_count(a.bitwiseXOR(b))` ([[hammingCol]]). Index-pair order of
+    * the members array as given (the consumer dropDuplicates across
+    * buckets); PairGenSpec pins identity to the HOF twin. */
+  private val simhashPairsUdf = udf { (members: Seq[(Long, Long)]) =>
+    val n = members.length
+    val out = new Array[(Long, Long, Int)](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val (ia, ha) = members(i)
+      var j = i + 1
+      while (j < n) {
+        val (ib, hb) = members(j)
+        out(k) = (math.min(ia, ib), math.max(ia, ib),
+          java.lang.Long.bitCount(ha ^ hb))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Spec accessors for the private kernels (PairGenSpec). */
+  private[graft] def minhashPairsKernelForSpec(ids: Column): Column =
+    sortedPairsUdf(ids)
+  private[graft] def simhashPairsKernelForSpec(members: Column): Column =
+    simhashPairsUdf(members)
+
+  /** Interpreted twin of [[simhashPairsUdf]] (PairGenSpec identity pin). */
+  private[graft] def simhashPairsHofCol(members: Column): Column =
+    flatten(transform(members, (x, i) =>
+      transform(
+        slice(members, i + 2, greatest(size(members) - i - 1, lit(0))),
+        y => struct(
+          least(x.getField("_1"), y.getField("_1")).as("_1"),
+          greatest(x.getField("_1"), y.getField("_1")).as("_2"),
+          hammingCol(x.getField("_2"), y.getField("_2")).as("_3")))))
 
   /** Candidate near-duplicate pairs (a < b) via MinHash LSH with the full
     * shingle SETS attached per side — for consumers that need the sets
@@ -653,19 +732,15 @@ object Dedup {
     // member filter
     val sizes = buckets.select(explode(col("ids")).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_sh"))
-    // ids within a bucket are distinct (array_distinct per doc upstream),
-    // so sorting makes every generated pair (id_a < id_b) by construction
+    // ids within a bucket are distinct (array_distinct per doc upstream);
+    // the compiled kernel sorts per bucket, so every generated pair is
+    // (id_a < id_b) by construction — r10: this replaced the interpreted
+    // nested-transform form the q19-family jstack attributed the task
+    // CPU to (see the kernel's scaladoc)
     buckets
       .filter(size(col("ids")) > 1)
-      .withColumn("ids", array_sort(col("ids"))) // sort ONCE — the inner
-      // slice below must index the same sorted array the outer transform
-      // iterates, or pairs mix sorted/unsorted positions
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(
-          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-          y => struct(x.as("id_a"), y.as("id_b"))))))
-        .as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(explode(sortedPairsUdf(col("ids"))).as("p"))
+      .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
@@ -1299,17 +1374,9 @@ object Dedup {
       .agg(BoundedCollect.pairs(maxBucket)(col("id"), col("simhash"))
         .as("members"))
       .filter(col("members").isNotNull && size(col("members")) >= 2)
-      .select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(
-          slice(col("members"), i + 2,
-            greatest(size(col("members")) - i - 1, lit(0))),
-          y => struct(
-            least(x.getField("_1"), y.getField("_1")).as("id_a"),
-            greatest(x.getField("_1"), y.getField("_1")).as("id_b"),
-            hammingCol(x.getField("_2"), y.getField("_2"))
-              .as("hamming")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.hamming").as("hamming"))
+      .select(explode(simhashPairsUdf(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("hamming"))
       .filter(col("id_a") < col("id_b") && col("hamming") <= maxDist)
       .dropDuplicates("id_a", "id_b")
     pairs
