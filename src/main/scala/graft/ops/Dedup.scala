@@ -994,14 +994,18 @@ object Dedup {
     * cross-engine gate.
     *
     * Shape: spans collapse to one small array per affected doc and come
-    * back through ONE equi-join on id; the token array never explodes —
-    * kept-token selection is a per-row filter with an exists() probe over
-    * that doc's (few) spans. The join is hint-forced to SHUFFLE_HASH with
-    * the spans side as the build: a sort-merge join would SORT the token
-    * frame, whose rows carry the whole document as a token array
-    * (multi-KB payloads — the same sort class that filled the 500k-doc
-    * scale run's scratch disk in the old minhash verify), while the spans
-    * build side is a per-doc bounded frame.
+    * back through ONE equi-join on id; the token stream never explodes —
+    * kept-token selection, counting, and the md5 all happen in ONE
+    * compiled pass over the token arena ([[stripKernelUdf]]; r10,
+    * finding 21 applied at per-TOKEN granularity — the former Column
+    * tail built a (token, pos) struct per token and ran an interpreted
+    * `exists` probe per token through non-codegen HOF eval; it survives
+    * as [[stripRepeatedSpansHof]], the identity-spec twin). The join is
+    * hint-forced to SHUFFLE_HASH with the spans side as the build: a
+    * sort-merge join would SORT the document frame, whose rows carry the
+    * whole text (multi-KB payloads — the same sort class that filled the
+    * 500k-doc scale run's scratch disk in the old minhash verify), while
+    * the spans build side is a per-doc bounded frame.
     *
     * `precomputedSpans` lets a caller that already materialized
     * [[repeatedSpans]] output (e.g. to COUNT it — the ScaleRun phase)
@@ -1027,6 +1031,72 @@ object Dedup {
     val spans = precomputedSpans
       .getOrElse(repeatedSpans(df, idCol, textCol, n, minOcc,
         docParts = docParts))
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start").cast("long").as("_1"),
+        col("span_end").cast("long").as("_2"))).as("spans"))
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+      .join(spans.hint("SHUFFLE_HASH"), Seq("id"), "left")
+      .select(col("id"), stripKernelUdf(col("__text"),
+        coalesce(col("spans"),
+          array().cast("array<struct<_1:bigint,_2:bigint>>"))).as("__r"))
+      .select(col("id"), col("__r._1").as("n_tokens"),
+        col("__r._2").as("n_kept"), col("__r._3").as("clean_md5"))
+      .filter(col("n_tokens") > 0)
+  }
+
+  /** Compiled strip kernel: one pass over the token arena per doc →
+    * (n_tokens, n_kept, md5 of the kept tokens space-joined). Kept
+    * tokens stream their pre-spaced arena slices straight into one
+    * MessageDigest — the digested bytes are exactly the UTF-8 of
+    * `concat_ws(" ", kept)` (arena tokens are the `shingleTokens`
+    * elements, TokenizeSpec-pinned; joined with the same single 0x20).
+    * The covered test is ANY span with start ≤ p < end — overlap-safe
+    * and order-free, exactly the HOF twin's `exists` semantics
+    * (repeatedSpans emits disjoint sorted spans, but `precomputedSpans`
+    * is caller input and must not be assumed clean). A null/too-short
+    * text yields n_tokens = 0 and is filtered, as the twin's pre-join
+    * size filter did. Identity to [[stripRepeatedSpansHof]] is pinned
+    * by SubstringDedupSpec on hand and real corpora. */
+  private val stripKernelUdf = udf { (text: String, spans: Seq[(Long, Long)]) =>
+    val tk = graft.expr.TokenKernel.shingleTokenBytes(text)
+    val nTok = tk.count
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var kept = 0L
+    var i = 0
+    while (i < nTok) {
+      var covered = false
+      var s = 0
+      while (!covered && s < spans.length) {
+        val sp = spans(s)
+        covered = i >= sp._1 && i < sp._2
+        s += 1
+      }
+      if (!covered) {
+        if (kept > 0L) md.update(' '.toByte)
+        val p0 = tk.starts(i)
+        md.update(tk.bytes, p0, tk.starts(i + 1) - 1 - p0)
+        kept += 1L
+      }
+      i += 1
+    }
+    val d = md.digest()
+    val sb = new java.lang.StringBuilder(32)
+    var b = 0
+    while (b < d.length) {
+      sb.append(Character.forDigit((d(b) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(b) & 0xf, 16))
+      b += 1
+    }
+    (nTok.toLong, kept, sb.toString)
+  }
+
+  /** The interpreted Column-tail twin of [[stripRepeatedSpans]] (identity
+    * spec only — finding 21's per-token allocator class; see the serving
+    * method's scaladoc). */
+  private[graft] def stripRepeatedSpansHof(df: DataFrame, idCol: String,
+                                           textCol: String, n: Int = 10,
+                                           minOcc: Int = 2): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, n, minOcc)
       .groupBy("id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val toks = df.select(col(idCol).cast("long").as("id"),

@@ -123,6 +123,20 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got === Set(((1L << 43) - 1, (1 << 20) - 1), (0L, 0)))
   }
 
+  test("stripRepeatedSpans: compiled kernel == interpreted Column twin " +
+    "(finding 21 at token granularity), real corpus included") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+    for ((df, n) <- Seq(
+        (corpus, 5),
+        (spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 10))) {
+      assert(rows(Dedup.stripRepeatedSpans(df, "doc_id", "text", n = n)) ===
+        rows(Dedup.stripRepeatedSpansHof(df, "doc_id", "text", n = n)))
+    }
+  }
+
   test("stripRepeatedSpans: kept tokens, counts, and md5 are hand-exact") {
     val out = Dedup.stripRepeatedSpans(corpus, "doc_id", "text", n = 5)
       .orderBy("id")
