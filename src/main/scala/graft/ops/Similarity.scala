@@ -344,8 +344,45 @@ object Similarity {
   private def planeCoef(j: Int, i: Int, t: Int = 0): Int =
     ((i * 131 + j * 137 + t * 977 + 7) % 19) - 9
 
-  /** `nBits`-bit random-hyperplane LSH bucket id for a vector (table `t`). */
+  /** `nBits`-bit random-hyperplane LSH bucket id for a vector (table `t`)
+    * — served by a compiled kernel (SCALE.md finding 21: the Column form
+    * ran `nBits` INTERPRETED `aggregate(zip_with(...))` passes per row,
+    * materializing a dim-length product array per bit through
+    * non-codegen HOF eval; it survives as [[lshBucketColExpr]], the
+    * identity-spec twin). The kernel folds each dot in ascending-i order
+    * with the same int→double promotion, so the FP result is
+    * bit-identical to the twin's left-to-right aggregate, and edge
+    * semantics match exactly: a null vector, a length ≠ `dim`, or any
+    * null ELEMENT nulls every bit's dot in the twin (zip_with pads with
+    * null, null propagates through ×/+ and `when` falls through) →
+    * bucket 0, which the kernel returns for the same three cases. */
   def lshBucketCol(vec: Column, nBits: Int = 8, dim: Int = 64, t: Int = 0): Column =
+    lshBucketUdf(vec.cast("array<double>"), lit(nBits), lit(dim), lit(t))
+
+  private val lshBucketUdf = udf {
+    (vecIn: Seq[java.lang.Double], nBits: Int, dim: Int, t: Int) =>
+      if (vecIn == null || vecIn.length != dim || vecIn.contains(null)) 0L
+      else {
+        val v = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { v(i) = vecIn(i).doubleValue; i += 1 }
+        var bucket = 0L
+        var j = 0
+        while (j < nBits) {
+          var s = 0.0
+          i = 0
+          while (i < dim) { s += v(i) * planeCoef(j, i, t); i += 1 }
+          if (s > 0) bucket |= (1L << j)
+          j += 1
+        }
+        bucket
+      }
+  }
+
+  /** Interpreted Column twin of [[lshBucketCol]] (LshBucketSpec pins
+    * bit-identity; not a serving path — see the kernel's scaladoc). */
+  private[ops] def lshBucketColExpr(vec: Column, nBits: Int = 8,
+                                    dim: Int = 64, t: Int = 0): Column =
     (0 until nBits).map { j =>
       val dot = aggregate(
         zip_with(vec, array((0 until dim).map(i => lit(planeCoef(j, i, t))): _*),
