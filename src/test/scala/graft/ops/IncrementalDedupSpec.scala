@@ -125,6 +125,36 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(inc2 === Seq((21L, 1L, 2, 7, 1L)))
   }
 
+  test("property: random corpora with seeded shared phrases — incremental " +
+    "== union-form restriction under arbitrary base/batch splits") {
+    val rng = new scala.util.Random(29)
+    val phrases = Seq(
+      "lorem ipsum dolor sit amet consectetur",
+      "the quick brown fox jumps over",
+      "pack my box with five dozen")
+    def doc(id: Long): (Long, String) = {
+      val parts = Seq.fill(rng.nextInt(4) + 1) {
+        if (rng.nextBoolean()) phrases(rng.nextInt(phrases.length))
+        else Seq.fill(rng.nextInt(8) + 3)(s"w${rng.nextInt(200)}")
+          .mkString(" ")
+      }
+      (id, parts.mkString(" "))
+    }
+    for (trial <- 1 to 3) {
+      val docs = (1L to 24L).map(doc)
+      val cut = rng.nextInt(20) + 2 // both sides non-empty
+      val base = docs.filter(_._1 <= cut).toDF("doc_id", "text")
+      val batch = docs.filter(_._1 > cut).toDF("doc_id", "text")
+      val inc = spanRows(Dedup.incrementalRepeatedSpans(
+        batch, "doc_id", "text",
+        Dedup.shingleOccurrenceTable(base, "text", n = 4), n = 4))
+      val union = spanRows(Dedup.repeatedSpans(
+          base.unionByName(batch), "doc_id", "text", n = 4)
+        .filter(col("id") > cut))
+      assert(inc === union, s"trial $trial cut $cut")
+    }
+  }
+
   test("guards: malformed baseOcc and bad parameters fail loudly") {
     val notATable = Seq((1L, 2L)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
