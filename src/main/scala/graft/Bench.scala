@@ -100,14 +100,20 @@ object Bench {
     // leaves a valid k-rep artifact on disk (medians over the reps run
     // so far, rep_counts recording how many).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    // ONE median + total definition shared by the file artifact and the
+    // stdout tail line (r11 ADVICE: the two had duplicate copies that
+    // could silently drift) — lower median of the reps recorded so far
+    def median(ts: List[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
+    def medians(): scala.collection.Map[String, Double] =
+      times.collect { case (name, b) if b.result().nonEmpty =>
+        name -> median(b.result()) }
+    def totalOf(results: scala.collection.Map[String, Double]): Double =
+      if (results.nonEmpty) results.values.sum else 0.0
     def artifactJson(): String = {
       val repCounts = times.map { case (k, b) => k -> b.result().size }
-      val results = times.collect { case (name, b) if b.result().nonEmpty =>
-        val ts = b.result()
-        name -> ts.sorted.apply((ts.size - 1) / 2)
-      }
+      val results = medians()
       val wall = (System.nanoTime() - wallT0) / 1e9
-      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val total = totalOf(results)
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val rcs = repCounts.map { case (k, v) => "\"" + k + "\":" + v }
@@ -130,15 +136,13 @@ object Bench {
       writeArtifact(s"after rep round $rep")
     }
     val repCounts = times.map { case (k, b) => k -> b.result().size }
-    val results = times.map { case (name, b) =>
-      val ts = b.result()
-      val median = ts.sorted.apply((ts.size - 1) / 2)
+    val results = medians()
+    results.foreach { case (name, m) =>
       System.err.println(
-        f"[bench] $name median: $median%.2f s (${ts.size} reps)")
-      name -> median
+        f"[bench] $name median: $m%.2f s (${repCounts(name)} reps)")
     }
     val wall = (System.nanoTime() - wallT0) / 1e9
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = totalOf(results)
     // stop the session BEFORE the summary line so no late executor/cleaner
     // log can land after it — then print the totals JSON as the ABSOLUTE
     // LAST stdout line (five rounds of BENCH_r*.json parsed null because

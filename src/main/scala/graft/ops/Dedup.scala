@@ -1057,21 +1057,38 @@ object Dedup {
     * text yields n_tokens = 0 and is filtered, as the twin's pre-join
     * size filter did. Identity to [[stripRepeatedSpansHof]] is pinned
     * by SubstringDedupSpec on hand and real corpora. */
+  // one MessageDigest per executor thread, reset per row — the per-row
+  // getInstance("MD5") showed up as allocator noise on the strip hot path
+  // (r11 ADVICE); reset() restores the empty-digest state exactly
+  private val stripMd5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   private val stripKernelUdf = udf { (text: String, spans: Seq[(Long, Long)]) =>
     val tk = graft.expr.TokenKernel.shingleTokenBytes(text)
     val nTok = tk.count
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = stripMd5.get()
+    md.reset()
+    // Coverage probe: sort the spans once by start, then walk tokens and
+    // spans together with a running max-end — covered(i) ⟺ some span has
+    // start ≤ i < end ⟺ max{end : start ≤ i} > i. O(nTok + m log m)
+    // instead of the former O(nTok × m) inner scan (r11 ADVICE: serving
+    // spans from repeatedSpans are disjoint-sorted, but precomputedSpans
+    // is caller input — the running-max walk stays correct for arbitrary
+    // unsorted/overlapping spans, the semantics the HOF twin pins).
+    val sp = spans.toArray
+    java.util.Arrays.sort(sp, java.util.Comparator.comparingLong(
+      (p: (Long, Long)) => p._1))
     var kept = 0L
     var i = 0
+    var j = 0          // first span not yet activated (start > i)
+    var activeEnd = 0L // max end among spans with start ≤ i
     while (i < nTok) {
-      var covered = false
-      var s = 0
-      while (!covered && s < spans.length) {
-        val sp = spans(s)
-        covered = i >= sp._1 && i < sp._2
-        s += 1
+      while (j < sp.length && sp(j)._1 <= i) {
+        if (sp(j)._2 > activeEnd) activeEnd = sp(j)._2
+        j += 1
       }
-      if (!covered) {
+      if (i >= activeEnd) {
         if (kept > 0L) md.update(' '.toByte)
         val p0 = tk.starts(i)
         md.update(tk.bytes, p0, tk.starts(i + 1) - 1 - p0)

@@ -73,7 +73,14 @@ class GraphSpec extends SparkSpec {
     val hintedPlan = initialPlan(2000000L)
     assert(hintedPlan.contains("BroadcastHashJoin") &&
       hintedPlan.contains("BuildLeft"), s"rank side not pinned:\n$hintedPlan")
-    assert(!initialPlan(0L).contains("BuildLeft"))
+    // scope the negative gate to the rank-side join NODE (the hash-join
+    // line keyed on src), not the whole plan string — an unrelated future
+    // BuildLeft join elsewhere in the plan must not flip this (r11 ADVICE)
+    val unhintedJoins = initialPlan(0L).linesIterator
+      .filter(l => l.contains("HashJoin") && l.contains("src")).toSeq
+    assert(unhintedJoins.nonEmpty &&
+      unhintedJoins.forall(!_.contains("BuildLeft")),
+      s"past-the-gate rank join should not build left:\n$unhintedJoins")
     val hinted = Graph.pageRank(edges, iterations = 5)
       .as[(Long, Long)].collect().toSeq.sorted
     val unhinted = Graph.pageRank(edges, iterations = 5,
