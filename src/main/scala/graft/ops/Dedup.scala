@@ -1174,6 +1174,26 @@ object Dedup {
       .toDF("shingle", "occ")
   }
 
+  /** Collapse a (possibly multi-row-per-shingle) occurrence frame to one
+    * (shingle, occ) row per key: one 8-byte-key exchange + the
+    * [[KeyedSum]] kernel — never a join, never a sort. The shared tail of
+    * [[mergeOccurrenceTables]] and [[graft.streaming.OccStateStore]]'s
+    * bucket compaction. */
+  private[graft] def aggregateOccurrences(df: DataFrame,
+                                          parts: Int = 0): DataFrame = {
+    require(df.columns.contains("shingle") && df.columns.contains("occ"),
+      s"occurrence table needs (shingle, occ); got ${df.columns.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions * 8
+    df.select(col("shingle"), col("occ"))
+      .repartition(p, col("shingle"))
+      .as[(Long, Long)]
+      .mapPartitions(it => new KeyedSum()(it))
+      .toDF("shingle", "occ")
+  }
+
   /** Advance the incremental lane's state: element-wise sum of two
     * occurrence tables (either from [[shingleOccurrenceTable]] or a prior
     * merge). Union + one 8-byte-key exchange + the [[KeyedSum]] kernel —
@@ -1184,16 +1204,9 @@ object Dedup {
       require(t.columns.contains("shingle") && t.columns.contains("occ"),
         s"occurrence table needs (shingle, occ); got ${t.columns.mkString(", ")}")
     }
-    val spark = a.sparkSession
-    import spark.implicits._
-    val p = if (parts > 0) parts
-      else spark.sessionState.conf.numShufflePartitions * 8
-    a.select(col("shingle"), col("occ"))
-      .unionByName(b.select(col("shingle"), col("occ")))
-      .repartition(p, col("shingle"))
-      .as[(Long, Long)]
-      .mapPartitions(it => new KeyedSum()(it))
-      .toDF("shingle", "occ")
+    aggregateOccurrences(
+      a.select(col("shingle"), col("occ"))
+        .unionByName(b.select(col("shingle"), col("occ"))), parts)
   }
 
   /** Incremental substring-level exact dedup: [[repeatedSpans]] for an
@@ -1202,11 +1215,15 @@ object Dedup {
     * asymmetry (StreamingDedup gates exact content hashes at ingest;
     * span-level detection was batch-only before this).
     *
-    * Contract: `baseOcc` is [[shingleOccurrenceTable]] output over the
-    * base corpus with the SAME `n` (the schema is asserted; the `n`
-    * coupling — shingle hashes are n-dependent — is the caller's
+    * Contract: `baseOcc` carries the base corpus's per-shingle occurrence
+    * counts built with the SAME `n` — either [[shingleOccurrenceTable]]
+    * output directly, or ANY (shingle, occ) frame whose per-shingle SUM
+    * equals it (several rows per shingle are summed after the slim, so
+    * [[graft.streaming.OccStateStore]] can pass base + uncompacted delta
+    * segments without a corpus-wide pre-merge). The schema is asserted;
+    * the `n` coupling — shingle hashes are n-dependent — is the caller's
     * obligation, same policy as [[stripRepeatedSpans]]'s
-    * `precomputedSpans`). A new-doc position is covered exactly when its
+    * `precomputedSpans`. A new-doc position is covered exactly when its
     * shingle's occurrences across base + batch reach `minOcc`, so the
     * output row-equals `repeatedSpans(base ∪ batch).filter(id ∈ batch)`
     * (IncrementalDedupSpec pins this on hand and real corpora; the
@@ -1263,10 +1280,17 @@ object Dedup {
     // would be BUCKETED on `shingle`, making even that exchange a
     // one-time write cost rather than per-increment — the parquet state
     // written by StreamingSpanDedup is bucket-ready.)
+    // The slimmed base may carry SEVERAL rows per shingle: baseOcc's
+    // contract (see the scaladoc) is per-shingle SUM, so a delta-segment
+    // state store ([[graft.streaming.OccStateStore]]) can hand its base +
+    // uncompacted deltas straight in without a corpus-wide pre-merge. The
+    // sum runs AFTER the semi-join slim — batch-sized, and the SHUFFLE_HASH
+    // output is already partitioned on shingle, so it adds no exchange.
     val baseSlim = baseOcc
       .select(col("shingle"), col("occ").as("occ_base"))
       .join(batchCnt.select("shingle").hint("SHUFFLE_HASH"),
         Seq("shingle"), "left_semi")
+      .groupBy("shingle").agg(sum("occ_base").as("occ_base"))
     val covered = batchCnt
       .join(baseSlim.hint("SHUFFLE_HASH"), Seq("shingle"), "left")
       .filter(col("occ_new") + coalesce(col("occ_base"), lit(0L)) >= minOcc)
