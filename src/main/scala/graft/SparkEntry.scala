@@ -1337,6 +1337,56 @@ object SparkEntry {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Retroactive-coverage sweep (q100's other lambda half,
+    * [[graft.ops.Dedup.retroactiveSpanSweep]]): even-id docs are the
+    * INDEXED base — positions index, occurrence table, and prior spans
+    * are the persisted one-time artifacts, memoized per JVM like q100's
+    * state (Verify's single run pays them; the median measures the
+    * sweep) — and the odd-id docs are the accumulated increments, whose
+    * counts push base shingles over the threshold. The sweep recomputes
+    * ONLY the affected base docs from the positions index (no base text
+    * re-shingles) and composes with the kept prior spans; the oracle is
+    * the batch form's SQL over the full corpus restricted to EVEN ids,
+    * so a hash match proves kept-prior ∪ sweep == re-running batch span
+    * dedup over the union, base side — the retroactive companion to
+    * q100's increment-side claim. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val basePosPath = MemoParquet(s"q101_base_pos:$dir") { out =>
+      Dedup.shinglePositionsTable(base, "doc_id", "text", n = 10)
+        .write.mode("overwrite").parquet(out)
+    }
+    val baseSpansPath = MemoParquet(s"q101_base_spans:$dir") { out =>
+      Dedup.repeatedSpans(base, "doc_id", "text", n = 10)
+        .write.mode("overwrite").parquet(out)
+    }
+    // state tables: prev = base-only (shared with q100's memo), cur =
+    // after the increments — in deployment both are OccStateStore reads,
+    // not sweep work
+    val baseOccPath = MemoParquet(s"q100_base_occ:$dir") { out =>
+      Dedup.shingleOccurrenceTable(base, "text", n = 10)
+        .write.mode("overwrite").parquet(out)
+    }
+    val curOccPath = MemoParquet(s"q101_cur_occ:$dir") { out =>
+      Dedup.mergeOccurrenceTables(s.read.parquet(baseOccPath),
+          Dedup.shingleOccurrenceTable(
+            docs.filter(col("doc_id") % 2 === 1), "text", n = 10))
+        .write.mode("overwrite").parquet(out)
+    }
+    val sweep = Dedup.retroactiveSpanSweep(s.read.parquet(basePosPath),
+      s.read.parquet(baseOccPath), s.read.parquet(curOccPath), n = 10)
+    s.read.parquet(baseSpansPath)
+      .join(sweep.select("id").distinct(), Seq("id"), "left_anti")
+      .unionByName(sweep)
+      .select(col("id").as("doc_id"),
+        col("span_id").cast("long").as("span_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("n_shingles").cast("long").as("n_shingles"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** SemDeDup-style semantic dedup: IVF cells prune the pair space, a doc
     * drops when a lower-id cell-mate sits at cosine ≥ 0.4 — the
     * embedding-space (paraphrase) leg of the dedup suite. */
@@ -1523,7 +1573,8 @@ object SparkEntry {
     "q97_featurize" -> (q97 _),
     "q98_langid_trained" -> (q98 _),
     "q99_featurize_dedup" -> (q99 _),
-    "q100_incremental_spans" -> (q100 _))
+    "q100_incremental_spans" -> (q100 _),
+    "q101_retroactive_sweep" -> (q101 _))
 
   /** Shared CTE chain for the q90/q91 substring-dedup oracles: positional
     * 10-token shingles (pos zero-based, window [pos, pos+10)), occurrence
@@ -3117,5 +3168,16 @@ object SparkEntry {
            CAST(max(pos) + 10 AS BIGINT) AS span_end,
            CAST(count(*) AS BIGINT) AS n_shingles
          FROM sp WHERE doc_id % 2 = 1 GROUP BY doc_id, span_id
+         ORDER BY doc_id, span_start""",
+    // q101 is q100's mirror: the BATCH form restricted to the BASE (even)
+    // ids — hash equality proves the sweep-composed base side (kept prior
+    // spans + recomputed affected docs) matches a full union recompute
+    "q101_retroactive_sweep" ->
+      s"""$substringSpanCtes
+         SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 10 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_shingles
+         FROM sp WHERE doc_id % 2 = 0 GROUP BY doc_id, span_id
          ORDER BY doc_id, span_start""")
 }

@@ -14,8 +14,9 @@ object Curation {
   /** Flagged-id broadcast bound for [[decontaminationFlags]]'s pass-2
     * semi gate (4M ids ≈ 32 MB as a broadcast hash relation) — same
     * bound and rationale as the near-dup verify gate, SCALE.md
-    * finding 14/17. */
-  private final val MaxFlaggedIdBroadcast = 4L << 20
+    * finding 14/17. Package-visible: [[Dedup.retroactiveSpanSweep]]'s
+    * affected-id restriction is the same corpus-vs-bounded-set shape. */
+  private[graft] final val MaxFlaggedIdBroadcast = 4L << 20
 
   /** Redact every match of `patterns` (name → regex) with `[NAME]` tokens —
     * a fold of `regexp_replace` over the pattern table (plan constants,

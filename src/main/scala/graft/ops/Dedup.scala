@@ -1301,6 +1301,115 @@ object Dedup {
     islandsToSpans(coveredPos, n)
   }
 
+  /** The incremental lane's POSITIONS index over a base corpus: one
+    * (id, pos, shingle) row per shingle occurrence — written ONCE when
+    * the base is indexed (parquet, alongside [[shingleOccurrenceTable]]'s
+    * counts) and consumed by [[retroactiveSpanSweep]], which must answer
+    * "which BASE docs contain this shingle, and where" WITHOUT
+    * re-shingling base text. Three 8-byte columns; the id/pos packing
+    * range is the caller's to respect (same bounds as
+    * [[coveredPositionsHash]] asserts). `n` couples to the occurrence
+    * table exactly as [[incrementalRepeatedSpans]] documents. */
+  def shinglePositionsTable(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 10, docParts: Int = 0): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    adaptiveDocBase(df, docParts)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(posShingleHashesUdf(col(textCol), lit(n)))
+          .as(Seq("pos", "shingle")))
+      .select(col("id"), col("pos"), col("shingle"))
+  }
+
+  /** Retroactive-coverage sweep — the documented other half of the
+    * incremental lane's lambda split ([[incrementalRepeatedSpans]] never
+    * re-emits spans for BASE docs that accumulated increments push over
+    * the threshold; this cadenced batch job does, without re-shingling
+    * one byte of base text).
+    *
+    * Inputs: the base corpus's persisted [[shinglePositionsTable]], the
+    * occurrence state at the LAST sweep (`prevOcc`) and now (`curOcc`) —
+    * both in the relaxed per-shingle-SUM form, so
+    * [[graft.streaming.OccStateStore.read]] frames pass straight in.
+    * Output: the CURRENT full span set for every affected base doc
+    * (a doc is affected iff it contains a shingle that crossed `minOcc`
+    * between the two states; its whole span set is recomputed because
+    * new covered positions can merge islands with old ones). Docs with
+    * no crossed shingle keep byte-identical spans — counts only grow, so
+    * coverage only changes at crossing keys — which gives the serving
+    * composition
+    * {{{
+    *   priorBaseSpans.join(sweep.select("id").distinct, Seq("id"), "left_anti")
+    *     .unionByName(sweep)   // == repeatedSpans(base ∪ increments) ∩ base ids
+    * }}}
+    * (every affected id has ≥ 1 span — its crossing occurrence is itself
+    * covered — so the anti-join subtracts exactly the affected set).
+    * RetroactiveSweepSpec pins sweep ∪ kept-prior ∪ incremental ==
+    * full batch recompute; q101 gates the base half against the batch
+    * oracle at the driver.
+    *
+    * Scale shape (per SWEEP, on a cadence — never per batch): the two
+    * states aggregate ONCE each (their inherent 8-byte-key exchange) and
+    * anti-join into the crossed-key set, which is bounded by the
+    * increments' distinct shingles since the last sweep — batch-mass, not
+    * corpus-mass. The positions index streams past hash semi-joins
+    * (crossed → affected ids; then the affected restriction) — scans,
+    * never sorts; the id restriction broadcasts under the decontamination
+    * gate ([[Curation.MaxFlaggedIdBroadcast]]'s policy) so the
+    * corpus-sized index never re-exchanges on id. The affected docs'
+    * coverage test does NOT re-aggregate the state: curOcc is slimmed to
+    * the affected key set first (map-side under the same gate — finding
+    * 20's shape), and the threshold aggregate runs on affected-doc mass.
+    * Only affected docs' positions reach the gaps-and-islands merge. */
+  def retroactiveSpanSweep(positions: DataFrame, prevOcc: DataFrame,
+                           curOcc: DataFrame, n: Int = 10,
+                           minOcc: Int = 2, occParts: Int = 0): DataFrame = {
+    require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
+    val missing = Seq("id", "pos", "shingle")
+      .filterNot(positions.columns.contains)
+    require(missing.isEmpty,
+      s"positions must be shinglePositionsTable output (missing: " +
+        s"${missing.mkString(", ")}) built with the same n=$n")
+    def coveredKeys(occ: DataFrame) =
+      aggregateOccurrences(occ, occParts)
+        .filter(col("occ") >= minOcc).select("shingle")
+    // newly covered keys: counts are monotone, so prev-covered ⊆
+    // cur-covered and the anti-join is exactly the crossing set
+    val crossed = coveredKeys(curOcc)
+      .join(coveredKeys(prevOcc).hint("SHUFFLE_HASH"),
+        Seq("shingle"), "left_anti")
+      .localCheckpoint()
+    val affected = positions
+      .join(crossed.hint("SHUFFLE_HASH"), Seq("shingle"), "left_semi")
+      .select("id").distinct()
+      .localCheckpoint()
+    val nAffected = affected.count()
+    val posAffected = (
+      if (nAffected <= Curation.MaxFlaggedIdBroadcast)
+        positions.join(broadcast(affected), Seq("id"), "left_semi")
+      else positions.join(affected, Seq("id"), "left_semi"))
+      .localCheckpoint()
+    // coverage for the affected docs under the CURRENT state, without a
+    // second corpus-wide aggregate of curOcc (the crossed computation
+    // above already paid both states' one inherent exchange): slim the
+    // state to the affected docs' key set FIRST — map-side under the
+    // broadcast gate, hash semi past it (finding 20's shape) — then the
+    // aggregate + threshold runs on affected-doc mass only
+    val affKeys = posAffected.select("shingle").distinct()
+      .localCheckpoint()
+    val nAffKeys = affKeys.count()
+    val curSlim =
+      if (nAffKeys <= Curation.MaxFlaggedIdBroadcast)
+        curOcc.join(broadcast(affKeys), Seq("shingle"), "left_semi")
+      else curOcc.join(affKeys.hint("SHUFFLE_HASH"),
+        Seq("shingle"), "left_semi")
+    val coveredAff = aggregateOccurrences(curSlim, occParts)
+      .filter(col("occ") >= minOcc).select("shingle")
+    val coveredPos = posAffected
+      .join(coveredAff.hint("SHUFFLE_HASH"), Seq("shingle"), "left_semi")
+      .select("id", "pos")
+    islandsToSpans(coveredPos, n)
+  }
+
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair graph ((id_a, id_b) rows from any pair generator above), labeling
     * every member with the minimum doc id reachable through pairs — the
