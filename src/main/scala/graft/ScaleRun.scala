@@ -27,10 +27,13 @@ import scala.jdk.CollectionConverters._
   *                  captured from StreamingQueryProgress
   *   5. substring — span-granular exact dedup (repeatedSpans + strip) over
   *                  the full corpus
-  *  5b. incremental — the q100 lane at scale: 90% base → persisted
-  *                  occurrence table (KeyedSum at the distinct-shingle
-  *                  universe), 10% increment probed without re-shingling
-  *                  the base
+  *  5b. inc-build / inc-probe / inc-advance / inc-sweep — the q100/q101
+  *                  lane at scale, split per stage (r11): one-time base
+  *                  indexing into the bucketed OccStateStore + positions
+  *                  index; the 10% increment's span probe; the O(batch)
+  *                  state advance (with an empty-store A/B pinning
+  *                  independence from base size); the retroactive sweep
+  *                  over affected base docs
   *   6. attribution — multi-touch credit over 3M synthetic events
   *   7. pagerank  — 10 fixed-point rounds over the 2×-symmetrized
   *                  user-item graph derived from those events
@@ -166,15 +169,18 @@ object ScaleRun {
     val perSit = args.headOption.map(_.toInt).getOrElse(3000)
     val outRoot = args.lift(1).getOrElse("target/scale")
     // optional phase filter ("generate,curation,…"): dev aid for re-running
-    // a subset against an existing corpus parquet; default = every phase
+    // a subset against an existing corpus parquet; default = every phase.
+    // PREFIX match (r11): "inc" selects the split incremental sub-phases
     val phaseFilter = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // SPARK_GRAFT_SCALE_PARTITIONS (default 32): the headroom probe's
-    // partition-scaling leg (r10) re-runs the 2× corpus at 64 to test the
-    // "a real cluster scales partitions with data" claim the fixed-32
-    // probe rows could only assert — see SCALE.md "Headroom probe"
-    val scaleParts =
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", "32").toInt
+    // SPARK_GRAFT_SCALE_PARTITIONS: when SET it pins the session shuffle
+    // parallelism everywhere (the A/B override — the r10 headroom probe's
+    // partition-scaling leg re-ran the 2× corpus at 64 this way; see
+    // SCALE.md "Headroom probe"). When UNSET the session default stays 32
+    // and the DOC-HEAVY dedup phases derive their width from the corpus's
+    // plan-stats bytes instead (r11 verdict item 6 — see docPhaseParts).
+    val partsEnv = sys.env.get("SPARK_GRAFT_SCALE_PARTITIONS").map(_.toInt)
+    val scaleParts = partsEnv.getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", scaleParts)
@@ -213,7 +219,7 @@ object ScaleRun {
     def mb(b: Long) = b >> 20
 
     def phase(name: String)(body: => String): Unit = {
-      if (phaseFilter.exists(!_.contains(name))) return
+      if (phaseFilter.exists(!_.exists(name.startsWith))) return
       heapPools.foreach(_.resetPeakUsage())
       val before = metrics.snap()
       val t0 = System.nanoTime()
@@ -248,6 +254,36 @@ object ScaleRun {
       s"$n docs (perSit=$perSit)"
     }
     val corpus = spark.read.parquet(docsPath)
+
+    // Doc-heavy dedup phases (substring + the incremental lane) scale
+    // their shuffle width with the CORPUS, not the fixed session default
+    // (r11 verdict item 6). Rule (SCALE.md "Partition auto-scaling"):
+    // next power of two of plan-stats bytes / 32 MB, floored at the
+    // session default — the r10 partition-scaling leg measured the
+    // substring phase −19% at 64 parts on the 1.7 GB / 504k-doc corpus
+    // (the occurrence filter's per-task distinct-key state halves) while
+    // post-optimization narrow phases are CPU-bound and indifferent, so
+    // only the shingle-exchange phases opt in. 1.7 GB → 54 → 64
+    // unprompted; the 2× corpus → 128. An explicit
+    // SPARK_GRAFT_SCALE_PARTITIONS pins everything (A/B reproducibility).
+    lazy val docPhaseParts: Int = partsEnv.getOrElse {
+      val bytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+      val want = (bytes / (32L << 20)).toLong max 1L
+      var p = scaleParts
+      while (p < want && p < 4096) p <<= 1
+      p
+    }
+    def withDocParts[T](body: => T): T = {
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, docPhaseParts.toString)
+      try body finally spark.conf.set(key, old)
+    }
+    def rmDir(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
 
     // ---- 2. the full curation DAG, as published ----
     phase("curation") {
@@ -313,7 +349,7 @@ object ScaleRun {
     }
 
     // ---- 5. substring-level exact dedup over the full corpus ----
-    phase("substring") {
+    phase("substring") { withDocParts {
       // detect ONCE (checkpoint the small span frame), strip reuses it —
       // recomputing spans inside strip would pay the corpus-wide shingle
       // exchange twice (r7 measured the double-exchange shape at 788 s /
@@ -328,39 +364,94 @@ object ScaleRun {
       spark.catalog.clearCache()
       s"$nSpans repeated spans; ${agg.getLong(0)} tokens -> " +
         s"${agg.getLong(1)} kept (${agg.getLong(2)} docs fully templated)"
-    }
+    } }
 
-    // ---- 5b. incremental substring dedup (r10): the q100 lane at scale —
-    // 90% of the corpus plays the persisted base (its occurrence table is
-    // built once, exchanging bare 8-byte keys into the KeyedSum kernel),
-    // the remaining 10% arrives as the increment and probes the table
-    // WITHOUT re-shingling the base. Exercises the kernel at the
-    // distinct-shingle universe's full size (~0.6B keys) and proves the
-    // increment's cost is batch-sized, not corpus-sized. ----
-    phase("incremental") {
+    // ---- 5b. incremental substring dedup, split per-stage (r11 verdict
+    // item 3 — the r10 single row conflated the ONE-TIME base build with
+    // the per-increment costs deployment actually pays per batch):
+    //   inc-build   — 90% of the corpus → bucketed OccStateStore (v0);
+    //                 the one-time indexing cost, amortized over every
+    //                 later increment
+    //   inc-probe   — the 10% increment emits its spans against the
+    //                 persisted state WITHOUT re-shingling the base
+    //   inc-advance — the state advances to v1 through the store, plus
+    //                 the O(batch) A/B: the SAME counts advance a fresh
+    //                 EMPTY store — matching cost proves the advance
+    //                 never touches base bytes (r10 weak-mark evidence)
+    //   inc-sweep   — retroactiveSpanSweep recomputes the base docs the
+    //                 increment pushed over the threshold, from the
+    //                 persisted positions index (no base re-shingling)
+    // All four run at docPhaseParts. ----
+    val incStateDir = s"$outRoot/occ_state"
+    val incPosPath = s"$outRoot/occ_positions.parquet"
+    phase("inc-build") { withDocParts {
       val base = corpus.filter(col("doc_id") % 10 =!= 0)
-      val batch = corpus.filter(col("doc_id") % 10 === 0)
-      // deployment-true state: the table persists as PARQUET (the
-      // streaming lane's state format) and the probe reads it back —
-      // zstd columnar beats localCheckpoint's deserialized blocks ~5×
-      // on I/O for this 0.6B-row frame (the first cut of this phase
-      // checkpointed instead: 83 GB of block re-reads). Written STRAIGHT
-      // from the KeyedSum kernel's 256 partitions (~19 MB/file — sized
-      // fine without help), because routing through writeSized's
-      // repartition re-exchanged the whole 10 GB table just to change
-      // the file count (measured +4.8 GB shuffle, +~35 s).
-      val tablePath = s"$outRoot/occ_table.parquet"
-      graft.ops.Dedup.shingleOccurrenceTable(base, "text", n = 10)
-        .write.mode("overwrite").parquet(tablePath)
-      val table = spark.read.parquet(tablePath)
-      val nKeys = table.count()
-      val nSpans = graft.ops.Dedup.incrementalRepeatedSpans(batch,
-        "doc_id", "text", table, n = 10).count()
+      rmDir(incStateDir)
+      // deployment-true state: the base's counts land THROUGH the
+      // bucketed store (batch 0) — shingle-bucketed zstd parquet
+      // segments, the layout that makes every later advance O(batch).
+      // The bucket routing costs this build one extra full-table
+      // exchange vs r10's straight kernel-partition write — a one-time
+      // cost, paid here so the per-increment rows below never touch
+      // base bytes. (zstd columnar still beats localCheckpoint's
+      // deserialized blocks ~5× on I/O for this 0.6B-row frame; the
+      // first cut of the old phase checkpointed: 83 GB of block
+      // re-reads.) The positions index for the sweep writes straight
+      // from the scan — narrow, no exchange.
+      val store = graft.streaming.OccStateStore.open(spark, incStateDir)
+      store.advance(
+        graft.ops.Dedup.shingleOccurrenceTable(base, "text", n = 10), 0L)
+      graft.ops.Dedup.shinglePositionsTable(base, "doc_id", "text", n = 10)
+        .write.mode("overwrite").parquet(incPosPath)
+      val nKeys = store.read(0L).count()
       spark.catalog.clearCache()
-      s"$nKeys distinct shingles persisted (parquet) from the 90% base; " +
-        s"$nSpans spans emitted for the 10% increment " +
+      s"$nKeys distinct shingles -> bucketed state v0 " +
+        s"(${store.numBuckets} buckets) + positions index, one-time"
+    } }
+    phase("inc-probe") { withDocParts {
+      val batch = corpus.filter(col("doc_id") % 10 === 0)
+      val store = graft.streaming.OccStateStore.open(spark, incStateDir)
+      val nSpans = graft.ops.Dedup.incrementalRepeatedSpans(batch,
+        "doc_id", "text", store.readLatestBefore(1L), n = 10).count()
+      spark.catalog.clearCache()
+      s"$nSpans spans emitted for the 10% increment " +
         "without re-shingling the base"
-    }
+    } }
+    phase("inc-advance") { withDocParts {
+      val batch = corpus.filter(col("doc_id") % 10 === 0)
+      val counts = graft.ops.Dedup
+        .shingleOccurrenceTable(batch, "text", n = 10).persist()
+      val nNew = counts.count()
+      val store = graft.streaming.OccStateStore.open(spark, incStateDir)
+      val t1 = System.nanoTime()
+      store.advance(counts, 1L)
+      val fullS = (System.nanoTime() - t1) / 1e9
+      // O(batch) A/B: identical counts advance a FRESH store — if the
+      // full-state advance cost base-table work, these two would differ
+      // by it; matching wall/delta bytes pin the independence claim
+      val emptyDir = s"$outRoot/occ_state_empty"
+      rmDir(emptyDir)
+      val empty = graft.streaming.OccStateStore.open(spark, emptyDir)
+      val t2 = System.nanoTime()
+      empty.advance(counts, 1L)
+      val emptyS = (System.nanoTime() - t2) / 1e9
+      counts.unpersist()
+      spark.catalog.clearCache()
+      f"advance of ${nNew / 1000000}M-key delta onto the full base state " +
+        f"$fullS%.1f s vs onto an EMPTY store $emptyS%.1f s " +
+        "(same delta written -> advance is O(batch), not O(|state|))"
+    } }
+    phase("inc-sweep") { withDocParts {
+      val store = graft.streaming.OccStateStore.open(spark, incStateDir)
+      val sweep = graft.ops.Dedup.retroactiveSpanSweep(
+        spark.read.parquet(incPosPath), store.read(0L), store.read(1L),
+        n = 10)
+      val byDoc = sweep.agg(countDistinct("id"), count(lit(1))).collect()(0)
+      spark.catalog.clearCache()
+      s"${byDoc.getLong(1)} spans recomputed for ${byDoc.getLong(0)} " +
+        "base docs the increment pushed over the threshold " +
+        "(positions index probed; zero base re-shingling)"
+    } }
 
     // ---- synthetic event stream shared by phases 6-8 (deterministic:
     // integer arithmetic on the id, no rand) ----
