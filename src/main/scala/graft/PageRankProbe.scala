@@ -43,18 +43,23 @@ object PageRankProbe {
     case class V(name: String, sp: Option[Int] = None,
                  ckptEvery: Int = 5, copart: Boolean = true,
                  eager: Boolean = true, ckpt: Boolean = true,
-                 bcastMax: Long = 2000000L)
-    // round-2 sweep: round 1 (committed in the r10 history) found
-    // nocopart the consistent winner (5.93 vs 6.76 default median) with
-    // ckpt2 ≈ default and sp1/sp16/ckpt10 worse; this sweep stacks the
-    // winner with the n-gated broadcast hint and checkpoint cadence
+                 bcastMax: Long = 2000000L, aqeWhilePinned: Boolean = false)
+    // round-3 sweep (r11 verdict item 5): rounds 1-2 (r10 history) landed
+    // nocopart+ckpt2 with the n-gated broadcast hint (5.03 s vs 6.03
+    // default). The remaining floor profiled as driver re-planning +
+    // janino, so round 3 tested AQE's per-stage re-plan loop — with the
+    // broadcast PINNED by the hint it has nothing left to discover, and
+    // the session-level off legs measured 4.51 (ckpt2) / 4.32 (ckpt1) vs
+    // 5.46 on. pageRank now scopes AQE off around its loop whenever the
+    // hint fires (adaptiveWhilePinned restores the old behavior); these
+    // legs A/B the scoped library implementation against pinned-AQE-on
     val variants = Seq(
-      V("default"),
       V("nocopart_ckpt1", copart = false, ckptEvery = 1),
+      V("nocopart_ckpt1_aqeon", copart = false, ckptEvery = 1,
+        aqeWhilePinned = true),
       V("nocopart_ckpt2", copart = false, ckptEvery = 2),
-      V("nocopart_ckpt2_nobcast", copart = false, ckptEvery = 2,
-        bcastMax = 0L),
-      V("nocopart_ckpt3", copart = false, ckptEvery = 3))
+      V("nocopart_ckpt2_aqeon", copart = false, ckptEvery = 2,
+        aqeWhilePinned = true))
 
     val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
       .withDefaultValue(Nil)
@@ -66,7 +71,8 @@ object PageRankProbe {
       val n = graft.ops.Graph.pageRank(edges(qSession),
           checkpoint = v.ckpt, checkpointEvery = v.ckptEvery,
           copartition = v.copart, eagerCheckpoint = v.eager,
-          broadcastRanksMaxNodes = v.bcastMax)
+          broadcastRanksMaxNodes = v.bcastMax,
+          adaptiveWhilePinned = v.aqeWhilePinned)
         .queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
       qSession.catalog.clearCache()

@@ -1190,17 +1190,20 @@ object SparkEntry {
   /** PageRank (10 rounds, d=0.85, integer picorank fixed point) over the
     * symmetrized customer–supplier trade graph from orders⋈lineitem.
     *
-    * Parameter choice (r10, closing the r9 verdict's q84-floor item):
-    * `copartition = false, checkpointEvery = 2` is the measured-fastest
+    * Parameter choice (r10 + r11, closing the q84-floor verdict items):
+    * `copartition = false, checkpointEvery = 1` is the measured-fastest
     * bench shape — PageRankProbe's interleaved same-JVM sweeps put the
     * library defaults at 6.03 s median vs 5.03 (ckpt2) / 4.90 (ckpt1)
-    * without the setup repartitions, and the n-gated broadcast hint
+    * without the setup repartitions, the n-gated broadcast hint
     * (default-on in [[graft.ops.Graph.pageRank]]) worth another ~1.3 s
-    * under that cadence (5.03 vs 6.31 unhinted). The 16k-node trade
-    * graph sits squarely in the broadcast regime where the co-partition
-    * setup exchanges are pure overhead; a caller ranking a
+    * under that cadence, and the r11 sweep landing AQE-off-while-pinned
+    * (now pageRank's default once the hint fires) at 4.32 s (ckpt1) /
+    * 4.51 (ckpt2) vs 5.46 with AQE re-planning each round. The 16k-node
+    * trade graph sits squarely in the broadcast regime where the
+    * co-partition setup exchanges are pure overhead; a caller ranking a
     * past-the-broadcast-gate graph keeps the library defaults, where
-    * co-partitioning saves a full edge re-shuffle per round. */
+    * co-partitioning saves a full edge re-shuffle per round and AQE
+    * keeps its scale duties. */
   private def q84(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"),
@@ -1217,7 +1220,7 @@ object SparkEntry {
           struct(col("a").as("src"), col("b").as("dst")),
           struct(col("b").as("src"), col("a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")),
-      copartition = false, checkpointEvery = 2)
+      copartition = false, checkpointEvery = 1)
   }
 
   /** Compaction planning: documents as stand-in file metadata (size =

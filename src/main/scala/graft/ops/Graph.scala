@@ -47,7 +47,8 @@ object Graph {
                dampingPct: Int = 85, checkpoint: Boolean = true,
                checkpointEvery: Int = 5, copartition: Boolean = true,
                eagerCheckpoint: Boolean = true,
-               broadcastRanksMaxNodes: Long = 2000000L): DataFrame = {
+               broadcastRanksMaxNodes: Long = 2000000L,
+               adaptiveWhilePinned: Boolean = false): DataFrame = {
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     // pin BOTH static frames to one hash partitioning up front — edges on
     // src, nodes on node — and every later checkpoint preserves it
@@ -90,6 +91,24 @@ object Graph {
     // exchange path serves (a billion-node graph must never collect its
     // rank frame to the driver).
     val hintBroadcastRanks = n <= broadcastRanksMaxNodes
+    // With the broadcast hint pinned, AQE has nothing left to discover
+    // per round — its per-stage re-plan loop is pure driver overhead on
+    // exactly the floor the r10 jstack profile attributed (driver
+    // re-planning + janino, not tasks). The r11 PageRankProbe sweep
+    // (interleaved same-JVM legs, 5 reps, bench shape) measured AQE off
+    // at 4.51 s vs 5.46 on at ckpt2, 4.32 at ckpt1 — so the loop's
+    // materializations run with AQE DISABLED while the plan is pinned,
+    // scoped to this call and RESTORED after (the returned frame and the
+    // caller's session see the original setting; GraphSpec pins both).
+    // Past the broadcast gate the plan is not pinned and AQE keeps its
+    // scale duties (skew splits, partition coalescing) — never touched.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val sess = edges.sparkSession
+    val scopeAqeOff = hintBroadcastRanks && !adaptiveWhilePinned &&
+      checkpoint && eagerCheckpoint
+    val aqeBefore = sess.conf.get(aqeKey)
+    if (scopeAqeOff) sess.conf.set(aqeKey, "false")
+    try {
     val init = Unit / n
     val base = ((100L - dampingPct) * init) / 100L
     var ranks = nodesDeg.withColumn("rank", lit(init))
@@ -148,6 +167,7 @@ object Graph {
         ranks = ranks.localCheckpoint(eagerCheckpoint)
     }
     ranks.select("node", "rank").orderBy("node")
+    } finally if (scopeAqeOff) sess.conf.set(aqeKey, aqeBefore)
   }
 
   /** The DuckDB twin: same fixed-point update, iterations unrolled as

@@ -88,4 +88,23 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq.sorted
     assert(hinted === unhinted)
   }
+
+  test("pageRank: AQE-off-while-pinned scope — ranks identical either " +
+    "way, session setting restored after the call") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key)
+    assert(before === "true", "spec assumes the session default")
+    val scoped = Graph.pageRank(edges, iterations = 4)
+      .as[(Long, Long)].collect().toSeq.sorted
+    // the loop ran with AQE scoped off (in-gate, eager checkpoints) and
+    // the session came back untouched
+    assert(spark.conf.get(key) === before)
+    val unscoped = Graph.pageRank(edges, iterations = 4,
+        adaptiveWhilePinned = true)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(scoped === unscoped)
+    assert(spark.conf.get(key) === before)
+  }
 }
