@@ -35,8 +35,12 @@ object Layout {
     val within = Window.partitionBy("_pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val run = ranged.withColumn("_run", sum(value).over(within))
-    // one row per partition → the unpartitioned window is over ≤ `parts`
-    // rows, then rides a broadcast back — never a wide single-task sort
+    // BOUNDED GLOBAL WINDOW: one row per partition → the unpartitioned
+    // window is over ≤ `parts` rows, then rides a broadcast back — never
+    // a wide single-task sort. WindowExec still logs its "No Partition
+    // Defined" warning (it fires on an empty partition spec regardless of
+    // input size); deliberate and bounded here — see SCALE.md "Bounded
+    // global windows".
     val offsets = run.groupBy("_pid").agg(sum(value).as("_psum"))
       .withColumn("_off", coalesce(
         sum("_psum").over(Window.orderBy("_pid")

@@ -196,7 +196,13 @@ object Sketches {
     val offsets = bucketed.groupBy("_gq_bucket")
       .agg(count(lit(1)).as("_gq_n"))
       .withColumn("_gq_offset", coalesce(sum(col("_gq_n")).over(countsW), lit(0L)))
-      .withColumn("_gq_total", sum(col("_gq_n")).over()) // tiny frame: ≤ nBuckets rows
+      // BOUNDED GLOBAL WINDOW (≤ nBuckets rows — one per bucket): this and
+      // the offsets window above are the source of Verify's
+      // "No Partition Defined for Window" warnings; WindowExec warns on an
+      // empty partition spec regardless of input size, and these frames
+      // are bucket-count-sized by construction. See SCALE.md
+      // "Bounded global windows".
+      .withColumn("_gq_total", sum(col("_gq_n")).over())
       .select("_gq_bucket", "_gq_offset", "_gq_total")
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("_gq_bucket").orderBy(col(orderCol), col(tieCol))
