@@ -76,9 +76,13 @@ object Kmeans {
     * against the trained codebook. Output: (id, cell, distortion) with
     * cell the 0-based centroid index and distortion the scaled-integer
     * squared L2 to the trained centroid. */
-  def kmeansAssign(df: DataFrame, k: Int = 8, iters: Int = 2,
-                   centroidStride: Long = 50, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
+  /** The Lloyd-training half of [[kmeansAssign]] — exposed so the trained
+    * centroid matrix (k × dim scaled-integer rows) can persist as an
+    * index artifact ([[VectorIndex.buildKmeans]]) and be reused across
+    * sessions instead of retrained per call. */
+  private[ops] def trainCentroids(df: DataFrame, k: Int, iters: Int,
+                                  centroidStride: Long, idCol: String,
+                                  vecCol: String): Array[Array[Long]] = {
     require(k >= 1 && k <= Similarity.MaxCentroids,
       s"k=$k out of range 1..${Similarity.MaxCentroids}")
     require(iters >= 0, "iters must be non-negative")
@@ -90,9 +94,7 @@ object Kmeans {
       .map(r => toInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty)))
     require(init.length == k,
       s"expected $k init vectors at $idCol = 0, $centroidStride, …; got ${init.length}")
-    val scaled = df.select(col(idCol).cast("long").as("id"),
-      udf((v: Seq[Double]) => toInts(if (v == null) Seq.empty else v))
-        .apply(col(vecCol).cast("array<double>")).as("xs"))
+    val scaled = scaledVecs(df, idCol, vecCol)
     var cents: Array[Array[Long]] = init
     for (_ <- 1 to iters) {
       val cs = cents // stable reference for the task closure
@@ -113,14 +115,37 @@ object Kmeans {
       }
       cents = next // cells with no members kept their previous centroid
     }
+    cents
+  }
+
+  private def scaledVecs(df: DataFrame, idCol: String,
+                         vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      udf((v: Seq[Double]) => toInts(if (v == null) Seq.empty else v))
+        .apply(col(vecCol).cast("array<double>")).as("xs"))
+
+  /** The assignment half: one narrow pass of `df` against an
+    * already-trained centroid matrix (no shuffle). */
+  private[ops] def assignWithCentroids(df: DataFrame,
+                                       cents: Array[Array[Long]],
+                                       idCol: String,
+                                       vecCol: String): DataFrame = {
     val cs = cents
     val assignUdf = udf { (xs: Seq[Long]) =>
       val (c, d) = nearest(xs.toArray, cs)
       (c.toLong, d)
     }
-    scaled.select(col("id"), assignUdf(col("xs")).as("a"))
+    scaledVecs(df, idCol, vecCol)
+      .select(col("id"), assignUdf(col("xs")).as("a"))
       .select(col("id"), col("a._1").as("cell"), col("a._2").as("distortion"))
   }
+
+  def kmeansAssign(df: DataFrame, k: Int = 8, iters: Int = 2,
+                   centroidStride: Long = 50, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    assignWithCentroids(df,
+      trainCentroids(df, k, iters, centroidStride, idCol, vecCol),
+      idCol, vecCol)
 
   /** Per-cell rollup of [[kmeansAssign]]: (cell, n_members, distortion). */
   def kmeansCells(df: DataFrame, k: Int = 8, iters: Int = 2,

@@ -445,9 +445,9 @@ object Similarity {
     * between engines (ties → lowest centroid id). */
   /** Deterministic stride codebook, collected through the bounded probe
     * and sorted by id (shared by ivfTopK / semanticDedup). */
-  private def strideCodebook(df: DataFrame, what: String, stride: Long,
-                             idCol: String,
-                             vecCol: String): Array[(Long, Array[Double])] = {
+  private[ops] def strideCodebook(df: DataFrame, what: String, stride: Long,
+                                  idCol: String,
+                                  vecCol: String): Array[(Long, Array[Double])] = {
     val src = df.filter(col(idCol) % stride === 0)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
     val cents = collectCentroidsBounded(src, what, stride)
@@ -543,12 +543,22 @@ object Similarity {
     val cellUdf = udf { (v: Seq[Double]) =>
       nearestCells(if (v == null) Seq.empty else v, 1).head
     }
-    val probesUdf = udf { (v: Seq[Double]) =>
-      nearestCells(if (v == null) Seq.empty else v, nProbe)
-    }
     val cells = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("vec_c"),
       cellUdf(col(vecCol).cast("array<double>")).as("cell"))
+    ivfScoreCells(cells, queries, k, nProbe, nearestCells, idCol, vecCol)
+  }
+
+  /** The IVF probe/score/rank tail shared by [[ivfTopK]] (cells built
+    * inline) and [[VectorIndex.ivfTopKIndexed]] (cells read back from the
+    * persisted index): `cells` is (neighbor_id, vec_c, cell). */
+  private[ops] def ivfScoreCells(cells: DataFrame, queries: DataFrame,
+                                 k: Int, nProbe: Int,
+                                 nearestCells: (Seq[Double], Int) => Seq[Long],
+                                 idCol: String, vecCol: String): DataFrame = {
+    val probesUdf = udf { (v: Seq[Double]) =>
+      nearestCells(if (v == null) Seq.empty else v, nProbe)
+    }
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("vec_q"),
       explode(probesUdf(col(vecCol).cast("array<double>"))).as("cell"))
@@ -582,7 +592,7 @@ object Similarity {
     * `floor(x·10⁶)` longs first (float→double cast and one multiply are
     * correctly rounded, hence engine-identical), so the argmin can never
     * depend on double summation order. */
-  private def toPqInts(v: Seq[Double]): Array[Long] = {
+  private[ops] def toPqInts(v: Seq[Double]): Array[Long] = {
     val a = new Array[Long](v.length)
     var i = 0
     while (i < v.length) { a(i) = math.floor(v(i) * 1e6).toLong; i += 1 }
@@ -592,8 +602,9 @@ object Similarity {
   /** Deterministic PQ codebook: the `k` vectors at ids 0, stride, …,
     * (k-1)·stride, as scaled-integer arrays (sorted by id → centroid index
     * = rank). */
-  private def pqCodebook(df: DataFrame, k: Int, centroidStride: Long,
-                         idCol: String, vecCol: String): Array[Array[Long]] = {
+  private[ops] def pqCodebook(df: DataFrame, k: Int, centroidStride: Long,
+                              idCol: String,
+                              vecCol: String): Array[Array[Long]] = {
     // bounded by the id < stride·k predicate — but only if k itself is
     // sane, so misuse (a corpus-sized k) still fails before the collect
     require(k >= 1 && k <= MaxCentroids,
@@ -610,8 +621,8 @@ object Similarity {
   }
 
   /** Integer squared-L2 between `iv[s·sub until end)` and centroid `ce`. */
-  private def pqSubDist(iv: Array[Long], ce: Array[Long], s: Int,
-                        sub: Int): Long = {
+  private[ops] def pqSubDist(iv: Array[Long], ce: Array[Long], s: Int,
+                             sub: Int): Long = {
     var d = 0L
     var i = s * sub
     val end = math.min(math.min((s + 1) * sub, iv.length), ce.length)
@@ -621,8 +632,8 @@ object Similarity {
 
   /** Per-subspace nearest-centroid codes (+ total distortion) for one
     * scaled-integer vector. Ties keep the lowest centroid index. */
-  private def pqCodes(iv: Array[Long], cents: Array[Array[Long]],
-                      m: Int): (Array[Int], Long) = {
+  private[ops] def pqCodes(iv: Array[Long], cents: Array[Array[Long]],
+                           m: Int): (Array[Int], Long) = {
     val sub = iv.length / m
     val codes = new Array[Int](m)
     var total = 0L
@@ -675,19 +686,21 @@ object Similarity {
     * query (the row's codes are computed once), then a per-query window
     * takes the top k. All arithmetic is scaled-integer — engine-exact, so
     * ranks can never flip between engines (ties → lowest neighbor id). */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
-             nCent: Int = 8, centroidStride: Long = 50,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = pqCodebook(corpus, nCent, centroidStride, idCol, vecCol)
-    // one bounded job: fetch at most ceiling+1 rows, fail on the sentinel
-    // (same single-job guard shape as collectCentroidsBounded)
+  /** Per-query ADC lookup tables: exact integer distances from the query's
+    * scaled subvectors to every centroid subvector — shared by [[pqTopK]]
+    * and [[VectorIndex.pqTopKIndexed]]. One bounded job: fetch at most
+    * ceiling+1 rows, fail on the sentinel (same single-job guard shape as
+    * collectCentroidsBounded). */
+  private[ops] def pqQueryLuts(queries: DataFrame, cents: Array[Array[Long]],
+                               m: Int, idCol: String, vecCol: String)
+      : Array[(Long, Array[Array[Long]])] = {
     val qCollected = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .limit(BruteForceMaxQueries.toInt + 1).collect()
     require(qCollected.length <= BruteForceMaxQueries,
       s"pqTopK would collect more than $BruteForceMaxQueries query LUTs " +
         "into the task closure; batch the query set instead")
-    val qLuts: Array[(Long, Array[Array[Long]])] = qCollected
+    qCollected
       .map { r =>
         val iv = toPqInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty))
         val sub = iv.length / m
@@ -696,6 +709,27 @@ object Similarity {
         (r.getLong(0), lut)
       }
       .sortBy(_._1)
+  }
+
+  /** Rank the (query_id, neighbor_id, adist) stream with the
+    * bounded-state aggregator (not a rank window — with a handful of
+    * queries a window would land the whole corpus × queries frame on ≤
+    * |queries| tasks; the aggregator's map-side partial ships at most k
+    * rows per (partition, query)). Negated distance as the score keeps
+    * the exact (adist asc, id asc) order — ADC distances are bounded far
+    * below 2^53, so the double negation is exact. */
+  private[ops] def pqRankTail(scored: DataFrame, k: Int): DataFrame =
+    TopK.grouped(scored.withColumn("neg", -col("adist").cast("double")),
+        "query_id", "neighbor_id", "neg", k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("neg")).cast("long").as("adist"),
+        col("rank").cast("long").as("rank"))
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+             nCent: Int = 8, centroidStride: Long = 50,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = pqCodebook(corpus, nCent, centroidStride, idCol, vecCol)
+    val qLuts = pqQueryLuts(queries, cents, m, idCol, vecCol)
     val scoreAll = udf { (id: Long, v: Seq[Double]) =>
       val (codes, _) = pqCodes(toPqInts(if (v == null) Seq.empty else v),
         cents, m)
@@ -718,17 +752,7 @@ object Similarity {
           col(vecCol).cast("array<double>"))).as("s"))
       .select(col("s._1").as("query_id"), col("neighbor_id"),
         col("s._2").as("adist"))
-    // Final top-k via the BOUNDED-STATE aggregator, not a rank window: with
-    // a handful of queries a window would land the whole (corpus × queries)
-    // scored frame on ≤ |queries| tasks; the aggregator's map-side partial
-    // ships at most k rows per (partition, query). Negated distance as the
-    // score keeps the exact (adist asc, id asc) order — ADC distances are
-    // bounded far below 2^53, so the double negation is exact.
-    TopK.grouped(scored.withColumn("neg", -col("adist").cast("double")),
-        "query_id", "neighbor_id", "neg", k)
-      .select(col("query_id"), col("neighbor_id"),
-        (-col("neg")).cast("long").as("adist"),
-        col("rank").cast("long").as("rank"))
+    pqRankTail(scored, k)
   }
 
   /** Composed IVF-PQ search — the two scale legs working together, the

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Persisted vector indexes: serving from a saved artifact must be
+  * bit-identical to the direct (train-per-call) entry points — through
+  * the parquet round trip, the rounding, and every tie-break — and the
+  * IVF serving plan must actually prune to the probed cell partitions.
+  * Mismatched artifacts fail loudly via the meta contract. */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") % 25 === 0)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(df.columns.map(col): _*).collect().map(_.toSeq).toSeq
+
+  test("IVF: indexed top-k == direct ivfTopK bit-for-bit; probed cells " +
+    "prune the scan partitions") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx_").toString
+    VectorIndex.buildIvf(emb, path, centroidStride = 50)
+    val indexed = VectorIndex.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 2)
+    val direct = Similarity.ivfTopK(emb, queries, k = 5,
+      centroidStride = 50, nProbe = 2)
+    assert(rows(indexed) === rows(direct))
+    assert(rows(indexed).nonEmpty)
+    // the serving scan carries a partition filter on cell — only probed
+    // cell directories are read (the 100 TB read-path win)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cell")),
+      s"expected a cell partition filter:\n$plan")
+  }
+
+  test("PQ: indexed ADC top-k == direct pqTopK bit-for-bit (codes " +
+    "scanned, vectors untouched)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq_idx_").toString
+    VectorIndex.buildPq(emb, path, m = 4, nCent = 8, centroidStride = 50)
+    val indexed = VectorIndex.pqTopKIndexed(spark, path, queries, k = 5)
+    val direct = Similarity.pqTopK(emb, queries, k = 5, m = 4, nCent = 8,
+      centroidStride = 50)
+    assert(rows(indexed) === rows(direct))
+    assert(rows(indexed).nonEmpty)
+  }
+
+  test("k-means: assignment from persisted trained centroids == " +
+    "train-per-call kmeansAssign; cells rollup matches") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_km_idx_").toString
+    VectorIndex.buildKmeans(emb, path, k = 8, iters = 2,
+      centroidStride = 50)
+    val indexed = VectorIndex.kmeansAssignIndexed(spark, path, emb)
+    val direct = Kmeans.kmeansAssign(emb, k = 8, iters = 2,
+      centroidStride = 50)
+    assert(rows(indexed) === rows(direct))
+    val cellsIndexed = indexed.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), sum("distortion").as("distortion"))
+    assert(rows(cellsIndexed) ===
+      rows(Kmeans.kmeansCells(emb, k = 8, iters = 2, centroidStride = 50)))
+  }
+
+  test("meta contract: wrong kind, missing index, and corrupted artifact " +
+    "fail loudly") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_meta_").toString
+    VectorIndex.buildKmeans(emb, path, k = 8, iters = 1,
+      centroidStride = 50)
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.ivfTopKIndexed(spark, path, queries, k = 5)
+    }
+    assert(e1.getMessage.contains("kind"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.pqTopKIndexed(spark, s"$path/nowhere", queries, k = 5)
+    }
+    assert(e2.getMessage.contains("no vector index"))
+  }
+}
