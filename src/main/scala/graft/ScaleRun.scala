@@ -271,6 +271,9 @@ object ScaleRun {
       val want = (bytes / (32L << 20)).toLong max 1L
       var p = scaleParts
       while (p < want && p < 4096) p <<= 1
+      println(s"[scale] doc-phase partitions: $p derived from " +
+        s"${bytes / (1L << 20)} MB plan-stats corpus " +
+        s"(SPARK_GRAFT_SCALE_PARTITIONS unset)")
       p
     }
     def withDocParts[T](body: => T): T = {

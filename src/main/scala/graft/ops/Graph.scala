@@ -41,6 +41,13 @@ object Graph {
 
   val Unit: Long = 1000000000000L // 10^12 picorank = total initial mass
 
+  /** Session shuffle-partition bound under which the in-gate (broadcast-
+    * pinned) loop runs with AQE scoped off — above it, AQE's coalescing
+    * of the per-round aggregate exchange outweighs its re-planning cost
+    * (both sides measured by PageRankProbe; see the scope note in
+    * [[pageRank]]). */
+  val AqeOffMaxLoopPartitions: Int = 16
+
   /** PageRank over directed `edges` (src, dst). Nodes = every endpoint.
     * Returns (node, rank) with rank in picorank units, sorted by node. */
   def pageRank(edges: DataFrame, iterations: Int = 10,
@@ -91,20 +98,25 @@ object Graph {
     // exchange path serves (a billion-node graph must never collect its
     // rank frame to the driver).
     val hintBroadcastRanks = n <= broadcastRanksMaxNodes
-    // With the broadcast hint pinned, AQE has nothing left to discover
-    // per round — its per-stage re-plan loop is pure driver overhead on
-    // exactly the floor the r10 jstack profile attributed (driver
-    // re-planning + janino, not tasks). The r11 PageRankProbe sweep
-    // (interleaved same-JVM legs, 5 reps, bench shape) measured AQE off
-    // at 4.51 s vs 5.46 on at ckpt2, 4.32 at ckpt1 — so the loop's
-    // materializations run with AQE DISABLED while the plan is pinned,
-    // scoped to this call and RESTORED after (the returned frame and the
-    // caller's session see the original setting; GraphSpec pins both).
-    // Past the broadcast gate the plan is not pinned and AQE keeps its
-    // scale duties (skew splits, partition coalescing) — never touched.
+    // With the broadcast hint pinned AND a small shuffle-partition count,
+    // AQE has nothing left to do per round — the join is pre-decided and
+    // there are no partitions worth coalescing — so its per-stage re-plan
+    // loop is pure driver overhead on exactly the floor the r10 jstack
+    // profile attributed (driver re-planning + janino, not tasks). The
+    // r11 PageRankProbe sweeps (interleaved same-JVM legs, 5 reps)
+    // measured BOTH gate sides: at the bench shape (sp=4) AQE off wins
+    // 4.51 vs 5.46 s (ckpt2) / 4.32 vs ~4.9 (ckpt1), while at sp=32 AQE
+    // ON wins 4.67 vs 4.89 / 4.86 vs 5.22 — there its aggregate-exchange
+    // coalescing pays for the re-planning. So the loop's materializations
+    // run with AQE DISABLED only when the plan is pinned and the session
+    // parallelism is at or under [[AqeOffMaxLoopPartitions]], scoped to
+    // this call and RESTORED after (the returned frame and the caller's
+    // session see the original setting; GraphSpec pins both). Past either
+    // gate AQE keeps its duties (skew splits, coalescing) — never touched.
     val aqeKey = "spark.sql.adaptive.enabled"
     val sess = edges.sparkSession
     val scopeAqeOff = hintBroadcastRanks && !adaptiveWhilePinned &&
+      parts <= AqeOffMaxLoopPartitions &&
       checkpoint && eagerCheckpoint
     val aqeBefore = sess.conf.get(aqeKey)
     if (scopeAqeOff) sess.conf.set(aqeKey, "false")

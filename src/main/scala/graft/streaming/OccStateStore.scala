@@ -147,6 +147,25 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
 
   // ---- advance -------------------------------------------------------
 
+  /** Dynamic-partition parquet writes SORT each task's rows by the
+    * partition column first (FileFormatWriter's required ordering) — at
+    * the 623M-key base build that sort externally spilled 20.5 GB for
+    * rows already bucket-ROUTED by the repartition (each task holds only
+    * ~numBuckets/shuffle-parts distinct buckets). Concurrent output
+    * writers skip the sort; Spark falls back to sorting only if a task
+    * sees more than this many buckets (small-test shapes — harmless).
+    * Scoped and restored, same discipline as pageRank's AQE scope. */
+  private def withConcurrentWriters[T](body: => T): T = {
+    val key = "spark.sql.maxConcurrentOutputFileWriters"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "8")
+    try body
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Commit `batchCounts` ([[graft.ops.Dedup.shingleOccurrenceTable]]
     * output for the micro-batch) as version `batchId`: write the
     * batch-sized delta into the buckets it touches, compact any bucket
@@ -161,12 +180,14 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     //    repartition is batch-sized; each bucket lands in one task so the
     //    segment holds one file per touched bucket.
     val deltaSeg = s"seg-$batchId-delta"
-    batchCounts
-      .select(col("shingle"), col("occ"),
-        pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"))
-      .repartition(col("b"))
-      .write.mode("overwrite").partitionBy("b")
-      .parquet(segDir(deltaSeg).toString)
+    withConcurrentWriters {
+      batchCounts
+        .select(col("shingle"), col("occ"),
+          pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"))
+        .repartition(col("b"))
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(segDir(deltaSeg).toString)
+    }
     val touched: Set[Int] =
       if (!fs.exists(segDir(deltaSeg))) Set.empty
       else fs.listStatus(segDir(deltaSeg)).toSeq.map(_.getPath.getName)
@@ -190,13 +211,15 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
         // ONE job over exactly the due buckets: per-shingle sum, bucket
         // recomputed from the key (pmod is the routing function), written
         // as one segment holding all compacted buckets
-        graft.ops.Dedup.aggregateOccurrences(
-            spark.read.schema(occSchema).parquet(paths: _*))
-          .select(col("shingle"), col("occ"),
-            pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"))
-          .repartition(col("b"))
-          .write.mode("overwrite").partitionBy("b")
-          .parquet(segDir(compactSeg).toString)
+        withConcurrentWriters {
+          graft.ops.Dedup.aggregateOccurrences(
+              spark.read.schema(occSchema).parquet(paths: _*))
+            .select(col("shingle"), col("occ"),
+              pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"))
+            .repartition(col("b"))
+            .write.mode("overwrite").partitionBy("b")
+            .parquet(segDir(compactSeg).toString)
+        }
         stacked ++ due.map(b => b -> Seq(compactSeg))
       }
 
