@@ -414,6 +414,12 @@ object ScaleRun {
     phase("inc-probe") { withDocParts {
       val batch = corpus.filter(col("doc_id") % 10 === 0)
       val store = graft.streaming.OccStateStore.open(spark, incStateDir)
+      // default (non-Bloom) probe: the bloomKeys runtime-filter option was
+      // A/B'd here against the same persisted state and LOST on this box
+      // (112.8 s / 8.3 GB shuffle vs 40.1 / 7.8 — single-JVM "wire" is
+      // memory bandwidth, so the per-row filter probe costs more than the
+      // exchange it saves; see the option's scaladoc for the regime where
+      // it wins)
       val nSpans = graft.ops.Dedup.incrementalRepeatedSpans(batch,
         "doc_id", "text", store.readLatestBefore(1L), n = 10).count()
       spark.catalog.clearCache()

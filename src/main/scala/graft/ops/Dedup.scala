@@ -1242,13 +1242,17 @@ object Dedup {
     * covered-key set (batch-count ⋈ broadcast-free base-table lookup,
     * both sides 8-byte keys). The base corpus never re-shingles and
     * never crosses the wire: only its (distinct-shingle-sized) count
-    * table joins, partitioned on the same key. Islands merge per doc
-    * exactly as the batch form. */
+    * table joins, partitioned on the same key — and with `bloomKeys` set,
+    * even that table is Bloom-prefiltered map-side so only ~batch-mass
+    * state rows reach the exchange (see the inline note). Islands merge
+    * per doc exactly as the batch form. */
   def incrementalRepeatedSpans(batch: DataFrame, idCol: String,
                                textCol: String, baseOcc: DataFrame,
                                n: Int = 10, minOcc: Int = 2,
                                occParts: Int = 0,
-                               docParts: Int = 0): DataFrame = {
+                               docParts: Int = 0,
+                               bloomKeys: Long = 0,
+                               bloomFpp: Double = 0.01): DataFrame = {
     require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
     require(baseOcc.columns.contains("shingle") &&
       baseOcc.columns.contains("occ"),
@@ -1263,11 +1267,40 @@ object Dedup {
         posexplode(posShingleHashesUdf(col(textCol), lit(n)))
           .as(Seq("pos", "shingle")))
       .repartition(p, col("shingle"))
-    val batchCnt = shEx
+    val batchCnt0 = shEx
       .select(col("shingle"), lit(1L).as("w"))
       .as[(Long, Long)]
       .mapPartitions(it => new KeyedSum()(it))
       .toDF("shingle", "occ_new")
+    // bloomKeys > 0 enables the RUNTIME-FILTER slim (RuntimeFilter's
+    // pattern, r11): a Bloom filter of the batch's keys prefilters the
+    // state MAP-SIDE, so the state-side exchange below shrinks from
+    // |state| rows to ~|batch keys| + fpp·|state|. No false negatives ⇒
+    // the semi-join's surviving row set is IDENTICAL (it still runs,
+    // removing the false positives), so the output is bit-for-bit the
+    // default path's (IncrementalDedupSpec pins it). DEFAULT OFF for a
+    // measured reason: the same-day A/B at the 504k scale state (623M
+    // keys, 69M-key increment, bloomKeys=80M) read 112.8 s / 8.3 GB
+    // shuffle WITH the filter vs 40.1 / 7.8 without — on a single-JVM
+    // box the "wire" is memory bandwidth, so 623M boxed-UDF probes of a
+    // 96 MB bitset plus the lost shEx exchange-reuse (the checkpoint
+    // splits the plan) cost more than the exchange they save. The option
+    // exists for the regime the arithmetic favors it: real cluster
+    // networks (exchange bytes cross racks, not RAM) and state/batch
+    // ratios where fpp·|state| ≪ the saved shuffle — pick `bloomFpp` ≪
+    // |batch keys| / |state keys| (~10 bits/key at the 0.01 default,
+    // ≈ 96 MB closure at 80M keys). The count table is checkpointed
+    // first so the Bloom build's job does not re-shingle the batch for
+    // the main query.
+    val batchCnt =
+      if (bloomKeys > 0) batchCnt0.localCheckpoint() else batchCnt0
+    val baseSrc =
+      if (bloomKeys > 0) {
+        val bf = batchCnt.stat.bloomFilter("shingle", bloomKeys, bloomFpp)
+        val mightContain =
+          udf { (k: java.lang.Long) => k != null && bf.mightContainLong(k) }
+        baseOcc.filter(mightContain(col("shingle")))
+      } else baseOcc
     // Join-shape discipline (measured at 504k docs, ScaleRun phase 5b):
     // the table side is CORPUS-sized (623M rows at 504k docs) while the
     // batch is small by contract — a direct left join goes SortMergeJoin
@@ -1286,7 +1319,7 @@ object Dedup {
     // uncompacted deltas straight in without a corpus-wide pre-merge. The
     // sum runs AFTER the semi-join slim — batch-sized, and the SHUFFLE_HASH
     // output is already partitioned on shingle, so it adds no exchange.
-    val baseSlim = baseOcc
+    val baseSlim = baseSrc
       .select(col("shingle"), col("occ").as("occ_base"))
       .join(batchCnt.select("shingle").hint("SHUFFLE_HASH"),
         Seq("shingle"), "left_semi")

@@ -63,7 +63,8 @@ object StreamingSpanDedup {
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
                    textCol: String, stateDir: String, spansDir: String,
                    n: Int = 10, minOcc: Int = 2, numBuckets: Int = 64,
-                   retainVersions: Int = 3, compactAt: Int = 8): Unit = {
+                   retainVersions: Int = 3, compactAt: Int = 8,
+                   probeBloomKeys: Long = 0): Unit = {
     val spark = batch.sparkSession
     val store = OccStateStore.open(spark, stateDir, numBuckets,
       retainVersions, compactAt)
@@ -74,7 +75,8 @@ object StreamingSpanDedup {
     val b = batch.persist()
     try {
       graft.ops.Dedup
-        .incrementalRepeatedSpans(b, idCol, textCol, baseOcc, n, minOcc)
+        .incrementalRepeatedSpans(b, idCol, textCol, baseOcc, n, minOcc,
+          bloomKeys = probeBloomKeys)
         .write.mode("overwrite").parquet(s"$spansDir/batch_id=$batchId")
       store.advance(
         graft.ops.Dedup.shingleOccurrenceTable(b, textCol, n), batchId)
@@ -91,11 +93,11 @@ object StreamingSpanDedup {
                       stateDir: String, spansDir: String,
                       checkpointDir: String, n: Int = 10,
                       minOcc: Int = 2, numBuckets: Int = 64,
-                      retainVersions: Int = 3,
-                      compactAt: Int = 8): StreamingQuery = {
+                      retainVersions: Int = 3, compactAt: Int = 8,
+                      probeBloomKeys: Long = 0): StreamingQuery = {
     val fn: (Dataset[Row], Long) => Unit = (b, id) =>
       processBatch(b, id, idCol, textCol, stateDir, spansDir, n, minOcc,
-        numBuckets, retainVersions, compactAt)
+        numBuckets, retainVersions, compactAt, probeBloomKeys)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(fn)
