@@ -452,9 +452,13 @@ object ScaleRun {
     } }
     phase("inc-sweep") { withDocParts {
       val store = graft.streaming.OccStateStore.open(spark, incStateDir)
-      val sweep = graft.ops.Dedup.retroactiveSpanSweep(
-        spark.read.parquet(incPosPath), store.read(0L), store.read(1L),
-        n = 10)
+      // delta form: prev state + the pure per-batch deltas since — ONE
+      // tagged exchange through the KeyedSum2 kernel for the crossed
+      // keys, instead of aggregating two full state snapshots (the pair
+      // form's first cut measured 170.0 s / 21.5 GB shuffle here)
+      val sweep = graft.ops.Dedup.retroactiveSpanSweepDelta(
+        spark.read.parquet(incPosPath), store.read(0L),
+        store.readDeltasBetween(0L, 1L), n = 10)
       val byDoc = sweep.agg(countDistinct("id"), count(lit(1))).collect()(0)
       spark.catalog.clearCache()
       s"${byDoc.getLong(1)} spans recomputed for ${byDoc.getLong(0)} " +

@@ -1364,21 +1364,22 @@ object SparkEntry {
       Dedup.repeatedSpans(base, "doc_id", "text", n = 10)
         .write.mode("overwrite").parquet(out)
     }
-    // state tables: prev = base-only (shared with q100's memo), cur =
-    // after the increments — in deployment both are OccStateStore reads,
-    // not sweep work
+    // state tables: prev = base-only (shared with q100's memo), delta =
+    // the increments' counts — in deployment both are OccStateStore
+    // reads (read(prev) + readDeltasBetween), not sweep work; the DELTA
+    // form runs the one-pass KeyedSum2 crossed computation instead of
+    // aggregating two full state snapshots
     val baseOccPath = MemoParquet(s"q100_base_occ:$dir") { out =>
       Dedup.shingleOccurrenceTable(base, "text", n = 10)
         .write.mode("overwrite").parquet(out)
     }
-    val curOccPath = MemoParquet(s"q101_cur_occ:$dir") { out =>
-      Dedup.mergeOccurrenceTables(s.read.parquet(baseOccPath),
-          Dedup.shingleOccurrenceTable(
-            docs.filter(col("doc_id") % 2 === 1), "text", n = 10))
+    val deltaOccPath = MemoParquet(s"q101_delta_occ:$dir") { out =>
+      Dedup.shingleOccurrenceTable(
+          docs.filter(col("doc_id") % 2 === 1), "text", n = 10)
         .write.mode("overwrite").parquet(out)
     }
-    val sweep = Dedup.retroactiveSpanSweep(s.read.parquet(basePosPath),
-      s.read.parquet(baseOccPath), s.read.parquet(curOccPath), n = 10)
+    val sweep = Dedup.retroactiveSpanSweepDelta(s.read.parquet(basePosPath),
+      s.read.parquet(baseOccPath), s.read.parquet(deltaOccPath), n = 10)
     s.read.parquet(baseSpansPath)
       .join(sweep.select("id").distinct(), Seq("id"), "left_anti")
       .unionByName(sweep)

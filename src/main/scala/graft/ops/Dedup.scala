@@ -1411,8 +1411,75 @@ object Dedup {
       .join(coveredKeys(prevOcc).hint("SHUFFLE_HASH"),
         Seq("shingle"), "left_anti")
       .localCheckpoint()
-    val affected = positions
-      .join(crossed.hint("SHUFFLE_HASH"), Seq("shingle"), "left_semi")
+    sweepTail(positions, crossed, curOcc, n, minOcc, occParts)
+  }
+
+  /** Delta form of [[retroactiveSpanSweep]] — the state-store-native
+    * signature: instead of two full state snapshots the caller passes the
+    * PREVIOUS state and the DELTAS accumulated since (contract:
+    * cur ≡ prev ⊎ delta as per-shingle sums — exactly what
+    * [[graft.streaming.OccStateStore.readDeltasBetween]] returns). This
+    * halves the sweep's dominant cost: the pair form aggregates BOTH full
+    * states (two corpus-mass exchanges — 21.5 GB of the 504k run's
+    * inc-sweep row); here prev and delta union into ONE tagged exchange
+    * and the [[KeyedSum2]] kernel answers (prev-sum, delta-sum) per key
+    * in a single pass — crossed = prev < minOcc ≤ prev + delta. Output
+    * is row-identical to the pair form (RetroactiveSweepSpec pins it). */
+  def retroactiveSpanSweepDelta(positions: DataFrame, prevOcc: DataFrame,
+                                deltaOcc: DataFrame, n: Int = 10,
+                                minOcc: Int = 2,
+                                occParts: Int = 0): DataFrame = {
+    require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
+    val missing = Seq("id", "pos", "shingle")
+      .filterNot(positions.columns.contains)
+    require(missing.isEmpty,
+      s"positions must be shinglePositionsTable output (missing: " +
+        s"${missing.mkString(", ")}) built with the same n=$n")
+    Seq(prevOcc, deltaOcc).foreach { t =>
+      require(t.columns.contains("shingle") && t.columns.contains("occ"),
+        s"occurrence frames need (shingle, occ); got ${t.columns.mkString(", ")}")
+    }
+    val spark = positions.sparkSession
+    import spark.implicits._
+    val p = if (occParts > 0) occParts
+      else spark.sessionState.conf.numShufflePartitions * 8
+    val crossed = prevOcc
+      .select(col("shingle"), col("occ").as("a"), lit(0L).as("b"))
+      .unionByName(deltaOcc
+        .select(col("shingle"), lit(0L).as("a"), col("occ").as("b")))
+      .repartition(p, col("shingle"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(it => new KeyedSum2()(it))
+      .toDF("shingle", "p_occ", "d_occ")
+      .filter(col("p_occ") < minOcc &&
+        col("p_occ") + col("d_occ") >= minOcc)
+      .select("shingle")
+      .localCheckpoint()
+    sweepTail(positions, crossed,
+      prevOcc.select("shingle", "occ")
+        .unionByName(deltaOcc.select("shingle", "occ")),
+      n, minOcc, occParts)
+  }
+
+  /** Shared tail of the two sweep forms: crossed keys → affected base
+    * ids → their covered positions under the CURRENT state → spans.
+    * `curOcc` is consumed only SLIMMED to the affected docs' key set
+    * (map-side under the broadcast gate — finding 20's shape), never
+    * re-aggregated corpus-wide. */
+  private def sweepTail(positions: DataFrame, crossed: DataFrame,
+                        curOcc: DataFrame, n: Int, minOcc: Int,
+                        occParts: Int): DataFrame = {
+    // the crossed-key set is increment-bounded and usually tiny (30,886
+    // affected docs from ~79k crossed keys at the 504k run) — under the
+    // gate it broadcasts, so the corpus-sized positions index is FILTERED
+    // map-side and never exchanges here (the SHUFFLE_HASH fallback
+    // shuffles it once, the pre-r11 shape: 7+ GB of the sweep's cost)
+    val nCrossed = crossed.count()
+    val affected = (
+      if (nCrossed <= Curation.MaxFlaggedIdBroadcast)
+        positions.join(broadcast(crossed), Seq("shingle"), "left_semi")
+      else positions.join(crossed.hint("SHUFFLE_HASH"),
+        Seq("shingle"), "left_semi"))
       .select("id").distinct()
       .localCheckpoint()
     val nAffected = affected.count()
@@ -1422,11 +1489,11 @@ object Dedup {
       else positions.join(affected, Seq("id"), "left_semi"))
       .localCheckpoint()
     // coverage for the affected docs under the CURRENT state, without a
-    // second corpus-wide aggregate of curOcc (the crossed computation
-    // above already paid both states' one inherent exchange): slim the
-    // state to the affected docs' key set FIRST — map-side under the
-    // broadcast gate, hash semi past it (finding 20's shape) — then the
-    // aggregate + threshold runs on affected-doc mass only
+    // second corpus-wide aggregate (the crossed computation above already
+    // paid the states' one inherent exchange): slim the state to the
+    // affected docs' key set FIRST — map-side under the broadcast gate,
+    // hash semi past it — then the aggregate + threshold runs on
+    // affected-doc mass only
     val affKeys = posAffected.select("shingle").distinct()
       .localCheckpoint()
     val nAffKeys = affKeys.count()

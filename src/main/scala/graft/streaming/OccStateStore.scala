@@ -86,6 +86,9 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
 
   /** bucket -> ordered segment names composing it. */
   private def readManifest(v: Long): Map[Int, Seq[String]] = {
+    require(fs.exists(manifestPath(v)),
+      s"no manifest for version $v under $root — outside the retained " +
+        s"window (retention keeps the last $retainVersions versions)?")
     val in = fs.open(manifestPath(v))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -144,6 +147,39 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * for the rewrite-only-touched-buckets and compaction pins. */
   def bucketSegments(version: Long): Map[Int, Seq[String]] =
     readManifest(version)
+
+  /** One named segment, all buckets (multi-row per-shingle-SUM frame). */
+  def readSegment(name: String): DataFrame = {
+    val dir = segDir(name)
+    require(fs.exists(dir), s"no segment $name under $root")
+    val paths = fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("b=")).map(_.toString)
+    if (paths.isEmpty) emptyOcc
+    else spark.read.schema(occSchema).parquet(paths: _*)
+  }
+
+  /** The pure per-batch DELTAS accumulated in (`fromVersion`,
+    * `toVersion`] — the frame [[graft.ops.Dedup.retroactiveSpanSweepDelta]]
+    * consumes together with `read(fromVersion)`: by construction
+    * state(to) ≡ state(from) ⊎ deltas (per-shingle sums). Fails LOUDLY if
+    * a compaction landed inside the window (a compact segment folds
+    * from-state content in, so the decomposition would double-count) —
+    * sweep on a cadence at or inside the compaction cadence, or keep the
+    * raw batch count tables and pass those. */
+  def readDeltasBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    val before = readManifest(fromVersion).values.flatten.toSet
+    val after = readManifest(toVersion).values.flatten.toSet
+    val fresh = (after -- before).toSeq.sorted
+    val compacts = fresh.filter(_.endsWith("-compact"))
+    require(compacts.isEmpty,
+      s"compaction ${compacts.mkString(", ")} landed between versions " +
+        s"$fromVersion and $toVersion — a compact segment folds prior " +
+        "state in, so these segments are not a pure delta; sweep before " +
+        "the compaction cadence crosses, or pass the raw batch counts")
+    val frames = fresh.map(readSegment)
+    if (frames.isEmpty) emptyOcc
+    else frames.reduce(_.unionByName(_))
+  }
 
   // ---- advance -------------------------------------------------------
 

@@ -107,6 +107,45 @@ class RetroactiveSweepSpec extends SparkSpec {
     assert(spanRows(viaParts).nonEmpty)
   }
 
+  test("delta form == pair form, row-exact (hand + real corpus + " +
+    "multi-row delta segments); KeyedSum2 crossed == two-aggregate crossed") {
+    val n = 5
+    val positions = Dedup.shinglePositionsTable(base, "doc_id", "text",
+      n = n)
+    val prevOcc = Dedup.shingleOccurrenceTable(base, "text", n = n)
+    val deltaOcc = Dedup.shingleOccurrenceTable(inc, "text", n = n)
+    val pair = Dedup.retroactiveSpanSweep(positions, prevOcc,
+      Dedup.mergeOccurrenceTables(prevOcc, deltaOcc), n = n)
+    val delta = Dedup.retroactiveSpanSweepDelta(positions, prevOcc,
+      deltaOcc, n = n)
+    assert(spanRows(delta) === spanRows(pair))
+    // multi-row inputs on BOTH args (the store's base + per-batch delta
+    // segments shape): prev split in two, delta split in two
+    val prevParts = Dedup.shingleOccurrenceTable(
+        base.filter(col("doc_id") <= 2L), "text", n = n)
+      .unionByName(Dedup.shingleOccurrenceTable(
+        base.filter(col("doc_id") > 2L), "text", n = n))
+    val deltaParts = Dedup.shingleOccurrenceTable(
+        inc.filter(col("doc_id") === 11L), "text", n = n)
+      .unionByName(Dedup.shingleOccurrenceTable(
+        inc.filter(col("doc_id") === 12L), "text", n = n))
+    assert(spanRows(Dedup.retroactiveSpanSweepDelta(positions, prevParts,
+      deltaParts, n = n)) === spanRows(pair))
+    // real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val baseDf = docs.filter(col("doc_id") % 2 === 0)
+    val incDf = docs.filter(col("doc_id") % 2 === 1)
+    val rPos = Dedup.shinglePositionsTable(baseDf, "doc_id", "text", n = 10)
+    val rPrev = Dedup.shingleOccurrenceTable(baseDf, "text", n = 10)
+    val rDelta = Dedup.shingleOccurrenceTable(incDf, "text", n = 10)
+    val rPair = Dedup.retroactiveSpanSweep(rPos, rPrev,
+      Dedup.mergeOccurrenceTables(rPrev, rDelta), n = 10)
+    val rDeltaForm = Dedup.retroactiveSpanSweepDelta(rPos, rPrev, rDelta,
+      n = 10)
+    assert(spanRows(rDeltaForm) === spanRows(rPair))
+    assert(spanRows(rDeltaForm).nonEmpty)
+  }
+
   test("real corpus: even/odd split — sweep composition == batch " +
     "recompute restricted to base ids") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

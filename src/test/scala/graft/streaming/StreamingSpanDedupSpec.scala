@@ -172,5 +172,43 @@ class StreamingSpanDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       OccStateStore.open(spark, root, numBuckets = 8)
     }
+    // a clean window returns exactly the per-batch delta; a window whose
+    // from-manifest retention GC'd fails loudly
+    assert(occMap(Dedup.aggregateOccurrences(
+      store.readDeltasBetween(2L, 3L))) === occMap(counts()))
+    val eGc = intercept[IllegalArgumentException] {
+      store.readDeltasBetween(1L, 3L)
+    }
+    assert(eGc.getMessage.contains("retained"))
+  }
+
+  test("readDeltasBetween: state(to) == state(from) ⊎ deltas, the " +
+    "retroactiveSpanSweepDelta input contract") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_occ_delta_").toString
+    val store = OccStateStore.open(spark, root)
+    store.advance(Dedup.shingleOccurrenceTable(
+      b0.toDF("doc_id", "text"), "text", n = 5), 0L)
+    store.advance(Dedup.shingleOccurrenceTable(
+      b1.toDF("doc_id", "text"), "text", n = 5), 1L)
+    store.advance(Dedup.shingleOccurrenceTable(
+      b2.toDF("doc_id", "text"), "text", n = 5), 2L)
+    val recomposed = Dedup.aggregateOccurrences(
+      store.read(0L).unionByName(store.readDeltasBetween(0L, 2L)))
+    assert(occMap(recomposed) === occMap(store.readAggregated(2L)))
+
+    // a window a COMPACTION crossed is refused — the compact segment
+    // folds prior state in, so the fresh segments are not a pure delta
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_occ_delta2_").toString
+    val s2 = OccStateStore.open(spark, root2, retainVersions = 4,
+      compactAt = 3)
+    val doc = Seq((7L, s"$common $rep")).toDF("doc_id", "text")
+    (0L to 3L).foreach(v => s2.advance(
+      Dedup.shingleOccurrenceTable(doc, "text", n = 5), v))
+    val e = intercept[IllegalArgumentException] {
+      s2.readDeltasBetween(1L, 3L) // spans the batch-2 compaction
+    }
+    assert(e.getMessage.contains("compact"))
   }
 }
