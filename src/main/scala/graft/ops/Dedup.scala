@@ -1246,13 +1246,26 @@ object Dedup {
     * even that table is Bloom-prefiltered map-side so only ~batch-mass
     * state rows reach the exchange (see the inline note). Islands merge
     * per doc exactly as the batch form. */
+  /** Micro-batch gate for [[incrementalRepeatedSpans]]: a batch whose
+    * plan-stats bytes sit at or under this (and whose distinct-shingle
+    * count clears [[Curation.MaxFlaggedIdBroadcast]]) takes the
+    * BROADCAST-slim path — the state is filtered map-side and NEVER
+    * exchanges, the streaming regime's per-micro-batch shape (16 MB of
+    * text ≈ ~3M shingle keys, inside the 4M broadcast gate by
+    * construction). Unknown plan stats estimate huge → the default
+    * (SHUFFLE_HASH) path, the scale-safe direction. Package-visible so
+    * specs pin both gate sides. */
+  private[graft] final val MicroBatchMaxBytes = 16L << 20
+
   def incrementalRepeatedSpans(batch: DataFrame, idCol: String,
                                textCol: String, baseOcc: DataFrame,
                                n: Int = 10, minOcc: Int = 2,
                                occParts: Int = 0,
                                docParts: Int = 0,
                                bloomKeys: Long = 0,
-                               bloomFpp: Double = 0.01): DataFrame = {
+                               bloomFpp: Double = 0.01,
+                               microBatchMaxBytes: Long = MicroBatchMaxBytes)
+      : DataFrame = {
     require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
     require(baseOcc.columns.contains("shingle") &&
       baseOcc.columns.contains("occ"),
@@ -1262,11 +1275,22 @@ object Dedup {
     import spark.implicits._
     val p = if (occParts > 0) occParts
       else spark.sessionState.conf.numShufflePartitions * 8
-    val shEx = adaptiveDocBase(batch, docParts)
+    // Micro-batch regime (r11): at streaming cadence the batch is tiny
+    // while the state stays corpus-sized, so paying the state's exchange
+    // per micro-batch is the wrong side of the trade. Under the gate the
+    // batch's (checkpointed, batch-sized) key set BROADCASTS into the
+    // slim, the state is filtered in its scan stage, and nothing
+    // state-sized ever shuffles; the checkpoint also stands in for the
+    // plan-level exchange reuse the one-job path gets for free.
+    val microBatch = microBatchMaxBytes > 0 &&
+      batch.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(microBatchMaxBytes)
+    val shEx0 = adaptiveDocBase(batch, docParts)
       .select(col(idCol).cast("long").as("id"),
         posexplode(posShingleHashesUdf(col(textCol), lit(n)))
           .as(Seq("pos", "shingle")))
       .repartition(p, col("shingle"))
+    val shEx = if (microBatch) shEx0.localCheckpoint() else shEx0
     val batchCnt0 = shEx
       .select(col("shingle"), lit(1L).as("w"))
       .as[(Long, Long)]
@@ -1293,14 +1317,17 @@ object Dedup {
     // first so the Bloom build's job does not re-shingle the batch for
     // the main query.
     val batchCnt =
-      if (bloomKeys > 0) batchCnt0.localCheckpoint() else batchCnt0
+      if (microBatch || bloomKeys > 0) batchCnt0.localCheckpoint()
+      else batchCnt0
     val baseSrc =
-      if (bloomKeys > 0) {
+      if (!microBatch && bloomKeys > 0) {
         val bf = batchCnt.stat.bloomFilter("shingle", bloomKeys, bloomFpp)
         val mightContain =
           udf { (k: java.lang.Long) => k != null && bf.mightContainLong(k) }
         baseOcc.filter(mightContain(col("shingle")))
       } else baseOcc
+    val broadcastSlim = microBatch &&
+      batchCnt.count() <= Curation.MaxFlaggedIdBroadcast
     // Join-shape discipline (measured at 504k docs, ScaleRun phase 5b):
     // the table side is CORPUS-sized (623M rows at 504k docs) while the
     // batch is small by contract — a direct left join goes SortMergeJoin
@@ -1308,21 +1335,28 @@ object Dedup {
     // table is slimmed to the batch's keys FIRST via a hash semi-join
     // (build side = the batch counts, table streams past — its one
     // inherent exchange), and the value join then runs batch-sized on
-    // both sides. No sort anywhere; the table crosses the wire exactly
-    // once per increment. (At deployment scale the persisted table
-    // would be BUCKETED on `shingle`, making even that exchange a
-    // one-time write cost rather than per-increment — the parquet state
-    // written by StreamingSpanDedup is bucket-ready.)
+    // both sides. No sort anywhere; the table crosses the wire at most
+    // once per increment — and in the MICRO-BATCH regime (gate above)
+    // not at all: the batch's key set broadcasts and the state is
+    // filtered inside its scan stage, the shape a per-minute streaming
+    // cadence needs against a corpus-sized table (the state SCAN remains
+    // O(|state|) per batch; pruning that too needs a secondary index —
+    // a documented non-goal of this lane so far).
     // The slimmed base may carry SEVERAL rows per shingle: baseOcc's
     // contract (see the scaladoc) is per-shingle SUM, so a delta-segment
     // state store ([[graft.streaming.OccStateStore]]) can hand its base +
     // uncompacted deltas straight in without a corpus-wide pre-merge. The
     // sum runs AFTER the semi-join slim — batch-sized, and the SHUFFLE_HASH
     // output is already partitioned on shingle, so it adds no exchange.
-    val baseSlim = baseSrc
-      .select(col("shingle"), col("occ").as("occ_base"))
-      .join(batchCnt.select("shingle").hint("SHUFFLE_HASH"),
-        Seq("shingle"), "left_semi")
+    val baseSlim = (
+      if (broadcastSlim)
+        baseSrc.select(col("shingle"), col("occ").as("occ_base"))
+          .join(broadcast(batchCnt.select("shingle")),
+            Seq("shingle"), "left_semi")
+      else
+        baseSrc.select(col("shingle"), col("occ").as("occ_base"))
+          .join(batchCnt.select("shingle").hint("SHUFFLE_HASH"),
+            Seq("shingle"), "left_semi"))
       .groupBy("shingle").agg(sum("occ_base").as("occ_base"))
     val covered = batchCnt
       .join(baseSlim.hint("SHUFFLE_HASH"), Seq("shingle"), "left")

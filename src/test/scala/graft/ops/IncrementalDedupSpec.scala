@@ -174,6 +174,37 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(bloomed.nonEmpty)
   }
 
+  test("micro-batch broadcast gate: spans identical to the shuffle path; " +
+    "in-gate plan broadcasts the batch keys into the state slim") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val occ = Dedup.shingleOccurrenceTable(
+      docs.filter(col("doc_id") % 2 === 0), "text", n = 10)
+    val incDf = docs.filter(col("doc_id") % 2 === 1)
+    // the sf0.001 odd half is well under the 16 MB gate → micro path by
+    // default; microBatchMaxBytes = -1 forces the shuffle path
+    val micro = Dedup.incrementalRepeatedSpans(incDf, "doc_id", "text",
+      occ, n = 10)
+    val shuffled = Dedup.incrementalRepeatedSpans(incDf, "doc_id", "text",
+      occ, n = 10, microBatchMaxBytes = -1)
+    assert(spanRows(micro) === spanRows(shuffled))
+    assert(spanRows(micro).nonEmpty)
+    // gate sides in the PLAN: the micro path slims the state through a
+    // broadcast LEFT-SEMI (state never exchanges on the slim); the
+    // forced path keeps the SHUFFLE_HASH semi
+    val microPlan = micro.queryExecution.executedPlan.toString
+    assert(microPlan.contains("BroadcastHashJoin") &&
+      microPlan.contains("LeftSemi"), s"micro plan:\n$microPlan")
+    val shuffledPlan = shuffled.queryExecution.executedPlan.toString
+    assert(shuffledPlan.contains("ShuffledHashJoin"),
+      s"forced plan:\n$shuffledPlan")
+    // hand corpus through the micro path (threshold crossings intact)
+    val baseOcc5 = Dedup.shingleOccurrenceTable(base, "text", n = 5)
+    assert(spanRows(Dedup.incrementalRepeatedSpans(batch, "doc_id",
+        "text", baseOcc5, n = 5)) ===
+      spanRows(Dedup.incrementalRepeatedSpans(batch, "doc_id", "text",
+        baseOcc5, n = 5, microBatchMaxBytes = -1)))
+  }
+
   test("guards: malformed baseOcc and bad parameters fail loudly") {
     val notATable = Seq((1L, 2L)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
