@@ -1314,6 +1314,19 @@ object SparkEntry {
     * oracle is deliberately the BATCH form's SQL over the full corpus
     * restricted to odd ids: a hash match proves the incremental path
     * computes exactly what re-running batch dedup over the union would. */
+  /** The ONE memoized build of q100/q101's shared base occurrence table
+    * (even-id docs, n=10) — a single closure so the two callers can never
+    * silently diverge on what the shared memo key materializes
+    * (r11 review: two independently-maintained copies were an
+    * execution-order hazard). */
+  private def q100BaseOccPath(s: SparkSession, dir: String): String =
+    MemoParquet(s"q100_base_occ:$dir") { out =>
+      Dedup.shingleOccurrenceTable(
+          t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+          "text", n = 10)
+        .write.mode("overwrite").parquet(out)
+    }
+
   private def q100(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     // Bench-number honesty note (the q13 pattern, r11 verdict item 2):
@@ -1325,11 +1338,7 @@ object SparkEntry {
     // the artifact's rep list), reps 2+ and the reported MEDIAN measure
     // the increment. Verify runs q100 once, paying the full path, and the
     // oracle compares the identical frame either way.
-    val basePath = MemoParquet(s"q100_base_occ:$dir") { out =>
-      Dedup.shingleOccurrenceTable(
-          docs.filter(col("doc_id") % 2 === 0), "text", n = 10)
-        .write.mode("overwrite").parquet(out)
-    }
+    val basePath = q100BaseOccPath(s, dir)
     Dedup.incrementalRepeatedSpans(docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", s.read.parquet(basePath), n = 10)
       .select(col("id").as("doc_id"),
@@ -1369,10 +1378,7 @@ object SparkEntry {
     // reads (read(prev) + readDeltasBetween), not sweep work; the DELTA
     // form runs the one-pass KeyedSum2 crossed computation instead of
     // aggregating two full state snapshots
-    val baseOccPath = MemoParquet(s"q100_base_occ:$dir") { out =>
-      Dedup.shingleOccurrenceTable(base, "text", n = 10)
-        .write.mode("overwrite").parquet(out)
-    }
+    val baseOccPath = q100BaseOccPath(s, dir)
     val deltaOccPath = MemoParquet(s"q101_delta_occ:$dir") { out =>
       Dedup.shingleOccurrenceTable(
           docs.filter(col("doc_id") % 2 === 1), "text", n = 10)

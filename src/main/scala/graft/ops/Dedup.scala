@@ -1281,7 +1281,11 @@ object Dedup {
     // batch's (checkpointed, batch-sized) key set BROADCASTS into the
     // slim, the state is filtered in its scan stage, and nothing
     // state-sized ever shuffles; the checkpoint also stands in for the
-    // plan-level exchange reuse the one-job path gets for free.
+    // plan-level exchange reuse the one-job path gets for free. NOTE the
+    // gate (and bloomKeys) makes CONSTRUCTION eager — the checkpoint +
+    // count jobs run before this returns, and their blocks live until
+    // the ContextCleaner collects the dropped frames — batch-sized by
+    // the gate, the accepted price of keeping state bytes off the wire.
     val microBatch = microBatchMaxBytes > 0 &&
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <=
         BigInt(microBatchMaxBytes)
@@ -1517,10 +1521,14 @@ object Dedup {
       .select("id").distinct()
       .localCheckpoint()
     val nAffected = affected.count()
+    // past-the-gate fallbacks stay SHUFFLE_HASH-hinted like their
+    // siblings — an unhinted semi here went SortMergeJoin and SORTED the
+    // corpus-sized positions index (the finding-20 class; r11 review)
     val posAffected = (
       if (nAffected <= Curation.MaxFlaggedIdBroadcast)
         positions.join(broadcast(affected), Seq("id"), "left_semi")
-      else positions.join(affected, Seq("id"), "left_semi"))
+      else positions.join(affected.hint("SHUFFLE_HASH"),
+        Seq("id"), "left_semi"))
       .localCheckpoint()
     // coverage for the affected docs under the CURRENT state, without a
     // second corpus-wide aggregate (the crossed computation above already

@@ -111,7 +111,11 @@ object Graph {
     // run with AQE DISABLED only when the plan is pinned and the session
     // parallelism is at or under [[AqeOffMaxLoopPartitions]], scoped to
     // this call and RESTORED after (the returned frame and the caller's
-    // session see the original setting; GraphSpec pins both). Past either
+    // session see the original setting; GraphSpec pins both — and the
+    // loop's `i == iterations` checkpoint clause guarantees EVERY round
+    // materializes inside the scope at any checkpointEvery, so no round's
+    // plan escapes to post-restore execution; the conf is session-global
+    // while the loop runs, the documented price of the scope). Past either
     // gate AQE keeps its duties (skew splits, coalescing) — never touched.
     val aqeKey = "spark.sql.adaptive.enabled"
     val sess = edges.sparkSession

@@ -40,26 +40,17 @@ object VectorIndex {
 
   // ---- meta contract ---------------------------------------------------
 
-  private def fs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   private def writeMeta(spark: SparkSession, path: String,
-                        kv: Seq[(String, String)]): Unit = {
-    val out = fs(spark, path).create(new Path(path, "_graft_index_meta"), true)
-    try out.write(kv.map { case (k, v) => s"$k\t$v" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+                        kv: Seq[(String, String)]): Unit =
+    graft.FsText.write(spark, new Path(path, "_graft_index_meta"),
+      kv.map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n"))
 
   private def readMeta(spark: SparkSession,
                        path: String): Map[String, String] = {
     val p = new Path(path, "_graft_index_meta")
-    val f = fs(spark, path)
-    require(f.exists(p), s"no vector index at $path (missing $p)")
-    val in = f.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { l =>
+    require(graft.FsText.fs(spark, p).exists(p),
+      s"no vector index at $path (missing $p)")
+    graft.FsText.read(spark, p).linesIterator.filter(_.nonEmpty).map { l =>
       val Array(k, v) = l.split('\t'); (k, v)
     }.toMap
   }

@@ -89,10 +89,8 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     require(fs.exists(manifestPath(v)),
       s"no manifest for version $v under $root — outside the retained " +
         s"window (retention keeps the last $retainVersions versions)?")
-    val in = fs.open(manifestPath(v))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    text.linesIterator.filter(_.nonEmpty).toSeq
+    graft.FsText.read(spark, manifestPath(v))
+      .linesIterator.filter(_.nonEmpty).toSeq
       .map { line =>
         val Array(b, seg) = line.split('\t')
         (b.toInt, seg)
@@ -100,19 +98,14 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
   }
 
-  /** Deterministic text manifest (bucket-major, stack order), written to
-    * a tmp path then renamed — a reader below `batchId` never sees a torn
-    * file for the version it reads. */
+  /** Deterministic text manifest (bucket-major, stack order), published
+    * tmp+rename — a reader below `batchId` never sees a torn file for
+    * the version it reads. */
   private def writeManifest(v: Long, m: Map[Int, Seq[String]]): Unit = {
     val body = m.toSeq.sortBy(_._1)
       .flatMap { case (b, segs) => segs.map(s => s"$b\t$s") }
       .mkString("", "\n", "\n")
-    val tmp = new Path(root, s"manifests/v=$v.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val dest = manifestPath(v)
-    if (fs.exists(dest)) fs.delete(dest, false)
-    require(fs.rename(tmp, dest), s"manifest rename failed: $tmp -> $dest")
+    graft.FsText.writeAtomic(spark, manifestPath(v), body)
   }
 
   // ---- reads ---------------------------------------------------------
@@ -279,31 +272,31 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
 object OccStateStore {
 
   /** Open the store at `stateDir`, creating the write-once meta on first
-    * use; `numBuckets` is pinned at creation (bucket routing is a
-    * function of it — a mismatch would mis-route every later delta, so a
-    * differing re-open fails loudly). */
-  def open(spark: SparkSession, stateDir: String, numBuckets: Int = 64,
+    * use. `numBuckets` semantics (r11 review — readers must not have to
+    * plumb the writer's choice through): 0 (the default) ADOPTS the
+    * persisted bucket count on an existing store and creates with 64 on
+    * a fresh one; an EXPLICIT positive value must match an existing
+    * store's meta (bucket routing is a function of it — a mismatch would
+    * mis-route every later delta, so it fails loudly). */
+  def open(spark: SparkSession, stateDir: String, numBuckets: Int = 0,
            retainVersions: Int = 3, compactAt: Int = 8): OccStateStore = {
+    require(numBuckets >= 0, s"numBuckets must be >= 0, got $numBuckets")
     val root = new Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new Path(root, "_graft_occ_meta")
     val buckets =
       if (fs.exists(metaPath)) {
-        val in = fs.open(metaPath)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val existing = text.trim.toInt
-        require(existing == numBuckets,
+        val existing = graft.FsText.read(spark, metaPath).trim.toInt
+        require(numBuckets == 0 || existing == numBuckets,
           s"OccStateStore at $stateDir was created with numBuckets=" +
             s"$existing; re-open requested $numBuckets — bucket routing " +
-            "is write-once")
+            "is write-once (pass 0 to adopt the persisted value)")
         existing
       } else {
+        val create = if (numBuckets == 0) 64 else numBuckets
         fs.mkdirs(root)
-        val out = fs.create(metaPath, true)
-        try out.write(numBuckets.toString.getBytes("UTF-8"))
-          finally out.close()
-        numBuckets
+        graft.FsText.write(spark, metaPath, create.toString)
+        create
       }
     new OccStateStore(spark, stateDir, buckets, retainVersions, compactAt)
   }

@@ -62,7 +62,7 @@ object StreamingSpanDedup {
     * job) can drive it directly with explicit batch ids. */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
                    textCol: String, stateDir: String, spansDir: String,
-                   n: Int = 10, minOcc: Int = 2, numBuckets: Int = 64,
+                   n: Int = 10, minOcc: Int = 2, numBuckets: Int = 0,
                    retainVersions: Int = 3, compactAt: Int = 8,
                    probeBloomKeys: Long = 0): Unit = {
     val spark = batch.sparkSession
@@ -71,8 +71,15 @@ object StreamingSpanDedup {
     val baseOcc = store.readLatestBefore(batchId)
     // the micro-batch shingles twice (spans probe + state advance) — it
     // is the SMALL side by construction; persist so the source (often a
-    // non-replayable foreachBatch frame) is scanned once
+    // non-replayable foreachBatch frame) is scanned once. The count
+    // MATERIALIZES the cache up front so plan statistics report the
+    // batch's REAL cached bytes: an unmaterialized streaming frame
+    // estimates sizeInBytes huge, which would silently disqualify every
+    // micro-batch from incrementalRepeatedSpans' broadcast gate — the
+    // exact regime the gate exists for (r11 review). The cache must
+    // materialize once regardless; the count only fronts it.
     val b = batch.persist()
+    b.count()
     try {
       graft.ops.Dedup
         .incrementalRepeatedSpans(b, idCol, textCol, baseOcc, n, minOcc,
@@ -92,7 +99,7 @@ object StreamingSpanDedup {
   def spanDedupStream(docs: DataFrame, idCol: String, textCol: String,
                       stateDir: String, spansDir: String,
                       checkpointDir: String, n: Int = 10,
-                      minOcc: Int = 2, numBuckets: Int = 64,
+                      minOcc: Int = 2, numBuckets: Int = 0,
                       retainVersions: Int = 3, compactAt: Int = 8,
                       probeBloomKeys: Long = 0): StreamingQuery = {
     val fn: (Dataset[Row], Long) => Unit = (b, id) =>

@@ -402,9 +402,13 @@ class PlanAuditSpec extends SparkSpec {
     val docs = s.read.parquet(s"$sf/documents.parquet")
     val baseOcc = graft.ops.Dedup.shingleOccurrenceTable(
       docs.filter(col("doc_id") % 2 === 0), "text", n = 10)
+    // microBatchMaxBytes = -1: this audit pins the AT-SCALE (shuffle)
+    // path — the r11 micro-batch gate would otherwise fire on the
+    // spec-sized batch and broadcast the slim (its own shape is pinned
+    // in IncrementalDedupSpec)
     val plan = physical(graft.ops.Dedup.incrementalRepeatedSpans(
       docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", baseOcc,
-      n = 10))
+      n = 10, microBatchMaxBytes = -1))
     // finding 20's regression class: a SortMergeJoin here sorted the
     // 623M-row table side at 504k docs (39.1 GB of spill)
     assert(!plan.contains("SortMergeJoin"),

@@ -203,6 +203,32 @@ class IncrementalDedupSpec extends SparkSpec {
         "text", baseOcc5, n = 5)) ===
       spanRows(Dedup.incrementalRepeatedSpans(batch, "doc_id", "text",
         baseOcc5, n = 5, microBatchMaxBytes = -1)))
+    // the STREAMING shape (r11 review): an RDD-backed frame — what a
+    // foreachBatch hands over — estimates sizeInBytes huge, so the bare
+    // frame must take the shuffle path; once persisted AND materialized
+    // (StreamingSpanDedup.processBatch's count) plan stats report the
+    // real cached bytes and the gate fires
+    val rddBacked = spark.createDataFrame(
+      batch.rdd, batch.schema)
+    val bare = Dedup.incrementalRepeatedSpans(rddBacked, "doc_id", "text",
+        baseOcc5, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(bare.contains("ShuffledHashJoin"), s"bare rdd plan:\n$bare")
+    // a FRESH frame for the cached leg: reusing `rddBacked` would keep
+    // its already-forced (pre-persist) optimizedPlan memoized and the
+    // cache substitution would never reach the gate's stats — the
+    // production path (processBatch) persists before anything forces
+    // the plan, which this mirrors
+    val cached = spark.createDataFrame(batch.rdd, batch.schema).persist()
+    cached.count()
+    try {
+      val cachedPlan = Dedup.incrementalRepeatedSpans(cached, "doc_id",
+          "text", baseOcc5, n = 5)
+        .queryExecution.executedPlan.toString
+      assert(cachedPlan.contains("BroadcastHashJoin") &&
+        cachedPlan.contains("LeftSemi"),
+        s"materialized micro-batch plan:\n$cachedPlan")
+    } finally cached.unpersist()
   }
 
   test("guards: malformed baseOcc and bad parameters fail loudly") {

@@ -168,10 +168,13 @@ class StreamingSpanDedupSpec extends SparkSpec {
     // retained versions still read correctly after GC
     val direct3 = occMap(counts()).map { case (k, v) => k -> 3L * v }
     assert(occMap(store.readAggregated(2L)) === direct3)
-    // write-once bucket routing: a mismatched re-open fails loudly
+    // write-once bucket routing: a mismatched EXPLICIT re-open fails
+    // loudly, while the no-arg open ADOPTS the persisted value (readers
+    // never plumb the writer's choice — r11 review)
     intercept[IllegalArgumentException] {
       OccStateStore.open(spark, root, numBuckets = 8)
     }
+    assert(OccStateStore.open(spark, root).numBuckets === 4)
     // a clean window returns exactly the per-batch delta; a window whose
     // from-manifest retention GC'd fails loudly
     assert(occMap(Dedup.aggregateOccurrences(
