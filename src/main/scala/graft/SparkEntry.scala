@@ -1339,8 +1339,14 @@ object SparkEntry {
     // the increment. Verify runs q100 once, paying the full path, and the
     // oracle compares the identical frame either way.
     val basePath = q100BaseOccPath(s, dir)
+    // microBatchMaxBytes = -1: q100's claim is the AT-SCALE shuffle lane
+    // (finding 20's slim shape, PlanAuditSpec-pinned) — at sf-dir sizes
+    // the r11 micro-batch broadcast gate would otherwise engage and the
+    // bench would measure the streaming shape instead (that gate's
+    // correctness and plan have their own pins in IncrementalDedupSpec)
     Dedup.incrementalRepeatedSpans(docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", s.read.parquet(basePath), n = 10)
+        "doc_id", "text", s.read.parquet(basePath), n = 10,
+        microBatchMaxBytes = -1)
       .select(col("id").as("doc_id"),
         col("span_id").cast("long").as("span_id"),
         col("span_start").cast("long").as("span_start"),
