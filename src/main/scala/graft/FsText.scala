@@ -26,15 +26,34 @@ private[graft] object FsText {
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Publish `body` at `path` via a sibling tmp file + rename, so a
-    * concurrent reader never observes a torn artifact (rename is atomic
-    * on HDFS; on stores where it is copy-based the exposure window is
-    * the rename, never the byte-by-byte write). */
+  /** Publish `body` at `path` via a sibling tmp file + rename-with-
+    * OVERWRITE, so a concurrent reader never observes a torn OR ABSENT
+    * artifact (rename is atomic on HDFS; on stores where it is copy-based
+    * the exposure window is the rename, never the byte-by-byte write).
+    * The overwrite rename goes through [[org.apache.hadoop.fs.FileContext]]
+    * because `FileSystem.rename(src, dst)` refuses an existing `dst` —
+    * the r11 delete-then-rename fallback left a window where the path did
+    * not exist on the REWRITE path (manifest replay), weaker than this
+    * scaladoc's claim (r11 advice). Schemes without a FileContext
+    * implementation fall back to delete+rename, losing only the
+    * rewrite-window guarantee first publication never needed. */
   def writeAtomic(spark: SparkSession, path: Path, body: String): Unit = {
     val f = fs(spark, path)
-    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val qualified = f.makeQualified(path)
+    val tmp = new Path(qualified.getParent, qualified.getName + ".tmp")
     write(spark, tmp, body)
-    if (f.exists(path)) f.delete(path, false)
-    require(f.rename(tmp, path), s"artifact rename failed: $tmp -> $path")
+    try {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(qualified.toUri,
+          spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, qualified,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException |
+           _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (f.exists(qualified)) f.delete(qualified, false)
+        require(f.rename(tmp, qualified),
+          s"artifact rename failed: $tmp -> $qualified")
+    }
   }
 }

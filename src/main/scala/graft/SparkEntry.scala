@@ -1346,7 +1346,7 @@ object SparkEntry {
     // correctness and plan have their own pins in IncrementalDedupSpec)
     Dedup.incrementalRepeatedSpans(docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", s.read.parquet(basePath), n = 10,
-        microBatchMaxBytes = -1)
+        microBatchMaxBytes = Dedup.MicroBatchGateDisabled)
       .select(col("id").as("doc_id"),
         col("span_id").cast("long").as("span_id"),
         col("span_start").cast("long").as("span_start"),

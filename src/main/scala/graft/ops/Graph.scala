@@ -122,9 +122,14 @@ object Graph {
     val scopeAqeOff = hintBroadcastRanks && !adaptiveWhilePinned &&
       parts <= AqeOffMaxLoopPartitions &&
       checkpoint && eagerCheckpoint
-    val aqeBefore = sess.conf.get(aqeKey)
-    if (scopeAqeOff) sess.conf.set(aqeKey, "false")
-    try {
+    // The scope mutates a SESSION-GLOBAL conf: concurrent queries on the
+    // same session lose AQE while the loop runs (documented, accepted for
+    // the single-driver bench context this gate targets), and WITHOUT
+    // serialization two concurrent pageRank calls could interleave their
+    // save/restore and leave AQE off permanently (r11 advice). The lock
+    // closes the race half; it serializes only scoped (small-graph)
+    // calls — past the gate nothing is touched and nothing locks.
+    def runLoop(): DataFrame = {
     val init = Unit / n
     val base = ((100L - dampingPct) * init) / 100L
     var ranks = nodesDeg.withColumn("rank", lit(init))
@@ -183,8 +188,18 @@ object Graph {
         ranks = ranks.localCheckpoint(eagerCheckpoint)
     }
     ranks.select("node", "rank").orderBy("node")
-    } finally if (scopeAqeOff) sess.conf.set(aqeKey, aqeBefore)
+    }
+    if (!scopeAqeOff) runLoop()
+    else AqeScopeLock.synchronized {
+      val aqeBefore = sess.conf.get(aqeKey)
+      sess.conf.set(aqeKey, "false")
+      try runLoop() finally sess.conf.set(aqeKey, aqeBefore)
+    }
   }
+
+  /** Serializes the AQE-off scope of concurrent [[pageRank]] calls (the
+    * conf is session-global; see the scope note there). */
+  private object AqeScopeLock
 
   /** The DuckDB twin: same fixed-point update, iterations unrolled as
     * chained CTEs (recursive CTEs restrict aggregation over the recursive

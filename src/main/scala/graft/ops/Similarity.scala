@@ -656,8 +656,17 @@ object Similarity {
 
   def pqEncode(df: DataFrame, m: Int = 4, k: Int = 8,
                centroidStride: Long = 50, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    val cents = pqCodebook(df, k, centroidStride, idCol, vecCol)
+               vecCol: String = "embedding"): DataFrame =
+    pqEncodeWith(df, pqCodebook(df, k, centroidStride, idCol, vecCol), m,
+      idCol, vecCol)
+
+  /** [[pqEncode]] against an EXPLICIT codebook — the append path of
+    * [[VectorIndex.appendToPq]] encodes new batches with the PERSISTED
+    * centroids (the codebook is frozen at build; re-deriving it from the
+    * batch would silently re-route every code). One narrow pass. */
+  private[ops] def pqEncodeWith(df: DataFrame, cents: Array[Array[Long]],
+                                m: Int, idCol: String,
+                                vecCol: String): DataFrame = {
     val codeUdf = udf { (v: Seq[Double]) =>
       // null/empty vectors: every subspace is empty → distance 0 to every
       // centroid → code 0 per subspace, distortion 0 (degenerate but total)

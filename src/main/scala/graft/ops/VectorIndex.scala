@@ -35,14 +35,24 @@ import org.apache.spark.sql.functions._
   *    never vectors — the serving scan is ~dim·4/m× smaller than the
   *    corpus, the whole point of PQ at scale.
   *  - [[kmeansAssignIndexed]]: one narrow corpus pass against the loaded
-  *    k×dim matrix — no training jobs, no shuffle. */
+  *    k×dim matrix — no training jobs, no shuffle.
+  *
+  * IVF and PQ indexes are APPENDABLE (r12): [[appendToIvf]] /
+  * [[appendToPq]] encode ONLY a new vector batch with the persisted
+  * codebook and append to the cell partitions / codes table — the
+  * build's corpus pass never re-runs for an append (the dedup lane's
+  * incremental pattern). The codebook stays frozen; the meta counts
+  * appended rows and flips `rebuildAdvised` when they outnumber the
+  * base — see [[appendToIvf]] for the drift contract. */
 object VectorIndex {
 
   // ---- meta contract ---------------------------------------------------
 
   private def writeMeta(spark: SparkSession, path: String,
                         kv: Seq[(String, String)]): Unit =
-    graft.FsText.write(spark, new Path(path, "_graft_index_meta"),
+    // atomic: the append path REWRITES the meta (row accounting), and a
+    // concurrent serve must never read a torn contract file
+    graft.FsText.writeAtomic(spark, new Path(path, "_graft_index_meta"),
       kv.map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n"))
 
   private def readMeta(spark: SparkSession,
@@ -89,10 +99,55 @@ object VectorIndex {
         cellUdf(col(vecCol).cast("array<double>")).as("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells")
+    // footer-count job (no data pages): the append path's drift
+    // accounting baselines on what the build indexed
+    val baseRows = spark.read.parquet(s"$path/cells").count()
     writeMeta(spark, path, Seq("kind" -> "ivf",
       "centroidStride" -> centroidStride.toString,
       "nCentroids" -> cents.length.toString,
-      "idCol" -> idCol, "vecCol" -> vecCol))
+      "idCol" -> idCol, "vecCol" -> vecCol,
+      "baseRows" -> baseRows.toString, "appendedRows" -> "0",
+      "rebuildAdvised" -> "false"))
+  }
+
+  /** Append a NEW vector batch to a persisted IVF index (r11 verdict
+    * item 5 — the dedup lane's incremental pattern applied to serving
+    * indexes): the batch is encoded with the PERSISTED codebook (the
+    * centroids are frozen at build — re-deriving them would re-route
+    * every existing cell) and its rows land as new files inside the cell
+    * partitions they route to, so [[ivfTopKIndexed]]'s static partition
+    * pruning keeps working unchanged. Serve over build ∪ appends is
+    * bit-identical to a full rebuild WITH THE SAME codebook
+    * (VectorIndexSpec pins it).
+    *
+    * Drift contract: a frozen codebook quantizes appended vectors against
+    * centroids chosen from the BASE distribution — fine while appends are
+    * a minority, increasingly lossy as they dominate. The meta counts
+    * every appended row and flips `rebuildAdvised` once appendedRows >
+    * baseRows; serving never refuses (advice, not a gate — the caller
+    * owns the rebuild cadence). NOT replay-idempotent: parquet append has
+    * no batch key, so the caller owns exactly-once (contrast
+    * [[graft.streaming.OccStateStore.advance]], which is keyed). */
+  def appendToIvf(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val meta = readMeta(spark, path)
+    assertMeta(meta, path, "kind" -> "ivf")
+    require(meta.contains("baseRows"),
+      s"vector index at $path predates append support (no baseRows in " +
+        "meta) — rebuild it once with buildIvf to enable appends")
+    val (idCol, vecCol) = (meta("idCol"), meta("vecCol"))
+    val cents = loadIvfCentroids(spark, path, meta)
+    val nearestCells = Similarity.nearestCellsFn(cents)
+    val cellUdf = udf { (v: Seq[Double]) =>
+      nearestCells(if (v == null) Seq.empty else v, 1).head
+    }
+    val appended = newVecs.count()
+    newVecs.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("vec_c"),
+        cellUdf(col(vecCol).cast("array<double>")).as("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/cells")
+    bumpAppended(spark, path, meta, appended)
   }
 
   /** IVF top-k served from a persisted index — bit-identical to
@@ -102,11 +157,9 @@ object VectorIndex {
     * partitions (the probe-cell set is bounded by the codebook, so the
     * partition filter is static — the plan's PartitionFilters prove the
     * pruning). */
-  def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
-                     k: Int, nProbe: Int = 2, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val meta = readMeta(spark, path)
-    assertMeta(meta, path, "kind" -> "ivf")
+  private def loadIvfCentroids(spark: SparkSession, path: String,
+                               meta: Map[String, String])
+      : Array[(Long, Array[Double])] = {
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cid").cast("long"), col("vec").cast("array<double>"))
       .collect()
@@ -116,6 +169,33 @@ object VectorIndex {
     require(cents.length.toString == meta("nCentroids"),
       s"vector index at $path: ${cents.length} centroids on disk vs " +
         s"meta nCentroids=${meta("nCentroids")} — artifact corrupted")
+    cents
+  }
+
+  /** Advance the append accounting and the drift flag (see
+    * [[appendToIvf]]'s contract). */
+  private def bumpAppended(spark: SparkSession, path: String,
+                           meta: Map[String, String],
+                           appended: Long): Unit = {
+    val base = meta("baseRows").toLong
+    val total = meta.getOrElse("appendedRows", "0").toLong + appended
+    val next = meta ++ Map("appendedRows" -> total.toString,
+      "rebuildAdvised" -> (total > base).toString)
+    writeMeta(spark, path, next.toSeq.sortBy(_._1))
+  }
+
+  /** The index's meta contract as written (kind, build params, append
+    * accounting incl. `rebuildAdvised`) — the deployment's hook for
+    * scheduling rebuilds. */
+  def indexStats(spark: SparkSession, path: String): Map[String, String] =
+    readMeta(spark, path)
+
+  def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                     k: Int, nProbe: Int = 2, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val meta = readMeta(spark, path)
+    assertMeta(meta, path, "kind" -> "ivf")
+    val cents = loadIvfCentroids(spark, path, meta)
     val nearestCells = Similarity.nearestCellsFn(cents)
     // the probe-cell universe is codebook-bounded, so collecting the
     // queries' distinct probe cells is always driver-safe — and turning
@@ -153,21 +233,39 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
     Similarity.pqEncode(corpus, m, nCent, centroidStride, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$path/codes")
+    val baseRows = spark.read.parquet(s"$path/codes").count()
     writeMeta(spark, path, Seq("kind" -> "pq", "m" -> m.toString,
       "nCent" -> nCent.toString,
       "centroidStride" -> centroidStride.toString,
-      "idCol" -> idCol, "vecCol" -> vecCol))
+      "idCol" -> idCol, "vecCol" -> vecCol,
+      "baseRows" -> baseRows.toString, "appendedRows" -> "0",
+      "rebuildAdvised" -> "false"))
+  }
+
+  /** Append a NEW vector batch to a persisted PQ index: the batch is
+    * encoded with the PERSISTED codebook and its codes append to the
+    * codes table — same frozen-codebook drift contract, accounting, and
+    * caller-owned exactly-once as [[appendToIvf]]. */
+  def appendToPq(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val meta = readMeta(spark, path)
+    assertMeta(meta, path, "kind" -> "pq")
+    require(meta.contains("baseRows"),
+      s"vector index at $path predates append support (no baseRows in " +
+        "meta) — rebuild it once with buildPq to enable appends")
+    val cents = loadPqCentroids(spark, path, meta)
+    val appended = newVecs.count()
+    Similarity.pqEncodeWith(newVecs, cents, meta("m").toInt,
+        meta("idCol"), meta("vecCol"))
+      .write.mode("append").parquet(s"$path/codes")
+    bumpAppended(spark, path, meta, appended)
   }
 
   /** PQ asymmetric-distance top-k served from a persisted index —
     * bit-identical to [[Similarity.pqTopK]] with the same build params
     * (spec-pinned), but the corpus scan touches CODES only. */
-  def pqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
-                    k: Int, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    val meta = readMeta(spark, path)
-    assertMeta(meta, path, "kind" -> "pq")
-    val m = meta("m").toInt
+  private def loadPqCentroids(spark: SparkSession, path: String,
+                              meta: Map[String, String]): Array[Array[Long]] = {
     val cents: Array[Array[Long]] = spark.read.parquet(s"$path/centroids")
       .select(col("cid").cast("long"), col("ivec").cast("array<long>"))
       .collect().sortBy(_.getLong(0))
@@ -175,6 +273,16 @@ object VectorIndex {
     require(cents.length == meta("nCent").toInt,
       s"vector index at $path: ${cents.length} PQ centroids on disk vs " +
         s"meta nCent=${meta("nCent")} — artifact corrupted")
+    cents
+  }
+
+  def pqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                    k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val meta = readMeta(spark, path)
+    assertMeta(meta, path, "kind" -> "pq")
+    val m = meta("m").toInt
+    val cents = loadPqCentroids(spark, path, meta)
     val qLuts = Similarity.pqQueryLuts(queries, cents, m, idCol, vecCol)
     val codeCols = (0 until m).map(i => col(s"c$i"))
     val scoreAll = udf { (id: Long, codes: Seq[Int]) =>

@@ -231,6 +231,31 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally cached.unpersist()
   }
 
+  test("occurrence-exchange width gate (OccWideMinBytes, r11 verdict " +
+    "item 6): small known inputs keep the session default, unknown stats " +
+    "take the wide scale-safe side, forced widths win; rows identical") {
+    val session = spark.sessionState.conf.numShufflePartitions
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // parquet-backed tiny corpus: REAL small stats → session default
+    val narrow = Dedup.shingleOccurrenceTable(docs, "text", n = 10)
+    assert(narrow.rdd.getNumPartitions === session)
+    // forced width always wins
+    assert(Dedup.shingleOccurrenceTable(docs, "text", n = 10, parts = 7)
+      .rdd.getNumPartitions === 7)
+    // aggregateOccurrences over a small LOCAL frame: session default;
+    // over an RDD-backed frame (stats estimate huge — the unknown case):
+    // the wide side, never the silently-small one
+    val local = Seq((1L, 2L), (1L, 3L), (5L, 1L)).toDF("shingle", "occ")
+    assert(Dedup.aggregateOccurrences(local).rdd.getNumPartitions
+      === session)
+    val rddBacked = spark.createDataFrame(local.rdd, local.schema)
+    assert(Dedup.aggregateOccurrences(rddBacked).rdd.getNumPartitions
+      === session * 8)
+    // both gate sides agree on content
+    assert(Dedup.aggregateOccurrences(local).collect().toSet ===
+      Dedup.aggregateOccurrences(rddBacked).collect().toSet)
+  }
+
   test("guards: malformed baseOcc and bad parameters fail loudly") {
     val notATable = Seq((1L, 2L)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {

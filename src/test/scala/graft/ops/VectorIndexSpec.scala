@@ -66,6 +66,61 @@ class VectorIndexSpec extends SparkSpec {
       rows(Kmeans.kmeansCells(emb, k = 8, iters = 2, centroidStride = 50)))
   }
 
+  // append fixtures: the batch's ids are ≡ 1 (mod 50), so the stride
+  // codebook over base ∪ batch (ids ≡ 0 mod 50 — all in base) equals the
+  // base-built codebook, making "full rebuild with the same codebook" an
+  // actual buildIvf/buildPq call rather than a hypothetical
+  private lazy val appendBatch = emb.filter(col("vec_id") % 50 === 1)
+  private lazy val baseVecs = emb.filter(col("vec_id") % 50 =!= 1)
+
+  test("appendToIvf: serve over build ∪ append == full rebuild with the " +
+    "same codebook, bit-identical; drift accounting advances") {
+    val grown = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app_").toString
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_ivf_reb_").toString
+    VectorIndex.buildIvf(baseVecs, grown, centroidStride = 50)
+    VectorIndex.appendToIvf(appendBatch, grown)
+    VectorIndex.buildIvf(emb, rebuilt, centroidStride = 50)
+    assert(rows(VectorIndex.ivfTopKIndexed(spark, grown, queries,
+        k = 5, nProbe = 2)) ===
+      rows(VectorIndex.ivfTopKIndexed(spark, rebuilt, queries,
+        k = 5, nProbe = 2)))
+    assert(rows(VectorIndex.ivfTopKIndexed(spark, grown, queries,
+      k = 5, nProbe = 2)).nonEmpty)
+    // accounting: appended rows counted, minority append → no rebuild flag
+    val stats = VectorIndex.indexStats(spark, grown)
+    assert(stats("appendedRows").toLong === appendBatch.count())
+    assert(stats("baseRows").toLong === baseVecs.count())
+    assert(stats("rebuildAdvised") === "false")
+    // a second append accumulates; appends now outnumbering the base
+    // would flip the flag — simulate by appending the base itself twice
+    VectorIndex.appendToIvf(baseVecs, grown)
+    VectorIndex.appendToIvf(appendBatch, grown)
+    assert(VectorIndex.indexStats(spark, grown)("rebuildAdvised") === "true")
+  }
+
+  test("appendToPq: serve over build ∪ append == full rebuild with the " +
+    "same codebook, bit-identical; wrong-kind append fails loudly") {
+    val grown = java.nio.file.Files
+      .createTempDirectory("graft_pq_app_").toString
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_pq_reb_").toString
+    VectorIndex.buildPq(baseVecs, grown, m = 4, nCent = 8,
+      centroidStride = 50)
+    VectorIndex.appendToPq(appendBatch, grown)
+    VectorIndex.buildPq(emb, rebuilt, m = 4, nCent = 8,
+      centroidStride = 50)
+    assert(rows(VectorIndex.pqTopKIndexed(spark, grown, queries, k = 5)) ===
+      rows(VectorIndex.pqTopKIndexed(spark, rebuilt, queries, k = 5)))
+    assert(rows(VectorIndex.pqTopKIndexed(spark, grown, queries,
+      k = 5)).nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.appendToIvf(appendBatch, grown)
+    }
+    assert(e.getMessage.contains("kind"))
+  }
+
   test("meta contract: wrong kind, missing index, and corrupted artifact " +
     "fail loudly") {
     val path = java.nio.file.Files

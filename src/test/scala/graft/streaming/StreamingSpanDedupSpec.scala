@@ -136,6 +136,66 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(m1.keySet === m0.keySet ++ expectedTouched)
   }
 
+  test("bucket-pruned probe (r11 weak mark): the state read opens " +
+    "EXACTLY the batch's bucket dirs (inputFiles, not just rows); spans " +
+    "row-identical; one shingle-kernel evaluation per micro-batch") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_occ_prune_").toString
+    val B = 64
+    val store = OccStateStore.open(spark, root, numBuckets = B)
+    // broad base: many buckets populated
+    val base = (b0 ++ b1).toDF("doc_id", "text")
+    store.advance(Dedup.shingleOccurrenceTable(base, "text", n = 5), 0L)
+    // tiny batch: few buckets touched
+    val batch = b2.toDF("doc_id", "text").persist()
+    batch.count()
+    try {
+      val (shEx, counts) = Dedup.prepareIncrementalBatch(
+        batch, "doc_id", "text", n = 5)
+      // prepared counts == the direct occurrence table for the batch
+      assert(occMap(counts) ===
+        occMap(Dedup.shingleOccurrenceTable(batch, "text", n = 5)))
+      val touched = counts
+        .select(pmod(col("shingle"), lit(B.toLong)).cast("int"))
+        .distinct().as[Int].collect().toSet
+      // FILE-level pin: the pruned read's scan opens only b=<touched>
+      // dirs, and strictly fewer files than the full read (the base is
+      // engineered broad, the batch narrow)
+      val prunedFiles = store.readLatestBefore(1L, touched).inputFiles
+      assert(prunedFiles.nonEmpty)
+      val bucketOf = (f: String) =>
+        "/b=(\\d+)/".r.findFirstMatchIn(f).get.group(1).toInt
+      assert(prunedFiles.map(bucketOf).toSet.subsetOf(touched),
+        s"pruned scan opened a bucket outside the batch's set")
+      val fullFiles = store.readLatestBefore(1L).inputFiles
+      assert(prunedFiles.length < fullFiles.length,
+        s"expected pruning: ${prunedFiles.length} vs ${fullFiles.length}")
+      // row identity: prepared probe over the PRUNED state == the
+      // one-call probe over the FULL state
+      val pruned = Dedup.incrementalSpansPrepared(shEx, counts,
+        store.readLatestBefore(1L, touched), n = 5)
+      val oneCall = Dedup.incrementalRepeatedSpans(batch, "doc_id",
+        "text", store.readLatestBefore(1L), n = 5)
+      assert(spanRows(pruned) === spanRows(oneCall))
+      assert(spanRows(pruned).nonEmpty, "fixture must emit spans")
+      // ONE shingle pass: the prepared probe's plan reads the
+      // checkpointed exchange — the shingle kernel appears NOWHERE in
+      // it (it ran once, inside prepareIncrementalBatch), while the
+      // one-call form evaluates it in-plan
+      val preparedPlan = pruned.queryExecution.executedPlan.toString
+      assert(!preparedPlan.contains("posShingleHashes"),
+        s"prepared plan re-evaluates the shingle kernel:\n$preparedPlan")
+      // contrast pin: the kernel IS named and visible in a lazy
+      // (gate-disabled) plan — so the absence above proves it ran only
+      // inside prepareIncrementalBatch, not that the name went missing
+      assert(Dedup.incrementalRepeatedSpans(batch, "doc_id", "text",
+          store.readLatestBefore(1L), n = 5,
+          microBatchMaxBytes = Dedup.MicroBatchGateDisabled)
+        .queryExecution.executedPlan.toString
+        .contains("posShingleHashes"))
+    } finally batch.unpersist()
+  }
+
   test("compaction cadence: a bucket collapses to one segment at " +
     "compactAt, content preserved; retention deletes old manifests and " +
     "GCs unreferenced segments") {
@@ -183,6 +243,107 @@ class StreamingSpanDedupSpec extends SparkSpec {
       store.readDeltasBetween(1L, 3L)
     }
     assert(eGc.getMessage.contains("retained"))
+  }
+
+  test("out-of-band compactNow: content-equivalent manifest rewrite, " +
+    "stacks collapse, replay of the latest batch stays correct, delta " +
+    "windows crossing it are refused") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_occ_maint_").toString
+    // inline compaction parked far away: maintenance is the one under test
+    val store = OccStateStore.open(spark, root, numBuckets = 4,
+      retainVersions = 4, compactAt = 10)
+    val doc = Seq((7L, s"$common $rep")).toDF("doc_id", "text")
+    def counts() = Dedup.shingleOccurrenceTable(doc, "text", n = 5)
+    (0L to 2L).foreach(v => store.advance(counts(), v))
+    val pre = occMap(store.readAggregated(2L))
+    assert(store.bucketSegments(2L).values.forall(_.size === 3))
+    // compact all stacks; content identical; second call is a no-op
+    assert(store.compactNow() > 0)
+    store.bucketSegments(2L).values.foreach(segs =>
+      assert(segs === Seq("seg-2-maint0-compact"), segs.toString))
+    assert(occMap(store.readAggregated(2L)) === pre)
+    assert(store.compactNow() === 0)
+    // a delta window crossing the maintenance compaction is refused —
+    // same double-count guard as the inline path
+    val eW = intercept[IllegalArgumentException] {
+      store.readDeltasBetween(1L, 2L)
+    }
+    assert(eW.getMessage.contains("compact"))
+    // replay of the LATEST batch after maintenance: rebuilds manifest 2
+    // from the untouched predecessor — the maint segment is stranded
+    // (GC'd on the next retire) and the sums are unchanged
+    store.advance(counts(), 2L)
+    assert(occMap(store.readAggregated(2L)) === pre)
+    // next advance stacks on whatever manifest 2 now holds; content 4x
+    store.advance(counts(), 3L)
+    assert(occMap(store.readAggregated(3L)) ===
+      occMap(counts()).map { case (k, v) => k -> 4L * v })
+  }
+
+  test("driver-cadence retroactive sweep (sweepEvery): each sweep == the " +
+    "manually-composed pair-form sweep; composed serving view == the " +
+    "batch recompute over everything ingested") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_span_sweep_").toString
+    implicit val sqlCtx = spark.sqlContext
+    // crossings that only a SWEEP can surface: phrase A seeds in batch 0
+    // (occ 1 — no arrival span) and recurs in batch 2; phrase B seeds in
+    // batch 1 and recurs in batch 4. Sweeps fire at v2 (window (0,2])
+    // and v4 ((2,4]) with sweepEvery = 2.
+    val phA = "alpha bravo charlie delta echo"
+    val phB = "papa quebec romeo sierra tango"
+    val batches = Seq(
+      Seq((1L, s"a1 a2 $phA a3")),
+      Seq((11L, s"b1 $phB b2 b3")),
+      Seq((21L, s"c1 c2 c3 $phA")),
+      Seq((31L, "q1 q2 q3 q4 q5 q6 q7")),
+      Seq((41L, s"d1 $phB d2")))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingSpanDedup.spanDedupStream(
+      stream.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/state", s"$root/spans", s"$root/ckpt",
+      n = 5, sweepEvery = 2, positionsPath = s"$root/pos",
+      sweepDir = s"$root/sweeps", compactAt = 8, retainVersions = 3)
+    try {
+      for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    def docsDf(upTo: Int) =
+      batches.take(upTo + 1).flatten.toDF("doc_id", "text")
+    // sweep at v2 == pair-form sweep composed by hand from the known
+    // batch data (delta==pair is RetroactiveSweepSpec's pin): positions
+    // over everything ingested <= 2, prev state at the bookmark (v0),
+    // current state at v2
+    val sweep2 = spark.read.parquet(s"$root/sweeps/sweep_v=2")
+    val twin2 = Dedup.retroactiveSpanSweep(
+      Dedup.shinglePositionsTable(docsDf(2), "doc_id", "text", n = 5),
+      Dedup.shingleOccurrenceTable(docsDf(0), "text", n = 5),
+      Dedup.shingleOccurrenceTable(docsDf(2), "text", n = 5), n = 5)
+    assert(spanRows(sweep2) === spanRows(twin2))
+    // the engineered crossing fired: doc 1 (batch 0) re-emitted by the
+    // sweep — its arrival saw occ(A) = 1
+    assert(spanRows(sweep2).map(_._1).contains(1L))
+    val sweep4 = spark.read.parquet(s"$root/sweeps/sweep_v=4")
+    val twin4 = Dedup.retroactiveSpanSweep(
+      Dedup.shinglePositionsTable(docsDf(4), "doc_id", "text", n = 5),
+      Dedup.shingleOccurrenceTable(docsDf(2), "text", n = 5),
+      Dedup.shingleOccurrenceTable(docsDf(4), "text", n = 5), n = 5)
+    assert(spanRows(sweep4) === spanRows(twin4))
+    assert(spanRows(sweep4).map(_._1).contains(11L))
+    // serving composition: arrival spans, then each sweep in version
+    // order overrides its affected ids — equals the batch recompute over
+    // every doc ingested (the lambda claim, end to end)
+    val arrival = spark.read.parquet(s"$root/spans")
+      .select("id", "span_id", "span_start", "span_end", "n_shingles")
+    val served = Seq(sweep2, sweep4).foldLeft(arrival) { (acc, sw) =>
+      acc.join(sw.select("id").distinct(), Seq("id"), "left_anti")
+        .unionByName(sw.select(
+          "id", "span_id", "span_start", "span_end", "n_shingles"))
+    }
+    val full = Dedup.repeatedSpans(docsDf(4), "doc_id", "text", n = 5)
+    assert(spanRows(served) === spanRows(full))
+    assert(spanRows(served).nonEmpty)
   }
 
   test("readDeltasBetween: state(to) == state(from) ⊎ deltas, the " +
