@@ -479,8 +479,9 @@ object ScaleRun {
       val t2 = System.nanoTime()
       empty.advance(counts, 1L)
       val emptyS = (System.nanoTime() - t2) / 1e9
-      // release the prepared checkpoints — later phases re-derive what
-      // they need, and the phase-boundary GC can reap the blocks
+      // release the prepared caches (prepareIncrementalBatch's contract:
+      // the caller owns unpersist) — later phases re-derive what they need
+      incPrepared.foreach { case (s, c) => s.unpersist(); c.unpersist() }
       incPrepared = None
       spark.catalog.clearCache()
       f"advance of ${nNew / 1000000}M-key delta onto the full base state " +
@@ -561,7 +562,7 @@ object ScaleRun {
           .collect().map(_.toSeq).toSet
         require(prunedSpans == fullSpans,
           s"pruned vs full spans diverged at nDocs=$nDocs")
-        batch.unpersist()
+        shEx.unpersist(); counts.unpersist(); batch.unpersist()
         f"$nDocs%d docs: ${touched.size}/${serve.numBuckets} buckets, " +
           f"${prunedB >> 20} of ${fullB >> 20} MB read " +
           f"(${100.0 * prunedB / math.max(1, fullB)}%.0f%%), " +

@@ -1440,12 +1440,31 @@ object Dedup {
     * bucket-pruning key-set job all read the checkpointed frames.
     * StreamingSpanDedupSpec pins the single evaluation in the plans.
     *
-    * Contract notes: construction is EAGER (two localCheckpoint jobs —
-    * the streaming regime's accepted price, same as the micro-batch gate
-    * in [[incrementalRepeatedSpans]]); localCheckpoint blocks are not
-    * fault-tolerant, the documented trade of the serving lane. Batch
-    * (non-streaming) callers should keep using [[incrementalRepeatedSpans]],
-    * whose default path is lazy and lineage-recoverable. */
+    * Contract notes: construction is EAGER (the frames are cached and
+    * materialized before this returns — the streaming regime's accepted
+    * price, same as the micro-batch gate in
+    * [[incrementalRepeatedSpans]]). Caching is the columnar SQL cache,
+    * not localCheckpoint (compressed 20-byte rows, outputPartitioning
+    * preserved; checkpoint blocks hold deserialized rows — the ~5×
+    * block-read tax of SCALE.md finding 20, which the r12 first cut paid
+    * at the 504k bulk shape: probe+advance 143 s vs 55 lazy) — and it is
+    * REGIME-GATED like everything else in this lane:
+    *  - micro batches (plan-stats ≤ [[MicroBatchMaxBytes]]): BOTH frames
+    *    cache — the kernel runs exactly once per batch, spans + advance
+    *    + pruning all read the caches (the spec's plan pin);
+    *  - bulk batches: only `counts` caches (batch-keys-sized); `shEx`
+    *    stays LAZY, so the probe re-evaluates the kernel once more there
+    *    — materializing a 69M-row exchange costs more than the kernel
+    *    pass it saves (measured, the first-cut number above). Total
+    *    kernel passes at bulk: 2, same as the lazy one-call form — the
+    *    win is the advance's pass + exchange + sum, now free.
+    * THE CALLER OWNS `unpersist()` on both frames once the batch is
+    * served (the SQL cache is not GC-driven;
+    * [[graft.streaming.StreamingSpanDedup.processBatch]] does it in its
+    * finally; unpersist on the never-cached bulk `shEx` is a no-op).
+    * Batch (non-streaming) callers should keep using
+    * [[incrementalRepeatedSpans]], whose default path is lazy and
+    * lineage-recoverable. */
   def prepareIncrementalBatch(batch: DataFrame, idCol: String,
                               textCol: String, n: Int = 10,
                               docParts: Int = 0,
@@ -1458,18 +1477,23 @@ object Dedup {
     // the stats here are the DOC frame's — the exchange amplifies ~10x
     // into shingles, inside the gate's margin at the 64 MB threshold
     val p = occExchangeParts(batch, occParts)
-    val shEx = adaptiveDocBase(batch, docParts)
+    val micro = batch.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(MicroBatchMaxBytes)
+    val shEx0 = adaptiveDocBase(batch, docParts)
       .select(col(idCol).cast("long").as("id"),
         posexplode(posShingleHashesUdf(col(textCol), lit(n)))
           .as(Seq("pos", "shingle")))
       .repartition(p, col("shingle"))
-      .localCheckpoint()
+    val shEx = if (micro) shEx0.persist() else shEx0
     val counts = shEx
       .select(col("shingle"), lit(1L).as("w"))
       .as[(Long, Long)]
       .mapPartitions(it => new KeyedSum()(it))
       .toDF("shingle", "occ")
-      .localCheckpoint()
+      .persist()
+    // one action materializes the cache(s) — in the micro regime counts
+    // builds THROUGH the shEx cache, so the kernel runs once, here
+    counts.count()
     (shEx, counts)
   }
 
@@ -1579,7 +1603,7 @@ object Dedup {
       .join(coveredKeys(prevOcc).hint("SHUFFLE_HASH"),
         Seq("shingle"), "left_anti")
       .localCheckpoint()
-    sweepTail(positions, crossed, curOcc, n, minOcc, occParts)
+    sweepTail(positions, positions, crossed, curOcc, n, minOcc, occParts)
   }
 
   /** Delta form of [[retroactiveSpanSweep]] — the state-store-native
@@ -1607,15 +1631,36 @@ object Dedup {
       require(t.columns.contains("shingle") && t.columns.contains("occ"),
         s"occurrence frames need (shingle, occ); got ${t.columns.mkString(", ")}")
     }
-    val spark = positions.sparkSession
+    sweepTail(positions, positions,
+      crossedKeysDelta(prevOcc, deltaOcc, minOcc, occParts),
+      prevOcc.select("shingle", "occ")
+        .unionByName(deltaOcc.select("shingle", "occ")),
+      n, minOcc, occParts)
+  }
+
+  /** The delta decomposition's crossed-key set — prev < minOcc ≤
+    * prev + delta, via ONE tagged union exchange through the
+    * [[KeyedSum2]] kernel (checkpointed: the sweep reads it several
+    * times). Public piece of [[retroactiveSpanSweepDelta]] so a pruning
+    * layout can compute the crossed keys FIRST, file-prune its positions
+    * read against them ([[graft.ops.ZoneIndex]]'s pattern — the
+    * streaming driver's per-batch positions partitions do), and hand
+    * both to [[sweepFromCrossed]]. */
+  def crossedKeysDelta(prevOcc: DataFrame, deltaOcc: DataFrame,
+                       minOcc: Int = 2, occParts: Int = 0): DataFrame = {
+    require(minOcc >= 2, s"need minOcc >= 2, got $minOcc")
+    Seq(prevOcc, deltaOcc).foreach { t =>
+      require(t.columns.contains("shingle") && t.columns.contains("occ"),
+        s"occurrence frames need (shingle, occ); got ${t.columns.mkString(", ")}")
+    }
+    val spark = prevOcc.sparkSession
     import spark.implicits._
     val tagged = prevOcc
       .select(col("shingle"), col("occ").as("a"), lit(0L).as("b"))
       .unionByName(deltaOcc
         .select(col("shingle"), lit(0L).as("a"), col("occ").as("b")))
-    val p = occExchangeParts(tagged, occParts)
-    val crossed = tagged
-      .repartition(p, col("shingle"))
+    tagged
+      .repartition(occExchangeParts(tagged, occParts), col("shingle"))
       .as[(Long, Long, Long)]
       .mapPartitions(it => new KeyedSum2()(it))
       .toDF("shingle", "p_occ", "d_occ")
@@ -1623,18 +1668,44 @@ object Dedup {
         col("p_occ") + col("d_occ") >= minOcc)
       .select("shingle")
       .localCheckpoint()
-    sweepTail(positions, crossed,
-      prevOcc.select("shingle", "occ")
-        .unionByName(deltaOcc.select("shingle", "occ")),
-      n, minOcc, occParts)
   }
 
-  /** Shared tail of the two sweep forms: crossed keys → affected base
+  /** [[retroactiveSpanSweepDelta]]'s tail from a PRECOMPUTED crossed set,
+    * with the positions input split in two:
+    *  - `positionsForCrossed` feeds ONLY the affected-id discovery
+    *    (positions ⋉ crossed). Contract: it must contain every positions
+    *    row whose shingle ∈ crossed — a FILE-PRUNED read qualifies
+    *    (zone/bloom pruning never drops a hit), a row-filtered one too;
+    *    extra rows are harmless (the semi-join re-filters exactly).
+    *  - `positions` (complete) feeds the affected docs' full coverage
+    *    legs — an affected doc's spans depend on ALL its positions, not
+    *    just crossed ones, so this side cannot be key-pruned.
+    * Row-identical to the one-frame forms (RetroactiveSweepSpec pins
+    * it). */
+  def sweepFromCrossed(positionsForCrossed: DataFrame,
+                       positions: DataFrame, crossed: DataFrame,
+                       curOcc: DataFrame, n: Int = 10, minOcc: Int = 2,
+                       occParts: Int = 0): DataFrame = {
+    require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
+    Seq(positionsForCrossed, positions).foreach { t =>
+      val missing = Seq("id", "pos", "shingle").filterNot(t.columns.contains)
+      require(missing.isEmpty,
+        s"positions must be shinglePositionsTable output (missing: " +
+          s"${missing.mkString(", ")})")
+    }
+    sweepTail(positionsForCrossed, positions, crossed, curOcc, n, minOcc,
+      occParts)
+  }
+
+  /** Shared tail of the sweep forms: crossed keys → affected base
     * ids → their covered positions under the CURRENT state → spans.
     * `curOcc` is consumed only SLIMMED to the affected docs' key set
     * (map-side under the broadcast gate — finding 20's shape), never
-    * re-aggregated corpus-wide. */
-  private def sweepTail(positions: DataFrame, crossed: DataFrame,
+    * re-aggregated corpus-wide. `positionsForCrossed` vs `positions`:
+    * see [[sweepFromCrossed]] (the one-frame forms pass the same frame
+    * twice). */
+  private def sweepTail(positionsForCrossed: DataFrame,
+                        positions: DataFrame, crossed: DataFrame,
                         curOcc: DataFrame, n: Int, minOcc: Int,
                         occParts: Int): DataFrame = {
     // the crossed-key set is increment-bounded and usually tiny (30,886
@@ -1645,8 +1716,9 @@ object Dedup {
     val nCrossed = crossed.count()
     val affected = (
       if (nCrossed <= Curation.MaxFlaggedIdBroadcast)
-        positions.join(broadcast(crossed), Seq("shingle"), "left_semi")
-      else positions.join(crossed.hint("SHUFFLE_HASH"),
+        positionsForCrossed.join(broadcast(crossed), Seq("shingle"),
+          "left_semi")
+      else positionsForCrossed.join(crossed.hint("SHUFFLE_HASH"),
         Seq("shingle"), "left_semi"))
       .select("id").distinct()
       .localCheckpoint()

@@ -170,6 +170,51 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
   def readLatestBefore(batchId: Long, buckets: Set[Int]): DataFrame =
     latestVersionBefore(batchId).map(read(_, buckets)).getOrElse(emptyOcc)
 
+  /** The sharpest probe read: bucket-SET pruning (exact, as
+    * [[read(version:Long,buckets:Set[Int])*]]) plus per-SEGMENT zone
+    * pruning within the touched buckets — a stacked delta segment whose
+    * [[graft.ops.ZoneIndex]] sidecar proves it holds none of the batch's
+    * keys in a bucket is not opened at all. No false negatives (the
+    * sidecar rules are one-sided; segments without a sidecar — compacts
+    * and corpus-mass deltas — stay unpruned), so the probe's spans are
+    * row-identical to the full read (StreamingSpanDedupSpec pins it).
+    * `keys` is the batch's (shingle, …) frame — in the serving path the
+    * probe's checkpointed counts, so the extra cost is one batch-sized
+    * pass + a bounded collect. */
+  def readPruned(batchId: Long, keys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    latestVersionBefore(batchId) match {
+      case None => emptyOcc
+      case Some(v) =>
+        val spark2 = keys.sparkSession
+        import spark2.implicits._
+        val touched = keys
+          .select(pmod(c("shingle"), lit(numBuckets.toLong))
+            .cast("int")).distinct().as[Int].collect().toSet
+        val stacks = readManifest(v).filter(e => touched.contains(e._1))
+        val segNames = stacks.values.flatten.toSet
+        val zoned = segNames.filter(s => fs.exists(zonesPath(s)))
+        val groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]] =
+          zoned.iterator.map { s =>
+            s -> graft.ops.ZoneIndex.collectZones(
+              graft.ops.ZoneIndex.load(spark, zonesPath(s).toString),
+              touched)
+          }.toMap
+        val hits: Set[(String, Int)] =
+          if (groups.isEmpty) Set.empty
+          else graft.ops.ZoneIndex.hitPairs(groups, keys, "shingle",
+            numBuckets)
+        val paths = stacks.toSeq.sortBy(_._1).flatMap { case (b, segs) =>
+          segs.collect {
+            case s if !zoned.contains(s) || hits((s, b)) =>
+              new Path(segDir(s), s"b=$b").toString
+          }
+        }
+        if (paths.isEmpty) emptyOcc
+        else spark.read.schema(occSchema).parquet(paths: _*)
+    }
+  }
+
   /** One row per shingle (a full merge — state-sized exchange; for specs
     * and batch consumers, NOT the streaming hot path). */
   def readAggregated(version: Long): DataFrame =
@@ -252,6 +297,31 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
       .map(r => (r.getInt(0), r.getLong(1))).toMap
   }
 
+  /** A segment's [[graft.ops.ZoneIndex]] sidecar path — underscore-
+    * prefixed, so partition discovery over the segment never sees it. */
+  private def zonesPath(segName: String) =
+    new Path(segDir(segName), "_zones")
+
+  /** Write the zone sidecar for a DELTA segment and return its per-bucket
+    * counts (the manifest stats — one read-back job instead of the count
+    * job). Deltas only: they are batch-sized, so their buckets sit under
+    * the bloom cap and [[readPruned]] can skip the stacked delta files a
+    * batch's keys miss. COMPACT segments carry no sidecar by design —
+    * their buckets are corpus-mass (every bloom would be over the cap →
+    * null → unprunable) and a batch key almost surely hits them anyway;
+    * the honest statement is that zone pruning trims the DELTA stack, the
+    * bucket SET trims everything else. */
+  private def writeDeltaZones(segName: String): Map[Int, Long] = {
+    if (!fs.exists(segDir(segName))) return Map.empty
+    val zones = graft.ops.ZoneIndex.build(
+      spark.read.parquet(segDir(segName).toString).select("shingle"),
+      "shingle", numBuckets)
+      .localCheckpoint()
+    graft.ops.ZoneIndex.save(zones, zonesPath(segName).toString)
+    zones.select("b", "cnt").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+  }
+
   def advance(batchCounts: DataFrame, batchId: Long): Unit = {
     val prior: Map[Int, Seq[(String, Long)]] = latestVersionBefore(batchId)
       .map(readManifestStats).getOrElse(Map.empty)
@@ -269,7 +339,14 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
         .write.mode("overwrite").partitionBy("b")
         .parquet(segDir(deltaSeg).toString)
     }
-    val deltaCounts = segmentBucketCounts(deltaSeg)
+    // zone sidecar only for BATCH-sized deltas (plan-stats gate): the
+    // serving regime they prune; a corpus-mass batch (a base build) would
+    // pay a second full exchange for blooms the cap nulls out anyway.
+    // Unknown stats estimate huge → no sidecar, the cheap-safe side.
+    val deltaCounts =
+      if (batchCounts.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(OccStateStore.DeltaZoneMaxBytes)) writeDeltaZones(deltaSeg)
+      else segmentBucketCounts(deltaSeg)
     val touched: Set[Int] = deltaCounts.keySet
 
     // 2. stack the delta; compact buckets that reached the cadence
@@ -373,6 +450,12 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
 }
 
 object OccStateStore {
+
+  /** Plan-stats bound under which a delta segment gets a
+    * [[graft.ops.ZoneIndex]] sidecar (see the write site): micro-batch
+    * deltas — the stack [[readPruned]] prunes — sit far under it; a
+    * corpus-mass base build skips the sidecar and its second exchange. */
+  final val DeltaZoneMaxBytes: Long = 256L << 20
 
   /** Bucket-size target for [[deriveNumBuckets]]: small enough that a
     * probe's pruned read ([[OccStateStore.read(version:Long,buckets:Set[Int])*]])

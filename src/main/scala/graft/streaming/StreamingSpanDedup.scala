@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming substring-level (span) dedup — the micro-batch driver of
@@ -99,23 +99,32 @@ object StreamingSpanDedup {
       retainVersions, compactAt)
     val b = batch.persist()
     b.count()
+    var prepared: Option[(DataFrame, DataFrame)] = None
     try {
       val microBatch = b.queryExecution.optimizedPlan.stats.sizeInBytes <=
         BigInt(graft.ops.Dedup.MicroBatchMaxBytes)
       val (shEx, counts) = graft.ops.Dedup
         .prepareIncrementalBatch(b, idCol, textCol, n)
+      prepared = Some((shEx, counts))
       // the sweep cadence's positions append rides the SAME checkpointed
       // exchange (shEx IS shinglePositionsTable's frame — no re-shingle),
-      // keyed by batchId so a replay overwrites its own partition
-      if (positionsPath.nonEmpty)
+      // keyed by batchId so a replay overwrites its own partition. Each
+      // partition also gets a one-row ZoneIndex sidecar (a bloom over the
+      // batch's keys), so the sweep's crossed-key restriction can skip
+      // whole batch partitions that provably hold no crossed key — the
+      // same file-pruning primitive the state store's delta stack uses.
+      if (positionsPath.nonEmpty) {
+        val dir = s"$positionsPath/batch_id=$batchId"
         shEx.select(col("id"), col("pos"), col("shingle"))
-          .write.mode("overwrite")
-          .parquet(s"$positionsPath/batch_id=$batchId")
-      val touched = counts
-        .select(pmod(col("shingle"), lit(store.numBuckets.toLong))
-          .cast("int").as("b"))
-        .distinct().as[Int].collect().toSet
-      val baseOcc = store.readLatestBefore(batchId, touched)
+          .write.mode("overwrite").parquet(dir)
+        graft.ops.ZoneIndex.save(
+          graft.ops.ZoneIndex.build(counts.select("shingle"), "shingle",
+            numBuckets = 1, maxBloomKeys = PositionsBloomMaxKeys),
+          s"$dir/_zones")
+      }
+      // bucket-set pruning + per-segment zone pruning in one call (the
+      // sidecar trims stacked delta files the batch's keys provably miss)
+      val baseOcc = store.readPruned(batchId, counts)
       val broadcastSlim = microBatch &&
         counts.count() <= graft.ops.Curation.MaxFlaggedIdBroadcast
       graft.ops.Dedup
@@ -123,8 +132,19 @@ object StreamingSpanDedup {
           broadcastSlim)
         .write.mode("overwrite").parquet(s"$spansDir/batch_id=$batchId")
       store.advance(counts, batchId)
-    } finally b.unpersist()
+    } finally {
+      // the prepared frames are SQL-cached (prepareIncrementalBatch's
+      // contract) — drop them here or the cache grows per micro-batch
+      prepared.foreach { case (s, c) => s.unpersist(); c.unpersist() }
+      b.unpersist()
+    }
   }
+
+  /** Bloom-key cap for a batch positions partition's one-row zone
+    * sidecar: ~2M distinct shingles (≈ a few thousand docs — far past
+    * micro-batch size) ≈ 2.4 MB of filter per partition. Past it the
+    * partition simply stays unpruned. */
+  final val PositionsBloomMaxKeys = 2000000
 
   /** The sweep-cadence bookmark: the store version the last retroactive
     * sweep ran at (atomic text file next to the state). */
@@ -180,9 +200,20 @@ object StreamingSpanDedup {
     val positions = spark.read.parquet(positionsPath)
     val prev = store.read(last)
     val sweep =
-      try graft.ops.Dedup.retroactiveSpanSweepDelta(positions, prev,
-        store.readDeltasBetween(last, batchId), n, minOcc)
-      catch {
+      try {
+        val deltas = store.readDeltasBetween(last, batchId)
+        val crossed = graft.ops.Dedup.crossedKeysDelta(prev, deltas, minOcc)
+        // affected-id discovery reads ONLY the batch partitions whose
+        // zone sidecar a crossed key might hit (consumer 2 of the
+        // ZoneIndex primitive; partitions without a sidecar stay
+        // unpruned); the full-coverage legs keep the complete index
+        graft.ops.Dedup.sweepFromCrossed(
+          positionsPrunedBy(spark, positionsPath, crossed),
+          positions, crossed,
+          prev.select("shingle", "occ")
+            .unionByName(deltas.select("shingle", "occ")),
+          n, minOcc)
+      } catch {
         case e: IllegalArgumentException
             if e.getMessage != null && e.getMessage.contains("compact") =>
           graft.ops.Dedup.retroactiveSpanSweep(positions, prev,
@@ -191,6 +222,48 @@ object StreamingSpanDedup {
     sweep.write.mode("overwrite").parquet(s"$sweepDir/sweep_v=$batchId")
     graft.FsText.writeAtomic(spark, bookmark, batchId.toString)
     store.compactNow()
+  }
+
+  /** The positions partitions a crossed-key set might hit — file-level
+    * zone pruning over the per-batch sidecars [[processBatch]] writes
+    * (no false negatives: a pruned partition provably holds no crossed
+    * key, so the affected-id semi-join loses nothing;
+    * StreamingSpanDedupSpec pins sweep identity through it). */
+  private[graft] def positionsPrunedBy(
+      spark: org.apache.spark.sql.SparkSession, positionsPath: String,
+      keys: DataFrame): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(positionsPath)
+    val fs = graft.FsText.fs(spark, root)
+    // EVERY non-hidden entry participates: batch_id= partitions are the
+    // prunable ones (when they carry a sidecar); anything else a
+    // deployment seeded here (a base index as loose files or an
+    // unpartitioned dir) is kept unpruned — pruning must never drop a
+    // source it doesn't understand
+    val entries = fs.listStatus(root).toSeq.map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+    val (zoned, bare) = entries.partition(p =>
+      p.getName.startsWith("batch_id=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_zones")))
+    val groups = zoned.iterator.map { p =>
+      p.toString -> graft.ops.ZoneIndex.collectZones(
+        graft.ops.ZoneIndex.load(spark, s"$p/_zones"), Set(0))
+    }.toMap
+    val hits =
+      if (groups.isEmpty) Set.empty[(String, Int)]
+      else graft.ops.ZoneIndex.hitPairs(groups, keys, "shingle", 1)
+    val keep = bare.map(_.toString) ++
+      zoned.map(_.toString).filter(p => hits((p, 0)))
+    if (keep.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("shingle",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(keep: _*).select("id", "pos", "shingle")
   }
 
   /** Start the streaming query: `docs` is a streaming DataFrame carrying

@@ -146,6 +146,30 @@ class RetroactiveSweepSpec extends SparkSpec {
     assert(spanRows(rDeltaForm).nonEmpty)
   }
 
+  test("sweepFromCrossed: a crossed-key-pruned positionsForCrossed frame " +
+    "(the ZoneIndex file-pruning contract) gives row-identical sweeps") {
+    val n = 5
+    val positions = Dedup.shinglePositionsTable(base, "doc_id", "text",
+      n = n)
+    val prevOcc = Dedup.shingleOccurrenceTable(base, "text", n = n)
+    val deltaOcc = Dedup.shingleOccurrenceTable(inc, "text", n = n)
+    val plain = Dedup.retroactiveSpanSweepDelta(positions, prevOcc,
+      deltaOcc, n = n)
+    val crossed = Dedup.crossedKeysDelta(prevOcc, deltaOcc)
+    // the pruning contract: positionsForCrossed must keep every row whose
+    // shingle ∈ crossed — a row-filtered superset models what file-level
+    // zone pruning produces (plus arbitrary extra rows, here half of one
+    // unaffected doc, proving extras are harmless)
+    val prunedFor = positions.join(
+        crossed.withColumnRenamed("shingle", "s"),
+        col("shingle") === col("s"), "left_semi")
+      .unionByName(positions.filter(col("id") === 3L && col("pos") < 2))
+    val viaPruned = Dedup.sweepFromCrossed(prunedFor, positions, crossed,
+      Dedup.mergeOccurrenceTables(prevOcc, deltaOcc), n = n)
+    assert(spanRows(viaPruned) === spanRows(plain))
+    assert(spanRows(viaPruned).nonEmpty)
+  }
+
   test("real corpus: even/odd split — sweep composition == batch " +
     "recompute restricted to base ids") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

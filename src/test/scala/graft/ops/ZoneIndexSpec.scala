@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The zone-sidecar pruning primitive. The invariant that matters is
+  * NO FALSE NEGATIVES: any (group, bucket) actually containing a probe
+  * key must survive [[ZoneIndex.hitPairs]] — a miss would silently drop
+  * rows from whatever read the caller prunes. Pinned property-style over
+  * random relations and probes, plus the cap/range edges. */
+class ZoneIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("build: per-bucket cnt/min/max exact; save/load roundtrip; " +
+    "bloom present under the cap, null past it") {
+    val b = 8
+    val keys = (1L to 3000L).map(_ * 7919L) // spread over buckets
+    val df = keys.toDF("k")
+    val zones = ZoneIndex.build(df, "k", b)
+    val rows = zones.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.isNullAt(4))).toMap
+    // exact stats per bucket vs a hand rollup
+    val expect = keys.groupBy(k => math.floorMod(k, b).toInt)
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (bk, ks) =>
+      val (cnt, kmin, kmax, bloomNull) = rows(bk)
+      assert(cnt === ks.size.toLong)
+      assert(kmin === ks.min && kmax === ks.max)
+      assert(!bloomNull, s"bucket $bk under the cap must carry a bloom")
+    }
+    // roundtrip
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_zones_").toString
+    ZoneIndex.save(zones, path)
+    val loaded = ZoneIndex.collectZones(
+      ZoneIndex.load(spark, path), rows.keySet)
+    assert(loaded.view.mapValues(z => (z.cnt, z.kmin, z.kmax)).toMap ===
+      rows.view.mapValues(t => (t._1, t._2, t._3)).toMap)
+    // past the cap: bloom null (kept, never pruned)
+    val big = ZoneIndex.build((1L to 3000L).toDF("k"), "k",
+      numBuckets = 1, maxBloomKeys = 100)
+    assert(big.collect()(0).isNullAt(4))
+  }
+
+  test("property: NO false negatives — every (group, bucket) holding a " +
+    "probe key survives hitPairs, across random relations and probes") {
+    val rng = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val b = Seq(4, 16, 64)(trial - 1)
+      // two groups with overlapping but distinct key sets
+      val g1 = Seq.fill(400)(rng.nextLong())
+      val g2 = Seq.fill(300)(rng.nextLong())
+      val zones = Map(
+        "g1" -> ZoneIndex.collectZones(
+          ZoneIndex.build(g1.toDF("k"), "k", b), (0 until b).toSet),
+        "g2" -> ZoneIndex.collectZones(
+          ZoneIndex.build(g2.toDF("k"), "k", b), (0 until b).toSet))
+      // probe: some present keys, some absent
+      val probe = (g1.take(50) ++ g2.take(50) ++
+        Seq.fill(100)(rng.nextLong())).distinct
+      val hits = ZoneIndex.hitPairs(zones, probe.toDF("k"), "k", b)
+      // soundness: every truly-present (group, bucket) is in hits
+      def trueHits(name: String, ks: Seq[Long]) = {
+        val s = ks.toSet
+        probe.filter(s.contains)
+          .map(k => (name, math.floorMod(k, b).toInt)).toSet
+      }
+      val must = trueHits("g1", g1) ++ trueHits("g2", g2)
+      assert(must.subsetOf(hits),
+        s"trial $trial: missing ${(must -- hits).take(3)}")
+      // effectiveness (not soundness): absent keys mostly prune — with
+      // 1% fpp blooms the false-positive pairs stay a small minority
+      assert(hits.size <= must.size + 40, s"trial $trial: ${hits.size}")
+    }
+  }
+
+  test("range rule: keys outside [kmin, kmax] prune even without a bloom") {
+    val zones = Map("g" -> ZoneIndex.collectZones(
+      ZoneIndex.build(Seq(100L, 200L, 300L).toDF("k"), "k",
+        numBuckets = 1, maxBloomKeys = 1), Set(0)))
+    assert(zones("g")(0).bloom === null)
+    // probe entirely below the range: pruned
+    assert(ZoneIndex.hitPairs(zones, Seq(1L, 50L).toDF("k"), "k", 1)
+      === Set.empty)
+    // probe inside the range with no bloom: kept (the safe direction)
+    assert(ZoneIndex.hitPairs(zones, Seq(150L).toDF("k"), "k", 1)
+      === Set(("g", 0)))
+  }
+}

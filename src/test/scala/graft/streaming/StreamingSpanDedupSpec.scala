@@ -178,21 +178,47 @@ class StreamingSpanDedupSpec extends SparkSpec {
         "text", store.readLatestBefore(1L), n = 5)
       assert(spanRows(pruned) === spanRows(oneCall))
       assert(spanRows(pruned).nonEmpty, "fixture must emit spans")
-      // ONE shingle pass: the prepared probe's plan reads the
-      // checkpointed exchange — the shingle kernel appears NOWHERE in
-      // it (it ran once, inside prepareIncrementalBatch), while the
-      // one-call form evaluates it in-plan
-      val preparedPlan = pruned.queryExecution.executedPlan.toString
-      assert(!preparedPlan.contains("posShingleHashes"),
-        s"prepared plan re-evaluates the shingle kernel:\n$preparedPlan")
-      // contrast pin: the kernel IS named and visible in a lazy
-      // (gate-disabled) plan — so the absence above proves it ran only
-      // inside prepareIncrementalBatch, not that the name went missing
-      assert(Dedup.incrementalRepeatedSpans(batch, "doc_id", "text",
-          store.readLatestBefore(1L), n = 5,
-          microBatchMaxBytes = Dedup.MicroBatchGateDisabled)
-        .queryExecution.executedPlan.toString
-        .contains("posShingleHashes"))
+      // ONE shingle pass: the prepared probe's plan reads the CACHED
+      // exchange (InMemoryTableScan leaves) — the shingle kernel is
+      // EXECUTED nowhere in it (it ran once, inside
+      // prepareIncrementalBatch). The plan STRING can't pin this: the
+      // cache scan prints its cached plan as display-only provenance,
+      // kernel name included. So the pin walks the EXECUTED SparkPlan
+      // nodes (cache scans are leaves — their relation's plan is
+      // provenance, not a child) and asserts no node evaluates the UDF.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+      def executedNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => executedNodes(a.executedPlan)
+        case q: QueryStageExec => executedNodes(q.plan)
+        case other => other +: other.children.flatMap(executedNodes)
+      }
+      def evalsKernel(df: org.apache.spark.sql.DataFrame): Boolean =
+        executedNodes(df.queryExecution.executedPlan)
+          .exists(_.expressions.exists(_.exists {
+            case u: ScalaUDF => u.udfName.exists(_.contains("posShingleHashes"))
+            case _ => false
+          }))
+      assert(executedNodes(pruned.queryExecution.executedPlan)
+        .exists(_.toString.startsWith("InMemoryTableScan")),
+        "prepared probe should read the cache")
+      assert(!evalsKernel(pruned),
+        "prepared plan re-evaluates the shingle kernel")
+      // while the caches LIVE, even an unrelated lazy call over the same
+      // batch rides them (plan-fragment cache substitution) — the
+      // sharing is cross-call, not just cross-frame
+      assert(!evalsKernel(Dedup.incrementalRepeatedSpans(batch, "doc_id",
+        "text", store.readLatestBefore(1L), n = 5,
+        microBatchMaxBytes = Dedup.MicroBatchGateDisabled)))
+      shEx.unpersist(); counts.unpersist()
+      // contrast pin, post-unpersist: the kernel node IS found by the
+      // same walker in a lazy plan with no cache to substitute — so the
+      // absences above prove the kernel ran only inside
+      // prepareIncrementalBatch, not that the walker is blind
+      assert(evalsKernel(Dedup.incrementalRepeatedSpans(batch, "doc_id",
+        "text", store.readLatestBefore(1L), n = 5,
+        microBatchMaxBytes = Dedup.MicroBatchGateDisabled)))
     } finally batch.unpersist()
   }
 
@@ -243,6 +269,45 @@ class StreamingSpanDedupSpec extends SparkSpec {
       store.readDeltasBetween(1L, 3L)
     }
     assert(eGc.getMessage.contains("retained"))
+  }
+
+  test("readPruned: zone sidecars skip stacked delta files the batch's " +
+    "keys provably miss (file-level pin); probe output row-identical") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_occ_zones_").toString
+    val B = 4 // coarse buckets: segments SHARE buckets, zones discriminate
+    val store = OccStateStore.open(spark, root, numBuckets = B)
+    // v0: broad base (its delta counts are checkpointed → real stats →
+    // zone sidecar written); v1: a disjoint-keyed doc
+    val base = (b0 ++ b1).toDF("doc_id", "text")
+    store.advance(Dedup.shingleOccurrenceTable(base, "text", n = 5)
+      .localCheckpoint(), 0L)
+    store.advance(Dedup.shingleOccurrenceTable(
+        Seq((99L, "m1 m2 m3 m4 m5 m6 m7 m8")).toDF("doc_id", "text"),
+        "text", n = 5).localCheckpoint(), 1L)
+    assert(new java.io.File(s"$root/segments/seg-0-delta/_zones").exists)
+    assert(new java.io.File(s"$root/segments/seg-1-delta/_zones").exists)
+    // probe batch: overlaps seg-0's keys only (deterministic fixture —
+    // xxhash keys and bloom bits are both fixed, so this never flakes)
+    val batch = b2.toDF("doc_id", "text").persist()
+    batch.count()
+    try {
+      val (shEx, counts) = Dedup.prepareIncrementalBatch(
+        batch, "doc_id", "text", n = 5)
+      val pruned = store.readPruned(2L, counts)
+      val prunedFiles = pruned.inputFiles
+      assert(prunedFiles.nonEmpty)
+      assert(!prunedFiles.exists(_.contains("seg-1-delta")),
+        s"zone pruning should skip the disjoint delta:\n" +
+          prunedFiles.mkString("\n"))
+      assert(prunedFiles.exists(_.contains("seg-0-delta")))
+      // row identity through the sharper read
+      assert(spanRows(Dedup.incrementalSpansPrepared(shEx, counts,
+          pruned, n = 5)) ===
+        spanRows(Dedup.incrementalSpansPrepared(shEx, counts,
+          store.readLatestBefore(2L), n = 5)))
+      shEx.unpersist(); counts.unpersist()
+    } finally batch.unpersist()
   }
 
   test("out-of-band compactNow: content-equivalent manifest rewrite, " +
