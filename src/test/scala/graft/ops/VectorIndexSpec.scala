@@ -121,6 +121,22 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("kind"))
   }
 
+  test("q102/q103 driver queries: appended-index serve == the single-shot " +
+    "q46/q63 twins row-exact (their oracle-by-identity premise)") {
+    // the % 10 = 3 append split keeps every stride-50 codebook row in the
+    // base, so the appended index must serve exactly what the single-shot
+    // build over the union serves — the premise that lets q102/q103 reuse
+    // the q46/q63 oracle SQL verbatim, pinned here before the DuckDB gate
+    val qs = graft.SparkEntry.queries
+    val dir = "/root/testdata/sf0.001"
+    assert(rows(qs("q102_ivf_append")(spark, dir)) ===
+      rows(qs("q46_ivf_ann")(spark, dir)))
+    assert(rows(qs("q102_ivf_append")(spark, dir)).nonEmpty)
+    assert(rows(qs("q103_pq_append")(spark, dir)) ===
+      rows(qs("q63_pq_adc")(spark, dir)))
+    assert(rows(qs("q103_pq_append")(spark, dir)).nonEmpty)
+  }
+
   test("meta contract: wrong kind, missing index, and corrupted artifact " +
     "fail loudly") {
     val path = java.nio.file.Files
