@@ -1492,8 +1492,19 @@ object Dedup {
       .toDF("shingle", "occ")
       .persist()
     // one action materializes the cache(s) — in the micro regime counts
-    // builds THROUGH the shEx cache, so the kernel runs once, here
-    counts.count()
+    // builds THROUGH the shEx cache, so the kernel runs once, here. If
+    // the action fails (executor loss mid-materialization), drop the
+    // registered cache entries before rethrowing: the caller never got
+    // the frames, so its unpersist contract can't cover them, and a
+    // driver that retries the batch would otherwise grow the SQL cache
+    // by two orphaned entries per attempt.
+    try counts.count()
+    catch {
+      case t: Throwable =>
+        counts.unpersist()
+        if (micro) shEx.unpersist()
+        throw t
+    }
     (shEx, counts)
   }
 

@@ -17,11 +17,12 @@ import org.apache.spark.util.sketch.BloomFilter
   *    sidecar; the streaming probe prunes the stacked segment files of
   *    its touched buckets down to the ones whose zones a batch key might
   *    hit ([[graft.streaming.OccStateStore.readPruned]]).
-  *  - [[Dedup.shinglePositionsTableBucketed]] /
-  *    [[Dedup.readPositionsBucketed]]: the incremental lane's positions
-  *    index laid out by shingle bucket, so the retroactive sweep's
-  *    crossed-key restriction opens only the crossed buckets' files
-  *    instead of scanning the corpus-sized index.
+  *  - [[graft.streaming.StreamingSpanDedup]]'s positions index: each
+  *    batch's `batch_id=` partition carries a one-row zone sidecar
+  *    (numBuckets = 1 — a bloom over the whole partition's shingles), so
+  *    the retroactive sweep's crossed-key restriction
+  *    (`positionsPrunedBy`) opens only the batch partitions a crossed
+  *    key might hit instead of scanning the accumulated index.
   *
   * Pruning soundness (the only invariant that matters — a false negative
   * silently drops rows):
@@ -32,17 +33,22 @@ import org.apache.spark.util.sketch.BloomFilter
   *    guarantee) → prune;
   *  - Bloom ABSENT (bucket bigger than the size cap) → keep — the
   *    never-wrong direction. The cap exists because blooms are sized
-  *    ~[[BloomBitsPerKey]] bits/key: micro-batch-sized buckets get tiny
-  *    filters, corpus-mass buckets (where a batch key almost surely hits
-  *    anyway) aren't worth megabytes of sidecar. The honest regime
+  *    ~9.6 bits/key (fpp [[BloomFpp]]): micro-batch-sized buckets get
+  *    tiny filters, corpus-mass buckets (where a batch key almost surely
+  *    hits anyway) aren't worth megabytes of sidecar. The honest regime
   *    statement: zone pruning bites on SMALL segments (stacked streaming
   *    deltas, sparse index buckets), not on a compacted corpus-mass
   *    bucket — that one is pruned by the bucket SET, not the zone.
   */
 object ZoneIndex {
 
-  /** Bloom sizing: ~10 bits/key ≈ 1% false-positive rate. */
-  final val BloomBitsPerKey = 10
+  /** Bloom false-positive rate: 1%, which Spark's BloomFilter realizes at
+    * −ln(0.01)/ln²2 ≈ 9.6 bits/key — the figure every sidecar-size budget
+    * below is stated in. (The first cut passed 2⁻¹⁰ as the fpp, which
+    * allocates ~14.4 bits/key — every stated size was ~44% understated;
+    * a false positive only costs reading one extra file, so 1% is the
+    * right trade.) */
+  final val BloomFpp = 0.01
 
   /** Default bound on keys per bloom — buckets past it get NO bloom
     * (kept, never pruned — the safe direction): 6.5k keys ≈ 8 KB of
@@ -99,7 +105,7 @@ object ZoneIndex {
             if (st.buf == null) null
             else {
               val bf = BloomFilter.create(st.buf.length.max(1).toLong,
-                1.0 / (1 << BloomBitsPerKey))
+                BloomFpp)
               st.buf.foreach(bf.putLong)
               val out = new java.io.ByteArrayOutputStream()
               bf.writeTo(out)

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Versioned, shingle-BUCKETED, delta+compaction store for the
   * incremental span-dedup lane's occurrence table — the state backend of
@@ -268,10 +268,33 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * writers skip the sort; Spark falls back to sorting only if a task
     * sees more than this many buckets (small-test shapes — harmless).
     * Scoped and restored, same discipline as pageRank's AQE scope. */
+  /** Shuffle width for a bucket-partitioned segment write: a task seeing
+    * more distinct buckets than [[ConcurrentWriters]] makes
+    * FileFormatWriter fall back to SORTING its rows by partition value —
+    * an in-memory noop at batch size, but the one-time 64→4096 re-bucket
+    * layout job at 504k docs paid 18 GB of external spill re-sorting rows
+    * the exchange had already routed (SCALE.md). Corpus-mass frames
+    * (plan-stats past the delta-zone bound) widen to ceil(buckets / cap)
+    * tasks so every task stays under the writer cap; batch-sized frames
+    * keep the session default (the fallback sort is tiny there, and
+    * hundreds of near-empty tasks per micro-batch are not free). */
+  private def bucketedWriteParts(df: DataFrame, nBuckets: Int): Int = {
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val bulk = df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(OccStateStore.DeltaZoneMaxBytes)
+    if (bulk) math.max(sessionParts,
+      (nBuckets + ConcurrentWriters - 1) / ConcurrentWriters)
+    else sessionParts
+  }
+
+  /** Concurrent parquet output writers per task during segment writes —
+    * the no-sort path's cap (see [[bucketedWriteParts]]). */
+  private val ConcurrentWriters = 8
+
   private def withConcurrentWriters[T](body: => T): T = {
     val key = "spark.sql.maxConcurrentOutputFileWriters"
     val before = spark.conf.getOption(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, ConcurrentWriters.toString)
     try body
     finally before match {
       case Some(v) => spark.conf.set(key, v)
@@ -279,11 +302,17 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     }
   }
 
-  /** Commit `batchCounts` ([[graft.ops.Dedup.shingleOccurrenceTable]]
-    * output for the micro-batch) as version `batchId`: write the
-    * batch-sized delta into the buckets it touches, compact any bucket
-    * whose stack reached `compactAt`, publish the manifest, then retire
-    * versions past `retainVersions` and GC unreferenced segments. */
+  /** A written segment dir read back with its schema stated EXPLICITLY
+    * (data columns + the `b` partition column): an EMPTY delta write — a
+    * micro-batch whose docs were all shorter than n tokens — leaves only
+    * `_SUCCESS` in the dir, and schema INFERENCE over it would throw
+    * (and, replayed, throw again: a wedged stream). With the schema
+    * given, an empty segment is just an empty frame. */
+  private def readSegmentDir(segName: String): DataFrame =
+    spark.read.schema(StructType(occSchema.fields :+
+        StructField("b", IntegerType)))
+      .parquet(segDir(segName).toString)
+
   /** Per-bucket row counts of a written segment — the manifest's zone
     * stats. One metadata-light job over the segment just written (only
     * the partition column is requested, so parquet reads footers + dir
@@ -291,7 +320,7 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * segments amortize on the compaction cadence. */
   private def segmentBucketCounts(segName: String): Map[Int, Long] = {
     if (!fs.exists(segDir(segName))) return Map.empty
-    spark.read.parquet(segDir(segName).toString)
+    readSegmentDir(segName)
       .groupBy(col("b")).count()
       .collect()
       .map(r => (r.getInt(0), r.getLong(1))).toMap
@@ -314,7 +343,7 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
   private def writeDeltaZones(segName: String): Map[Int, Long] = {
     if (!fs.exists(segDir(segName))) return Map.empty
     val zones = graft.ops.ZoneIndex.build(
-      spark.read.parquet(segDir(segName).toString).select("shingle"),
+      readSegmentDir(segName).select("shingle"),
       "shingle", numBuckets)
       .localCheckpoint()
     graft.ops.ZoneIndex.save(zones, zonesPath(segName).toString)
@@ -322,6 +351,11 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
       .map(r => (r.getInt(0), r.getLong(1))).toMap
   }
 
+  /** Commit `batchCounts` ([[graft.ops.Dedup.shingleOccurrenceTable]]
+    * output for the micro-batch) as version `batchId`: write the
+    * batch-sized delta into the buckets it touches, compact any bucket
+    * whose stack reached `compactAt`, publish the manifest, then retire
+    * versions past `retainVersions` and GC unreferenced segments. */
   def advance(batchCounts: DataFrame, batchId: Long): Unit = {
     val prior: Map[Int, Seq[(String, Long)]] = latestVersionBefore(batchId)
       .map(readManifestStats).getOrElse(Map.empty)
@@ -330,12 +364,23 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     //    batch touching b buckets writes exactly b directories. The
     //    repartition is batch-sized; each bucket lands in one task so the
     //    segment holds one file per touched bucket.
+    //    WIDTH RULE for corpus-mass frames into fine-bucketed stores: a
+    //    task seeing more buckets than the concurrent-writer cap makes
+    //    FileFormatWriter fall back to SORTING its rows by partition —
+    //    at batch size that sort is an in-memory noop, but the one-time
+    //    base build / re-bucket layout job paid 18 GB of external spill
+    //    re-sorting rows the exchange had already routed (measured: the
+    //    64→4096 serve-layout job at 504k docs). Widening to
+    //    ceil(numBuckets / cap) tasks keeps every task under the cap;
+    //    gated on plan-stats so micro-batches (whose fallback sort is
+    //    tiny and an extra 512 empty tasks is NOT) keep the session
+    //    default.
     val deltaSeg = s"seg-$batchId-delta"
     withConcurrentWriters {
       batchCounts
         .select(col("shingle"), col("occ"),
           pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"))
-        .repartition(col("b"))
+        .repartition(bucketedWriteParts(batchCounts, numBuckets), col("b"))
         .write.mode("overwrite").partitionBy("b")
         .parquet(segDir(deltaSeg).toString)
     }
@@ -376,12 +421,15 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
                              compactSeg: String): Map[Int, Seq[(String, Long)]] = {
     val paths = due.flatMap(b =>
       stacked(b).map { case (s, _) => new Path(segDir(s), s"b=$b").toString })
+    val compacting = spark.read.schema(occSchema).parquet(paths: _*)
     withConcurrentWriters {
-      graft.ops.Dedup.aggregateOccurrences(
-          spark.read.schema(occSchema).parquet(paths: _*))
+      // width rule as in advance — `due.size` is the exact distinct-bucket
+      // count of this write (a compactAll over a corpus-mass fine-bucketed
+      // store is the same shape as the re-bucket layout job)
+      graft.ops.Dedup.aggregateOccurrences(compacting)
         .select(col("shingle"), col("occ"),
           pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"))
-        .repartition(col("b"))
+        .repartition(bucketedWriteParts(compacting, due.size), col("b"))
         .write.mode("overwrite").partitionBy("b")
         .parquet(segDir(compactSeg).toString)
     }

@@ -113,6 +113,7 @@ object StreamingSpanDedup {
       // batch's keys), so the sweep's crossed-key restriction can skip
       // whole batch partitions that provably hold no crossed key — the
       // same file-pruning primitive the state store's delta stack uses.
+      var shExProbe = shEx
       if (positionsPath.nonEmpty) {
         val dir = s"$positionsPath/batch_id=$batchId"
         shEx.select(col("id"), col("pos"), col("shingle"))
@@ -121,6 +122,16 @@ object StreamingSpanDedup {
           graft.ops.ZoneIndex.build(counts.select("shingle"), "shingle",
             numBuckets = 1, maxBloomKeys = PositionsBloomMaxKeys),
           s"$dir/_zones")
+        // BULK regime (shEx deliberately uncached — caching a corpus-mass
+        // exchange loses, see prepareIncrementalBatch): the probe reuses
+        // the positions parquet JUST WRITTEN instead of re-running the
+        // shingle kernel a second time for this write — a zstd columnar
+        // read of the batch's own artifact is strictly cheaper than the
+        // kernel + its exchange (SCALE.md finding 20's direction). In the
+        // micro regime shEx is cached and already the cheapest source.
+        if (shEx.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          shExProbe = spark.read
+            .schema("id BIGINT, pos INT, shingle BIGINT").parquet(dir)
       }
       // bucket-set pruning + per-segment zone pruning in one call (the
       // sidecar trims stacked delta files the batch's keys provably miss)
@@ -128,7 +139,7 @@ object StreamingSpanDedup {
       val broadcastSlim = microBatch &&
         counts.count() <= graft.ops.Curation.MaxFlaggedIdBroadcast
       graft.ops.Dedup
-        .incrementalSpansPrepared(shEx, counts, baseOcc, n, minOcc,
+        .incrementalSpansPrepared(shExProbe, counts, baseOcc, n, minOcc,
           broadcastSlim)
         .write.mode("overwrite").parquet(s"$spansDir/batch_id=$batchId")
       store.advance(counts, batchId)

@@ -103,6 +103,58 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(occMap(store.readAggregated(1L)) === occMap(directV1))
   }
 
+  test("EMPTY micro-batch (all docs shorter than n tokens) advances " +
+    "cleanly — zero-shingle delta, zone sidecar, positions partition — " +
+    "and later batches still probe the full history") {
+    // regression: an empty dynamic-partitioned write leaves only _SUCCESS
+    // (no parquet files), so the store's read-back of its own delta must
+    // state the schema explicitly — inference threw, and a foreachBatch
+    // replay threw identically: a permanently wedged stream
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_span_empty_").toString
+    def step(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamingSpanDedup.processBatch(rows.toDF("doc_id", "text"), id,
+        "doc_id", "text", s"$root/state", s"$root/spans", n = 5,
+        positionsPath = s"$root/pos")
+    step(b0, 0L)
+    step(Seq((31L, "too short"), (32L, "also tiny")), 1L) // 0 shingles
+    step(b2, 2L)
+    val store = OccStateStore.open(spark, s"$root/state")
+    assert(store.versions() === Seq(0L, 1L, 2L))
+    // state is unchanged by the empty advance; b2's doc still finds
+    // batch-0's rep through the pruned probe
+    assert(occMap(store.readAggregated(1L)) ===
+      occMap(Dedup.shingleOccurrenceTable(b0.toDF("doc_id", "text"),
+        "text", n = 5)))
+    val spans = spark.read.parquet(s"$root/spans")
+    assert(spans.filter(col("batch_id") === 1L).count() === 0L)
+    assert(spans.filter(col("batch_id") === 2L)
+      .select("id").as[Long].collect().toSet === Set(21L))
+  }
+
+  test("positions read-back substitution: the probe over the re-read " +
+    "positions parquet == the probe over the live shEx frame (the bulk " +
+    "regime's third-kernel-pass fix)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_span_posrb_").toString
+    val (shEx, counts) = Dedup.prepareIncrementalBatch(
+      b1.toDF("doc_id", "text"), "doc_id", "text", n = 5)
+    try {
+      shEx.select(col("id"), col("pos"), col("shingle"))
+        .write.mode("overwrite").parquet(s"$root/pos")
+      val baseOcc = Dedup.shingleOccurrenceTable(b0.toDF("doc_id", "text"),
+        "text", n = 5)
+      val readBack = spark.read
+        .schema("id BIGINT, pos INT, shingle BIGINT").parquet(s"$root/pos")
+      assert(spanRows(Dedup.incrementalSpansPrepared(readBack, counts,
+          baseOcc, n = 5)) ===
+        spanRows(Dedup.incrementalSpansPrepared(shEx, counts,
+          baseOcc, n = 5)))
+      assert(spanRows(Dedup.incrementalSpansPrepared(readBack, counts,
+        baseOcc, n = 5)).nonEmpty)
+    } finally { shEx.unpersist(); counts.unpersist() }
+  }
+
   test("state advance is O(batch): a batch touching b buckets writes " +
     "exactly those bucket dirs; untouched buckets carry forward unchanged") {
     val root = java.nio.file.Files
