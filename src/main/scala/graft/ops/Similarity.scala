@@ -532,21 +532,33 @@ object Similarity {
     }
   }
 
+  /** The null-safe cell-assignment Column for a collected codebook — THE
+    * one place the degenerate-input convention lives (null/empty vectors
+    * follow pqEncode's rule: treated as all-zero → dot 0 against every
+    * centroid → lowest-id cell, so a null row lands in one deterministic
+    * cell instead of NPEing the task). Build, append, train-per-call,
+    * and SemDeDup paths all MUST route a null vector identically —
+    * [[VectorIndex]]'s append==rebuild bit-identity pin depends on it —
+    * so they all call this instead of keeping private copies (the r12
+    * self-review found four). */
+  private[graft] def cellAssignCol(cents: Array[(Long, Array[Double])],
+                                   vecCol: Column): Column = {
+    val nearestCells = nearestCellsFn(cents)
+    val cellUdf = udf { (v: Seq[Double]) =>
+      nearestCells(if (v == null) Seq.empty else v, 1).head
+    }
+    cellUdf(vecCol.cast("array<double>"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidStride: Long = 50, nProbe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = strideCodebook(corpus, "ivfTopK", centroidStride, idCol, vecCol)
-    val nearestCells = nearestCellsFn(cents)
-    // null/empty vectors follow pqEncode's degenerate-input convention:
-    // treated as all-zero → dot 0 against every centroid → lowest-id cell.
-    // A null row lands in one deterministic cell instead of NPEing the task.
-    val cellUdf = udf { (v: Seq[Double]) =>
-      nearestCells(if (v == null) Seq.empty else v, 1).head
-    }
     val cells = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("vec_c"),
-      cellUdf(col(vecCol).cast("array<double>")).as("cell"))
-    ivfScoreCells(cells, queries, k, nProbe, nearestCells, idCol, vecCol)
+      cellAssignCol(cents, col(vecCol)).as("cell"))
+    ivfScoreCells(cells, queries, k, nProbe, nearestCellsFn(cents),
+      idCol, vecCol)
   }
 
   /** The IVF probe/score/rank tail shared by [[ivfTopK]] (cells built
@@ -1031,11 +1043,7 @@ object Similarity {
                     maxBucket: Int = 1000): DataFrame = {
     val cents = strideCodebook(df, "semanticDedup", centroidStride,
       idCol, vecCol)
-    val nearestCells = nearestCellsFn(cents)
-    val cellUdf = udf { (v: Seq[Double]) =>
-      nearestCells(if (v == null) Seq.empty else v, 1).head
-    }
-    cosinePairsInBuckets(df, cellUdf(col(vecCol).cast("array<double>")),
+    cosinePairsInBuckets(df, cellAssignCol(cents, col(vecCol)),
         threshold, idCol, vecCol, maxBucket)
       .groupBy(col("id_b").as("drop_id"))
       .agg(min("id_a").as("kept_by"), max("cosine_sim").as("max_cosine"))

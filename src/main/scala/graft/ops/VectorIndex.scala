@@ -85,10 +85,6 @@ object VectorIndex {
     val spark = corpus.sparkSession
     val cents = Similarity.strideCodebook(corpus, "buildIvf",
       centroidStride, idCol, vecCol)
-    val nearestCells = Similarity.nearestCellsFn(cents)
-    val cellUdf = udf { (v: Seq[Double]) =>
-      nearestCells(if (v == null) Seq.empty else v, 1).head
-    }
     import spark.implicits._
     cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("cid", "vec")
@@ -96,7 +92,7 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
     corpus.select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).as("vec_c"),
-        cellUdf(col(vecCol).cast("array<double>")).as("cell"))
+        Similarity.cellAssignCol(cents, col(vecCol)).as("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells")
     // footer-count job (no data pages): the append path's drift
@@ -106,6 +102,7 @@ object VectorIndex {
       "centroidStride" -> centroidStride.toString,
       "nCentroids" -> cents.length.toString,
       "idCol" -> idCol, "vecCol" -> vecCol,
+      "vecType" -> corpus.schema(vecCol).dataType.catalogString,
       "baseRows" -> baseRows.toString, "appendedRows" -> "0",
       "rebuildAdvised" -> "false"))
   }
@@ -136,27 +133,40 @@ object VectorIndex {
       s"vector index at $path predates append support (no baseRows in " +
         "meta) — rebuild it once with buildIvf to enable appends")
     val (idCol, vecCol) = (meta("idCol"), meta("vecCol"))
+    assertVecType(meta, path, newVecs, vecCol)
     val cents = loadIvfCentroids(spark, path, meta)
-    val nearestCells = Similarity.nearestCellsFn(cents)
-    val cellUdf = udf { (v: Seq[Double]) =>
-      nearestCells(if (v == null) Seq.empty else v, 1).head
-    }
-    val appended = newVecs.count()
-    newVecs.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("vec_c"),
-        cellUdf(col(vecCol).cast("array<double>")).as("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/cells")
-    bumpAppended(spark, path, meta, appended)
+    // one evaluation of the (possibly expensive, possibly
+    // non-deterministic) source: cache across the count and the write,
+    // so the meta's appendedRows always equals the rows written
+    val batch = newVecs.persist()
+    try {
+      val appended = batch.count()
+      batch.select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).as("vec_c"),
+          Similarity.cellAssignCol(cents, col(vecCol)).as("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$path/cells")
+      bumpAppended(spark, path, meta, appended)
+    } finally batch.unpersist()
   }
 
-  /** IVF top-k served from a persisted index — bit-identical to
-    * [[Similarity.ivfTopK]] over the corpus the index was built on
-    * (VectorIndexSpec pins it), with the build cost amortized away: the
-    * only corpus-touching work left is the scan of the PROBED cell
-    * partitions (the probe-cell set is bounded by the codebook, so the
-    * partition filter is static — the plan's PartitionFilters prove the
-    * pruning). */
+  /** The persisted vector element type must match the batch's — a
+    * mismatched append would land parquet files with a DIFFERENT schema
+    * inside the same cells/codes dirs and poison every later serve (the
+    * exact silent corruption the meta contract exists to prevent).
+    * Indexes built before the type was recorded stay accepted. */
+  private def assertVecType(meta: Map[String, String], path: String,
+                            batch: DataFrame, vecCol: String): Unit =
+    meta.get("vecType").foreach { expect =>
+      val got = batch.schema(vecCol).dataType.catalogString
+      require(got == expect,
+        s"vector index at $path: append batch's $vecCol is $got but the " +
+          s"index was built from $expect — cast the batch (or rebuild) " +
+          "so the cells/codes parquet schema stays uniform")
+    }
+
+  /** Load + integrity-check a persisted IVF codebook (count asserted
+    * against the meta contract). */
   private def loadIvfCentroids(spark: SparkSession, path: String,
                                meta: Map[String, String])
       : Array[(Long, Array[Double])] = {
@@ -190,6 +200,13 @@ object VectorIndex {
   def indexStats(spark: SparkSession, path: String): Map[String, String] =
     readMeta(spark, path)
 
+  /** IVF top-k served from a persisted index — bit-identical to
+    * [[Similarity.ivfTopK]] over the corpus the index was built on
+    * (VectorIndexSpec pins it), with the build cost amortized away: the
+    * only corpus-touching work left is the scan of the PROBED cell
+    * partitions (the probe-cell set is bounded by the codebook, so the
+    * partition filter is static — the plan's PartitionFilters prove the
+    * pruning). */
   def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                      k: Int, nProbe: Int = 2, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
@@ -238,6 +255,7 @@ object VectorIndex {
       "nCent" -> nCent.toString,
       "centroidStride" -> centroidStride.toString,
       "idCol" -> idCol, "vecCol" -> vecCol,
+      "vecType" -> corpus.schema(vecCol).dataType.catalogString,
       "baseRows" -> baseRows.toString, "appendedRows" -> "0",
       "rebuildAdvised" -> "false"))
   }
@@ -253,17 +271,21 @@ object VectorIndex {
     require(meta.contains("baseRows"),
       s"vector index at $path predates append support (no baseRows in " +
         "meta) — rebuild it once with buildPq to enable appends")
+    assertVecType(meta, path, newVecs, meta("vecCol"))
     val cents = loadPqCentroids(spark, path, meta)
-    val appended = newVecs.count()
-    Similarity.pqEncodeWith(newVecs, cents, meta("m").toInt,
-        meta("idCol"), meta("vecCol"))
-      .write.mode("append").parquet(s"$path/codes")
-    bumpAppended(spark, path, meta, appended)
+    // one evaluation across count + write (same contract as appendToIvf)
+    val batch = newVecs.persist()
+    try {
+      val appended = batch.count()
+      Similarity.pqEncodeWith(batch, cents, meta("m").toInt,
+          meta("idCol"), meta("vecCol"))
+        .write.mode("append").parquet(s"$path/codes")
+      bumpAppended(spark, path, meta, appended)
+    } finally batch.unpersist()
   }
 
-  /** PQ asymmetric-distance top-k served from a persisted index —
-    * bit-identical to [[Similarity.pqTopK]] with the same build params
-    * (spec-pinned), but the corpus scan touches CODES only. */
+  /** Load + integrity-check a persisted PQ codebook (count asserted
+    * against the meta contract). */
   private def loadPqCentroids(spark: SparkSession, path: String,
                               meta: Map[String, String]): Array[Array[Long]] = {
     val cents: Array[Array[Long]] = spark.read.parquet(s"$path/centroids")
@@ -276,6 +298,9 @@ object VectorIndex {
     cents
   }
 
+  /** PQ asymmetric-distance top-k served from a persisted index —
+    * bit-identical to [[Similarity.pqTopK]] with the same build params
+    * (spec-pinned), but the corpus scan touches CODES only. */
   def pqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                     k: Int, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {

@@ -135,6 +135,54 @@ object ZoneIndex {
         if (r.isNullAt(4)) null else r.getAs[Array[Byte]](4)))
       .toMap
 
+  /** Collect MANY groups' zone sidecars in ONE Spark job: `paths` are
+    * the `_zones` parquet dirs, `groupRegex` extracts each row's group
+    * key from its file path (`input_file_name`), and `buckets` (when
+    * set) restricts to the caller's touched set. One job replaces the
+    * per-group read+collect loop that cost a scheduler round-trip PER
+    * sidecar — at a 10,000-partition positions index that loop was
+    * minutes of driver-bound latency per sweep, and on the streaming
+    * probe's hot path it taxed every micro-batch by (stacked segments)
+    * round-trips. `bloomBudgetBytes` bounds the collected (and later
+    * broadcast) bloom bytes: groups are admitted in DESCENDING group-key
+    * order (recent batches first — the partitions a fresh crossed key
+    * most plausibly prunes) until the budget is spent, after which
+    * blooms drop to null and those zones prune by count/min-max only —
+    * the safe (never-false-negative) degradation, bounding sweep
+    * broadcast size over an unboundedly growing stream. */
+  def collectZoneGroups(spark: SparkSession, paths: Seq[String],
+                        groupRegex: String, buckets: Option[Set[Int]],
+                        bloomBudgetBytes: Long = 256L << 20)
+      : Map[String, Map[Int, Zone]] = {
+    if (paths.isEmpty) return Map.empty
+    var rows = spark.read.parquet(paths: _*)
+      .select(regexp_extract(input_file_name(), groupRegex, 1).as("g"),
+        col("b"), col("cnt"), col("kmin"), col("kmax"), col("bloom"))
+    buckets.foreach(bs => rows = rows.filter(col("b").isin(bs.toSeq: _*)))
+    val collected = rows.collect()
+      .map(r => (r.getString(0), r.getInt(1), Zone(r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else r.getAs[Array[Byte]](5))))
+    var budget = bloomBudgetBytes
+    // budget admission order: numeric group keys (batch ids) DESCENDING —
+    // "9" must not beat "10", so parse, don't compare lexicographically;
+    // non-numeric groups (segment names) follow in stable name order
+    collected.groupBy(_._1).toSeq
+      .sortBy { case (g, _) =>
+        (scala.util.Try(-g.toLong).getOrElse(Long.MaxValue), g)
+      }
+      .map { case (g, zs) =>
+        g -> zs.map { case (_, b, z) =>
+          val bloomBytes = if (z.bloom == null) 0L else z.bloom.length.toLong
+          val kept =
+            if (z.bloom != null && budget >= bloomBytes) {
+              budget -= bloomBytes; z
+            } else Zone(z.cnt, z.kmin, z.kmax, null)
+          b -> kept
+        }.toMap
+      }.toMap
+  }
+
   /** The (groupName, bucket) pairs a key batch MIGHT hit across several
     * zone groups at once (e.g. one group per stacked segment) — ONE
     * distributed pass over `keys` against the broadcast zone maps, then

@@ -194,12 +194,13 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
         val stacks = readManifest(v).filter(e => touched.contains(e._1))
         val segNames = stacks.values.flatten.toSet
         val zoned = segNames.filter(s => fs.exists(zonesPath(s)))
+        // ALL zoned segments' sidecars in ONE job (the first cut ran one
+        // read+collect per stacked segment — a scheduler round-trip
+        // apiece on the streaming hot path, per micro-batch)
         val groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]] =
-          zoned.iterator.map { s =>
-            s -> graft.ops.ZoneIndex.collectZones(
-              graft.ops.ZoneIndex.load(spark, zonesPath(s).toString),
-              touched)
-          }.toMap
+          graft.ops.ZoneIndex.collectZoneGroups(spark,
+            zoned.toSeq.sorted.map(zonesPath(_).toString),
+            "segments/([^/]+)/_zones", Some(touched))
         val hits: Set[(String, Int)] =
           if (groups.isEmpty) Set.empty
           else graft.ops.ZoneIndex.hitPairs(groups, keys, "shingle",
@@ -248,11 +249,12 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     val after = readManifest(toVersion).values.flatten.toSet
     val fresh = (after -- before).toSeq.sorted
     val compacts = fresh.filter(_.endsWith("-compact"))
-    require(compacts.isEmpty,
-      s"compaction ${compacts.mkString(", ")} landed between versions " +
-        s"$fromVersion and $toVersion — a compact segment folds prior " +
-        "state in, so these segments are not a pure delta; sweep before " +
-        "the compaction cadence crosses, or pass the raw batch counts")
+    if (compacts.nonEmpty)
+      throw new OccStateStore.CompactionCrossedWindow(
+        s"compaction ${compacts.mkString(", ")} landed between versions " +
+          s"$fromVersion and $toVersion — a compact segment folds prior " +
+          "state in, so these segments are not a pure delta; sweep before " +
+          "the compaction cadence crosses, or pass the raw batch counts")
     val frames = fresh.map(readSegment)
     if (frames.isEmpty) emptyOcc
     else frames.reduce(_.unionByName(_))
@@ -260,30 +262,25 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
 
   // ---- advance -------------------------------------------------------
 
-  /** Dynamic-partition parquet writes SORT each task's rows by the
-    * partition column first (FileFormatWriter's required ordering) — at
-    * the 623M-key base build that sort externally spilled 20.5 GB for
-    * rows already bucket-ROUTED by the repartition (each task holds only
-    * ~numBuckets/shuffle-parts distinct buckets). Concurrent output
-    * writers skip the sort; Spark falls back to sorting only if a task
-    * sees more than this many buckets (small-test shapes — harmless).
-    * Scoped and restored, same discipline as pageRank's AQE scope. */
   /** Shuffle width for a bucket-partitioned segment write: a task seeing
     * more distinct buckets than [[ConcurrentWriters]] makes
     * FileFormatWriter fall back to SORTING its rows by partition value —
     * an in-memory noop at batch size, but the one-time 64→4096 re-bucket
     * layout job at 504k docs paid 18 GB of external spill re-sorting rows
     * the exchange had already routed (SCALE.md). Corpus-mass frames
-    * (plan-stats past the delta-zone bound) widen to ceil(buckets / cap)
-    * tasks so every task stays under the writer cap; batch-sized frames
-    * keep the session default (the fallback sort is tiny there, and
-    * hundreds of near-empty tasks per micro-batch are not free). */
+    * (plan-stats past the delta-zone bound) widen so the MEAN buckets per
+    * task is cap/2 — hash routing is ~Poisson, so a mean AT the cap would
+    * still push ~40% of tasks over it and back into the sort; halving the
+    * mean puts the overflow probability at ~2%. Batch-sized frames keep
+    * the session default (the fallback sort is tiny there, and hundreds
+    * of near-empty tasks per micro-batch are not free). */
   private def bucketedWriteParts(df: DataFrame, nBuckets: Int): Int = {
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val bulk = df.queryExecution.optimizedPlan.stats.sizeInBytes >
       BigInt(OccStateStore.DeltaZoneMaxBytes)
+    val meanPerTask = math.max(1, ConcurrentWriters / 2)
     if (bulk) math.max(sessionParts,
-      (nBuckets + ConcurrentWriters - 1) / ConcurrentWriters)
+      (nBuckets + meanPerTask - 1) / meanPerTask)
     else sessionParts
   }
 
@@ -291,6 +288,13 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * the no-sort path's cap (see [[bucketedWriteParts]]). */
   private val ConcurrentWriters = 8
 
+  /** Scope [[ConcurrentWriters]] concurrent output file writers around a
+    * bucket-partitioned write (restored after, same discipline as
+    * pageRank's AQE scope): with concurrent writers, FileFormatWriter
+    * skips the dynamic-partition SORT for tasks within the cap — at the
+    * 623M-key base build that sort externally spilled 20.5 GB for rows
+    * the repartition had already bucket-routed. [[bucketedWriteParts]]
+    * sizes the exchange so tasks stay within the cap. */
   private def withConcurrentWriters[T](body: => T): T = {
     val key = "spark.sql.maxConcurrentOutputFileWriters"
     val before = spark.conf.getOption(key)
@@ -498,6 +502,18 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
 }
 
 object OccStateStore {
+
+  /** Thrown by [[OccStateStore.readDeltasBetween]] when a compaction
+    * landed inside the requested window (the decomposition would
+    * double-count the folded state). A TYPE, not a message, so callers
+    * that degrade to the pair-form sweep
+    * ([[graft.streaming.StreamingSpanDedup]]) can catch exactly this
+    * condition — message substring matching both missed real cases and
+    * swallowed unrelated failures whose text happened to contain
+    * "compact" (e.g. a path). Extends IllegalArgumentException so
+    * callers treating it as a contract violation keep working. */
+  final class CompactionCrossedWindow(msg: String)
+    extends IllegalArgumentException(msg)
 
   /** Plan-stats bound under which a delta segment gets a
     * [[graft.ops.ZoneIndex]] sidecar (see the write site): micro-batch

@@ -206,9 +206,44 @@ object StreamingSpanDedup {
       store.compactNow()
       return
     }
-    val last = graft.FsText.read(spark, bookmark).trim.toLong
-    if (batchId - last < sweepEvery) return
+    val last0 = graft.FsText.read(spark, bookmark).trim.toLong
+    if (batchId - last0 < sweepEvery) return
     val positions = spark.read.parquet(positionsPath)
+    // Bookmark-outside-retention recovery: if sweeps were disabled for a
+    // while (or retainVersions lowered across a restart), the bookmarked
+    // version's manifest may be retired — and BOTH sweep forms need
+    // state(last), so without a guard the sweep throws on every replay:
+    // a permanently wedged stream. Recover instead of wedging: sweep
+    // from the OLDEST retained version (full coverage for ITS window)
+    // and warn loudly that crossings inside (bookmark, oldest] need a
+    // one-off batch `repeatedSpans` recompute — losing one window's
+    // retroactivity beats failing the stream deterministically forever.
+    val retained = store.versions()
+    val last =
+      if (retained.contains(last0)) last0
+      else {
+        val fallback = retained.filter(_ <= batchId)
+        if (fallback.isEmpty) {
+          println(s"[span-sweep] WARNING: sweep bookmark $last0 is " +
+            s"outside the retention window and no prior version is " +
+            s"retained — skipping this sweep; coverage for " +
+            s"($last0, $batchId] needs a one-off batch recompute")
+          graft.FsText.writeAtomic(spark, bookmark, batchId.toString)
+          store.compactNow()
+          return
+        }
+        val oldest = fallback.min
+        println(s"[span-sweep] WARNING: sweep bookmark $last0 is outside " +
+          s"the retention window (oldest retained version $oldest) — " +
+          s"sweeping from $oldest; crossings inside ($last0, $oldest] " +
+          s"need a one-off batch recompute")
+        oldest
+      }
+    if (last >= batchId) {
+      graft.FsText.writeAtomic(spark, bookmark, batchId.toString)
+      store.compactNow()
+      return
+    }
     val prev = store.read(last)
     val sweep =
       try {
@@ -225,8 +260,10 @@ object StreamingSpanDedup {
             .unionByName(deltas.select("shingle", "occ")),
           n, minOcc)
       } catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null && e.getMessage.contains("compact") =>
+        // the TYPE, not a message substring: an unrelated failure whose
+        // text contains "compact" (e.g. a path) must fail loudly, not
+        // silently reroute to the costlier pair sweep
+        case _: OccStateStore.CompactionCrossedWindow =>
           graft.ops.Dedup.retroactiveSpanSweep(positions, prev,
             store.read(batchId), n, minOcc)
       }
@@ -255,15 +292,24 @@ object StreamingSpanDedup {
     val (zoned, bare) = entries.partition(p =>
       p.getName.startsWith("batch_id=") &&
         fs.exists(new org.apache.hadoop.fs.Path(p, "_zones")))
-    val groups = zoned.iterator.map { p =>
-      p.toString -> graft.ops.ZoneIndex.collectZones(
-        graft.ops.ZoneIndex.load(spark, s"$p/_zones"), Set(0))
-    }.toMap
+    // ALL sidecars in one job, keyed by the batch id in the file path —
+    // the first cut ran one read+collect job PER partition (a scheduler
+    // round-trip apiece: minutes of driver-bound latency per sweep once
+    // the stream accumulates thousands of batch partitions), and
+    // broadcast every partition's bloom unbounded; collectZoneGroups
+    // bounds the bloom bytes (recent batches keep theirs, older ones
+    // degrade to count/min-max pruning — never-false-negative).
+    val groups = graft.ops.ZoneIndex.collectZoneGroups(spark,
+      zoned.map(p => s"$p/_zones"), "batch_id=([^/]+)/_zones", None)
     val hits =
       if (groups.isEmpty) Set.empty[(String, Int)]
       else graft.ops.ZoneIndex.hitPairs(groups, keys, "shingle", 1)
     val keep = bare.map(_.toString) ++
-      zoned.map(_.toString).filter(p => hits((p, 0)))
+      zoned.map(_.toString).filter { p =>
+        val bid = new org.apache.hadoop.fs.Path(p).getName
+          .stripPrefix("batch_id=")
+        hits((bid, 0))
+      }
     if (keep.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -121,6 +121,28 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("kind"))
   }
 
+  test("append type contract: a batch whose vector column type differs " +
+    "from the build's fails loudly instead of poisoning the parquet " +
+    "schema; a matching batch with identical values still appends") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_vt_").toString
+    VectorIndex.buildIvf(baseVecs, path, centroidStride = 50)
+    val native = baseVecs.schema("embedding").dataType.catalogString
+    val other =
+      if (native.contains("float")) "array<double>" else "array<float>"
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.appendToIvf(
+        appendBatch.withColumn("embedding", col("embedding").cast(other)),
+        path)
+    }
+    assert(e.getMessage.contains("built from"))
+    // nothing was appended by the failed call
+    assert(VectorIndex.indexStats(spark, path)("appendedRows") === "0")
+    VectorIndex.appendToIvf(appendBatch, path)
+    assert(VectorIndex.indexStats(spark, path)("appendedRows").toLong ===
+      appendBatch.count())
+  }
+
   test("q102/q103 driver queries: appended-index serve == the single-shot " +
     "q46/q63 twins row-exact (their oracle-by-identity premise)") {
     // the % 10 = 3 append split keeps every stride-50 codebook row in the

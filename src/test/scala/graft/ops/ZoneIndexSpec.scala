@@ -11,6 +11,51 @@ import graft.SparkSpec
 class ZoneIndexSpec extends SparkSpec {
   import spark.implicits._
 
+  test("collectZoneGroups: ONE job over many sidecars == per-group " +
+    "collectZones; bloom budget degrades to count/min-max, never drops " +
+    "a group") {
+    val b = 4
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zone_groups_").toString
+    val groupsOnDisk = Seq("10", "9", "2").map { g =>
+      val keys = (1L to 200L).map(k => k * 31L + g.toLong)
+      ZoneIndex.save(ZoneIndex.build(keys.toDF("k"), "k", b),
+        s"$root/batch_id=$g/_zones")
+      g -> keys
+    }.toMap
+    val paths = groupsOnDisk.keys.toSeq.sorted.map(g =>
+      s"$root/batch_id=$g/_zones")
+    val one = ZoneIndex.collectZoneGroups(spark, paths,
+      "batch_id=([^/]+)/_zones", None)
+    assert(one.keySet === groupsOnDisk.keySet)
+    groupsOnDisk.keys.foreach { g =>
+      val per = ZoneIndex.collectZones(
+        ZoneIndex.load(spark, s"$root/batch_id=$g/_zones"), (0 until b).toSet)
+      assert(one(g).view.mapValues(z => (z.cnt, z.kmin, z.kmax)).toMap ===
+        per.view.mapValues(z => (z.cnt, z.kmin, z.kmax)).toMap)
+      assert(one(g).values.forall(_.bloom != null))
+    }
+    // budget exhausted: every group still present, blooms degrade to
+    // null — and a probe key its group actually contains still survives
+    // hitPairs on range alone (never-false-negative under degradation)
+    val broke = ZoneIndex.collectZoneGroups(spark, paths,
+      "batch_id=([^/]+)/_zones", None, bloomBudgetBytes = 0L)
+    assert(broke.keySet === groupsOnDisk.keySet)
+    assert(broke.values.flatMap(_.values).forall(_.bloom == null))
+    val probe = groupsOnDisk("9").take(5).toDF("k")
+    val hits = ZoneIndex.hitPairs(broke, probe, "k", b)
+    assert(groupsOnDisk("9").take(5)
+      .map(k => ("9", math.floorMod(k, b).toInt)).toSet.subsetOf(hits))
+    // numeric-aware budget order: with budget for ONE group's blooms,
+    // the highest NUMERIC group id (10, not lexicographic "9") keeps its
+    // blooms
+    val oneGroupBytes = one("10").values.map(_.bloom.length).sum.toLong
+    val partial = ZoneIndex.collectZoneGroups(spark, paths,
+      "batch_id=([^/]+)/_zones", None, bloomBudgetBytes = oneGroupBytes)
+    assert(partial("10").values.forall(_.bloom != null))
+    assert(partial("2").values.forall(_.bloom == null))
+  }
+
   test("build: per-bucket cnt/min/max exact; save/load roundtrip; " +
     "bloom present under the cap, null past it") {
     val b = 8

@@ -463,6 +463,52 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(spanRows(served).nonEmpty)
   }
 
+  test("sweep bookmark outside the retention window recovers instead of " +
+    "wedging: sweeps from the oldest retained version, warns, advances " +
+    "the bookmark") {
+    // regression: sweeps disabled for a while (bookmark frozen while
+    // retention retires its version) then re-enabled — BOTH sweep forms
+    // need state(bookmark), so the sweep threw on every replay: a
+    // permanently wedged stream until someone hand-deleted the bookmark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_span_bkmk_").toString
+    val ph = "alpha bravo charlie delta echo"
+    val batches = Seq(
+      Seq((1L, "s1 s2 s3 s4 s5 s6")),
+      Seq((11L, "t1 t2 t3 t4 t5 t6")),
+      Seq((21L, "u1 u2 u3 u4 u5 u6")),
+      Seq((31L, s"v1 $ph v2")), // phrase seeds at v3 (occ 1 — no span)
+      Seq((41L, "w1 w2 w3 w4 w5 w6")),
+      Seq((51L, s"x1 x2 $ph"))) // recurs at v5 — only a sweep sees 31
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingSpanDedup.processBatch(b.toDF("doc_id", "text"), i.toLong,
+        "doc_id", "text", s"$root/state", s"$root/spans", n = 5,
+        positionsPath = s"$root/pos")
+    }
+    val store = OccStateStore.open(spark, s"$root/state")
+    assert(store.versions() === Seq(3L, 4L, 5L)) // retainVersions = 3
+    // a bookmark at a RETIRED version (sweeps were off while 0 retired)
+    graft.FsText.writeAtomic(spark,
+      new org.apache.hadoop.fs.Path(s"$root/state", "_graft_last_sweep"),
+      "0")
+    StreamingSpanDedup.maybeSweep(spark, s"$root/state", 5L,
+      sweepEvery = 2, positionsPath = s"$root/pos",
+      sweepDir = s"$root/sweeps", n = 5, minOcc = 2)
+    // recovered: swept from the oldest retained version (3), not wedged
+    def docsDf(upTo: Int) =
+      batches.take(upTo + 1).flatten.toDF("doc_id", "text")
+    val sweep = spark.read.parquet(s"$root/sweeps/sweep_v=5")
+    val twin = Dedup.retroactiveSpanSweep(
+      Dedup.shinglePositionsTable(docsDf(5), "doc_id", "text", n = 5),
+      Dedup.shingleOccurrenceTable(docsDf(3), "text", n = 5),
+      Dedup.shingleOccurrenceTable(docsDf(5), "text", n = 5), n = 5)
+    assert(spanRows(sweep) === spanRows(twin))
+    assert(spanRows(sweep).map(_._1).contains(31L))
+    assert(graft.FsText.read(spark,
+      new org.apache.hadoop.fs.Path(s"$root/state", "_graft_last_sweep"))
+      .trim === "5")
+  }
+
   test("readDeltasBetween: state(to) == state(from) ⊎ deltas, the " +
     "retroactiveSpanSweepDelta input contract") {
     val root = java.nio.file.Files
