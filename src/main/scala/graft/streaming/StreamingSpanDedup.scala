@@ -162,6 +162,146 @@ object StreamingSpanDedup {
   private def lastSweepPath(stateDir: String) =
     new org.apache.hadoop.fs.Path(stateDir, "_graft_last_sweep")
 
+  // ---- positions compaction (manifest-committed) ---------------------
+  //
+  // A long-lived stream accumulates one batch_id= partition per batch
+  // FOREVER — the per-sweep listing, the sidecar read, and the
+  // OS-handle/file-count cost all grow without bound. compactPositions
+  // folds old partitions into consolidated CHUNKS under _compacted/
+  // (underscore-prefixed: invisible to plain partition discovery), with
+  // exactly-once reads guaranteed by a manifest commit point rather
+  // than multi-dir atomicity (which HDFS/S3 cannot give):
+  //   1. the chunk's data + zone sidecar are written under
+  //      _compacted/chunk=<n>/ — INVISIBLE until the manifest lists it
+  //      (readers consume only manifest-listed chunks);
+  //   2. the manifest (_compacted/_graft_manifest, FsText.writeAtomic)
+  //      gains one line `chunk=<n>\t<bid>,<bid>,…` — THE commit: from
+  //      this instant readers take the chunk and SKIP its folded
+  //      batch_id dirs even though they still exist;
+  //   3. the folded dirs are deleted best-effort — a crash mid-delete
+  //      leaves garbage the next compaction GCs, never duplicate reads.
+  // Crash windows: before 2 → readers see the original dirs only (the
+  // half-written chunk is dead weight, overwritten by the next attempt
+  // at the same chunk number); after 2 → readers see chunk + remaining
+  // un-folded dirs, exactly once. Only batches STRICTLY BELOW any
+  // replayable id may be folded (a foreachBatch retry rewrites its own
+  // batch_id dir — fine while that dir is still live, wrong if folded);
+  // the driver passes the PRE-sweep bookmark, always below the current
+  // batch.
+
+  private def compactedDir(positionsPath: String) =
+    new org.apache.hadoop.fs.Path(positionsPath, "_compacted")
+  private def compactManifestPath(positionsPath: String) =
+    new org.apache.hadoop.fs.Path(compactedDir(positionsPath),
+      "_graft_manifest")
+
+  /** Manifest lines as (chunkName, folded batch ids). Empty when no
+    * compaction ever committed. */
+  private[graft] def readCompactManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      positionsPath: String): Seq[(String, Set[String])] = {
+    val p = compactManifestPath(positionsPath)
+    if (!graft.FsText.fs(spark, p).exists(p)) return Seq.empty
+    graft.FsText.read(spark, p).linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(chunk, bids) = l.split('\t')
+      chunk -> bids.split(',').filter(_.nonEmpty).toSet
+    }.toSeq
+  }
+
+  private val positionsSchema = "id BIGINT, pos INT, shingle BIGINT"
+
+  /** Fold every live `batch_id=` partition with id ≤ `upToBatch` into
+    * one consolidated chunk (data + a fresh zone sidecar over the
+    * chunk's shingles), commit it via the manifest, then best-effort
+    * delete the folded dirs (plus any garbage a previous crash left).
+    * No-ops (returns 0) below `minDirs` foldable partitions — the knob
+    * that keeps the maintenance call cheap to invoke unconditionally.
+    * ONLY pass an `upToBatch` strictly below any batch id the stream
+    * could replay (see the protocol comment above). */
+  def compactPositions(spark: org.apache.spark.sql.SparkSession,
+                       positionsPath: String, upToBatch: Long,
+                       minDirs: Int = 16): Int = {
+    val root = new org.apache.hadoop.fs.Path(positionsPath)
+    val fs = graft.FsText.fs(spark, root)
+    if (!fs.exists(root)) return 0
+    val manifest = readCompactManifest(spark, positionsPath)
+    val folded: Set[String] = manifest.flatMap(_._2).toSet
+    def liveBatchDirs() = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("batch_id="))
+    // GC garbage from a previous crash-interrupted delete phase first —
+    // manifest-listed dirs are dead whether or not they still exist
+    liveBatchDirs()
+      .filter(p => folded.contains(p.getName.stripPrefix("batch_id=")))
+      .foreach(p => fs.delete(p, true))
+    val foldable = liveBatchDirs()
+      .map(p => p.getName.stripPrefix("batch_id="))
+      .filter(bid => scala.util.Try(bid.toLong).toOption
+        .exists(_ <= upToBatch))
+      .sorted
+    if (foldable.size < minDirs) return 0
+    val n = manifest.size
+    val chunkData = new org.apache.hadoop.fs.Path(compactedDir(positionsPath),
+      s"chunk=$n/data")
+    val srcPaths = foldable.map(bid => s"$positionsPath/batch_id=$bid")
+    spark.read.schema(positionsSchema).parquet(srcPaths: _*)
+      .write.mode("overwrite").parquet(chunkData.toString)
+    graft.ops.ZoneIndex.save(
+      graft.ops.ZoneIndex.build(
+        spark.read.schema(positionsSchema).parquet(chunkData.toString)
+          .select("shingle"),
+        "shingle", numBuckets = 1, maxBloomKeys = PositionsBloomMaxKeys),
+      new org.apache.hadoop.fs.Path(compactedDir(positionsPath),
+        s"chunk=$n/_zones").toString)
+    // THE commit point: one atomic manifest rewrite
+    val line = s"chunk=$n\t${foldable.mkString(",")}"
+    graft.FsText.writeAtomic(spark, compactManifestPath(positionsPath),
+      (manifest.map { case (c, bs) => s"$c\t${bs.toSeq.sorted.mkString(",")}" }
+        :+ line).mkString("", "\n", "\n"))
+    // best-effort retirement; a crash here is the GC'd window above
+    foldable.foreach(bid => fs.delete(
+      new org.apache.hadoop.fs.Path(root, s"batch_id=$bid"), true))
+    foldable.size
+  }
+
+  /** The FULL positions frame, manifest-aware: committed chunks ∪ live
+    * batch partitions not folded into a chunk ∪ anything else seeded at
+    * the root (a base index) — the read every full-coverage consumer
+    * (the sweep's positions legs) must use once compaction runs; a
+    * plain `spark.read.parquet(positionsPath)` would silently miss the
+    * chunks (they hide under an underscore dir by design). */
+  private[graft] def readPositions(
+      spark: org.apache.spark.sql.SparkSession,
+      positionsPath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(positionsPath)
+    val fs = graft.FsText.fs(spark, root)
+    val manifest = readCompactManifest(spark, positionsPath)
+    val folded: Set[String] = manifest.flatMap(_._2).toSet
+    val live = fs.listStatus(root).toSeq.map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .filterNot(p => p.getName.startsWith("batch_id=") &&
+        folded.contains(p.getName.stripPrefix("batch_id=")))
+      .map(_.toString)
+    val chunks = manifest.map { case (c, _) =>
+      new org.apache.hadoop.fs.Path(compactedDir(positionsPath),
+        s"$c/data").toString
+    }
+    val paths = chunks ++ live
+    if (paths.isEmpty) emptyPositions(spark)
+    else spark.read.schema(positionsSchema).parquet(paths: _*)
+      .select("id", "pos", "shingle")
+  }
+
+  private def emptyPositions(spark: org.apache.spark.sql.SparkSession) =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("shingle",
+          org.apache.spark.sql.types.LongType))))
+
   /** Run the retroactive sweep if the cadence is due, then out-of-band
     * compaction (r11 verdict items 3+4 — the lambda split's other half,
     * driven by the stream instead of a manual scheduler).
@@ -208,7 +348,7 @@ object StreamingSpanDedup {
     }
     val last0 = graft.FsText.read(spark, bookmark).trim.toLong
     if (batchId - last0 < sweepEvery) return
-    val positions = spark.read.parquet(positionsPath)
+    val positions = readPositions(spark, positionsPath)
     // Bookmark-outside-retention recovery: if sweeps were disabled for a
     // while (or retainVersions lowered across a restart), the bookmarked
     // version's manifest may be retired — and BOTH sweep forms need
@@ -270,6 +410,12 @@ object StreamingSpanDedup {
     sweep.write.mode("overwrite").parquet(s"$sweepDir/sweep_v=$batchId")
     graft.FsText.writeAtomic(spark, bookmark, batchId.toString)
     store.compactNow()
+    // positions maintenance rides the sweep cadence: batches at or below
+    // the PRE-sweep bookmark are strictly non-replayable (the stream's
+    // only replayable id is batchId) and their partitions are immutable
+    // — fold them into a chunk once enough accumulate, so the listing /
+    // sidecar / file-count cost of an unbounded stream stays bounded
+    compactPositions(spark, positionsPath, upToBatch = last)
   }
 
   /** The positions partitions a crossed-key set might hit — file-level
@@ -282,45 +428,56 @@ object StreamingSpanDedup {
       keys: DataFrame): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(positionsPath)
     val fs = graft.FsText.fs(spark, root)
-    // EVERY non-hidden entry participates: batch_id= partitions are the
-    // prunable ones (when they carry a sidecar); anything else a
-    // deployment seeded here (a base index as loose files or an
-    // unpartitioned dir) is kept unpruned — pruning must never drop a
-    // source it doesn't understand
+    val manifest = readCompactManifest(spark, positionsPath)
+    val foldedIds: Set[String] = manifest.flatMap(_._2).toSet
+    // EVERY non-hidden entry participates: batch_id= partitions and
+    // committed chunks are the prunable ones (when they carry a
+    // sidecar); anything else a deployment seeded here (a base index as
+    // loose files or an unpartitioned dir) is kept unpruned — pruning
+    // must never drop a source it doesn't understand. Manifest-folded
+    // batch dirs are DEAD (their rows live in a chunk) whether or not a
+    // crash left them on disk.
     val entries = fs.listStatus(root).toSeq.map(_.getPath)
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .filterNot(p => p.getName.startsWith("batch_id=") &&
+        foldedIds.contains(p.getName.stripPrefix("batch_id=")))
     val (zoned, bare) = entries.partition(p =>
       p.getName.startsWith("batch_id=") &&
         fs.exists(new org.apache.hadoop.fs.Path(p, "_zones")))
-    // ALL sidecars in one job, keyed by the batch id in the file path —
-    // the first cut ran one read+collect job PER partition (a scheduler
-    // round-trip apiece: minutes of driver-bound latency per sweep once
-    // the stream accumulates thousands of batch partitions), and
-    // broadcast every partition's bloom unbounded; collectZoneGroups
-    // bounds the bloom bytes (recent batches keep theirs, older ones
-    // degrade to count/min-max pruning — never-false-negative).
+    // chunks: (groupKey, dataPath, zonesPath); one without a readable
+    // sidecar (impossible by the commit protocol, but keep-safe) reads
+    // unpruned alongside the bare entries
+    val chunkInfo = manifest.map { case (c, _) =>
+      (c,
+        new org.apache.hadoop.fs.Path(compactedDir(positionsPath),
+          s"$c/data").toString,
+        new org.apache.hadoop.fs.Path(compactedDir(positionsPath),
+          s"$c/_zones"))
+    }
+    val (zonedChunks, bareChunks) =
+      chunkInfo.partition(ci => fs.exists(ci._3))
+    // ALL sidecars in one job, keyed by the partition/chunk name in the
+    // file path — the first cut ran one read+collect job PER partition
+    // (a scheduler round-trip apiece: minutes of driver-bound latency
+    // per sweep once the stream accumulates thousands of batch
+    // partitions), and broadcast every partition's bloom unbounded;
+    // collectZoneGroups bounds the bloom bytes (recent batches keep
+    // theirs, older ones degrade to count/min-max pruning —
+    // never-false-negative), and compaction bounds the group count.
     val groups = graft.ops.ZoneIndex.collectZoneGroups(spark,
-      zoned.map(p => s"$p/_zones"), "batch_id=([^/]+)/_zones", None)
+      zoned.map(p => s"$p/_zones") ++ zonedChunks.map(_._3.toString),
+      "(batch_id=[^/]+|chunk=[^/]+)/_zones", None)
     val hits =
       if (groups.isEmpty) Set.empty[(String, Int)]
       else graft.ops.ZoneIndex.hitPairs(groups, keys, "shingle", 1)
-    val keep = bare.map(_.toString) ++
+    val keep = bare.map(_.toString) ++ bareChunks.map(_._2) ++
       zoned.map(_.toString).filter { p =>
-        val bid = new org.apache.hadoop.fs.Path(p).getName
-          .stripPrefix("batch_id=")
-        hits((bid, 0))
-      }
-    if (keep.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("pos",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("shingle",
-            org.apache.spark.sql.types.LongType))))
-    else spark.read.parquet(keep: _*).select("id", "pos", "shingle")
+        hits((new org.apache.hadoop.fs.Path(p).getName, 0))
+      } ++
+      zonedChunks.collect { case (c, data, _) if hits((c, 0)) => data }
+    if (keep.isEmpty) emptyPositions(spark)
+    else spark.read.schema(positionsSchema).parquet(keep: _*)
+      .select("id", "pos", "shingle")
   }
 
   /** Start the streaming query: `docs` is a streaming DataFrame carrying

@@ -463,6 +463,80 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(spanRows(served).nonEmpty)
   }
 
+  test("positions compaction: manifest-committed chunks read exactly " +
+    "once across every crash window; pruning includes a chunk exactly " +
+    "when a probe key might hit it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pos_compact_").toString
+    val pos = s"$root/pos"
+    val ph = "alpha bravo charlie delta echo"
+    val batches = Seq(
+      Seq((1L, s"p1 $ph p2")), Seq((11L, "p3 p4 p5 p6 p7 p8")),
+      Seq((21L, s"p9 $ph")), Seq((31L, "q1 q2 q3 q4 q5 q6")),
+      Seq((41L, "r1 r2 r3 r4 r5 r6")), Seq((51L, s"r7 r8 $ph")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingSpanDedup.processBatch(b.toDF("doc_id", "text"), i.toLong,
+        "doc_id", "text", s"$root/state", s"$root/spans", n = 5,
+        positionsPath = pos)
+    }
+    def posRows() = StreamingSpanDedup.readPositions(spark, pos)
+      .orderBy("id", "pos").collect().map(_.toSeq).toSeq
+    val before = posRows()
+    assert(before.nonEmpty)
+
+    // crash window A: a chunk dir exists but the manifest never
+    // committed — readers must see the original dirs only (the orphan
+    // chunk is invisible)
+    Seq((99L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+      .select(col("doc_id").as("id"), lit(0).as("pos"),
+        lit(123456L).as("shingle"))
+      .write.parquet(s"$pos/_compacted/chunk=0/data")
+    assert(posRows() === before)
+    val fsRoot = new org.apache.hadoop.fs.Path(pos)
+    val fs = graft.FsText.fs(spark, fsRoot)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$pos/_compacted"), true)
+
+    // fold batches 0..3 into chunk 0; composition identity holds
+    assert(StreamingSpanDedup.compactPositions(spark, pos, 3L,
+      minDirs = 1) === 4)
+    assert(posRows() === before)
+    // the folded dirs are gone; a plain partition-discovery read now
+    // misses the chunk by design — consumers must go through
+    // readPositions (this assertion is the reason it exists)
+    assert(spark.read.parquet(pos).count() < before.size)
+
+    // crash window B: a folded dir LINGERS after the manifest commit (a
+    // crash mid-delete) — simulated by re-creating batch_id=2 with
+    // GARBAGE rows; both the full read and the pruned read must skip it
+    Seq((666L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+      .select(col("doc_id").as("id"), lit(0).as("pos"),
+        lit(999L).as("shingle"))
+      .write.parquet(s"$pos/batch_id=2")
+    assert(posRows() === before)
+    val probe = graft.ops.Dedup
+      .shingleOccurrenceTable(Seq((7L, ph)).toDF("doc_id", "text"),
+        "text", n = 5)
+    val pruned = StreamingSpanDedup.positionsPrunedBy(spark, pos, probe)
+    assert(!pruned.inputFiles.exists(_.contains("batch_id=2")),
+      "manifest-folded garbage dir must never be read")
+    // the phrase lives in batches 0/2/5 → folded into chunk 0 and live
+    // in batch_id=5: pruning must keep the chunk and batch 5, and may
+    // drop the disjoint live batch 4
+    assert(pruned.inputFiles.exists(_.contains("chunk=0")))
+    assert(pruned.inputFiles.exists(_.contains("batch_id=5")))
+    assert(!pruned.inputFiles.exists(_.contains("batch_id=4")))
+    // a probe disjoint from everything prunes every zoned source
+    val misses = StreamingSpanDedup.positionsPrunedBy(spark, pos,
+      Seq((1L, 424242L)).toDF("occ", "shingle"))
+    assert(!misses.inputFiles.exists(_.contains("chunk=0")))
+
+    // the next compaction GCs the lingering garbage dir and folds 4..5
+    assert(StreamingSpanDedup.compactPositions(spark, pos, 5L,
+      minDirs = 1) === 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pos/batch_id=2")))
+    assert(posRows() === before)
+  }
+
   test("sweep bookmark outside the retention window recovers instead of " +
     "wedging: sweeps from the oldest retained version, warns, advances " +
     "the bookmark") {
