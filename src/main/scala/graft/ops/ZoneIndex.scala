@@ -164,12 +164,19 @@ object ZoneIndex {
         r.getLong(3), r.getLong(4),
         if (r.isNullAt(5)) null else r.getAs[Array[Byte]](5))))
     var budget = bloomBudgetBytes
-    // budget admission order: numeric group keys (batch ids) DESCENDING —
-    // "9" must not beat "10", so parse, don't compare lexicographically;
-    // non-numeric groups (segment names) follow in stable name order
+    // budget admission order: the group key's TRAILING NUMBER descending
+    // (recent batch/chunk first) — "batch_id=9" must not beat
+    // "batch_id=10", so parse the digits, don't compare lexicographically
+    // (prefixed keys made a bare .toLong throw for every group, which
+    // silently degraded the order to lexicographic — the r12 review's
+    // inverted-recency finding); groups with no digits follow in stable
+    // name order
+    val trailing = "(\\d+)$".r
     collected.groupBy(_._1).toSeq
       .sortBy { case (g, _) =>
-        (scala.util.Try(-g.toLong).getOrElse(Long.MaxValue), g)
+        (trailing.findFirstIn(g)
+          .flatMap(s => scala.util.Try(-s.toLong).toOption)
+          .getOrElse(Long.MaxValue), g)
       }
       .map { case (g, zs) =>
         g -> zs.map { case (_, b, z) =>

@@ -178,16 +178,21 @@ object StreamingSpanDedup {
   //      gains one line `chunk=<n>\t<bid>,<bid>,…` — THE commit: from
   //      this instant readers take the chunk and SKIP its folded
   //      batch_id dirs even though they still exist;
-  //   3. the folded dirs are deleted best-effort — a crash mid-delete
-  //      leaves garbage the next compaction GCs, never duplicate reads.
+  //   3. superseded sources are retired by the NEXT call's GC phase —
+  //      never inline — so an external reader holding the previous
+  //      manifest keeps every source it chose for a full cadence, and a
+  //      crash anywhere leaves only garbage the GC removes, never a
+  //      duplicate or missing read.
   // Crash windows: before 2 → readers see the original dirs only (the
-  // half-written chunk is dead weight, overwritten by the next attempt
-  // at the same chunk number); after 2 → readers see chunk + remaining
-  // un-folded dirs, exactly once. Only batches STRICTLY BELOW any
-  // replayable id may be folded (a foreachBatch retry rewrites its own
-  // batch_id dir — fine while that dir is still live, wrong if folded);
-  // the driver passes the PRE-sweep bookmark, always below the current
-  // batch.
+  // half-written chunk is unreferenced dead weight, GC'd next call);
+  // after 2 → readers with the new manifest take the chunk and skip its
+  // still-on-disk dirs, exactly once. Readers LIST first and read the
+  // manifest second (see readPositions). Only batches STRICTLY BELOW
+  // any replayable id may be folded (a foreachBatch retry rewrites its
+  // own batch_id dir — fine while that dir is still live, wrong if
+  // folded); the driver passes the PRE-sweep bookmark, always below the
+  // current batch. Small chunks refold on the same protocol (the tiered
+  // second level, RefoldMaxBytes).
 
   private def compactedDir(positionsPath: String) =
     new org.apache.hadoop.fs.Path(positionsPath, "_compacted")
@@ -203,64 +208,140 @@ object StreamingSpanDedup {
     val p = compactManifestPath(positionsPath)
     if (!graft.FsText.fs(spark, p).exists(p)) return Seq.empty
     graft.FsText.read(spark, p).linesIterator.filter(_.nonEmpty).map { l =>
-      val Array(chunk, bids) = l.split('\t')
-      chunk -> bids.split(',').filter(_.nonEmpty).toSet
+      val parts = l.split('\t')
+      require(parts.nonEmpty && parts.length <= 2,
+        s"corrupt positions-compaction manifest line at $p: '$l'")
+      // a bid-less line is legal in form (split drops the trailing empty
+      // token) though the writer never emits one — tolerate rather than
+      // wedge every later read on a MatchError
+      parts(0) -> parts.lift(1)
+        .map(_.split(',').filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
     }.toSeq
   }
 
   private val positionsSchema = "id BIGINT, pos INT, shingle BIGINT"
 
-  /** Fold every live `batch_id=` partition with id ≤ `upToBatch` into
-    * one consolidated chunk (data + a fresh zone sidecar over the
-    * chunk's shingles), commit it via the manifest, then best-effort
-    * delete the folded dirs (plus any garbage a previous crash left).
-    * No-ops (returns 0) below `minDirs` foldable partitions — the knob
-    * that keeps the maintenance call cheap to invoke unconditionally.
+  /** Small chunks (data under this) are THEMSELVES refolded once
+    * `minDirs` of them accumulate — the tiered-compaction second level
+    * that makes the growth claim true: without it, chunk count grows
+    * with BATCH count (just minDirs× slower); with the size gate, rows
+    * are rewritten O(log) times until their chunk passes the bound and
+    * parks as a stable level, so live source count is
+    * O(data bytes / bound) + O(minDirs) — proportional to DATA size,
+    * not stream lifetime. */
+  final val RefoldMaxBytes: Long = 1L << 30
+
+  /** Fold old positions sources into consolidated chunks (data + a
+    * fresh zone sidecar over the chunk's DISTINCT shingles), committed
+    * by one atomic manifest rewrite: live `batch_id=` partitions with
+    * 0 ≤ id ≤ `upToBatch` fold first (negative ids — the documented
+    * seeded-base convention — and non-numeric names never fold), then
+    * chunks under [[RefoldMaxBytes]] refold when `minDirs` of them
+    * accumulate. Retired sources are NOT deleted inline: the NEXT
+    * call's GC phase removes dirs the manifest has superseded, so an
+    * external reader holding the previous manifest keeps every source
+    * it decided to read for a full maintenance cadence (the in-flight-
+    * delete hazard; a reader NEVER consumes a superseded source and a
+    * live one together — whichever manifest version it read yields
+    * exactly-once rows). No-ops (returns 0) below `minDirs` foldable
+    * sources. SINGLE WRITER: call this from the stream's own
+    * maintenance cadence (maybeSweep does) — two concurrent compactors
+    * can last-wins each other's manifest commit.
     * ONLY pass an `upToBatch` strictly below any batch id the stream
     * could replay (see the protocol comment above). */
   def compactPositions(spark: org.apache.spark.sql.SparkSession,
                        positionsPath: String, upToBatch: Long,
                        minDirs: Int = 16): Int = {
+    require(minDirs >= 1, s"minDirs must be >= 1, got $minDirs")
     val root = new org.apache.hadoop.fs.Path(positionsPath)
     val fs = graft.FsText.fs(spark, root)
     if (!fs.exists(root)) return 0
-    val manifest = readCompactManifest(spark, positionsPath)
-    val folded: Set[String] = manifest.flatMap(_._2).toSet
+    val manifest0 = readCompactManifest(spark, positionsPath)
+    val folded: Set[String] = manifest0.flatMap(_._2).toSet
+    val chunkNames = manifest0.map(_._1).toSet
     def liveBatchDirs() = fs.listStatus(root).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("batch_id="))
-    // GC garbage from a previous crash-interrupted delete phase first —
-    // manifest-listed dirs are dead whether or not they still exist
+    // GC phase: retire everything the CURRENT manifest has superseded —
+    // batch dirs folded into a chunk, and chunk dirs no manifest entry
+    // references (refolded, or a crash-orphaned half-write). Deferred
+    // from the commit that superseded them (see scaladoc).
     liveBatchDirs()
       .filter(p => folded.contains(p.getName.stripPrefix("batch_id=")))
       .foreach(p => fs.delete(p, true))
+    val cDir = compactedDir(positionsPath)
+    if (fs.exists(cDir))
+      fs.listStatus(cDir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("chunk=") &&
+          !chunkNames.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+
+    def nextChunkName(): String = {
+      val onDisk =
+        if (!fs.exists(cDir)) Seq.empty
+        else fs.listStatus(cDir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("chunk="))
+      val used = (chunkNames ++ onDisk)
+        .flatMap(n => scala.util.Try(n.stripPrefix("chunk=").toLong).toOption)
+      s"chunk=${if (used.isEmpty) 0L else used.max + 1L}"
+    }
+    // write a chunk from source paths; INVISIBLE until the manifest
+    // commit that follows — sidecar over DISTINCT shingles (the bloom
+    // cap is stated in distinct keys; raw position rows would blow it
+    // on every real chunk and null the bloom)
+    def writeChunk(name: String, srcPaths: Seq[String]): Unit = {
+      val data = new org.apache.hadoop.fs.Path(cDir, s"$name/data")
+      spark.read.schema(positionsSchema).parquet(srcPaths: _*)
+        .write.mode("overwrite").parquet(data.toString)
+      graft.ops.ZoneIndex.save(
+        graft.ops.ZoneIndex.build(
+          spark.read.schema(positionsSchema).parquet(data.toString)
+            .select("shingle").distinct(),
+          "shingle", numBuckets = 1, maxBloomKeys = PositionsBloomMaxKeys),
+        new org.apache.hadoop.fs.Path(cDir, s"$name/_zones").toString)
+    }
+    def commit(entries: Seq[(String, Set[String])]): Unit =
+      graft.FsText.writeAtomic(spark, compactManifestPath(positionsPath),
+        entries.map { case (c, bs) =>
+          s"$c\t${bs.toSeq.sorted.mkString(",")}"
+        }.mkString("", "\n", "\n"))
+
+    // level 1: fold old live batch partitions
     val foldable = liveBatchDirs()
       .map(p => p.getName.stripPrefix("batch_id="))
+      .filterNot(folded.contains) // a lingering dir a failed GC left
       .filter(bid => scala.util.Try(bid.toLong).toOption
-        .exists(_ <= upToBatch))
+        .exists(id => id >= 0L && id <= upToBatch))
       .sorted
-    if (foldable.size < minDirs) return 0
-    val n = manifest.size
-    val chunkData = new org.apache.hadoop.fs.Path(compactedDir(positionsPath),
-      s"chunk=$n/data")
-    val srcPaths = foldable.map(bid => s"$positionsPath/batch_id=$bid")
-    spark.read.schema(positionsSchema).parquet(srcPaths: _*)
-      .write.mode("overwrite").parquet(chunkData.toString)
-    graft.ops.ZoneIndex.save(
-      graft.ops.ZoneIndex.build(
-        spark.read.schema(positionsSchema).parquet(chunkData.toString)
-          .select("shingle"),
-        "shingle", numBuckets = 1, maxBloomKeys = PositionsBloomMaxKeys),
-      new org.apache.hadoop.fs.Path(compactedDir(positionsPath),
-        s"chunk=$n/_zones").toString)
-    // THE commit point: one atomic manifest rewrite
-    val line = s"chunk=$n\t${foldable.mkString(",")}"
-    graft.FsText.writeAtomic(spark, compactManifestPath(positionsPath),
-      (manifest.map { case (c, bs) => s"$c\t${bs.toSeq.sorted.mkString(",")}" }
-        :+ line).mkString("", "\n", "\n"))
-    // best-effort retirement; a crash here is the GC'd window above
-    foldable.foreach(bid => fs.delete(
-      new org.apache.hadoop.fs.Path(root, s"batch_id=$bid"), true))
-    foldable.size
+    var manifest = manifest0
+    var work = 0
+    if (foldable.size >= minDirs) {
+      val name = nextChunkName()
+      writeChunk(name, foldable.map(bid => s"$positionsPath/batch_id=$bid"))
+      manifest = manifest :+ (name -> foldable.toSet)
+      commit(manifest) // THE commit point; retirement is next call's GC
+      work += foldable.size
+    }
+    // level 2: refold small chunks once enough accumulate
+    val small = manifest.filter { case (c, _) =>
+      val data = new org.apache.hadoop.fs.Path(cDir, s"$c/data")
+      fs.exists(data) &&
+        fs.getContentSummary(data).getLength < RefoldMaxBytes
+    }
+    // ≥ 2 always: refolding a single chunk into a copy of itself would
+    // churn one full rewrite per call at minDirs = 1 and converge nothing
+    if (small.size >= math.max(2, minDirs)) {
+      val name = nextChunkName()
+      writeChunk(name, small.map { case (c, _) =>
+        new org.apache.hadoop.fs.Path(cDir, s"$c/data").toString
+      })
+      val smallNames = small.map(_._1).toSet
+      manifest = manifest.filterNot(e => smallNames.contains(e._1)) :+
+        (name -> small.flatMap(_._2).toSet)
+      commit(manifest) // old chunks now unreferenced → next call GCs them
+      work += small.size
+    }
+    work
   }
 
   /** The FULL positions frame, manifest-aware: committed chunks ∪ live
@@ -274,10 +355,16 @@ object StreamingSpanDedup {
       positionsPath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(positionsPath)
     val fs = graft.FsText.fs(spark, root)
+    // LIST FIRST, manifest SECOND: if a compaction commits between the
+    // two steps, the newer manifest marks the listed dirs folded and
+    // brings the chunk in — exactly once. The other order could read a
+    // manifest that predates the commit and then a listing that
+    // postdates the (eventual) retirement, silently missing rows.
+    val listed = fs.listStatus(root).toSeq.map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
     val manifest = readCompactManifest(spark, positionsPath)
     val folded: Set[String] = manifest.flatMap(_._2).toSet
-    val live = fs.listStatus(root).toSeq.map(_.getPath)
-      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+    val live = listed
       .filterNot(p => p.getName.startsWith("batch_id=") &&
         folded.contains(p.getName.stripPrefix("batch_id=")))
       .map(_.toString)
@@ -428,6 +515,10 @@ object StreamingSpanDedup {
       keys: DataFrame): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(positionsPath)
     val fs = graft.FsText.fs(spark, root)
+    // list FIRST, manifest second — same exactly-once ordering argument
+    // as readPositions
+    val listed = fs.listStatus(root).toSeq.map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
     val manifest = readCompactManifest(spark, positionsPath)
     val foldedIds: Set[String] = manifest.flatMap(_._2).toSet
     // EVERY non-hidden entry participates: batch_id= partitions and
@@ -437,8 +528,7 @@ object StreamingSpanDedup {
     // must never drop a source it doesn't understand. Manifest-folded
     // batch dirs are DEAD (their rows live in a chunk) whether or not a
     // crash left them on disk.
-    val entries = fs.listStatus(root).toSeq.map(_.getPath)
-      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+    val entries = listed
       .filterNot(p => p.getName.startsWith("batch_id=") &&
         foldedIds.contains(p.getName.stripPrefix("batch_id=")))
     val (zoned, bare) = entries.partition(p =>

@@ -496,18 +496,20 @@ class StreamingSpanDedupSpec extends SparkSpec {
     val fs = graft.FsText.fs(spark, fsRoot)
     fs.delete(new org.apache.hadoop.fs.Path(s"$pos/_compacted"), true)
 
-    // fold batches 0..3 into chunk 0; composition identity holds
+    // fold batches 0..3 into chunk 0; composition identity holds.
+    // Retirement is DEFERRED (next call's GC): the folded dirs still
+    // exist — crash window B is therefore the NORMAL post-commit state —
+    // but the manifest supersedes them, so reads stay exactly-once
     assert(StreamingSpanDedup.compactPositions(spark, pos, 3L,
       minDirs = 1) === 4)
     assert(posRows() === before)
-    // the folded dirs are gone; a plain partition-discovery read now
-    // misses the chunk by design — consumers must go through
-    // readPositions (this assertion is the reason it exists)
-    assert(spark.read.parquet(pos).count() < before.size)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$pos/batch_id=0")),
+      "retirement must defer to the next call's GC phase")
 
-    // crash window B: a folded dir LINGERS after the manifest commit (a
-    // crash mid-delete) — simulated by re-creating batch_id=2 with
-    // GARBAGE rows; both the full read and the pruned read must skip it
+    // a superseded dir with GARBAGE rows (the lingering-dir window taken
+    // to the adversarial extreme): both the full read and the pruned
+    // read must skip it — the manifest, not the filesystem, is truth
+    fs.delete(new org.apache.hadoop.fs.Path(s"$pos/batch_id=2"), true)
     Seq((666L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
       .select(col("doc_id").as("id"), lit(0).as("pos"),
         lit(999L).as("shingle"))
@@ -530,11 +532,35 @@ class StreamingSpanDedupSpec extends SparkSpec {
       Seq((1L, 424242L)).toDF("occ", "shingle"))
     assert(!misses.inputFiles.exists(_.contains("chunk=0")))
 
-    // the next compaction GCs the lingering garbage dir and folds 4..5
+    // the next compaction GCs the superseded dirs (incl. the garbage
+    // copy), folds 4..5 into a second chunk, and — both chunks sitting
+    // under the refold size gate — refolds them into ONE (the tiered
+    // second level: work = 2 batch dirs + 2 chunks = 4)
     assert(StreamingSpanDedup.compactPositions(spark, pos, 5L,
-      minDirs = 1) === 2)
+      minDirs = 1) === 4)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pos/batch_id=2")))
     assert(posRows() === before)
+    assert(StreamingSpanDedup.readCompactManifest(spark, pos).size === 1)
+    // a third call: GCs the two superseded chunk dirs, then no-ops (a
+    // single chunk never refolds into a copy of itself)
+    assert(StreamingSpanDedup.compactPositions(spark, pos, 5L,
+      minDirs = 1) === 0)
+    assert(posRows() === before)
+    val chunkDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$pos/_compacted")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("chunk="))
+    assert(chunkDirs.size === 1, chunkDirs.toString)
+    // a seeded base index at the documented batch_id=-1 convention is
+    // never folded (its rows still serve every read)
+    val nBefore = posRows().size
+    Seq((777L, "s1 s2 s3 s4 s5 s6")).toDF("doc_id", "text")
+      .select(col("doc_id").as("id"), lit(0).as("pos"),
+        lit(31415L).as("shingle"))
+      .write.parquet(s"$pos/batch_id=-1")
+    assert(StreamingSpanDedup.compactPositions(spark, pos, 5L,
+      minDirs = 1) === 0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$pos/batch_id=-1")))
+    assert(posRows().size === nBefore + 1)
   }
 
   test("sweep bookmark outside the retention window recovers instead of " +
