@@ -200,23 +200,38 @@ object StreamingSpanDedup {
     new org.apache.hadoop.fs.Path(compactedDir(positionsPath),
       "_graft_manifest")
 
-  /** Manifest lines as (chunkName, folded batch ids). Empty when no
-    * compaction ever committed. */
+  /** One committed chunk: name, the folded batch ids whose dirs may
+    * still LINGER on disk (pruned from the manifest once their GC is
+    * confirmed — the skip-set readers need is only the lingering dirs,
+    * so the manifest stays O(one cadence), not O(stream lifetime)), and
+    * the chunk's data bytes recorded at write time (chunk data is
+    * write-once, so re-stat'ing it per maintenance call — a recursive
+    * LIST per chunk on object stores — would be pure waste; -1 on
+    * entries written before the field existed → stat once, re-record at
+    * the next commit). */
+  private[graft] final case class ChunkEntry(name: String,
+                                             lingering: Set[String],
+                                             bytes: Long)
+
+  /** Manifest lines as [[ChunkEntry]]s. Empty when no compaction ever
+    * committed. */
   private[graft] def readCompactManifest(
       spark: org.apache.spark.sql.SparkSession,
-      positionsPath: String): Seq[(String, Set[String])] = {
+      positionsPath: String): Seq[ChunkEntry] = {
     val p = compactManifestPath(positionsPath)
     if (!graft.FsText.fs(spark, p).exists(p)) return Seq.empty
     graft.FsText.read(spark, p).linesIterator.filter(_.nonEmpty).map { l =>
       val parts = l.split('\t')
-      require(parts.nonEmpty && parts.length <= 2,
+      require(parts.nonEmpty && parts.length <= 3,
         s"corrupt positions-compaction manifest line at $p: '$l'")
-      // a bid-less line is legal in form (split drops the trailing empty
-      // token) though the writer never emits one — tolerate rather than
-      // wedge every later read on a MatchError
-      parts(0) -> parts.lift(1)
-        .map(_.split(',').filter(_.nonEmpty).toSet)
-        .getOrElse(Set.empty[String])
+      // bid-less / bytes-less lines are legal in form (split drops
+      // trailing empty tokens; pre-bytes manifests had two fields) —
+      // tolerate rather than wedge every later read
+      ChunkEntry(parts(0),
+        parts.lift(1).map(_.split(',').filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty[String]),
+        parts.lift(2).flatMap(s => scala.util.Try(s.toLong).toOption)
+          .getOrElse(-1L))
     }.toSeq
   }
 
@@ -252,14 +267,17 @@ object StreamingSpanDedup {
     * could replay (see the protocol comment above). */
   def compactPositions(spark: org.apache.spark.sql.SparkSession,
                        positionsPath: String, upToBatch: Long,
-                       minDirs: Int = 16): Int = {
+                       minDirs: Int = 16,
+                       refoldFactor: Double = 2.0): Int = {
     require(minDirs >= 1, s"minDirs must be >= 1, got $minDirs")
+    require(refoldFactor >= 1.0,
+      s"refoldFactor must be >= 1.0, got $refoldFactor")
     val root = new org.apache.hadoop.fs.Path(positionsPath)
     val fs = graft.FsText.fs(spark, root)
     if (!fs.exists(root)) return 0
     val manifest0 = readCompactManifest(spark, positionsPath)
-    val folded: Set[String] = manifest0.flatMap(_._2).toSet
-    val chunkNames = manifest0.map(_._1).toSet
+    val folded: Set[String] = manifest0.flatMap(_.lingering).toSet
+    val chunkNames = manifest0.map(_.name).toSet
     def liveBatchDirs() = fs.listStatus(root).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("batch_id="))
     // GC phase: retire everything the CURRENT manifest has superseded —
@@ -285,12 +303,16 @@ object StreamingSpanDedup {
         .flatMap(n => scala.util.Try(n.stripPrefix("chunk=").toLong).toOption)
       s"chunk=${if (used.isEmpty) 0L else used.max + 1L}"
     }
-    // write a chunk from source paths; INVISIBLE until the manifest
-    // commit that follows — sidecar over DISTINCT shingles (the bloom
-    // cap is stated in distinct keys; raw position rows would blow it
-    // on every real chunk and null the bloom)
-    def writeChunk(name: String, srcPaths: Seq[String]): Unit = {
-      val data = new org.apache.hadoop.fs.Path(cDir, s"$name/data")
+    def chunkData(name: String) =
+      new org.apache.hadoop.fs.Path(cDir, s"$name/data")
+    // write a chunk from source paths and return its data bytes
+    // (recorded in the manifest so later calls never re-stat write-once
+    // data); INVISIBLE until the manifest commit that follows — sidecar
+    // over DISTINCT shingles (the bloom cap is stated in distinct keys;
+    // raw position rows would blow it on every real chunk and null the
+    // bloom)
+    def writeChunk(name: String, srcPaths: Seq[String]): Long = {
+      val data = chunkData(name)
       spark.read.schema(positionsSchema).parquet(srcPaths: _*)
         .write.mode("overwrite").parquet(data.toString)
       graft.ops.ZoneIndex.save(
@@ -299,12 +321,23 @@ object StreamingSpanDedup {
             .select("shingle").distinct(),
           "shingle", numBuckets = 1, maxBloomKeys = PositionsBloomMaxKeys),
         new org.apache.hadoop.fs.Path(cDir, s"$name/_zones").toString)
+      fs.getContentSummary(data).getLength
     }
-    def commit(entries: Seq[(String, Set[String])]): Unit =
+    // Commits prune each entry's lingering-bid set to dirs STILL on disk
+    // at commit time: a bid whose dir the GC confirmed deleted can never
+    // be double-read (no source exists, and old batch ids are never
+    // recreated — only the latest uncommitted batch replays), so keeping
+    // it would grow the manifest with the stream's LIFETIME; pruned, the
+    // manifest stays O(one maintenance cadence).
+    def commit(entries: Seq[ChunkEntry]): Unit = {
+      val present = liveBatchDirs()
+        .map(_.getName.stripPrefix("batch_id=")).toSet
       graft.FsText.writeAtomic(spark, compactManifestPath(positionsPath),
-        entries.map { case (c, bs) =>
-          s"$c\t${bs.toSeq.sorted.mkString(",")}"
+        entries.map { e =>
+          val keep = e.lingering.intersect(present)
+          s"${e.name}\t${keep.toSeq.sorted.mkString(",")}\t${e.bytes}"
         }.mkString("", "\n", "\n"))
+    }
 
     // level 1: fold old live batch partitions
     val foldable = liveBatchDirs()
@@ -315,31 +348,51 @@ object StreamingSpanDedup {
       .sorted
     var manifest = manifest0
     var work = 0
+    var justWritten: Option[String] = None
     if (foldable.size >= minDirs) {
       val name = nextChunkName()
-      writeChunk(name, foldable.map(bid => s"$positionsPath/batch_id=$bid"))
-      manifest = manifest :+ (name -> foldable.toSet)
+      val bytes = writeChunk(name,
+        foldable.map(bid => s"$positionsPath/batch_id=$bid"))
+      manifest = manifest :+ ChunkEntry(name, foldable.toSet, bytes)
       commit(manifest) // THE commit point; retirement is next call's GC
       work += foldable.size
+      justWritten = Some(name)
     }
-    // level 2: refold small chunks once enough accumulate
-    val small = manifest.filter { case (c, _) =>
-      val data = new org.apache.hadoop.fs.Path(cDir, s"$c/data")
-      fs.exists(data) &&
-        fs.getContentSummary(data).getLength < RefoldMaxBytes
+    // level 2: refold small chunks. SIZE-TIERED, not just count-gated: a
+    // merge must at least double its largest input, so any row is
+    // rewritten O(log(RefoldMaxBytes / batch-chunk-bytes)) times before
+    // its chunk parks — a bare count gate would rewrite the big
+    // accumulating chunk once per minDirs new folds (write amplification
+    // linear in stream lifetime). The chunk just written this call is
+    // excluded (folding it again in the same invocation would write the
+    // new rows twice for one cadence's gain). Entries from pre-bytes
+    // manifests (bytes < 0) stat once here and carry the figure forward.
+    val sized = manifest.map { e =>
+      if (e.bytes >= 0L) e
+      else if (!fs.exists(chunkData(e.name))) e.copy(bytes = Long.MaxValue)
+      else e.copy(bytes = fs.getContentSummary(chunkData(e.name)).getLength)
     }
-    // ≥ 2 always: refolding a single chunk into a copy of itself would
-    // churn one full rewrite per call at minDirs = 1 and converge nothing
-    if (small.size >= math.max(2, minDirs)) {
+    val small = sized.filter(e => !justWritten.contains(e.name) &&
+      e.bytes < RefoldMaxBytes)
+    // refoldFactor: the merged output must be at least this multiple of
+    // its largest input (default 2 — each row is rewritten O(log) times
+    // before its chunk parks; 1.0 disables the amplification bound, the
+    // spec's deterministic-mechanics setting)
+    val doubles = small.nonEmpty &&
+      small.map(_.bytes).sum >= (refoldFactor * small.map(_.bytes).max).toLong
+    if (small.size >= math.max(2, minDirs) && doubles) {
       val name = nextChunkName()
-      writeChunk(name, small.map { case (c, _) =>
-        new org.apache.hadoop.fs.Path(cDir, s"$c/data").toString
-      })
-      val smallNames = small.map(_._1).toSet
-      manifest = manifest.filterNot(e => smallNames.contains(e._1)) :+
-        (name -> small.flatMap(_._2).toSet)
+      val bytes = writeChunk(name,
+        small.map(e => chunkData(e.name).toString))
+      val smallNames = small.map(_.name).toSet
+      manifest = sized.filterNot(e => smallNames.contains(e.name)) :+
+        ChunkEntry(name, small.flatMap(_.lingering).toSet, bytes)
       commit(manifest) // old chunks now unreferenced → next call GCs them
       work += small.size
+    } else if (sized != manifest && work > 0) {
+      // a commit already happened this call with stale -1 bytes on some
+      // entries — persist the freshly stat'ed sizes so they never re-stat
+      commit(sized)
     }
     work
   }
@@ -363,15 +416,14 @@ object StreamingSpanDedup {
     val listed = fs.listStatus(root).toSeq.map(_.getPath)
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
     val manifest = readCompactManifest(spark, positionsPath)
-    val folded: Set[String] = manifest.flatMap(_._2).toSet
+    val folded: Set[String] = manifest.flatMap(_.lingering).toSet
     val live = listed
       .filterNot(p => p.getName.startsWith("batch_id=") &&
         folded.contains(p.getName.stripPrefix("batch_id=")))
       .map(_.toString)
-    val chunks = manifest.map { case (c, _) =>
+    val chunks = manifest.map(e =>
       new org.apache.hadoop.fs.Path(compactedDir(positionsPath),
-        s"$c/data").toString
-    }
+        s"${e.name}/data").toString)
     val paths = chunks ++ live
     if (paths.isEmpty) emptyPositions(spark)
     else spark.read.schema(positionsSchema).parquet(paths: _*)
@@ -520,7 +572,7 @@ object StreamingSpanDedup {
     val listed = fs.listStatus(root).toSeq.map(_.getPath)
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
     val manifest = readCompactManifest(spark, positionsPath)
-    val foldedIds: Set[String] = manifest.flatMap(_._2).toSet
+    val foldedIds: Set[String] = manifest.flatMap(_.lingering).toSet
     // EVERY non-hidden entry participates: batch_id= partitions and
     // committed chunks are the prunable ones (when they carry a
     // sidecar); anything else a deployment seeded here (a base index as
@@ -537,7 +589,8 @@ object StreamingSpanDedup {
     // chunks: (groupKey, dataPath, zonesPath); one without a readable
     // sidecar (impossible by the commit protocol, but keep-safe) reads
     // unpruned alongside the bare entries
-    val chunkInfo = manifest.map { case (c, _) =>
+    val chunkInfo = manifest.map { e =>
+      val c = e.name
       (c,
         new org.apache.hadoop.fs.Path(compactedDir(positionsPath),
           s"$c/data").toString,

@@ -533,18 +533,26 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(!misses.inputFiles.exists(_.contains("chunk=0")))
 
     // the next compaction GCs the superseded dirs (incl. the garbage
-    // copy), folds 4..5 into a second chunk, and — both chunks sitting
-    // under the refold size gate — refolds them into ONE (the tiered
-    // second level: work = 2 batch dirs + 2 chunks = 4)
+    // copy) and folds 4..5 into a second chunk; the chunk written THIS
+    // call never refolds in the same invocation (its rows would be
+    // written twice for one cadence's gain)
     assert(StreamingSpanDedup.compactPositions(spark, pos, 5L,
-      minDirs = 1) === 4)
+      minDirs = 1) === 2)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pos/batch_id=2")))
     assert(posRows() === before)
+    assert(StreamingSpanDedup.readCompactManifest(spark, pos).size === 2)
+    // a third call: GCs the now-superseded batch dirs, then the tiered
+    // second level refolds the two small chunks into ONE
+    // (refoldFactor = 1.0 — the deterministic-mechanics setting; the
+    // default 2.0 amplification bound depends on relative chunk sizes)
+    assert(StreamingSpanDedup.compactPositions(spark, pos, 5L,
+      minDirs = 1, refoldFactor = 1.0) === 2)
+    assert(posRows() === before)
     assert(StreamingSpanDedup.readCompactManifest(spark, pos).size === 1)
-    // a third call: GCs the two superseded chunk dirs, then no-ops (a
+    // a fourth call: GCs the two superseded chunk dirs, then no-ops (a
     // single chunk never refolds into a copy of itself)
     assert(StreamingSpanDedup.compactPositions(spark, pos, 5L,
-      minDirs = 1) === 0)
+      minDirs = 1, refoldFactor = 1.0) === 0)
     assert(posRows() === before)
     val chunkDirs = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$pos/_compacted")).toSeq
