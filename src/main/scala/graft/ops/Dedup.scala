@@ -1501,8 +1501,12 @@ object Dedup {
     try counts.count()
     catch {
       case t: Throwable =>
-        counts.unpersist()
-        if (micro) shEx.unpersist()
+        // Try-wrapped: if unpersist itself throws (a SparkContext already
+        // shutting down after executor loss — the exact scenario this
+        // handler targets), the ORIGINAL materialization failure must
+        // still propagate, not the secondary cleanup one (r12 advice)
+        scala.util.Try(counts.unpersist())
+        if (micro) scala.util.Try(shEx.unpersist())
         throw t
     }
     (shEx, counts)
@@ -1598,7 +1602,8 @@ object Dedup {
     * Only affected docs' positions reach the gaps-and-islands merge. */
   def retroactiveSpanSweep(positions: DataFrame, prevOcc: DataFrame,
                            curOcc: DataFrame, n: Int = 10,
-                           minOcc: Int = 2, occParts: Int = 0): DataFrame = {
+                           minOcc: Int = 2, occParts: Int = 0,
+                           sliceAffected: Int = SweepSliceMaxAffected): DataFrame = {
     require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
     val missing = Seq("id", "pos", "shingle")
       .filterNot(positions.columns.contains)
@@ -1614,7 +1619,8 @@ object Dedup {
       .join(coveredKeys(prevOcc).hint("SHUFFLE_HASH"),
         Seq("shingle"), "left_anti")
       .localCheckpoint()
-    sweepTail(positions, positions, crossed, curOcc, n, minOcc, occParts)
+    sweepTail(positions, positions, crossed, curOcc, n, minOcc, occParts,
+      sliceAffected)
   }
 
   /** Delta form of [[retroactiveSpanSweep]] — the state-store-native
@@ -1630,8 +1636,8 @@ object Dedup {
     * is row-identical to the pair form (RetroactiveSweepSpec pins it). */
   def retroactiveSpanSweepDelta(positions: DataFrame, prevOcc: DataFrame,
                                 deltaOcc: DataFrame, n: Int = 10,
-                                minOcc: Int = 2,
-                                occParts: Int = 0): DataFrame = {
+                                minOcc: Int = 2, occParts: Int = 0,
+                                sliceAffected: Int = SweepSliceMaxAffected): DataFrame = {
     require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
     val missing = Seq("id", "pos", "shingle")
       .filterNot(positions.columns.contains)
@@ -1646,7 +1652,7 @@ object Dedup {
       crossedKeysDelta(prevOcc, deltaOcc, minOcc, occParts),
       prevOcc.select("shingle", "occ")
         .unionByName(deltaOcc.select("shingle", "occ")),
-      n, minOcc, occParts)
+      n, minOcc, occParts, sliceAffected)
   }
 
   /** The delta decomposition's crossed-key set — prev < minOcc ≤
@@ -1696,7 +1702,8 @@ object Dedup {
   def sweepFromCrossed(positionsForCrossed: DataFrame,
                        positions: DataFrame, crossed: DataFrame,
                        curOcc: DataFrame, n: Int = 10, minOcc: Int = 2,
-                       occParts: Int = 0): DataFrame = {
+                       occParts: Int = 0,
+                       sliceAffected: Int = SweepSliceMaxAffected): DataFrame = {
     require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
     Seq(positionsForCrossed, positions).foreach { t =>
       val missing = Seq("id", "pos", "shingle").filterNot(t.columns.contains)
@@ -1705,20 +1712,41 @@ object Dedup {
           s"${missing.mkString(", ")})")
     }
     sweepTail(positionsForCrossed, positions, crossed, curOcc, n, minOcc,
-      occParts)
+      occParts, sliceAffected)
   }
+
+  /** Affected-doc cap per sweep SLICE (r12 verdict item 6 — the 2×
+    * headroom leg's sweep walled 4.43× at a 61.7 GB pool peak on a fixed
+    * 48 GB heap: the affected-doc positions, their key slim, and the
+    * coverage aggregate were all live AT ONCE, and the working set grows
+    * with the accumulated increment while the heap does not): affected
+    * docs' spans are mutually independent (coverage is per doc), so the
+    * recompute is embarrassingly sliceable by doc id. Past the cap,
+    * [[sweepFromCrossed]]'s tail runs one bounded slice at a time —
+    * each slice MATERIALIZES its spans and releases its intermediates
+    * before the next starts, so the live working set is one slice
+    * regardless of how affected the window was. The price, recorded
+    * honestly: each slice re-SCANS positions and the slimmed state (the
+    * scans are map-side semi-joins under the broadcast gate — no extra
+    * exchange), traded for a bounded peak. 32768 ≈ the 504k run's whole
+    * sweep in one slice (comparability) with the 2× leg at two. */
+  final val SweepSliceMaxAffected: Int = 32768
 
   /** Shared tail of the sweep forms: crossed keys → affected base
     * ids → their covered positions under the CURRENT state → spans.
     * `curOcc` is consumed only SLIMMED to the affected docs' key set
     * (map-side under the broadcast gate — finding 20's shape), never
-    * re-aggregated corpus-wide. `positionsForCrossed` vs `positions`:
-    * see [[sweepFromCrossed]] (the one-frame forms pass the same frame
-    * twice). */
+    * re-aggregated corpus-wide. Affected sets past
+    * [[SweepSliceMaxAffected]] recompute in bounded doc-id slices (see
+    * the constant's doc; sliced output is row-identical —
+    * RetroactiveSweepSpec pins it). `positionsForCrossed` vs
+    * `positions`: see [[sweepFromCrossed]] (the one-frame forms pass the
+    * same frame twice). */
   private def sweepTail(positionsForCrossed: DataFrame,
                         positions: DataFrame, crossed: DataFrame,
                         curOcc: DataFrame, n: Int, minOcc: Int,
-                        occParts: Int): DataFrame = {
+                        occParts: Int,
+                        sliceAffected: Int = SweepSliceMaxAffected): DataFrame = {
     // the crossed-key set is increment-bounded and usually tiny (30,886
     // affected docs from ~79k crossed keys at the 504k run) — under the
     // gate it broadcasts, so the corpus-sized positions index is FILTERED
@@ -1734,23 +1762,57 @@ object Dedup {
       .select("id").distinct()
       .localCheckpoint()
     val nAffected = affected.count()
+    val nSlices =
+      if (sliceAffected <= 0) 1
+      else ((nAffected + sliceAffected - 1) / sliceAffected).toInt
+    if (nSlices <= 1)
+      sweepCoverage(positions, affected, nAffected, curOcc, n, minOcc,
+        occParts, eager = false)
+    else {
+      // disjoint doc-id slices (pmod — deterministic, no ordering job);
+      // each materializes its spans (columnar cache) and drops its
+      // intermediates before the next slice allocates
+      (0 until nSlices).map { s =>
+        val aff = affected
+          .filter(pmod(col("id"), lit(nSlices.toLong)) === lit(s.toLong))
+          .localCheckpoint()
+        sweepCoverage(positions, aff, aff.count(), curOcc, n, minOcc,
+          occParts, eager = true)
+      }.reduce(_.unionByName(_))
+    }
+  }
+
+  /** One affected-set coverage pass (the sweep tail below the affected
+    * discovery). `eager = false` keeps the r12 single-slice shape
+    * byte-for-byte (lazy result, localCheckpoint intermediates);
+    * `eager = true` — the sliced path — caches + materializes the
+    * slice's spans, then unpersists the slice's intermediates so at most
+    * one slice's working set is ever live. */
+  private def sweepCoverage(positions: DataFrame, affected: DataFrame,
+                            nAffected: Long, curOcc: DataFrame, n: Int,
+                            minOcc: Int, occParts: Int,
+                            eager: Boolean): DataFrame = {
     // past-the-gate fallbacks stay SHUFFLE_HASH-hinted like their
     // siblings — an unhinted semi here went SortMergeJoin and SORTED the
     // corpus-sized positions index (the finding-20 class; r11 review)
-    val posAffected = (
+    val posAffected0 = (
       if (nAffected <= Curation.MaxFlaggedIdBroadcast)
         positions.join(broadcast(affected), Seq("id"), "left_semi")
       else positions.join(affected.hint("SHUFFLE_HASH"),
         Seq("id"), "left_semi"))
-      .localCheckpoint()
+    val posAffected =
+      if (eager) { val p = posAffected0.persist(); p.count(); p }
+      else posAffected0.localCheckpoint()
     // coverage for the affected docs under the CURRENT state, without a
     // second corpus-wide aggregate (the crossed computation above already
     // paid the states' one inherent exchange): slim the state to the
     // affected docs' key set FIRST — map-side under the broadcast gate,
     // hash semi past it — then the aggregate + threshold runs on
     // affected-doc mass only
-    val affKeys = posAffected.select("shingle").distinct()
-      .localCheckpoint()
+    val affKeys0 = posAffected.select("shingle").distinct()
+    val affKeys =
+      if (eager) { val k = affKeys0.persist(); k }
+      else affKeys0.localCheckpoint()
     val nAffKeys = affKeys.count()
     val curSlim =
       if (nAffKeys <= Curation.MaxFlaggedIdBroadcast)
@@ -1762,7 +1824,15 @@ object Dedup {
     val coveredPos = posAffected
       .join(coveredAff.hint("SHUFFLE_HASH"), Seq("shingle"), "left_semi")
       .select("id", "pos")
-    islandsToSpans(coveredPos, n)
+    val spans = islandsToSpans(coveredPos, n)
+    if (!eager) spans
+    else {
+      val out = spans.persist()
+      out.count()
+      posAffected.unpersist()
+      affKeys.unpersist()
+      out
+    }
   }
 
   /** Duplicate-cluster assignment: connected components over a near-dup

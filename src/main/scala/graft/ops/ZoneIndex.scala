@@ -64,24 +64,33 @@ object ZoneIndex {
                         bloom: Array[Byte])
 
   /** Build the zone rows for `df`'s `keyCol` under `numBuckets` pmod
-    * buckets: (b, cnt, kmin, kmax, bloom). ONE exchange of bare
-    * (bucket, key) pairs + a streaming per-bucket fold — per-task state
-    * is (distinct buckets in the task) × (counters + ≤ maxBloomKeys
-    * buffered keys), never the relation. */
+    * buckets: (b, cnt, kmin, kmax, bloom). PARTIAL FOLD, no re-exchange
+    * of the keys (r12 verdict: the first cut `repartition(col("b"))`ed —
+    * at `numBuckets = 1`, the streaming positions sidecars' shape, a
+    * constant bucket value routed the WHOLE frame through one task, so a
+    * bulk batch serialized a corpus-mass distinct to build its sidecar):
+    * each input partition folds its rows into per-bucket partials
+    * (cnt, min, max, ≤ maxBloomKeys buffered keys) in place, and only
+    * the partials — bucket-count-bounded, never row-count-bounded —
+    * shuffle to merge. The final bloom is built from the merged key
+    * buffer, so the bytes are IDENTICAL to a single-task fold (a Bloom
+    * filter is an OR of per-key bit sets — insertion order can't show;
+    * ZoneIndexSpec pins the parallel == 1-partition equality). */
   def build(df: DataFrame, keyCol: String, numBuckets: Int,
             maxBloomKeys: Int = MaxBloomKeys): DataFrame = {
     require(numBuckets >= 1, s"need numBuckets >= 1, got $numBuckets")
     require(maxBloomKeys >= 1, s"need maxBloomKeys >= 1, got $maxBloomKeys")
     val spark = df.sparkSession
     import spark.implicits._
+    // partial: (cnt, kmin, kmax, keys-or-null) — keys drop to null the
+    // moment a partial (or a merge) exceeds the bloom cap, the same
+    // final null-ness as one sequential fold (null iff total cnt > cap)
     df.select(
         pmod(col(keyCol), lit(numBuckets.toLong)).cast("int").as("b"),
         col(keyCol).cast("long").as("k"))
-      .repartition(col("b"))
       .as[(Int, Long)]
+      .rdd
       .mapPartitions { it =>
-        // per-bucket fold: cnt/min/max stream; keys buffer only up to the
-        // bloom cap, then the buffer drops and the bucket emits bloom=null
         final class St {
           var cnt = 0L
           var kmin = Long.MaxValue
@@ -101,18 +110,28 @@ object ZoneIndex {
           }
         }
         m.iterator.map { case (b, st) =>
-          val bloom: Array[Byte] =
-            if (st.buf == null) null
-            else {
-              val bf = BloomFilter.create(st.buf.length.max(1).toLong,
-                BloomFpp)
-              st.buf.foreach(bf.putLong)
-              val out = new java.io.ByteArrayOutputStream()
-              bf.writeTo(out)
-              out.toByteArray
-            }
-          (b, st.cnt, st.kmin, st.kmax, bloom)
+          (b, (st.cnt, st.kmin, st.kmax,
+            if (st.buf == null) null else st.buf.toArray))
         }
+      }
+      .reduceByKey { (x, y) =>
+        val keys: Array[Long] =
+          if (x._4 == null || y._4 == null ||
+            x._4.length + y._4.length > maxBloomKeys) null
+          else x._4 ++ y._4
+        (x._1 + y._1, math.min(x._2, y._2), math.max(x._3, y._3), keys)
+      }
+      .map { case (b, (cnt, kmin, kmax, keys)) =>
+        val bloom: Array[Byte] =
+          if (keys == null) null
+          else {
+            val bf = BloomFilter.create(keys.length.max(1).toLong, BloomFpp)
+            keys.foreach(bf.putLong)
+            val out = new java.io.ByteArrayOutputStream()
+            bf.writeTo(out)
+            out.toByteArray
+          }
+        (b, cnt, kmin, kmax, bloom)
       }
       .toDF("b", "cnt", "kmin", "kmax", "bloom")
   }
@@ -135,59 +154,109 @@ object ZoneIndex {
         if (r.isNullAt(4)) null else r.getAs[Array[Byte]](4)))
       .toMap
 
-  /** Collect MANY groups' zone sidecars in ONE Spark job: `paths` are
-    * the `_zones` parquet dirs, `groupRegex` extracts each row's group
-    * key from its file path (`input_file_name`), and `buckets` (when
-    * set) restricts to the caller's touched set. One job replaces the
-    * per-group read+collect loop that cost a scheduler round-trip PER
-    * sidecar — at a 10,000-partition positions index that loop was
-    * minutes of driver-bound latency per sweep, and on the streaming
-    * probe's hot path it taxed every micro-batch by (stacked segments)
-    * round-trips. `bloomBudgetBytes` bounds the collected (and later
-    * broadcast) bloom bytes: groups are admitted in DESCENDING group-key
-    * order (recent batches first — the partitions a fresh crossed key
-    * most plausibly prunes) until the budget is spent, after which
-    * blooms drop to null and those zones prune by count/min-max only —
-    * the safe (never-false-negative) degradation, bounding sweep
-    * broadcast size over an unboundedly growing stream. */
+  /** Collect MANY groups' zone sidecars in one pass: `paths` are the
+    * `_zones` parquet dirs, `groupRegex` extracts each row's group key
+    * from its file path (`input_file_name`), and `buckets` (when set)
+    * restricts to the caller's touched set. One sweep-wide call replaces
+    * the per-group read+collect loop that cost a scheduler round-trip
+    * PER sidecar — at a 10,000-partition positions index that loop was
+    * minutes of driver-bound latency per sweep.
+    *
+    * `bloomBudgetBytes` bounds the bloom bytes this call materializes —
+    * ON THE DRIVER as well as in the later broadcast (r12 advice: the
+    * first cut collected every group's bloom bytes and only then
+    * trimmed, so the driver spiked by the full sidecar bloom mass before
+    * the budget applied). TWO PHASES: a stats-only job collects
+    * (group, bucket, cnt, kmin, kmax, bloom LENGTH) — no bloom bytes on
+    * the wire — the driver admits blooms in DETERMINISTIC recency order
+    * (the group key's LAST run of digits, descending — recent
+    * batches/chunks first, the partitions a fresh crossed key most
+    * plausibly prunes; then name, then bucket) as a PREFIX of that order
+    * until the first bloom that does not fit, and a second job fetches
+    * ONLY the admitted blooms. Zones past the cut keep count/min-max
+    * pruning with a null bloom — the safe (never-false-negative)
+    * degradation, bounding both driver and broadcast bytes over an
+    * unboundedly growing stream. */
   def collectZoneGroups(spark: SparkSession, paths: Seq[String],
                         groupRegex: String, buckets: Option[Set[Int]],
                         bloomBudgetBytes: Long = 256L << 20)
       : Map[String, Map[Int, Zone]] = {
     if (paths.isEmpty) return Map.empty
-    var rows = spark.read.parquet(paths: _*)
-      .select(regexp_extract(input_file_name(), groupRegex, 1).as("g"),
-        col("b"), col("cnt"), col("kmin"), col("kmax"), col("bloom"))
-    buckets.foreach(bs => rows = rows.filter(col("b").isin(bs.toSeq: _*)))
-    val collected = rows.collect()
-      .map(r => (r.getString(0), r.getInt(1), Zone(r.getLong(2),
-        r.getLong(3), r.getLong(4),
-        if (r.isNullAt(5)) null else r.getAs[Array[Byte]](5))))
+    def rows = {
+      var r = spark.read.parquet(paths: _*)
+        .select(regexp_extract(input_file_name(), groupRegex, 1).as("g"),
+          col("b"), col("cnt"), col("kmin"), col("kmax"), col("bloom"))
+      buckets.foreach(bs => r = r.filter(col("b").isin(bs.toSeq: _*)))
+      r
+    }
+    // phase 1: stats + bloom LENGTH only (−1 = no bloom)
+    val stats = rows
+      .select(col("g"), col("b"), col("cnt"), col("kmin"), col("kmax"),
+        when(col("bloom").isNull, lit(-1)).otherwise(length(col("bloom")))
+          .as("bl"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4)), r.getInt(5)))
+    // recency order: the group key's LAST run of digits, descending —
+    // "batch_id=9" must not beat "batch_id=10", and OccStateStore keys
+    // like "seg-12-delta" carry their number mid-key, so take the last
+    // digit RUN, not a trailing-anchored match (r12 advice: the `$`
+    // anchor never matched `-delta`/`-compact` suffixed keys, silently
+    // degrading their order to lexicographic); digit-less groups follow
+    // in stable name order
+    val digits = "(\\d+)".r
+    def orderKey(g: String): Long =
+      digits.findAllIn(g).toSeq.lastOption
+        .flatMap(s => scala.util.Try(-s.toLong).toOption)
+        .getOrElse(Long.MaxValue)
+    val ordered = stats.sortBy { case (g, b, _, _) => (orderKey(g), g, b) }
+    // prefix admission: the FIRST bloom that does not fit ends admission
+    // (a deterministic prefix of the order — what phase 2's pushed
+    // filter can state exactly; skipping it and admitting later smaller
+    // blooms could not be expressed as one predicate)
     var budget = bloomBudgetBytes
-    // budget admission order: the group key's TRAILING NUMBER descending
-    // (recent batch/chunk first) — "batch_id=9" must not beat
-    // "batch_id=10", so parse the digits, don't compare lexicographically
-    // (prefixed keys made a bare .toLong throw for every group, which
-    // silently degraded the order to lexicographic — the r12 review's
-    // inverted-recency finding); groups with no digits follow in stable
-    // name order
-    val trailing = "(\\d+)$".r
-    collected.groupBy(_._1).toSeq
-      .sortBy { case (g, _) =>
-        (trailing.findFirstIn(g)
-          .flatMap(s => scala.util.Try(-s.toLong).toOption)
-          .getOrElse(Long.MaxValue), g)
+    var stopped = false
+    val admitted = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    ordered.foreach { case (g, b, _, bl) =>
+      if (bl >= 0 && !stopped) {
+        if (budget >= bl.toLong) {
+          budget -= bl.toLong
+          admitted.getOrElseUpdate(g,
+            new scala.collection.mutable.ArrayBuffer[Int]) += b
+        } else stopped = true
       }
-      .map { case (g, zs) =>
-        g -> zs.map { case (_, b, z) =>
-          val bloomBytes = if (z.bloom == null) 0L else z.bloom.length.toLong
-          val kept =
-            if (z.bloom != null && budget >= bloomBytes) {
-              budget -= bloomBytes; z
-            } else Zone(z.cnt, z.kmin, z.kmax, null)
-          b -> kept
-        }.toMap
+    }
+    // phase 2: fetch admitted blooms only. The admitted set is a prefix,
+    // so it is (whole groups) + at most one partial group as a bucket
+    // range — a compact pushable predicate, and the collected bytes are
+    // ≤ the budget by construction.
+    val bloomsByZone: Map[(String, Int), Array[Byte]] =
+      if (admitted.isEmpty) Map.empty
+      else {
+        val withBloom: Map[String, Int] = stats
+          .filter(_._4 >= 0).groupBy(_._1).view.mapValues(_.length).toMap
+        val (full, partial) = admitted.toSeq.partition { case (g, bs) =>
+          bs.length == withBloom.getOrElse(g, 0)
+        }
+        val preds = Seq(
+          if (full.isEmpty) None
+          else Some(col("g").isin(full.map(_._1): _*)),
+          partial.headOption.map { case (g, bs) =>
+            col("g") === g && col("b") <= bs.max }
+        ).flatten
+        rows.filter(preds.reduce(_ || _)).filter(col("bloom").isNotNull)
+          .select("g", "b", "bloom")
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1)) ->
+            r.getAs[Array[Byte]](2))
+          .toMap
+      }
+    stats.groupBy(_._1).view.mapValues { zs =>
+      zs.map { case (g, b, (cnt, kmin, kmax), _) =>
+        b -> Zone(cnt, kmin, kmax, bloomsByZone.getOrElse((g, b), null))
       }.toMap
+    }.toMap
   }
 
   /** The (groupName, bucket) pairs a key batch MIGHT hit across several

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
@@ -16,15 +16,20 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * {{{
   *   stateDir/_graft_occ_meta              numBuckets (write-once)
   *   stateDir/segments/seg-<v>-delta/b=<k>/   batch v's counts, touched buckets only
-  *   stateDir/segments/seg-<v>-compact/b=<k>/ buckets compacted at batch v
+  *   stateDir/segments/seg-<v>-compact/b=<k>/[sb=<s>/]  buckets compacted at batch v
   *   stateDir/manifests/v=<v>              bucket -> ordered segment list
   * }}}
   * A bucket's content at version v = per-shingle SUM over the manifest's
   * segment list for that bucket (base compact + stacked deltas). Buckets
   * are `pmod(shingle, numBuckets)` — a pure function of the key, so delta
-  * and compaction writes agree by construction.
+  * and compaction writes agree by construction. CORPUS-MASS segments
+  * (compactions, bulk base-build deltas) additionally split every bucket
+  * into `sb = pmod(xxhash64(shingle), subSplit)` SUB-BUCKET files — the
+  * probe's third pruning tier (see the cost model); the split factor is
+  * a per-segment property recorded in the manifest, and the sub routing
+  * is again a pure function of the key, so any reader can recompute it.
   *
-  * Cost model (the r10 weak-mark fix):
+  * Cost model (r10 weak-mark fix, refined through r13):
   *  - '''advance is O(batch) strictly per batch''': the only mandatory
   *    write is the batch's own count table, partitioned into the buckets
   *    it touches — a batch touching b buckets writes exactly b bucket
@@ -34,6 +39,20 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *    bucket collapses to one segment only after `compactAt` deltas stack
   *    on it, so the O(|bucket|) rewrite amortizes to |bucket|/compactAt
   *    per batch and runs as ONE job over exactly the due buckets.
+  *  - '''probe reads prune in three tiers''' ([[readPruned]]):
+  *    (1) bucket SET — `pmod(shingle, numBuckets)` is exact, a state row
+  *    in an untouched bucket can never match; (2) per-segment ZONE
+  *    sidecars skip stacked DELTA files a batch's keys provably miss;
+  *    (3) SUB-BUCKET files skip, WITHIN a touched corpus-mass bucket,
+  *    the `pmod(xxhash64(shingle), subSplit)` sub-files the batch's keys
+  *    don't route to — also exact. Tier 3 is the r12-verdict fix for the
+  *    mid-size-batch regime: bucket-set pruning saturates as batches
+  *    grow (a 5-doc batch already touched 74% of a 4096-bucket state)
+  *    and zones only cover small deltas, so compacted corpus-mass
+  *    buckets were all-or-nothing; sub-files keep the read proportional
+  *    to the batch's KEY count (~keys × bucketBytes/subSplit) well past
+  *    bucket saturation. Sub-files are written SORTED by shingle (a
+  *    per-task in-memory sort after the width rule — priced in SCALE.md).
   *  - '''retention bounds disk''': manifests older than the newest
   *    `retainVersions` are deleted and segments no retained manifest
   *    references are GC'd — disk holds one compacted state + recent
@@ -43,6 +62,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *    [[graft.ops.Dedup.incrementalRepeatedSpans]] sums AFTER its
   *    batch-keyed semi-join slim, so probing the state never aggregates
   *    more than batch-sized data.
+  *  - '''per-batch driver fixed cost is memoized''' (r12 verdict item 4):
+  *    manifests and zone sidecars are immutable once written (rewrites
+  *    happen only through this JVM's single writer, which writes through
+  *    the cache), so the probe's manifest read and sidecar collect jobs
+  *    run once per ARTIFACT, not once per micro-batch — see
+  *    [[OccStateStore.Memo]]. The remaining per-batch planning work is
+  *    ONE batch-sized job ([[probePlan]]) computing touched buckets,
+  *    touched sub-pairs, and zone hits together (r12 ran three).
   *
   * Replay protocol (Structured Streaming `foreachBatch` retries): every
   * write is keyed by the monotone `batchId` and every input is read from
@@ -60,7 +87,10 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
       s"got $retainVersions")
   require(compactAt >= 2, s"need compactAt >= 2, got $compactAt")
 
+  import OccStateStore.SegStat
+
   private val root = new Path(stateDir)
+  private val rootKey = root.toString
   private def fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def segDir(name: String) = new Path(root, s"segments/$name")
@@ -69,9 +99,18 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
   private val occSchema = StructType(Seq(
     StructField("shingle", LongType), StructField("occ", LongType)))
 
+  /** The sub-bucket routing column — a SECOND pure function of the key
+    * (xxhash64's bits are independent of pmod's low-bit routing, so sub
+    * assignment is uniform within every bucket), evaluated identically
+    * at write ([[compactBuckets]]/[[advance]]) and probe ([[probePlan]])
+    * time. */
+  private def subCol(subSplit: Int): Column =
+    pmod(xxhash64(col("shingle")), lit(subSplit.toLong)).cast("int")
+
   // ---- manifests -----------------------------------------------------
 
-  /** All committed versions, ascending. */
+  /** All committed versions, ascending. NOT memoized: version discovery
+    * is how a cross-JVM reader observes the single writer's progress. */
   def versions(): Seq[Long] = {
     val dir = new Path(root, "manifests")
     if (!fs.exists(dir)) Seq.empty
@@ -87,36 +126,45 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
   /** bucket -> ordered segment names composing it. */
   private def readManifest(v: Long): Map[Int, Seq[String]] =
     readManifestStats(v).view
-      .mapValues(_.map(_._1)).toMap
+      .mapValues(_.map(_.name)).toMap
 
-  /** bucket -> ordered (segment, rowCount) stack. The count is the zone
-    * metadata written since r12 (−1 on pre-stats manifest lines): it
-    * prices a bucket's scan before opening it and feeds the pruning
-    * diagnostics; the bucket SET pruning itself needs no stats (pmod is
-    * exact). */
-  def readManifestStats(v: Long): Map[Int, Seq[(String, Long)]] = {
-    require(fs.exists(manifestPath(v)),
-      s"no manifest for version $v under $root — outside the retained " +
-        s"window (retention keeps the last $retainVersions versions)?")
-    graft.FsText.read(spark, manifestPath(v))
-      .linesIterator.filter(_.nonEmpty).toSeq
-      .map { line =>
-        val parts = line.split('\t')
-        (parts(0).toInt, (parts(1),
-          if (parts.length > 2) parts(2).toLong else -1L))
-      }
-      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-  }
+  /** bucket -> ordered [[OccStateStore.SegStat]] stack (segment name,
+    * row count, sub-split factor). Rows are the zone metadata written
+    * since r12 (−1 on pre-stats manifest lines): they price a bucket's
+    * scan before opening it and size the compaction's sub-split;
+    * `subSplit` (4th field, 1 on older lines) tells readers which
+    * segments carry `sb=` sub-bucket files. Memoized per (store,
+    * version): manifests are immutable except through this JVM's single
+    * writer, which writes through the cache. */
+  def readManifestStats(v: Long): Map[Int, Seq[SegStat]] =
+    OccStateStore.Memo.manifest(rootKey, v) {
+      require(fs.exists(manifestPath(v)),
+        s"no manifest for version $v under $root — outside the retained " +
+          s"window (retention keeps the last $retainVersions versions)?")
+      graft.FsText.read(spark, manifestPath(v))
+        .linesIterator.filter(_.nonEmpty).toSeq
+        .map { line =>
+          val parts = line.split('\t')
+          (parts(0).toInt, SegStat(parts(1),
+            if (parts.length > 2) parts(2).toLong else -1L,
+            if (parts.length > 3) parts(3).toInt else 1))
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }
 
   /** Deterministic text manifest (bucket-major, stack order, one
-    * `bucket\tsegment\trowCount` line each), published via atomic
-    * overwrite-rename — a reader below `batchId` never sees a torn file
-    * for the version it reads. */
-  private def writeManifest(v: Long, m: Map[Int, Seq[(String, Long)]]): Unit = {
+    * `bucket\tsegment\trowCount\tsubSplit` line each), published via
+    * atomic overwrite-rename — a reader below `batchId` never sees a
+    * torn file for the version it reads. Writes through the manifest
+    * memo (the one mutation path for an existing version: a replayed
+    * advance or a maintenance compaction rewriting in place). */
+  private def writeManifest(v: Long, m: Map[Int, Seq[SegStat]]): Unit = {
     val body = m.toSeq.sortBy(_._1)
-      .flatMap { case (b, segs) => segs.map { case (s, c) => s"$b\t$s\t$c" } }
+      .flatMap { case (b, segs) =>
+        segs.map(s => s"$b\t${s.name}\t${s.rows}\t${s.subSplit}") }
       .mkString("", "\n", "\n")
     graft.FsText.writeAtomic(spark, manifestPath(v), body)
+    OccStateStore.Memo.putManifest(rootKey, v, m)
   }
 
   // ---- reads ---------------------------------------------------------
@@ -125,40 +173,45 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     spark.createDataFrame(spark.sparkContext
       .emptyRDD[org.apache.spark.sql.Row], occSchema)
 
+  /** (shingle, occ) over explicit data paths. `recursiveFileLookup`
+    * makes the read layout-agnostic: a path may be a flat bucket dir
+    * (files) or a sub-split one (`sb=` subdirs) — both read as bare
+    * data, no partition inference (underscore-prefixed sidecars stay
+    * hidden under the standard path filter). */
+  private def readPaths(paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) emptyOcc
+    else spark.read.schema(occSchema)
+      .option("recursiveFileLookup", "true").parquet(paths: _*)
+
   /** The state at `version` as base + uncompacted deltas, AS-IS: several
     * rows per shingle are possible; the per-shingle SUM is the occurrence
     * count (exactly what [[graft.ops.Dedup.incrementalRepeatedSpans]]'s
     * relaxed contract consumes — no corpus-wide merge on the read path). */
   def read(version: Long): DataFrame = readBuckets(version, None)
 
-  /** The state at `version` RESTRICTED to `buckets` — the probe-side half
-    * of the r11 weak-mark fix: the advance has been O(batch) since r11,
-    * but the probe still SCANNED every bucket's parquet per micro-batch
-    * (O(|state|) bytes at streaming cadence). A probe knows its key set
-    * before touching state, and `pmod(shingle, numBuckets)` is a pure
-    * function of the key — so a state row in a bucket the batch does not
-    * touch can never equal any batch shingle, and opening ONLY the
-    * batch's bucket directories is EXACT pruning (no false negatives;
-    * StreamingSpanDedupSpec pins file-level identity via `inputFiles`).
-    * The read scales as touched/numBuckets of the state: free whenever
-    * batch-distinct-shingles ≲ numBuckets (the per-doc / per-second
-    * cadence regime), degrading gracefully to the full scan as the batch
-    * grows (touched saturates at numBuckets — never WORSE than unpruned,
-    * the only added cost being the caller's batch-sized distinct-bucket
-    * job). Size `numBuckets` for this at creation: [[OccStateStore.deriveNumBuckets]]. */
+  /** The state at `version` RESTRICTED to `buckets` — tier-1 pruning
+    * alone (see the class doc; [[readPruned]] adds tiers 2+3). A probe
+    * knows its key set before touching state, and
+    * `pmod(shingle, numBuckets)` is a pure function of the key — so a
+    * state row in a bucket the batch does not touch can never equal any
+    * batch shingle, and opening ONLY the batch's bucket directories is
+    * EXACT pruning (no false negatives; StreamingSpanDedupSpec pins
+    * file-level identity via `inputFiles`). The read scales as
+    * touched/numBuckets of the state: free whenever
+    * batch-distinct-shingles ≲ numBuckets, degrading gracefully as the
+    * batch grows (touched saturates at numBuckets — never WORSE than
+    * unpruned). Size `numBuckets` for this at creation:
+    * [[OccStateStore.deriveNumBuckets]]. */
   def read(version: Long, buckets: Set[Int]): DataFrame =
     readBuckets(version, Some(buckets))
 
   private def readBuckets(version: Long,
-                          buckets: Option[Set[Int]]): DataFrame = {
-    val paths = readManifest(version).toSeq
+                          buckets: Option[Set[Int]]): DataFrame =
+    readPaths(readManifest(version).toSeq
       .filter(bs => buckets.forall(_.contains(bs._1)))
       .sortBy(_._1).flatMap {
         case (b, segs) => segs.map(s => new Path(segDir(s), s"b=$b").toString)
-      }
-    if (paths.isEmpty) emptyOcc
-    else spark.read.schema(occSchema).parquet(paths: _*)
-  }
+      })
 
   /** Latest state strictly below `batchId` (empty before the first
     * commit) — the frame a micro-batch probes and advances from. */
@@ -170,50 +223,141 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
   def readLatestBefore(batchId: Long, buckets: Set[Int]): DataFrame =
     latestVersionBefore(batchId).map(read(_, buckets)).getOrElse(emptyOcc)
 
-  /** The sharpest probe read: bucket-SET pruning (exact, as
-    * [[read(version:Long,buckets:Set[Int])*]]) plus per-SEGMENT zone
-    * pruning within the touched buckets — a stacked delta segment whose
-    * [[graft.ops.ZoneIndex]] sidecar proves it holds none of the batch's
-    * keys in a bucket is not opened at all. No false negatives (the
-    * sidecar rules are one-sided; segments without a sidecar — compacts
-    * and corpus-mass deltas — stay unpruned), so the probe's spans are
-    * row-identical to the full read (StreamingSpanDedupSpec pins it).
-    * `keys` is the batch's (shingle, …) frame — in the serving path the
-    * probe's checkpointed counts, so the extra cost is one batch-sized
-    * pass + a bounded collect. */
+  /** The sharpest probe read — all three pruning tiers (class doc):
+    * bucket SET (exact), per-segment ZONE sidecars on the stacked delta
+    * files, and SUB-BUCKET files within touched corpus-mass buckets
+    * (exact — `pmod(xxhash64(shingle), subSplit)` is a pure function of
+    * the key, recomputed from the batch's own keys). No false negatives
+    * anywhere (zones are one-sided; the other two tiers are routing
+    * functions), so the probe's spans are row-identical to the full read
+    * (StreamingSpanDedupSpec pins it). `keys` is the batch's
+    * (shingle, …) frame — in the serving path the probe's checkpointed
+    * counts. Per-batch cost: ONE batch-sized planning job
+    * ([[probePlan]]) + bounded collects; manifests and sidecars come
+    * from the [[OccStateStore.Memo]] cache (a sidecar is read once per
+    * segment per JVM, not once per micro-batch — r12 verdict item 4). */
   def readPruned(batchId: Long, keys: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c}
     latestVersionBefore(batchId) match {
       case None => emptyOcc
       case Some(v) =>
-        val spark2 = keys.sparkSession
-        import spark2.implicits._
-        val touched = keys
-          .select(pmod(c("shingle"), lit(numBuckets.toLong))
-            .cast("int")).distinct().as[Int].collect().toSet
-        val stacks = readManifest(v).filter(e => touched.contains(e._1))
-        val segNames = stacks.values.flatten.toSet
-        val zoned = segNames.filter(s => fs.exists(zonesPath(s)))
-        // ALL zoned segments' sidecars in ONE job (the first cut ran one
-        // read+collect per stacked segment — a scheduler round-trip
-        // apiece on the streaming hot path, per micro-batch)
-        val groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]] =
-          graft.ops.ZoneIndex.collectZoneGroups(spark,
-            zoned.toSeq.sorted.map(zonesPath(_).toString),
-            "segments/([^/]+)/_zones", Some(touched))
-        val hits: Set[(String, Int)] =
-          if (groups.isEmpty) Set.empty
-          else graft.ops.ZoneIndex.hitPairs(groups, keys, "shingle",
-            numBuckets)
-        val paths = stacks.toSeq.sortBy(_._1).flatMap { case (b, segs) =>
-          segs.collect {
-            case s if !zoned.contains(s) || hits((s, b)) =>
-              new Path(segDir(s), s"b=$b").toString
+        val stacks = readManifestStats(v)
+        val allSegs: Seq[SegStat] = stacks.values.flatten.toSeq
+          .groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
+        val subSplits = allSegs.filter(_.subSplit > 1)
+          .map(_.subSplit).distinct.sorted
+        // zone maps for UNSPLIT segments only (split segments are
+        // corpus-mass and carry no sidecar by design — tier 3 prunes
+        // them instead); cached per segment, fetched once for the
+        // not-yet-seen ones in one collectZoneGroups call
+        val unsplit = allSegs.filter(_.subSplit == 1).map(_.name)
+        val cachedZones: Map[String,
+            Option[Map[Int, graft.ops.ZoneIndex.Zone]]] =
+          unsplit.map(s => s -> OccStateStore.Memo.zones(rootKey, s)).toMap
+        val toFetch = cachedZones.collect { case (s, None) => s }.toSeq
+          .filter(s => fs.exists(zonesPath(s)))
+        val fetched: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]] =
+          if (toFetch.isEmpty) Map.empty
+          else graft.ops.ZoneIndex.collectZoneGroups(spark,
+            toFetch.sorted.map(zonesPath(_).toString),
+            "segments/([^/]+)/_zones", None)
+        fetched.foreach { case (s, zm) =>
+          OccStateStore.Memo.putZones(rootKey, s, Some(zm)) }
+        // segments with no sidecar on disk: remember the absence too,
+        // so the fs.exists probe also runs once per segment
+        toFetch.filterNot(fetched.contains).foreach(s =>
+          OccStateStore.Memo.putZones(rootKey, s, Some(Map.empty)))
+        cachedZones.collect { case (s, None) if !toFetch.contains(s) &&
+            !fetched.contains(s) => s }
+          .foreach(s => OccStateStore.Memo.putZones(rootKey, s,
+            Some(Map.empty)))
+        val zoneMaps: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]] =
+          (cachedZones.collect { case (s, Some(zm)) if zm.nonEmpty =>
+            s -> zm } ++ fetched.filter(_._2.nonEmpty)).toMap
+        val (touched, subTouched, hits) =
+          probePlan(keys, subSplits, zoneMaps)
+        val paths = stacks.toSeq
+          .filter(e => touched.contains(e._1)).sortBy(_._1)
+          .flatMap { case (b, segs) =>
+            segs.flatMap { s =>
+              if (s.subSplit > 1)
+                subTouched.getOrElse(s.subSplit, Set.empty).collect {
+                  case (`b`, sb) =>
+                    new Path(segDir(s.name), s"b=$b/sb=$sb").toString
+                }.toSeq.sorted
+              else if (zoneMaps.contains(s.name)) {
+                if (hits((s.name, b)))
+                  Seq(new Path(segDir(s.name), s"b=$b").toString)
+                else Seq.empty
+              } else Seq(new Path(segDir(s.name), s"b=$b").toString)
+            }
+          }
+        readPaths(paths)
+    }
+  }
+
+  /** ONE batch-sized job computing everything the pruned read needs from
+    * the keys: the touched bucket set (≤ numBuckets ints), the touched
+    * (bucket, sub) pair set per distinct sub-split factor (≤ batch
+    * distinct keys), and the zone-hit (segment, bucket) pairs against
+    * the broadcast sidecar maps (bloom deserialized once per
+    * (segment, bucket) per task, as [[graft.ops.ZoneIndex.hitPairs]]).
+    * All three collects are batch- or metadata-bounded. The sub columns
+    * are built with the SAME Spark SQL expressions as the segment
+    * writes, so routing agrees bit-for-bit. */
+  private def probePlan(keys: DataFrame, subSplits: Seq[Int],
+                        groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]])
+      : (Set[Int], Map[Int, Set[(Int, Int)]], Set[(String, Int)]) = {
+    val spark2 = keys.sparkSession
+    import spark2.implicits._
+    val cols = col("shingle").cast("long").as("k") +:
+      pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b") +:
+      subSplits.map(s => subCol(s).as(s"sub_$s"))
+    val bc = spark2.sparkContext.broadcast(groups)
+    val nSubs = subSplits.length
+    val subArr = subSplits.toArray
+    val planned = keys.select(cols: _*)
+      .mapPartitions { it =>
+        val gs = bc.value
+        val blooms = new scala.collection.mutable.HashMap[(String, Int),
+          org.apache.spark.util.sketch.BloomFilter]
+        val buckets = new scala.collection.mutable.HashSet[Int]
+        val pairs = new scala.collection.mutable.HashSet[(Int, Int, Int)]
+        val hits = new scala.collection.mutable.HashSet[(String, Int)]
+        it.foreach { row =>
+          val k = row.getLong(0)
+          val b = row.getInt(1)
+          buckets += b
+          var i = 0
+          while (i < nSubs) {
+            pairs += ((subArr(i), b, row.getInt(2 + i)))
+            i += 1
+          }
+          gs.foreach { case (name, zones) =>
+            if (!hits.contains((name, b))) zones.get(b).foreach { z =>
+              if (k >= z.kmin && k <= z.kmax) {
+                if (z.bloom == null) hits += ((name, b))
+                else {
+                  val bf = blooms.getOrElseUpdate((name, b),
+                    org.apache.spark.util.sketch.BloomFilter.readFrom(
+                      new java.io.ByteArrayInputStream(z.bloom)))
+                  if (bf.mightContainLong(k)) hits += ((name, b))
+                }
+              }
+            }
           }
         }
-        if (paths.isEmpty) emptyOcc
-        else spark.read.schema(occSchema).parquet(paths: _*)
-    }
+        buckets.iterator.map(b => (0, "", b, -1)) ++
+          pairs.iterator.map { case (s, b, sb) => (1, s.toString, b, sb) } ++
+          hits.iterator.map { case (n, b) => (2, n, b, -1) }
+      }
+      .distinct()
+      .collect()
+    bc.unpersist()
+    val touched = planned.collect { case (0, _, b, _) => b }.toSet
+    val subTouched = planned.collect { case (1, s, b, sb) => (s.toInt, b, sb) }
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val zoneHits = planned.collect { case (2, n, b, _) => (n, b) }.toSet
+    (touched, subTouched, zoneHits)
   }
 
   /** One row per shingle (a full merge — state-sized exchange; for specs
@@ -226,14 +370,13 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
   def bucketSegments(version: Long): Map[Int, Seq[String]] =
     readManifest(version)
 
-  /** One named segment, all buckets (multi-row per-shingle-SUM frame). */
+  /** One named segment, all buckets (multi-row per-shingle-SUM frame).
+    * Layout-agnostic (recursive lookup — flat or sub-split buckets). */
   def readSegment(name: String): DataFrame = {
     val dir = segDir(name)
     require(fs.exists(dir), s"no segment $name under $root")
-    val paths = fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("b=")).map(_.toString)
-    if (paths.isEmpty) emptyOcc
-    else spark.read.schema(occSchema).parquet(paths: _*)
+    readPaths(fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("b=")).map(_.toString))
   }
 
   /** The pure per-batch DELTAS accumulated in (`fromVersion`,
@@ -284,6 +427,20 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     else sessionParts
   }
 
+  /** Shuffle width for a SUB-SPLIT (sorted) segment write: the sorted
+    * path opens one file at a time, so the writer cap is irrelevant —
+    * the binding constraint is per-task SORT memory. Sized so a task
+    * sorts ~[[OccStateStore.SortedWriteRowsPerTask]] rows (~80 MB of
+    * 20-byte rows — in-memory on any sane executor), from the exact row
+    * count when the caller has one (compaction does, from the manifest
+    * stats) or the plan-stats estimate otherwise. */
+  private def sortedWriteParts(estRows: Long): Int = {
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    math.max(sessionParts, math.min(8192L,
+      (estRows + OccStateStore.SortedWriteRowsPerTask - 1) /
+        OccStateStore.SortedWriteRowsPerTask).toInt)
+  }
+
   /** Concurrent parquet output writers per task during segment writes —
     * the no-sort path's cap (see [[bucketedWriteParts]]). */
   private val ConcurrentWriters = 8
@@ -306,25 +463,57 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     }
   }
 
+  /** Write `df` (shingle, occ) as segment `segName`, hash-routed into
+    * bucket dirs; `subSplit > 1` adds the sub-bucket tier: rows route to
+    * `b=<k>/sb=<s>` files and each file is SORTED by shingle (the sort
+    * is per-task and in-memory after [[sortedWriteParts]]; sorted
+    * sub-files compress tighter and leave parquet row-group min/max
+    * stats meaningful for any future range consumer). The sorted write
+    * needs no concurrent-writer scope — partition-ordered rows stream
+    * through one open file at a time. */
+  private def writeSegment(df: DataFrame, segName: String, subSplit: Int,
+                           nBuckets: Int, estRows: Long): Unit = {
+    if (subSplit <= 1) {
+      withConcurrentWriters {
+        df.select(col("shingle"), col("occ"),
+            pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"))
+          .repartition(bucketedWriteParts(df, nBuckets), col("b"))
+          .write.mode("overwrite").partitionBy("b")
+          .parquet(segDir(segName).toString)
+      }
+    } else {
+      df.select(col("shingle"), col("occ"),
+          pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"),
+          subCol(subSplit).as("sb"))
+        .repartition(sortedWriteParts(estRows), col("b"), col("sb"))
+        .sortWithinPartitions("b", "sb", "shingle")
+        .write.mode("overwrite").partitionBy("b", "sb")
+        .parquet(segDir(segName).toString)
+    }
+  }
+
   /** A written segment dir read back with its schema stated EXPLICITLY
-    * (data columns + the `b` partition column): an EMPTY delta write — a
+    * (data columns + the partition column(s)): an EMPTY delta write — a
     * micro-batch whose docs were all shorter than n tokens — leaves only
     * `_SUCCESS` in the dir, and schema INFERENCE over it would throw
     * (and, replayed, throw again: a wedged stream). With the schema
     * given, an empty segment is just an empty frame. */
-  private def readSegmentDir(segName: String): DataFrame =
-    spark.read.schema(StructType(occSchema.fields :+
-        StructField("b", IntegerType)))
+  private def readSegmentDir(segName: String, subSplit: Int): DataFrame = {
+    val partCols = StructField("b", IntegerType) +:
+      (if (subSplit > 1) Seq(StructField("sb", IntegerType)) else Seq.empty)
+    spark.read.schema(StructType(occSchema.fields ++ partCols))
       .parquet(segDir(segName).toString)
+  }
 
   /** Per-bucket row counts of a written segment — the manifest's zone
     * stats. One metadata-light job over the segment just written (only
     * the partition column is requested, so parquet reads footers + dir
     * names, no data pages); delta segments are batch-sized, compact
     * segments amortize on the compaction cadence. */
-  private def segmentBucketCounts(segName: String): Map[Int, Long] = {
+  private def segmentBucketCounts(segName: String,
+                                  subSplit: Int): Map[Int, Long] = {
     if (!fs.exists(segDir(segName))) return Map.empty
-    readSegmentDir(segName)
+    readSegmentDir(segName, subSplit)
       .groupBy(col("b")).count()
       .collect()
       .map(r => (r.getInt(0), r.getLong(1))).toMap
@@ -337,76 +526,87 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
 
   /** Write the zone sidecar for a DELTA segment and return its per-bucket
     * counts (the manifest stats — one read-back job instead of the count
-    * job). Deltas only: they are batch-sized, so their buckets sit under
-    * the bloom cap and [[readPruned]] can skip the stacked delta files a
-    * batch's keys miss. COMPACT segments carry no sidecar by design —
-    * their buckets are corpus-mass (every bloom would be over the cap →
-    * null → unprunable) and a batch key almost surely hits them anyway;
-    * the honest statement is that zone pruning trims the DELTA stack, the
-    * bucket SET trims everything else. */
+    * job). The FULL zone map (blooms included — batch-sized by the
+    * gate) writes through the [[OccStateStore.Memo]] cache, so the probe
+    * that reads this segment next batch pays ZERO sidecar jobs. Deltas
+    * only: they are batch-sized, so their buckets sit under the bloom
+    * cap and [[readPruned]] can skip the stacked delta files a batch's
+    * keys miss. COMPACT and SUB-SPLIT segments carry no sidecar by
+    * design — their buckets are corpus-mass (every bloom would be over
+    * the cap → null → unprunable); tier 3 prunes them instead. */
   private def writeDeltaZones(segName: String): Map[Int, Long] = {
     if (!fs.exists(segDir(segName))) return Map.empty
     val zones = graft.ops.ZoneIndex.build(
-      readSegmentDir(segName).select("shingle"),
+      readSegmentDir(segName, 1).select("shingle"),
       "shingle", numBuckets)
       .localCheckpoint()
     graft.ops.ZoneIndex.save(zones, zonesPath(segName).toString)
-    zones.select("b", "cnt").collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val zoneMap: Map[Int, graft.ops.ZoneIndex.Zone] =
+      zones.select("b", "cnt", "kmin", "kmax", "bloom").collect()
+        .map(r => r.getInt(0) -> graft.ops.ZoneIndex.Zone(r.getLong(1),
+          r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getAs[Array[Byte]](4)))
+        .toMap
+    OccStateStore.Memo.putZones(rootKey, segName, Some(zoneMap))
+    zoneMap.view.mapValues(_.cnt).toMap
   }
 
   /** Commit `batchCounts` ([[graft.ops.Dedup.shingleOccurrenceTable]]
     * output for the micro-batch) as version `batchId`: write the
     * batch-sized delta into the buckets it touches, compact any bucket
     * whose stack reached `compactAt`, publish the manifest, then retire
-    * versions past `retainVersions` and GC unreferenced segments. */
-  def advance(batchCounts: DataFrame, batchId: Long): Unit = {
-    val prior: Map[Int, Seq[(String, Long)]] = latestVersionBefore(batchId)
+    * versions past `retainVersions` and GC unreferenced segments.
+    * `subSplit` — 0 (default) derives the delta's sub-bucket factor from
+    * the plan stats (micro-batches stay flat; a corpus-mass frame — a
+    * seeded base build, a bulk re-bucket — splits so [[readPruned]]'s
+    * tier 3 covers it); an explicit value pins it (spec/ops knob). */
+  def advance(batchCounts: DataFrame, batchId: Long,
+              subSplit: Int = 0): Unit = {
+    require(subSplit >= 0, s"subSplit must be >= 0 (0 = derive), got $subSplit")
+    val prior: Map[Int, Seq[SegStat]] = latestVersionBefore(batchId)
       .map(readManifestStats).getOrElse(Map.empty)
 
     // 1. the batch's delta — its counts hash-routed into bucket dirs; a
-    //    batch touching b buckets writes exactly b directories. The
-    //    repartition is batch-sized; each bucket lands in one task so the
-    //    segment holds one file per touched bucket.
-    //    WIDTH RULE for corpus-mass frames into fine-bucketed stores: a
-    //    task seeing more buckets than the concurrent-writer cap makes
-    //    FileFormatWriter fall back to SORTING its rows by partition —
-    //    at batch size that sort is an in-memory noop, but the one-time
-    //    base build / re-bucket layout job paid 18 GB of external spill
-    //    re-sorting rows the exchange had already routed (measured: the
-    //    64→4096 serve-layout job at 504k docs). Widening to
-    //    ceil(numBuckets / cap) tasks keeps every task under the cap;
-    //    gated on plan-stats so micro-batches (whose fallback sort is
-    //    tiny and an extra 512 empty tasks is NOT) keep the session
-    //    default.
+    //    batch touching b buckets writes exactly b directories. Bulk
+    //    frames (plan-stats past the delta-zone bound) sub-split so the
+    //    probe's tier-3 pruning covers corpus-mass segments from the
+    //    start (the serving lane's base build / re-bucket path); rows
+    //    are estimated from the plan stats at ~16 B/row — the estimate
+    //    only sizes granularity, never correctness (sub routing is a
+    //    pure key function at ANY factor).
     val deltaSeg = s"seg-$batchId-delta"
-    withConcurrentWriters {
-      batchCounts
-        .select(col("shingle"), col("occ"),
-          pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"))
-        .repartition(bucketedWriteParts(batchCounts, numBuckets), col("b"))
-        .write.mode("overwrite").partitionBy("b")
-        .parquet(segDir(deltaSeg).toString)
-    }
-    // zone sidecar only for BATCH-sized deltas (plan-stats gate): the
-    // serving regime they prune; a corpus-mass batch (a base build) would
-    // pay a second full exchange for blooms the cap nulls out anyway.
-    // Unknown stats estimate huge → no sidecar, the cheap-safe side.
+    val statsBytes =
+      batchCounts.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bulk = statsBytes > BigInt(OccStateStore.DeltaZoneMaxBytes)
+    val estRows = (statsBytes / 16).min(BigInt(Long.MaxValue)).toLong
+    val deltaSub =
+      if (subSplit > 0) subSplit
+      else if (bulk)
+        OccStateStore.deriveSubSplit(estRows / math.max(1, numBuckets))
+      else 1
+    writeSegment(batchCounts, deltaSeg, deltaSub, numBuckets, estRows)
+    // zone sidecar only for BATCH-sized flat deltas: the serving regime
+    // they prune; a corpus-mass batch pays tier 3 instead of a second
+    // full exchange for blooms the cap would null out anyway. Unknown
+    // stats estimate huge → no sidecar, the cheap-safe side.
     val deltaCounts =
-      if (batchCounts.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        BigInt(OccStateStore.DeltaZoneMaxBytes)) writeDeltaZones(deltaSeg)
-      else segmentBucketCounts(deltaSeg)
+      if (!bulk && deltaSub == 1) writeDeltaZones(deltaSeg)
+      else {
+        OccStateStore.Memo.putZones(rootKey, deltaSeg, Some(Map.empty))
+        segmentBucketCounts(deltaSeg, deltaSub)
+      }
     val touched: Set[Int] = deltaCounts.keySet
 
     // 2. stack the delta; compact buckets that reached the cadence
-    val stacked: Map[Int, Seq[(String, Long)]] =
+    val stacked: Map[Int, Seq[SegStat]] =
       (prior.keySet ++ touched).iterator.map { b =>
         val segs = prior.getOrElse(b, Seq.empty) ++
-          (if (touched(b)) Seq((deltaSeg, deltaCounts(b))) else Seq.empty)
+          (if (touched(b)) Seq(SegStat(deltaSeg, deltaCounts(b), deltaSub))
+           else Seq.empty)
         b -> segs
       }.toMap
     val due = stacked.filter(_._2.size >= compactAt).keys.toSeq.sorted
-    val manifest: Map[Int, Seq[(String, Long)]] =
+    val manifest: Map[Int, Seq[SegStat]] =
       if (due.isEmpty) stacked
       else stacked ++ compactBuckets(stacked, due, s"seg-$batchId-compact")
 
@@ -418,27 +618,32 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
 
   /** ONE job over exactly the `due` buckets: per-shingle sum, bucket
     * recomputed from the key (pmod is the routing function), written as
-    * one segment holding all compacted buckets. Returns the due buckets'
-    * new single-segment stacks. */
-  private def compactBuckets(stacked: Map[Int, Seq[(String, Long)]],
+    * one segment holding all compacted buckets — SUB-SPLIT by
+    * [[OccStateStore.deriveSubSplit]] of the exact per-bucket rows the
+    * manifest records (the r12-verdict tier-3 rewrite: compaction
+    * already rewrites the bucket, so re-routing it into sorted sub-files
+    * is marginal cost, and it is exactly what makes corpus-mass buckets
+    * prunable within). Returns the due buckets' new single-segment
+    * stacks. */
+  private def compactBuckets(stacked: Map[Int, Seq[SegStat]],
                              due: Seq[Int],
-                             compactSeg: String): Map[Int, Seq[(String, Long)]] = {
+                             compactSeg: String): Map[Int, Seq[SegStat]] = {
     val paths = due.flatMap(b =>
-      stacked(b).map { case (s, _) => new Path(segDir(s), s"b=$b").toString })
-    val compacting = spark.read.schema(occSchema).parquet(paths: _*)
-    withConcurrentWriters {
-      // width rule as in advance — `due.size` is the exact distinct-bucket
-      // count of this write (a compactAll over a corpus-mass fine-bucketed
-      // store is the same shape as the re-bucket layout job)
-      graft.ops.Dedup.aggregateOccurrences(compacting)
-        .select(col("shingle"), col("occ"),
-          pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"))
-        .repartition(bucketedWriteParts(compacting, due.size), col("b"))
-        .write.mode("overwrite").partitionBy("b")
-        .parquet(segDir(compactSeg).toString)
-    }
-    val counts = segmentBucketCounts(compactSeg)
-    due.map(b => b -> Seq((compactSeg, counts.getOrElse(b, 0L)))).toMap
+      stacked(b).map(s => new Path(segDir(s.name), s"b=$b").toString))
+    val compacting = readPaths(paths)
+    val knownRows = due.flatMap(b => stacked(b).map(_.rows))
+    val totalRows =
+      if (knownRows.exists(_ < 0))
+        (compacting.queryExecution.optimizedPlan.stats.sizeInBytes / 16)
+          .min(BigInt(Long.MaxValue)).toLong
+      else knownRows.sum
+    val sub = OccStateStore.deriveSubSplit(totalRows / math.max(1, due.size))
+    writeSegment(graft.ops.Dedup.aggregateOccurrences(compacting),
+      compactSeg, sub, due.size, totalRows)
+    OccStateStore.Memo.putZones(rootKey, compactSeg, Some(Map.empty))
+    val counts = segmentBucketCounts(compactSeg, sub)
+    due.map(b =>
+      b -> Seq(SegStat(compactSeg, counts.getOrElse(b, 0L), sub))).toMap
   }
 
   /** Out-of-band compaction (r11 verdict item 3): collapse every bucket
@@ -476,7 +681,7 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     if (due.isEmpty) return 0
     // unique per (version, attempt): a second compactNow at the same
     // version must not overwrite a segment the manifest still references
-    val existing = stacked.values.flatten.map(_._1).toSet
+    val existing = stacked.values.flatten.map(_.name).toSet
     val segName = Iterator.from(0).map(i => s"seg-$v-maint$i-compact")
       .find(!existing.contains(_)).get
     writeManifest(v, stacked ++ compactBuckets(stacked, due, segName))
@@ -485,23 +690,38 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
   }
 
   /** Drop manifests past the retention window and delete segments no
-    * retained manifest references. */
+    * retained manifest references — and drop both from the
+    * [[OccStateStore.Memo]] (a cached manifest for a retired version
+    * would let a read past the retention window SUCCEED from memory
+    * while the files are gone — the loud-failure contract of
+    * [[readManifestStats]] must not depend on cache temperature). */
   private def retire(): Unit = {
     val retained = versions().takeRight(retainVersions)
     versions().filterNot(retained.contains)
-      .foreach(v => fs.delete(manifestPath(v), false))
+      .foreach { v =>
+        fs.delete(manifestPath(v), false)
+        OccStateStore.Memo.dropManifest(rootKey, v)
+      }
     val live: Set[String] =
       retained.flatMap(v => readManifest(v).values.flatten).toSet
     val segRoot = new Path(root, "segments")
     if (fs.exists(segRoot)) {
       fs.listStatus(segRoot).toSeq.map(_.getPath)
         .filterNot(p => live.contains(p.getName))
-        .foreach(p => fs.delete(p, true))
+        .foreach { p =>
+          fs.delete(p, true)
+          OccStateStore.Memo.dropZones(rootKey, p.getName)
+        }
     }
   }
 }
 
 object OccStateStore {
+
+  /** One manifest stack entry: segment name, the bucket's row count in
+    * it (−1 on pre-stats manifest lines), and the segment's sub-bucket
+    * split factor (1 = flat). */
+  final case class SegStat(name: String, rows: Long, subSplit: Int)
 
   /** Thrown by [[OccStateStore.readDeltasBetween]] when a compaction
     * landed inside the requested window (the decomposition would
@@ -517,8 +737,9 @@ object OccStateStore {
 
   /** Plan-stats bound under which a delta segment gets a
     * [[graft.ops.ZoneIndex]] sidecar (see the write site): micro-batch
-    * deltas — the stack [[readPruned]] prunes — sit far under it; a
-    * corpus-mass base build skips the sidecar and its second exchange. */
+    * deltas — the stack [[OccStateStore.readPruned]] zone-prunes — sit
+    * far under it; a corpus-mass base build skips the sidecar (tier 3
+    * covers it) and its second exchange. */
   final val DeltaZoneMaxBytes: Long = 256L << 20
 
   /** Bucket-size target for [[deriveNumBuckets]]: small enough that a
@@ -526,6 +747,40 @@ object OccStateStore {
     * pays ~64 MB per touched bucket, large enough that parquet files stay
     * footer-efficient. */
   final val TargetBucketBytes: Long = 64L << 20
+
+  /** Sub-bucket size target for [[deriveSubSplit]] (tier 3): a probe key
+    * hitting a corpus-mass bucket reads ~one sub-file of
+    * ~SubSplitTargetRows rows instead of the whole bucket. 8192 rows ≈
+    * 100–200 KB of zstd parquet — small enough that a handful of keys
+    * per bucket read a small fraction of it, big enough to stay
+    * footer-efficient. */
+  final val SubSplitTargetRows: Long = 8192L
+
+  /** Cap on the sub-split factor: bounds file count per segment at
+    * numBuckets × 64 (a 2²⁰-bucket 100 TB state stays ~67M files of
+    * ~2.5 MB — heavy but object-store-realistic; the honest regime note
+    * lives in SURVEY's ledger). */
+  final val MaxSubSplit: Int = 64
+
+  /** Per-task row target for the sorted sub-split write (~80 MB of
+    * 20-byte rows — an in-memory sort; the width rule that kept the
+    * writer's dynamic-partition sort from spilling 18 GB, restated for
+    * the sorted path where sort memory, not writer count, binds). */
+  final val SortedWriteRowsPerTask: Long = 4L << 20
+
+  /** Sub-split factor for a segment averaging `rowsPerBucket` rows per
+    * bucket: next power of two of rowsPerBucket / [[SubSplitTargetRows]],
+    * 1 below 2× the target (splitting a small bucket buys nothing and
+    * costs files), capped at [[MaxSubSplit]]. */
+  def deriveSubSplit(rowsPerBucket: Long): Int = {
+    if (rowsPerBucket < 2L * SubSplitTargetRows) return 1
+    val raw = rowsPerBucket / SubSplitTargetRows
+    val pow2 = java.lang.Long.highestOneBit(raw) match {
+      case h if h == raw => raw
+      case h => h << 1
+    }
+    math.min(MaxSubSplit.toLong, pow2).toInt
+  }
 
   /** numBuckets for a FRESH store, derived from the expected state size —
     * the write-once choice that decides how fine the probe-side bucket
@@ -540,7 +795,8 @@ object OccStateStore {
     * reads ~10% of state instead of all of it, and a per-doc cadence
     * (~300 keys) reads well under 1%. Estimate state bytes at ~2× the
     * corpus's UTF-8 text bytes (one ~16 B row per token position,
-    * zstd-halved). */
+    * zstd-halved). Within-bucket granularity past saturation is tier
+    * 3's job ([[deriveSubSplit]]). */
   def deriveNumBuckets(estimatedStateBytes: Long): Int = {
     val raw = math.max(1L, estimatedStateBytes / TargetBucketBytes)
     val pow2 = java.lang.Long.highestOneBit(raw) match {
@@ -548,6 +804,81 @@ object OccStateStore {
       case h => h << 1
     }
     math.min(1L << 20, math.max(64L, pow2)).toInt
+  }
+
+  /** Same-JVM memo for the store's immutable read artifacts (r12 verdict
+    * item 4 — the serving lane's per-batch driver fixed cost): manifests
+    * (per store+version) and zone sidecars (per store+segment, the FULL
+    * map so later probes filter in memory). Sound because both artifact
+    * kinds are write-once EXCEPT through this JVM's single writer
+    * (replayed advance / maintenance compaction rewrite a manifest in
+    * place; a recreated store reuses segment names), and every writer
+    * path writes THROUGH the cache ([[OccStateStore]]'s writeManifest /
+    * writeDeltaZones / advance / compactBuckets). A second WRITER
+    * process would violate the store's single-writer contract long
+    * before it violated this cache. Bounded: manifests by entry count,
+    * zones by total bloom bytes, both LRU. */
+  private[streaming] object Memo {
+    private val MaxManifests = 64
+    private val MaxZoneBytes = 128L << 20
+
+    private val manifests =
+      new java.util.LinkedHashMap[(String, Long), Map[Int, Seq[SegStat]]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), Map[Int, Seq[SegStat]]])
+            : Boolean = size() > MaxManifests
+      }
+    private val zoneMaps = new java.util.LinkedHashMap[(String, String),
+      (Option[Map[Int, graft.ops.ZoneIndex.Zone]], Long)](16, 0.75f, true)
+    private var zoneBytes = 0L
+
+    def manifest(dir: String, v: Long)(
+        load: => Map[Int, Seq[SegStat]]): Map[Int, Seq[SegStat]] =
+      synchronized {
+        val k = (dir, v)
+        val hit = manifests.get(k)
+        if (hit != null) hit
+        else { val m = load; manifests.put(k, m); m }
+      }
+
+    def putManifest(dir: String, v: Long,
+                    m: Map[Int, Seq[SegStat]]): Unit =
+      synchronized { manifests.put((dir, v), m) }
+
+    def dropManifest(dir: String, v: Long): Unit =
+      synchronized { manifests.remove((dir, v)) }
+
+    def dropZones(dir: String, seg: String): Unit =
+      synchronized {
+        val prev = zoneMaps.remove((dir, seg))
+        if (prev != null) zoneBytes -= prev._2
+      }
+
+    /** None = not cached (caller decides whether a sidecar exists);
+      * Some(Map.empty) = cached "no sidecar / nothing prunable". */
+    def zones(dir: String, seg: String)
+        : Option[Map[Int, graft.ops.ZoneIndex.Zone]] =
+      synchronized(Option(zoneMaps.get((dir, seg))).map(_._1).flatten)
+
+    def putZones(dir: String, seg: String,
+                 zm: Option[Map[Int, graft.ops.ZoneIndex.Zone]]): Unit =
+      synchronized {
+        val bytes = zm.map(_.values.map(z =>
+          64L + (if (z.bloom == null) 0L else z.bloom.length.toLong)).sum)
+          .getOrElse(0L)
+        val prev = zoneMaps.put((dir, seg), (zm, bytes))
+        if (prev != null) zoneBytes -= prev._2
+        zoneBytes += bytes
+        val it = zoneMaps.entrySet().iterator()
+        while (zoneBytes > MaxZoneBytes && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != ((dir, seg))) {
+            zoneBytes -= e.getValue._2
+            it.remove()
+          }
+        }
+      }
   }
 
   /** Open the store at `stateDir`, creating the write-once meta on first

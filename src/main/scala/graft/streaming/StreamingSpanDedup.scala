@@ -389,9 +389,13 @@ object StreamingSpanDedup {
         ChunkEntry(name, small.flatMap(_.lingering).toSet, bytes)
       commit(manifest) // old chunks now unreferenced → next call GCs them
       work += small.size
-    } else if (sized != manifest && work > 0) {
-      // a commit already happened this call with stale -1 bytes on some
-      // entries — persist the freshly stat'ed sizes so they never re-stat
+    } else if (sized != manifest) {
+      // no refold this call, but some entries were re-stat'ed from -1 —
+      // persist the sizes REGARDLESS of whether level 1 folded (r12
+      // advice: gating on work left work==0 calls re-stat'ing the same
+      // write-once chunks forever — a recursive LIST per chunk per
+      // maintenance call on object stores); the manifest rewrite is
+      // atomic and this path is single-writer by contract
       commit(sized)
     }
     work

@@ -75,6 +75,30 @@ class RetroactiveSweepSpec extends SparkSpec {
       Set(3L, 5L))
   }
 
+  test("sliced affected recompute (sliceAffected, r12 verdict item 6) " +
+    "== single-slice, row-identical — pair AND delta forms; slice count " +
+    "follows the cap") {
+    val prevOcc = Dedup.shingleOccurrenceTable(base, "text", n = 5)
+    val deltaOcc = Dedup.shingleOccurrenceTable(inc, "text", n = 5)
+    val curOcc = Dedup.mergeOccurrenceTables(prevOcc, deltaOcc)
+    val positions = Dedup.shinglePositionsTable(base, "doc_id", "text",
+      n = 5)
+    val whole = Dedup.retroactiveSpanSweep(positions, prevOcc, curOcc,
+      n = 5)
+    // 2 affected docs (3 and 5) — sliceAffected = 1 forces 2 slices,
+    // each materialized and released before the next (the bounded
+    // working set path)
+    val sliced = Dedup.retroactiveSpanSweep(positions, prevOcc, curOcc,
+      n = 5, sliceAffected = 1)
+    assert(spanRows(sliced) === spanRows(whole))
+    val slicedDelta = Dedup.retroactiveSpanSweepDelta(positions, prevOcc,
+      deltaOcc, n = 5, sliceAffected = 1)
+    assert(spanRows(slicedDelta) === spanRows(whole))
+    // sliceAffected <= 0 disables slicing (the escape hatch)
+    assert(spanRows(Dedup.retroactiveSpanSweep(positions, prevOcc,
+      curOcc, n = 5, sliceAffected = 0)) === spanRows(whole))
+  }
+
   test("sweep ∪ kept-prior ∪ incremental == full batch recompute " +
     "(the complete lambda split)") {
     val baseOcc = Dedup.shingleOccurrenceTable(base, "text", n = 5)

@@ -120,6 +120,47 @@ class ZoneIndexSpec extends SparkSpec {
     }
   }
 
+  test("build is a PARALLEL partial fold (r12 verdict): multi-partition " +
+    "input == 1-partition input byte-for-byte (blooms included), and the " +
+    "numBuckets=1 fold stage runs one task per input partition, not one " +
+    "total") {
+    val keys = (1L to 5000L).map(_ * 104729L)
+    def zonesOf(z: org.apache.spark.sql.DataFrame) = z.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getAs[Array[Byte]](4).toSeq))
+      .toMap
+    for (b <- Seq(1, 4)) {
+      val par = zonesOf(ZoneIndex.build(keys.toDF("k").repartition(8),
+        "k", b))
+      val one = zonesOf(ZoneIndex.build(keys.toDF("k").coalesce(1),
+        "k", b))
+      assert(par === one, s"numBuckets=$b: parallel fold must equal the " +
+        "sequential one, bloom bytes included (order-independent OR of " +
+        "bit sets)")
+    }
+    // cap behavior across partition merges: total over the cap → null,
+    // even though each PARTIAL was under it
+    val capped = ZoneIndex.build(keys.toDF("k").repartition(8), "k",
+      numBuckets = 1, maxBloomKeys = 1000)
+    assert(capped.collect()(0).isNullAt(4))
+    // parallelism pin: the numBuckets=1 build's fold stage must run one
+    // task per input partition (the old constant-key repartition routed
+    // the whole frame through ONE task — a corpus-mass sidecar build
+    // serialized)
+    val sc = spark.sparkContext
+    sc.setJobGroup("zone_par_pin", "zone build parallelism pin")
+    try ZoneIndex.build(keys.toDF("k").repartition(8), "k", 1).collect()
+    finally sc.clearJobGroup()
+    val maxTasks = sc.statusTracker.getJobIdsForGroup("zone_par_pin")
+      .flatMap(id => sc.statusTracker.getJobInfo(id).toList
+        .flatMap(_.stageIds()))
+      .flatMap(sid => sc.statusTracker.getStageInfo(sid).toList)
+      .map(_.numTasks()).max
+    assert(maxTasks >= 8,
+      s"fold stage ran $maxTasks tasks — the partial fold must " +
+        "parallelize over input partitions at numBuckets=1")
+  }
+
   test("range rule: keys outside [kmin, kmax] prune even without a bloom") {
     val zones = Map("g" -> ZoneIndex.collectZones(
       ZoneIndex.build(Seq(100L, 200L, 300L).toDF("k"), "k",

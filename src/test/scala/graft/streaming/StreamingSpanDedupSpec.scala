@@ -646,4 +646,83 @@ class StreamingSpanDedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("compact"))
   }
+
+  test("sub-bucket tier (tier 3): corpus-mass segments split into " +
+    "sb= files, content preserved, readPruned opens EXACTLY the probe " +
+    "keys' (bucket, sub) files, no false negatives through mixed stacks") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_occ_sub_").toString
+    val B = 2
+    val store = OccStateStore.open(spark, root, numBuckets = B,
+      compactAt = 9)
+    // synthetic count tables big enough that COMPACTION derives a split
+    // (exact manifest rows: 200k rows over 2 buckets → rowsPerBucket
+    // 100k → pow2(100k/8192) = 16) while the deltas stay flat (the
+    // micro regime)
+    def counts(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("shingle"),
+        (lit(1L) + pmod(col("id"), lit(3L))).as("occ"))
+    store.advance(counts(0L, 100000L), 0L)
+    assert(store.readManifestStats(0L).values.flatten
+      .forall(_.subSplit === 1), "micro deltas must stay flat")
+    store.advance(counts(50000L, 150000L), 1L)
+    store.compactNow() // out-of-band fold derives the split from rows
+    val stats1 = store.readManifestStats(1L)
+    val compactStat = stats1.values.flatten
+      .find(_.name.endsWith("-compact")).get
+    assert(compactStat.subSplit === 16,
+      s"compaction over 100k rows/bucket must split 16, got $compactStat")
+    // layout: sb= dirs exist under each bucket of the compact segment
+    val subDirs = new java.io.File(
+      s"$root/segments/${compactStat.name}/b=0").listFiles()
+      .filter(_.getName.startsWith("sb=")).map(_.getName).toSet
+    assert(subDirs === (0 until 16).map(s => s"sb=$s").toSet)
+    // content preserved through the split layout: per-shingle sums ==
+    // hand-computed overlap sums
+    def occOf(id: Long) = 1L + math.floorMod(id, 3L)
+    val agg1 = occMap(store.readAggregated(1L))
+    assert(agg1(7L) === occOf(7L)) // only delta 0
+    assert(agg1(60000L) === 2L * occOf(60000L)) // both deltas
+    assert(agg1(149999L) === occOf(149999L)) // only delta 1
+    assert(agg1.size === 150000)
+
+    // readPruned: probe keys → exactly their (b, sb) files open. The
+    // expected pair set is computed with the SAME SQL expressions the
+    // writer uses (pmod + xxhash64 — pure key functions).
+    val probeKeys = Seq(5L, 77L, 100007L, 149998L, 33L)
+    val keys = probeKeys.toDF("shingle")
+    val expectPairs = keys.select(
+        pmod(col("shingle"), lit(B.toLong)).cast("int"),
+        pmod(xxhash64(col("shingle")), lit(16L)).cast("int"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val pruned = store.readPruned(2L, keys)
+    val openedPairs = pruned.inputFiles.map { f =>
+      val m = "b=(\\d+)/sb=(\\d+)".r.findFirstMatchIn(f).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }.toSet
+    assert(openedPairs === expectPairs,
+      "tier 3 must open exactly the probe's (bucket, sub) files")
+    // no false negatives: every probe key's full occurrence survives
+    val prunedSlim = occMap(graft.ops.Dedup.aggregateOccurrences(
+      pruned.join(keys, Seq("shingle"), "left_semi")))
+    assert(prunedSlim === probeKeys.map(k => k -> agg1(k)).toMap)
+
+    // an EXPLICITLY split delta stacks on the split compact; the mixed
+    // stack reads correctly and the pruned probe crosses both layouts
+    store.advance(counts(100L, 300L), 2L, subSplit = 4)
+    val stats2 = store.readManifestStats(2L)
+    assert(stats2.values.flatten.exists(s =>
+      s.name === "seg-2-delta" && s.subSplit === 4))
+    val agg2 = occMap(store.readAggregated(2L))
+    assert(agg2(200L) === 2L * occOf(200L)) // compact + new delta
+    assert(agg2(7L) === occOf(7L))
+    val pruned2 = store.readPruned(3L, Seq(200L).toDF("shingle"))
+    assert(occMap(graft.ops.Dedup.aggregateOccurrences(
+      pruned2.filter(col("shingle") === 200L))) === Map(200L -> 6L))
+    // derive rule unit pins (the write-once granularity policy)
+    assert(OccStateStore.deriveSubSplit(10000L) === 1)
+    assert(OccStateStore.deriveSubSplit(16384L) === 2)
+    assert(OccStateStore.deriveSubSplit(100000L) === 16)
+    assert(OccStateStore.deriveSubSplit(1000000000L) === 64)
+  }
 }
