@@ -1421,7 +1421,37 @@ object SparkEntry {
     val idxPath = MemoParquet(s"q102_ivf_idx:$dir") { out =>
       VectorIndex.buildIvf(emb.filter(col("vec_id") % 10 =!= 3), out,
         centroidStride = 50)
-      VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 3), out)
+      VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 3), out,
+        appendId = 0L)
+    }
+    VectorIndex.ivfTopKIndexed(s, idxPath,
+        emb.filter(col("vec_id") % 25 === 0), k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** ANN serving over a MULTI-batch appended IVF index WITH a replayed
+    * append (r13, the `append_id` idempotency contract): the base drops
+    * two tenths (vec_id % 10 ∈ {3, 7} — every stride-50 codebook row has
+    * vec_id % 10 = 0, so the frozen codebook still equals the
+    * full-corpus one), the tenths arrive as appends 0 and 1, and append
+    * 1 is DELIBERATELY APPLIED TWICE — the foreachBatch-retry shape.
+    * The oracle is again q46's single-shot IVF SQL verbatim: a hash
+    * match proves the replay duplicated nothing and the multi-append
+    * union serves exactly the one-shot build (the streaming ingest
+    * lane's correctness premise, DuckDB-gated). */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idxPath = MemoParquet(s"q104_ivf_multi:$dir") { out =>
+      VectorIndex.buildIvf(
+        emb.filter(col("vec_id") % 10 =!= 3 && col("vec_id") % 10 =!= 7),
+        out, centroidStride = 50)
+      VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 3), out,
+        appendId = 0L)
+      VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 7), out,
+        appendId = 1L)
+      // replay of append 1: must overwrite itself, not duplicate
+      VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 7), out,
+        appendId = 1L)
     }
     VectorIndex.ivfTopKIndexed(s, idxPath,
         emb.filter(col("vec_id") % 25 === 0), k = 3, nProbe = 2)
@@ -1438,7 +1468,8 @@ object SparkEntry {
     val idxPath = MemoParquet(s"q103_pq_idx:$dir") { out =>
       VectorIndex.buildPq(emb.filter(col("vec_id") % 10 =!= 3), out,
         m = 4, nCent = 8, centroidStride = 50)
-      VectorIndex.appendToPq(emb.filter(col("vec_id") % 10 === 3), out)
+      VectorIndex.appendToPq(emb.filter(col("vec_id") % 10 === 3), out,
+        appendId = 0L)
     }
     VectorIndex.pqTopKIndexed(s, idxPath,
         emb.filter(col("vec_id") % 25 === 0), k = 3)
@@ -1634,7 +1665,8 @@ object SparkEntry {
     "q100_incremental_spans" -> (q100 _),
     "q101_retroactive_sweep" -> (q101 _),
     "q102_ivf_append" -> (q102 _),
-    "q103_pq_append" -> (q103 _))
+    "q103_pq_append" -> (q103 _),
+    "q104_ivf_replayed_append" -> (q104 _))
 
   /** Shared CTE chain for the q90/q91 substring-dedup oracles: positional
     * 10-token shingles (pos zero-based, window [pos, pos+10)), occurrence
@@ -3257,5 +3289,6 @@ object SparkEntry {
     // hash gate is on the APPEND machinery (frozen-codebook encode,
     // partition-preserving file append), not on new query semantics
     "q102_ivf_append" -> ivfStride50OracleSql,
-    "q103_pq_append" -> pqAdcOracleSql)
+    "q103_pq_append" -> pqAdcOracleSql,
+    "q104_ivf_replayed_append" -> ivfStride50OracleSql)
 }

@@ -37,13 +37,17 @@ import org.apache.spark.sql.functions._
   *  - [[kmeansAssignIndexed]]: one narrow corpus pass against the loaded
   *    k×dim matrix — no training jobs, no shuffle.
   *
-  * IVF and PQ indexes are APPENDABLE (r12): [[appendToIvf]] /
-  * [[appendToPq]] encode ONLY a new vector batch with the persisted
-  * codebook and append to the cell partitions / codes table — the
-  * build's corpus pass never re-runs for an append (the dedup lane's
-  * incremental pattern). The codebook stays frozen; the meta counts
-  * appended rows and flips `rebuildAdvised` when they outnumber the
-  * base — see [[appendToIvf]] for the drift contract. */
+  * IVF and PQ indexes are APPENDABLE (r12) and appends are
+  * REPLAY-IDEMPOTENT (r13): [[appendToIvf]] / [[appendToPq]] encode ONLY
+  * a new vector batch with the persisted codebook and land it under an
+  * `append_id=`-keyed directory next to the cell partitions / codes
+  * table — the build's corpus pass never re-runs for an append (the
+  * dedup lane's incremental pattern), and a retried append overwrites
+  * itself instead of duplicating rows, so the lane wires directly under
+  * Structured Streaming ([[graft.streaming.StreamingVectorIngest]]).
+  * The codebook stays frozen; the meta records per-append rows and
+  * flips `rebuildAdvised` when appends outnumber the base — see
+  * [[appendToIvf]] for the drift contract. */
 object VectorIndex {
 
   // ---- meta contract ---------------------------------------------------
@@ -111,21 +115,36 @@ object VectorIndex {
     * item 5 — the dedup lane's incremental pattern applied to serving
     * indexes): the batch is encoded with the PERSISTED codebook (the
     * centroids are frozen at build — re-deriving them would re-route
-    * every existing cell) and its rows land as new files inside the cell
-    * partitions they route to, so [[ivfTopKIndexed]]'s static partition
-    * pruning keeps working unchanged. Serve over build ∪ appends is
+    * every existing cell) and lands under
+    * `appends/append_id=<appendId>/cell=<c>/` — cell-partitioned like
+    * the base, so [[ivfTopKIndexed]]'s static partition pruning covers
+    * base and appended files alike. Serve over build ∪ appends is
     * bit-identical to a full rebuild WITH THE SAME codebook
     * (VectorIndexSpec pins it).
     *
+    * REPLAY-IDEMPOTENT (r12 verdict item 2 —
+    * [[graft.streaming.OccStateStore.advance]]'s batchId discipline
+    * brought to the serving index; the r12 cut used `mode("append")`
+    * into the base cells, so a retried batch DUPLICATED its rows and
+    * nothing could ever remove them): every append is keyed by the
+    * caller's monotone `appendId` — a retry OVERWRITES its own
+    * `append_id=` directory and re-records its own `append_<id>` meta
+    * row, changing nothing (StreamingVectorIngestSpec pins double-apply
+    * == single-apply, serve and accounting both). Wire it under
+    * Structured Streaming with the batchId
+    * ([[graft.streaming.StreamingVectorIngest]]); a manual cadence
+    * passes any monotone counter. A half-written append (crash mid-copy)
+    * is invisible to serving until its `_SUCCESS` marker lands — the
+    * retry rewrites the directory wholesale.
+    *
     * Drift contract: a frozen codebook quantizes appended vectors against
     * centroids chosen from the BASE distribution — fine while appends are
-    * a minority, increasingly lossy as they dominate. The meta counts
-    * every appended row and flips `rebuildAdvised` once appendedRows >
-    * baseRows; serving never refuses (advice, not a gate — the caller
-    * owns the rebuild cadence). NOT replay-idempotent: parquet append has
-    * no batch key, so the caller owns exactly-once (contrast
-    * [[graft.streaming.OccStateStore.advance]], which is keyed). */
-  def appendToIvf(newVecs: DataFrame, path: String): Unit = {
+    * a minority, increasingly lossy as they dominate. The meta records
+    * each append's rows under its id (replay-safe — re-recording the
+    * same id is a no-op), derives `appendedRows` as their sum, and flips
+    * `rebuildAdvised` once appendedRows > baseRows; serving never
+    * refuses (advice, not a gate — the caller owns the rebuild cadence). */
+  def appendToIvf(newVecs: DataFrame, path: String, appendId: Long): Unit = {
     val spark = newVecs.sparkSession
     val meta = readMeta(spark, path)
     assertMeta(meta, path, "kind" -> "ivf")
@@ -137,16 +156,16 @@ object VectorIndex {
     val cents = loadIvfCentroids(spark, path, meta)
     // one evaluation of the (possibly expensive, possibly
     // non-deterministic) source: cache across the count and the write,
-    // so the meta's appendedRows always equals the rows written
+    // so the meta's append row always equals the rows written
     val batch = newVecs.persist()
     try {
       val appended = batch.count()
       batch.select(col(idCol).cast("long").as("neighbor_id"),
           col(vecCol).as("vec_c"),
           Similarity.cellAssignCol(cents, col(vecCol)).as("cell"))
-        .write.mode("append").partitionBy("cell")
-        .parquet(s"$path/cells")
-      bumpAppended(spark, path, meta, appended)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/appends/append_id=$appendId")
+      recordAppend(spark, path, meta, appendId, appended)
     } finally batch.unpersist()
   }
 
@@ -182,16 +201,50 @@ object VectorIndex {
     cents
   }
 
-  /** Advance the append accounting and the drift flag (see
-    * [[appendToIvf]]'s contract). */
-  private def bumpAppended(spark: SparkSession, path: String,
-                           meta: Map[String, String],
+  /** Record append `appendId`'s rows and refresh the derived accounting
+    * (see [[appendToIvf]]'s contract): the per-id `append_<id>` row is
+    * what makes a REPLAYED append a no-op (it overwrites itself, never
+    * accumulates — the r12 running `appendedRows +=` double-counted on
+    * retry), and `appendedRows`/`rebuildAdvised` are recomputed as the
+    * sum over all recorded ids. */
+  private def recordAppend(spark: SparkSession, path: String,
+                           meta: Map[String, String], appendId: Long,
                            appended: Long): Unit = {
     val base = meta("baseRows").toLong
-    val total = meta.getOrElse("appendedRows", "0").toLong + appended
-    val next = meta ++ Map("appendedRows" -> total.toString,
+    val withId = meta + (s"append_$appendId" -> appended.toString)
+    val total = withId.collect {
+      case (k, v) if k.startsWith("append_") => v.toLong }.sum
+    val next = withId ++ Map("appendedRows" -> total.toString,
       "rebuildAdvised" -> (total > base).toString)
     writeMeta(spark, path, next.toSeq.sortBy(_._1))
+  }
+
+  /** The committed append directories under `root` (`append_id=` dirs
+    * whose `_SUCCESS` landed AND that hold at least one data file) — the
+    * serving-side read set. The `_SUCCESS` gate keeps a half-written
+    * append (crash before commit, retry not yet run) out of serving;
+    * empty-but-committed appends (an empty micro-batch) are skipped so
+    * schema inference always sees real files. */
+  private def committedAppendDirs(spark: SparkSession,
+                                  root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = graft.FsText.fs(spark, p)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("append_id="))
+      .filter { d =>
+        fs.exists(new Path(d, "_SUCCESS")) && {
+          // any data file at any depth (IVF appends nest cell= dirs)
+          val it = fs.listFiles(d, true)
+          var found = false
+          while (!found && it.hasNext) {
+            val name = it.next().getPath.getName
+            found = !name.startsWith("_") && !name.startsWith(".")
+          }
+          found
+        }
+      }
+      .map(_.toString).sorted
   }
 
   /** The index's meta contract as written (kind, build params, append
@@ -225,9 +278,19 @@ object VectorIndex {
       .select(explode(probesUdf(col(vecCol).cast("array<double>")))
         .as("cell"))
       .distinct().collect().map(_.getLong(0))
-    val cells = spark.read.parquet(s"$path/cells")
+    def probedCells(df: DataFrame) = df
       .filter(col("cell").isin(probed: _*))
       .select(col("neighbor_id"), col("vec_c"), col("cell").cast("long"))
+    val base = probedCells(spark.read.parquet(s"$path/cells"))
+    // committed appends ride the same static cell pruning — their layout
+    // nests cell= under append_id=, so the isin filter prunes their
+    // partitions too (basePath keeps the partition columns)
+    val appendDirs = committedAppendDirs(spark, s"$path/appends")
+    val cells =
+      if (appendDirs.isEmpty) base
+      else base.unionByName(probedCells(
+        spark.read.option("basePath", s"$path/appends")
+          .parquet(appendDirs: _*)))
     Similarity.ivfScoreCells(cells, queries, k, nProbe, nearestCells,
       idCol, vecCol)
   }
@@ -261,10 +324,12 @@ object VectorIndex {
   }
 
   /** Append a NEW vector batch to a persisted PQ index: the batch is
-    * encoded with the PERSISTED codebook and its codes append to the
-    * codes table — same frozen-codebook drift contract, accounting, and
-    * caller-owned exactly-once as [[appendToIvf]]. */
-  def appendToPq(newVecs: DataFrame, path: String): Unit = {
+    * encoded with the PERSISTED codebook and its codes land under
+    * `append_codes/append_id=<appendId>/` — same frozen-codebook drift
+    * contract, accounting, and REPLAY-IDEMPOTENT append-id keying as
+    * [[appendToIvf]] (a retry overwrites its own directory and meta
+    * row). */
+  def appendToPq(newVecs: DataFrame, path: String, appendId: Long): Unit = {
     val spark = newVecs.sparkSession
     val meta = readMeta(spark, path)
     assertMeta(meta, path, "kind" -> "pq")
@@ -279,8 +344,9 @@ object VectorIndex {
       val appended = batch.count()
       Similarity.pqEncodeWith(batch, cents, meta("m").toInt,
           meta("idCol"), meta("vecCol"))
-        .write.mode("append").parquet(s"$path/codes")
-      bumpAppended(spark, path, meta, appended)
+        .write.mode("overwrite")
+        .parquet(s"$path/append_codes/append_id=$appendId")
+      recordAppend(spark, path, meta, appendId, appended)
     } finally batch.unpersist()
   }
 
@@ -326,7 +392,15 @@ object VectorIndex {
       }
       out.toSeq
     }
-    val scored = spark.read.parquet(s"$path/codes")
+    val codesBase = spark.read.parquet(s"$path/codes")
+    val appendDirs = committedAppendDirs(spark, s"$path/append_codes")
+    val allCodes =
+      if (appendDirs.isEmpty) codesBase
+      else codesBase.unionByName(
+        spark.read.option("basePath", s"$path/append_codes")
+          .parquet(appendDirs: _*)
+          .select(codesBase.columns.map(col): _*))
+    val scored = allCodes
       .select(col("vec_id").as("neighbor_id"),
         explode(scoreAll(col("vec_id"),
           array(codeCols: _*).cast("array<int>"))).as("s"))

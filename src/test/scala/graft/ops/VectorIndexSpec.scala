@@ -80,7 +80,7 @@ class VectorIndexSpec extends SparkSpec {
     val rebuilt = java.nio.file.Files
       .createTempDirectory("graft_ivf_reb_").toString
     VectorIndex.buildIvf(baseVecs, grown, centroidStride = 50)
-    VectorIndex.appendToIvf(appendBatch, grown)
+    VectorIndex.appendToIvf(appendBatch, grown, appendId = 0L)
     VectorIndex.buildIvf(emb, rebuilt, centroidStride = 50)
     assert(rows(VectorIndex.ivfTopKIndexed(spark, grown, queries,
         k = 5, nProbe = 2)) ===
@@ -95,8 +95,8 @@ class VectorIndexSpec extends SparkSpec {
     assert(stats("rebuildAdvised") === "false")
     // a second append accumulates; appends now outnumbering the base
     // would flip the flag — simulate by appending the base itself twice
-    VectorIndex.appendToIvf(baseVecs, grown)
-    VectorIndex.appendToIvf(appendBatch, grown)
+    VectorIndex.appendToIvf(baseVecs, grown, appendId = 1L)
+    VectorIndex.appendToIvf(appendBatch, grown, appendId = 2L)
     assert(VectorIndex.indexStats(spark, grown)("rebuildAdvised") === "true")
   }
 
@@ -108,7 +108,7 @@ class VectorIndexSpec extends SparkSpec {
       .createTempDirectory("graft_pq_reb_").toString
     VectorIndex.buildPq(baseVecs, grown, m = 4, nCent = 8,
       centroidStride = 50)
-    VectorIndex.appendToPq(appendBatch, grown)
+    VectorIndex.appendToPq(appendBatch, grown, appendId = 0L)
     VectorIndex.buildPq(emb, rebuilt, m = 4, nCent = 8,
       centroidStride = 50)
     assert(rows(VectorIndex.pqTopKIndexed(spark, grown, queries, k = 5)) ===
@@ -116,7 +116,7 @@ class VectorIndexSpec extends SparkSpec {
     assert(rows(VectorIndex.pqTopKIndexed(spark, grown, queries,
       k = 5)).nonEmpty)
     val e = intercept[IllegalArgumentException] {
-      VectorIndex.appendToIvf(appendBatch, grown)
+      VectorIndex.appendToIvf(appendBatch, grown, appendId = 9L)
     }
     assert(e.getMessage.contains("kind"))
   }
@@ -133,12 +133,12 @@ class VectorIndexSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       VectorIndex.appendToIvf(
         appendBatch.withColumn("embedding", col("embedding").cast(other)),
-        path)
+        path, appendId = 0L)
     }
     assert(e.getMessage.contains("built from"))
     // nothing was appended by the failed call
     assert(VectorIndex.indexStats(spark, path)("appendedRows") === "0")
-    VectorIndex.appendToIvf(appendBatch, path)
+    VectorIndex.appendToIvf(appendBatch, path, appendId = 0L)
     assert(VectorIndex.indexStats(spark, path)("appendedRows").toLong ===
       appendBatch.count())
   }
