@@ -524,7 +524,11 @@ object ScaleRun {
       val serve = graft.streaming.OccStateStore.open(spark, serveStateDir,
         numBuckets = 4096)
       serve.advance(store.read(1L), 0L)
-      s"state re-bucketed ${store.numBuckets} -> 4096 for the " +
+      // r13: the corpus-mass write also derives tier 3's sub-split —
+      // every bucket lands as sorted sb= sub-files (report the factor)
+      val sub = serve.readManifestStats(0L).values.flatten
+        .map(_.subSplit).max
+      s"state re-bucketed ${store.numBuckets} -> 4096 x sub$sub for the " +
         "micro-batch serving lane (one-time layout job)"
     } }
     phase("inc-serve") { withDocParts {
@@ -545,15 +549,20 @@ object ScaleRun {
         val t0 = System.nanoTime()
         val (shEx, counts) = graft.ops.Dedup.prepareIncrementalBatch(
           batch, "doc_id", "text", n = 10)
-        val touched = counts
-          .select(pmod(col("shingle"), lit(serve.numBuckets.toLong))
-            .cast("int")).distinct().as[Int].collect().toSet
-        val pruned = serve.readLatestBefore(1L, touched)
+        // the deployment-true probe read (what processBatch runs): all
+        // three pruning tiers — bucket set, zone sidecars, and since r13
+        // the sub-bucket files of the corpus-mass serve segment (the
+        // r12-verdict fix for the mid-size-batch regime: bucket pruning
+        // alone saturated at 74% of state for 5 docs / 100% for 50)
+        val pruned = serve.readPruned(1L, counts)
         val prunedSpans = graft.ops.Dedup.incrementalSpansPrepared(
           shEx, counts, pruned, n = 10).collect().map(_.toSeq).toSet
         val nSpans = prunedSpans.size
         val secs = (System.nanoTime() - t0) / 1e9
-        val prunedB = bytesOf(pruned.inputFiles)
+        val prunedFiles = pruned.inputFiles
+        val prunedB = bytesOf(prunedFiles)
+        val touched = prunedFiles.flatMap(
+          "b=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toInt)).toSet
         val fullB = bytesOf(serve.readLatestBefore(1L).inputFiles)
         // identity: the pruned probe's spans == the full-scan probe's,
         // row-exact (micro-batch span sets are tiny — safe to collect)
@@ -564,8 +573,9 @@ object ScaleRun {
           s"pruned vs full spans diverged at nDocs=$nDocs")
         shEx.unpersist(); counts.unpersist(); batch.unpersist()
         f"$nDocs%d docs: ${touched.size}/${serve.numBuckets} buckets, " +
+          f"${prunedFiles.length} files, " +
           f"${prunedB >> 20} of ${fullB >> 20} MB read " +
-          f"(${100.0 * prunedB / math.max(1, fullB)}%.0f%%), " +
+          f"(${100.0 * prunedB / math.max(1, fullB)}%.1f%%), " +
           f"$nSpans spans, $secs%.1f s"
       }
       spark.catalog.clearCache()
@@ -676,10 +686,27 @@ object ScaleRun {
       val nIdx = graft.ops.VectorIndex.ivfTopKIndexed(spark, idxDir,
         queries, k = 10, nProbe = 2).count()
       val queryS = (System.nanoTime() - tQ) / 1e9
+      // ingest-append vs rebuild (r12 verdict item 3's evidence row): a
+      // 10% batch of NEW vectors (ids past the corpus, same recipe)
+      // arrives through the idempotent append path — at 100 TB this is
+      // the difference between re-encoding the corpus per ingest cadence
+      // and one batch-sized encode + a directory landing
+      val newBatch = spark.range(500000, 550000)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            sin(i * (col("id") % 97 + 1) * 0.37 + col("id") * 0.11)
+              .cast("float")).as("embedding"))
+      val tA = System.nanoTime()
+      graft.ops.VectorIndex.appendToIvf(newBatch, idxDir, appendId = 0L)
+      val appendS = (System.nanoTime() - tA) / 1e9
+      val nGrown = graft.ops.VectorIndex.ivfTopKIndexed(spark, idxDir,
+        queries, k = 10, nProbe = 2).count()
       spark.catalog.clearCache()
       s"recall@10 over 200 queries x 500k vectors: ${recalls.mkString(", ")}; " +
         f"ivf index build $buildS%.1f s, query-only serve $queryS%.1f s " +
-        s"($nIdx rows); " + ivfKernelMicrobench()
+        f"($nIdx rows); 50k-vector ingest-append $appendS%.1f s vs " +
+        f"$buildS%.1f s rebuild ($nGrown rows served over base+append); " +
+        ivfKernelMicrobench()
     }
 
     // ---- 10. featurize: raw text → hashed embeddings → semantic dedup ----

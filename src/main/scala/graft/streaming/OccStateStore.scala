@@ -571,14 +571,18 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     //    frames (plan-stats past the delta-zone bound) sub-split so the
     //    probe's tier-3 pruning covers corpus-mass segments from the
     //    start (the serving lane's base build / re-bucket path); rows
-    //    are estimated from the plan stats at ~16 B/row — the estimate
-    //    only sizes granularity, never correctness (sub routing is a
-    //    pure key function at ANY factor).
+    //    are estimated from the plan stats at ~8 B/row (zstd parquet of
+    //    (shingle, occ): the shingle column is a random hash —
+    //    incompressible 8 B — and the occ column, mostly small repeated
+    //    counts, compresses to noise; measured ~8 B/row at the 692M-row
+    //    504k-doc state) — the estimate only sizes granularity, never
+    //    correctness (sub routing is a pure key function at ANY factor).
     val deltaSeg = s"seg-$batchId-delta"
     val statsBytes =
       batchCounts.queryExecution.optimizedPlan.stats.sizeInBytes
     val bulk = statsBytes > BigInt(OccStateStore.DeltaZoneMaxBytes)
-    val estRows = (statsBytes / 16).min(BigInt(Long.MaxValue)).toLong
+    val estRows = (statsBytes / OccStateStore.EstBytesPerOccRow)
+      .min(BigInt(Long.MaxValue)).toLong
     val deltaSub =
       if (subSplit > 0) subSplit
       else if (bulk)
@@ -634,8 +638,8 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     val knownRows = due.flatMap(b => stacked(b).map(_.rows))
     val totalRows =
       if (knownRows.exists(_ < 0))
-        (compacting.queryExecution.optimizedPlan.stats.sizeInBytes / 16)
-          .min(BigInt(Long.MaxValue)).toLong
+        (compacting.queryExecution.optimizedPlan.stats.sizeInBytes /
+          OccStateStore.EstBytesPerOccRow).min(BigInt(Long.MaxValue)).toLong
       else knownRows.sum
     val sub = OccStateStore.deriveSubSplit(totalRows / math.max(1, due.size))
     writeSegment(graft.ops.Dedup.aggregateOccurrences(compacting),
@@ -747,6 +751,13 @@ object OccStateStore {
     * pays ~64 MB per touched bucket, large enough that parquet files stay
     * footer-efficient. */
   final val TargetBucketBytes: Long = 64L << 20
+
+  /** Plan-stats → row estimate for (shingle, occ) frames whose exact
+    * count is unknown (bulk delta writes): zstd parquet of this table
+    * measures ~8 B/row (random-hash shingles don't compress; the occ
+    * column vanishes), and parquet-scan plan stats are file bytes. Only
+    * sizes sub-split granularity — correctness never depends on it. */
+  final val EstBytesPerOccRow: Long = 8L
 
   /** Sub-bucket size target for [[deriveSubSplit]] (tier 3): a probe key
     * hitting a corpus-mass bucket reads ~one sub-file of
