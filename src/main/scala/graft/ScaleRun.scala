@@ -539,7 +539,13 @@ object ScaleRun {
         p.getFileSystem(hconf).getFileStatus(p).getLen
       }.sum
       import spark.implicits._
-      val legs = Seq(1, 5, 50).map { nDocs =>
+      // the trailing repeat of the 1-doc leg splits out the per-batch
+      // driver fixed cost (r12 verdict item 4): by then the store's
+      // manifest + sidecar memo is warm, so the repeat pays only the
+      // marginal planning job + probe (page-cache warmth helps it too —
+      // the honest read is the DELTA between the two 1-doc walls, not
+      // either wall alone; the pruned-bytes column is identical)
+      val legs = Seq(1, 5, 50, 1).map { nDocs =>
         // deterministic micro-batch: the first nDocs of the increment's
         // id order — the per-second/per-doc cadence shape
         val batch = corpus.filter(col("doc_id") % 10 === 0)

@@ -147,7 +147,8 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           val parts = line.split('\t')
           (parts(0).toInt, SegStat(parts(1),
             if (parts.length > 2) parts(2).toLong else -1L,
-            if (parts.length > 3) parts(3).toInt else 1))
+            if (parts.length > 3) parts(3).toInt else 1,
+            if (parts.length > 4) parts(4).toLong else -1L))
         }
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     }
@@ -161,7 +162,8 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
   private def writeManifest(v: Long, m: Map[Int, Seq[SegStat]]): Unit = {
     val body = m.toSeq.sortBy(_._1)
       .flatMap { case (b, segs) =>
-        segs.map(s => s"$b\t${s.name}\t${s.rows}\t${s.subSplit}") }
+        segs.map(s =>
+          s"$b\t${s.name}\t${s.rows}\t${s.subSplit}\t${s.subMask}") }
       .mkString("", "\n", "\n")
     graft.FsText.writeAtomic(spark, manifestPath(v), body)
     OccStateStore.Memo.putManifest(rootKey, v, m)
@@ -280,8 +282,12 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           .flatMap { case (b, segs) =>
             segs.flatMap { s =>
               if (s.subSplit > 1)
+                // hasSub: a touched (b, sb) whose sub-file no row ever
+                // landed in is pruned from the PATH list (it cannot
+                // match by construction), not handed to the reader as a
+                // nonexistent directory
                 subTouched.getOrElse(s.subSplit, Set.empty).collect {
-                  case (`b`, sb) =>
+                  case (`b`, sb) if s.hasSub(sb) =>
                     new Path(segDir(s.name), s"b=$b/sb=$sb").toString
                 }.toSeq.sorted
               else if (zoneMaps.contains(s.name)) {
@@ -505,18 +511,29 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
       .parquet(segDir(segName).toString)
   }
 
-  /** Per-bucket row counts of a written segment — the manifest's zone
-    * stats. One metadata-light job over the segment just written (only
-    * the partition column is requested, so parquet reads footers + dir
-    * names, no data pages); delta segments are batch-sized, compact
-    * segments amortize on the compaction cadence. */
-  private def segmentBucketCounts(segName: String,
-                                  subSplit: Int): Map[Int, Long] = {
+  /** Per-bucket (row count, sub-presence mask) of a written segment —
+    * the manifest's zone stats. One metadata-light job over the segment
+    * just written (only partition columns are requested, so parquet
+    * reads footers + dir names, no data pages); delta segments are
+    * batch-sized, compact segments amortize on the compaction cadence.
+    * Flat segments carry mask −1 (not applicable). */
+  private def segmentBucketStats(segName: String,
+                                 subSplit: Int): Map[Int, (Long, Long)] = {
     if (!fs.exists(segDir(segName))) return Map.empty
-    readSegmentDir(segName, subSplit)
-      .groupBy(col("b")).count()
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    if (subSplit <= 1)
+      readSegmentDir(segName, 1)
+        .groupBy(col("b")).count()
+        .collect()
+        .map(r => (r.getInt(0), (r.getLong(1), -1L))).toMap
+    else
+      readSegmentDir(segName, subSplit)
+        .groupBy(col("b"), col("sb")).count()
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues { xs =>
+          (xs.map(_._3).sum,
+            xs.foldLeft(0L)((m, x) => m | (1L << x._2)))
+        }.toMap
   }
 
   /** A segment's [[graft.ops.ZoneIndex]] sidecar path — underscore-
@@ -593,11 +610,12 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     // they prune; a corpus-mass batch pays tier 3 instead of a second
     // full exchange for blooms the cap would null out anyway. Unknown
     // stats estimate huge → no sidecar, the cheap-safe side.
-    val deltaCounts =
-      if (!bulk && deltaSub == 1) writeDeltaZones(deltaSeg)
+    val deltaCounts: Map[Int, (Long, Long)] =
+      if (!bulk && deltaSub == 1)
+        writeDeltaZones(deltaSeg).view.mapValues((_, -1L)).toMap
       else {
         OccStateStore.Memo.putZones(rootKey, deltaSeg, Some(Map.empty))
-        segmentBucketCounts(deltaSeg, deltaSub)
+        segmentBucketStats(deltaSeg, deltaSub)
       }
     val touched: Set[Int] = deltaCounts.keySet
 
@@ -605,7 +623,9 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     val stacked: Map[Int, Seq[SegStat]] =
       (prior.keySet ++ touched).iterator.map { b =>
         val segs = prior.getOrElse(b, Seq.empty) ++
-          (if (touched(b)) Seq(SegStat(deltaSeg, deltaCounts(b), deltaSub))
+          (if (touched(b))
+             Seq(SegStat(deltaSeg, deltaCounts(b)._1, deltaSub,
+               deltaCounts(b)._2))
            else Seq.empty)
         b -> segs
       }.toMap
@@ -645,9 +665,11 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     writeSegment(graft.ops.Dedup.aggregateOccurrences(compacting),
       compactSeg, sub, due.size, totalRows)
     OccStateStore.Memo.putZones(rootKey, compactSeg, Some(Map.empty))
-    val counts = segmentBucketCounts(compactSeg, sub)
-    due.map(b =>
-      b -> Seq(SegStat(compactSeg, counts.getOrElse(b, 0L), sub))).toMap
+    val counts = segmentBucketStats(compactSeg, sub)
+    due.map { b =>
+      val (rows, mask) = counts.getOrElse(b, (0L, 0L))
+      b -> Seq(SegStat(compactSeg, rows, sub, mask))
+    }.toMap
   }
 
   /** Out-of-band compaction (r11 verdict item 3): collapse every bucket
@@ -723,9 +745,19 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
 object OccStateStore {
 
   /** One manifest stack entry: segment name, the bucket's row count in
-    * it (−1 on pre-stats manifest lines), and the segment's sub-bucket
-    * split factor (1 = flat). */
-  final case class SegStat(name: String, rows: Long, subSplit: Int)
+    * it (−1 on pre-stats manifest lines), the segment's sub-bucket split
+    * factor (1 = flat), and — for split segments — the bucket's
+    * SUB-PRESENCE bitmask (bit s set ⇔ `sb=s` was written; subSplit ≤
+    * [[MaxSubSplit]] = 64 keeps it one Long). The mask is what lets
+    * [[OccStateStore.readPruned]] enumerate exactly the EXISTING
+    * (bucket, sub) files — a probe key routing to a sub no row ever
+    * landed in must be pruned from the path list, not handed to the
+    * reader as a nonexistent directory. −1 (pre-mask lines, flat
+    * segments) means "assume all present". */
+  final case class SegStat(name: String, rows: Long, subSplit: Int,
+                           subMask: Long = -1L) {
+    def hasSub(sb: Int): Boolean = subMask < 0 || ((subMask >> sb) & 1L) == 1L
+  }
 
   /** Thrown by [[OccStateStore.readDeltasBetween]] when a compaction
     * landed inside the requested window (the decomposition would

@@ -719,6 +719,28 @@ class StreamingSpanDedupSpec extends SparkSpec {
     val pruned2 = store.readPruned(3L, Seq(200L).toDF("shingle"))
     assert(occMap(graft.ops.Dedup.aggregateOccurrences(
       pruned2.filter(col("shingle") === 200L))) === Map(200L -> 6L))
+    // SPARSE split bucket: a probe key routing to a sub-file no row ever
+    // landed in must be PRUNED from the path list (sub-presence mask),
+    // not handed to the reader as a nonexistent directory — a 1-row
+    // split delta populates exactly one sub of its bucket
+    store.advance(Seq((100L, 1L)).toDF("shingle", "occ"), 3L, subSplit = 4)
+    val b100 = spark.range(1).select(
+        pmod(lit(100L), lit(B.toLong)).cast("int"),
+        pmod(xxhash64(lit(100L)), lit(4L)).cast("int"))
+      .collect()(0)
+    val (bOf100, sOf100) = (b100.getInt(0), b100.getInt(1))
+    val kSparse = spark.range(1000, 2000)
+      .filter(pmod(col("id"), lit(B.toLong)).cast("int") === bOf100 &&
+        pmod(xxhash64(col("id")), lit(4L)).cast("int") =!= sOf100)
+      .select(col("id")).orderBy("id").limit(1).collect()(0).getLong(0)
+    val prunedSparse =
+      store.readPruned(4L, Seq(kSparse).toDF("shingle")) // must not throw
+    assert(occMap(graft.ops.Dedup.aggregateOccurrences(
+      prunedSparse.filter(col("shingle") === kSparse)))
+      === Map(kSparse -> agg2(kSparse)),
+      "sparse-sub pruning must keep the key's other segments readable")
+    assert(!prunedSparse.inputFiles.exists(_.contains("seg-3-delta")),
+      "the 1-row split delta's only sub is a different one — pruned")
     // derive rule unit pins (the write-once granularity policy)
     assert(OccStateStore.deriveSubSplit(10000L) === 1)
     assert(OccStateStore.deriveSubSplit(16384L) === 2)
