@@ -1769,12 +1769,15 @@ object Dedup {
       sweepCoverage(positions, affected, nAffected, curOcc, n, minOcc,
         occParts, eager = false)
     else {
-      // disjoint doc-id slices (pmod — deterministic, no ordering job);
-      // each materializes its spans (columnar cache) and drops its
+      // disjoint doc slices by id HASH (xxhash64+pmod — total over any
+      // id type, where a bare pmod(id) would NULL out a non-castable id
+      // and silently drop its docs from every slice; r13 review), no
+      // ordering job; each slice materializes its spans and drops its
       // intermediates before the next slice allocates
       (0 until nSlices).map { s =>
         val aff = affected
-          .filter(pmod(col("id"), lit(nSlices.toLong)) === lit(s.toLong))
+          .filter(pmod(xxhash64(col("id")), lit(nSlices.toLong)) ===
+            lit(s.toLong))
           .localCheckpoint()
         sweepCoverage(positions, aff, aff.count(), curOcc, n, minOcc,
           occParts, eager = true)
@@ -1827,8 +1830,13 @@ object Dedup {
     val spans = islandsToSpans(coveredPos, n)
     if (!eager) spans
     else {
-      val out = spans.persist()
-      out.count()
+      // localCheckpoint, NOT persist: SQL-cached frames live in the
+      // cacheManager registry until an explicit unpersist, and the
+      // caller only ever sees the slices' UNION — in a long-lived
+      // streaming driver the per-sweep slice caches would accumulate
+      // for the stream's lifetime (r13 review). A localCheckpoint RDD
+      // is ContextCleaner-released once the consumer drops the frame.
+      val out = spans.localCheckpoint()
       posAffected.unpersist()
       affKeys.unpersist()
       out

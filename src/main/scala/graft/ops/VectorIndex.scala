@@ -219,21 +219,33 @@ object VectorIndex {
     writeMeta(spark, path, next.toSeq.sortBy(_._1))
   }
 
-  /** The committed append directories under `root` (`append_id=` dirs
-    * whose `_SUCCESS` landed AND that hold at least one data file) — the
-    * serving-side read set. The `_SUCCESS` gate keeps a half-written
-    * append (crash before commit, retry not yet run) out of serving;
-    * empty-but-committed appends (an empty micro-batch) are skipped so
-    * schema inference always sees real files. */
-  private def committedAppendDirs(spark: SparkSession,
-                                  root: String): Seq[String] = {
+  /** The committed append directories under `root` — the serving-side
+    * read set. The COMMIT POINT is the meta's `append_<id>` row (written
+    * atomically AFTER the data by [[recordAppend]]), not the optional
+    * `_SUCCESS` marker: deployments that disable
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs` (common on
+    * object stores) write no marker at all, and a marker-only gate
+    * would silently serve the base forever while the accounting said
+    * rows were appended (r13 review). A dir is served iff its id is
+    * recorded in the meta AND it holds ≥ 1 data file (empty committed
+    * appends are skipped so schema inference always sees real files)
+    * AND — only when markers are enabled — `_SUCCESS` is present, which
+    * additionally keeps a replay's in-flight REWRITE of a committed dir
+    * out of a concurrent serve. */
+  private def committedAppendDirs(spark: SparkSession, root: String,
+                                  meta: Map[String, String]): Seq[String] = {
     val p = new Path(root)
     val fs = graft.FsText.fs(spark, p)
     if (!fs.exists(p)) return Seq.empty
+    val recorded: Set[String] = meta.keysIterator
+      .filter(_.startsWith("append_")).map(_.stripPrefix("append_")).toSet
+    val markers = spark.sparkContext.hadoopConfiguration.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
     fs.listStatus(p).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("append_id="))
+      .filter(d => d.getName.startsWith("append_id=") &&
+        recorded.contains(d.getName.stripPrefix("append_id=")))
       .filter { d =>
-        fs.exists(new Path(d, "_SUCCESS")) && {
+        (!markers || fs.exists(new Path(d, "_SUCCESS"))) && {
           // any data file at any depth (IVF appends nest cell= dirs)
           val it = fs.listFiles(d, true)
           var found = false
@@ -285,7 +297,7 @@ object VectorIndex {
     // committed appends ride the same static cell pruning — their layout
     // nests cell= under append_id=, so the isin filter prunes their
     // partitions too (basePath keeps the partition columns)
-    val appendDirs = committedAppendDirs(spark, s"$path/appends")
+    val appendDirs = committedAppendDirs(spark, s"$path/appends", meta)
     val cells =
       if (appendDirs.isEmpty) base
       else base.unionByName(probedCells(
@@ -393,7 +405,8 @@ object VectorIndex {
       out.toSeq
     }
     val codesBase = spark.read.parquet(s"$path/codes")
-    val appendDirs = committedAppendDirs(spark, s"$path/append_codes")
+    val appendDirs =
+      committedAppendDirs(spark, s"$path/append_codes", meta)
     val allCodes =
       if (appendDirs.isEmpty) codesBase
       else codesBase.unionByName(

@@ -63,6 +63,24 @@ object ZoneIndex {
   final case class Zone(cnt: Long, kmin: Long, kmax: Long,
                         bloom: Array[Byte])
 
+  /** Per-partition zone tester — the ONE implementation of the
+    * one-sided pruning rules (object doc), shared by [[hitPairs]] and
+    * [[graft.streaming.OccStateStore]]'s probe-planning job (r13
+    * review: two hand-copies of the kmin/kmax + bloom rules would
+    * silently desynchronize probe pruning from sweep pruning at the
+    * next rule change). Blooms deserialize once per (group, bucket) per
+    * instance; construct one per task. */
+  final class ZoneProbe {
+    private val blooms =
+      new scala.collection.mutable.HashMap[(String, Int), BloomFilter]
+    /** true iff key `k` MIGHT be present in `name`'s bucket `b` with
+      * zone `z` — never a false negative. */
+    def mightHit(name: String, b: Int, z: Zone, k: Long): Boolean =
+      k >= z.kmin && k <= z.kmax && (z.bloom == null ||
+        blooms.getOrElseUpdate((name, b), BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(z.bloom))).mightContainLong(k))
+  }
+
   /** Build the zone rows for `df`'s `keyCol` under `numBuckets` pmod
     * buckets: (b, cnt, kmin, kmax, bloom). PARTIAL FOLD, no re-exchange
     * of the keys (r12 verdict: the first cut `repartition(col("b"))`ed —
@@ -282,22 +300,14 @@ object ZoneIndex {
       .as[(Int, Long)]
       .mapPartitions { it =>
         val gs = bc.value
-        val blooms = new scala.collection.mutable.HashMap[(String, Int),
-          BloomFilter]
+        val probe = new ZoneProbe
         val out = new scala.collection.mutable.HashSet[(String, Int)]
         it.foreach { case (b, k) =>
           gs.foreach { case (name, zones) =>
-            if (!out.contains((name, b))) zones.get(b).foreach { z =>
-              if (k >= z.kmin && k <= z.kmax) {
-                if (z.bloom == null) out += ((name, b))
-                else {
-                  val bf = blooms.getOrElseUpdate((name, b),
-                    BloomFilter.readFrom(
-                      new java.io.ByteArrayInputStream(z.bloom)))
-                  if (bf.mightContainLong(k)) out += ((name, b))
-                }
+            if (!out.contains((name, b)))
+              zones.get(b).foreach { z =>
+                if (probe.mightHit(name, b, z, k)) out += ((name, b))
               }
-            }
           }
         }
         out.iterator

@@ -305,13 +305,44 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * the keys: the touched bucket set (≤ numBuckets ints), the touched
     * (bucket, sub) pair set per distinct sub-split factor (≤ batch
     * distinct keys), and the zone-hit (segment, bucket) pairs against
-    * the broadcast sidecar maps (bloom deserialized once per
-    * (segment, bucket) per task, as [[graft.ops.ZoneIndex.hitPairs]]).
-    * All three collects are batch- or metadata-bounded. The sub columns
-    * are built with the SAME Spark SQL expressions as the segment
-    * writes, so routing agrees bit-for-bit. */
+    * the broadcast sidecar maps (the shared
+    * [[graft.ops.ZoneIndex.ZoneProbe]] matcher — blooms deserialize once
+    * per (segment, bucket) per task). All three collects are batch- or
+    * metadata-bounded. The sub columns are built with the SAME Spark SQL
+    * expressions as the segment writes, so routing agrees bit-for-bit.
+    *
+    * Broadcast bound (r13 review): the single-job path re-broadcasts
+    * the full cached zone maps every micro-batch — fine in the design
+    * regime (micro-batch delta sidecars are ~bloom-bits × batch keys),
+    * wrong when the stacked sidecar mass is large. Past
+    * [[OccStateStore.ProbeZoneBroadcastMaxBytes]] the plan splits in
+    * two jobs, r12-style: buckets+subs first, then
+    * [[graft.ops.ZoneIndex.hitPairs]] with the maps SLIMMED to the
+    * touched buckets — per-batch broadcast scales with touched-bucket
+    * mass again, at the price of one extra batch-sized job. */
   private def probePlan(keys: DataFrame, subSplits: Seq[Int],
                         groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]])
+      : (Set[Int], Map[Int, Set[(Int, Int)]], Set[(String, Int)]) = {
+    val zoneBytes = groups.valuesIterator.flatMap(_.valuesIterator)
+      .map(z => 64L + (if (z.bloom == null) 0L else z.bloom.length.toLong))
+      .sum
+    if (zoneBytes <= OccStateStore.ProbeZoneBroadcastMaxBytes) {
+      planJob(keys, subSplits, groups)
+    } else {
+      val (touched, subTouched, _) =
+        planJob(keys, subSplits, Map.empty)
+      val slim = groups.view
+        .mapValues(_.filter(e => touched.contains(e._1)))
+        .filter(_._2.nonEmpty).toMap
+      val hits =
+        if (slim.isEmpty) Set.empty[(String, Int)]
+        else graft.ops.ZoneIndex.hitPairs(slim, keys, "shingle", numBuckets)
+      (touched, subTouched, hits)
+    }
+  }
+
+  private def planJob(keys: DataFrame, subSplits: Seq[Int],
+                      groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]])
       : (Set[Int], Map[Int, Set[(Int, Int)]], Set[(String, Int)]) = {
     val spark2 = keys.sparkSession
     import spark2.implicits._
@@ -324,8 +355,7 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     val planned = keys.select(cols: _*)
       .mapPartitions { it =>
         val gs = bc.value
-        val blooms = new scala.collection.mutable.HashMap[(String, Int),
-          org.apache.spark.util.sketch.BloomFilter]
+        val probe = new graft.ops.ZoneIndex.ZoneProbe
         val buckets = new scala.collection.mutable.HashSet[Int]
         val pairs = new scala.collection.mutable.HashSet[(Int, Int, Int)]
         val hits = new scala.collection.mutable.HashSet[(String, Int)]
@@ -339,17 +369,10 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
             i += 1
           }
           gs.foreach { case (name, zones) =>
-            if (!hits.contains((name, b))) zones.get(b).foreach { z =>
-              if (k >= z.kmin && k <= z.kmax) {
-                if (z.bloom == null) hits += ((name, b))
-                else {
-                  val bf = blooms.getOrElseUpdate((name, b),
-                    org.apache.spark.util.sketch.BloomFilter.readFrom(
-                      new java.io.ByteArrayInputStream(z.bloom)))
-                  if (bf.mightContainLong(k)) hits += ((name, b))
-                }
+            if (!hits.contains((name, b)))
+              zones.get(b).foreach { z =>
+                if (probe.mightHit(name, b, z, k)) hits += ((name, b))
               }
-            }
           }
         }
         buckets.iterator.map(b => (0, "", b, -1)) ++
@@ -579,7 +602,10 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * tier 3 covers it); an explicit value pins it (spec/ops knob). */
   def advance(batchCounts: DataFrame, batchId: Long,
               subSplit: Int = 0): Unit = {
-    require(subSplit >= 0, s"subSplit must be >= 0 (0 = derive), got $subSplit")
+    require(subSplit >= 0 && subSplit <= OccStateStore.MaxSubSplit,
+      s"subSplit must be in [0, ${OccStateStore.MaxSubSplit}] (0 = " +
+        s"derive; the cap keeps the sub-presence mask one Long), got " +
+        s"$subSplit")
     val prior: Map[Int, Seq[SegStat]] = latestVersionBefore(batchId)
       .map(readManifestStats).getOrElse(Map.empty)
 
@@ -756,7 +782,15 @@ object OccStateStore {
     * segments) means "assume all present". */
   final case class SegStat(name: String, rows: Long, subSplit: Int,
                            subMask: Long = -1L) {
-    def hasSub(sb: Int): Boolean = subMask < 0 || ((subMask >> sb) & 1L) == 1L
+    /** The sentinel is EXACTLY −1 (pre-mask lines / flat segments), not
+      * "negative": at subSplit = 64 a bucket populating sb=63 makes the
+      * mask negative via bit 63, and a `< 0` sentinel test would treat
+      * it as all-present — re-introducing the missing-directory crash
+      * for that bucket's unwritten subs (r13 review). −1 as a REAL mask
+      * means all 64 subs present, so the sentinel reading coincides
+      * with the truth there. Unsigned shift for the same reason. */
+    def hasSub(sb: Int): Boolean =
+      subMask == -1L || ((subMask >>> sb) & 1L) == 1L
   }
 
   /** Thrown by [[OccStateStore.readDeltasBetween]] when a compaction
@@ -783,6 +817,13 @@ object OccStateStore {
     * pays ~64 MB per touched bucket, large enough that parquet files stay
     * footer-efficient. */
   final val TargetBucketBytes: Long = 64L << 20
+
+  /** Per-micro-batch zone-broadcast bound for [[OccStateStore.readPruned]]'s
+    * single-job planning path (see `probePlan`): under it, the cached
+    * full zone maps ride one broadcast per batch; over it, planning
+    * splits into buckets-first + touched-slimmed hitPairs so the
+    * broadcast scales with the batch's buckets, not the sidecar mass. */
+  final val ProbeZoneBroadcastMaxBytes: Long = 4L << 20
 
   /** Plan-stats → row estimate for (shingle, occ) frames whose exact
     * count is unknown (bulk delta writes): zstd parquet of this table

@@ -741,6 +741,28 @@ class StreamingSpanDedupSpec extends SparkSpec {
       "sparse-sub pruning must keep the key's other segments readable")
     assert(!prunedSparse.inputFiles.exists(_.contains("seg-3-delta")),
       "the 1-row split delta's only sub is a different one — pruned")
+    // bit-63 edge: a sparse subSplit=64 bucket populating sb=63 makes
+    // the mask NEGATIVE — the all-present sentinel must be exactly -1,
+    // not any negative value, or this bucket's unwritten subs crash the
+    // probe with a nonexistent path (r13 review)
+    val k63 = spark.range(0, 100000)
+      .filter(pmod(xxhash64(col("id")), lit(64L)).cast("int") === 63)
+      .select(col("id")).orderBy("id").limit(1).collect()(0).getLong(0)
+    store.advance(Seq((k63, 1L)).toDF("shingle", "occ"), 4L, subSplit = 64)
+    val bK63 = math.floorMod(k63, B.toLong).toInt
+    val kOther = spark.range(0, 100000)
+      .filter(pmod(col("id"), lit(B.toLong)).cast("int") === bK63 &&
+        pmod(xxhash64(col("id")), lit(64L)).cast("int") =!= 63)
+      .select(col("id")).orderBy("id").limit(1).collect()(0).getLong(0)
+    val p63 = store.readPruned(5L,
+      Seq(kOther).toDF("shingle")) // must not throw
+    assert(!p63.inputFiles.exists(_.contains("seg-4-delta")),
+      "the sb=63-only delta holds nothing for this key's sub — pruned")
+    // the one-Long mask bounds the explicit knob
+    intercept[IllegalArgumentException] {
+      store.advance(Seq((1L, 1L)).toDF("shingle", "occ"), 6L,
+        subSplit = 65)
+    }
     // derive rule unit pins (the write-once granularity policy)
     assert(OccStateStore.deriveSubSplit(10000L) === 1)
     assert(OccStateStore.deriveSubSplit(16384L) === 2)
