@@ -523,13 +523,18 @@ object ScaleRun {
       rmDir(serveStateDir)
       val serve = graft.streaming.OccStateStore.open(spark, serveStateDir,
         numBuckets = 4096)
-      serve.advance(store.read(1L), 0L)
-      // r13: the corpus-mass write also derives tier 3's sub-split —
-      // every bucket lands as sorted sb= sub-files (report the factor)
-      val sub = serve.readManifestStats(0L).values.flatten
-        .map(_.subSplit).max
+      // r13: this deliberate layout write OPTS IN to tier 3's sub-split
+      // (plain deltas stay flat — an auto-split bulk advance paid a
+      // 623M-row sort in the per-increment lane for files nothing would
+      // sub-prune); factor derived from the state's plan-stats rows
+      val full = store.read(1L)
+      val est = (full.queryExecution.optimizedPlan.stats.sizeInBytes /
+        graft.streaming.OccStateStore.EstBytesPerOccRow)
+        .min(BigInt(Long.MaxValue)).toLong
+      val sub = graft.streaming.OccStateStore.deriveSubSplit(est / 4096)
+      serve.advance(full, 0L, subSplit = sub)
       s"state re-bucketed ${store.numBuckets} -> 4096 x sub$sub for the " +
-        "micro-batch serving lane (one-time layout job)"
+        "micro-batch serving lane (one-time layout job, sorted sub-files)"
     } }
     phase("inc-serve") { withDocParts {
       val serve = graft.streaming.OccStateStore.open(spark, serveStateDir)

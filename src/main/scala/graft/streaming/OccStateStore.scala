@@ -22,12 +22,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * A bucket's content at version v = per-shingle SUM over the manifest's
   * segment list for that bucket (base compact + stacked deltas). Buckets
   * are `pmod(shingle, numBuckets)` — a pure function of the key, so delta
-  * and compaction writes agree by construction. CORPUS-MASS segments
-  * (compactions, bulk base-build deltas) additionally split every bucket
-  * into `sb = pmod(xxhash64(shingle), subSplit)` SUB-BUCKET files — the
-  * probe's third pruning tier (see the cost model); the split factor is
-  * a per-segment property recorded in the manifest, and the sub routing
-  * is again a pure function of the key, so any reader can recompute it.
+  * and compaction writes agree by construction. CORPUS-MASS segments —
+  * every compaction (derived from exact manifest rows), plus delta
+  * writes that OPT IN via [[advance]]'s `subSplit` (the deliberate
+  * layout jobs: seeding a base, re-bucketing for serving) — additionally
+  * split every bucket into `sb = pmod(xxhash64(shingle), subSplit)`
+  * SUB-BUCKET files — the probe's third pruning tier (see the cost
+  * model); the split factor is a per-segment property recorded in the
+  * manifest, and the sub routing is again a pure function of the key,
+  * so any reader can recompute it.
   *
   * Cost model (r10 weak-mark fix, refined through r13):
   *  - '''advance is O(batch) strictly per batch''': the only mandatory
@@ -596,10 +599,19 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * batch-sized delta into the buckets it touches, compact any bucket
     * whose stack reached `compactAt`, publish the manifest, then retire
     * versions past `retainVersions` and GC unreferenced segments.
-    * `subSplit` — 0 (default) derives the delta's sub-bucket factor from
-    * the plan stats (micro-batches stay flat; a corpus-mass frame — a
-    * seeded base build, a bulk re-bucket — splits so [[readPruned]]'s
-    * tier 3 covers it); an explicit value pins it (spec/ops knob). */
+    * `subSplit` — 0 (the default) keeps the delta FLAT: a delta write
+    * must stay O(batch) cheap (partition-routed files, no sort — the
+    * r10 weak-mark economics), and the sub-split's read win only exists
+    * for segments later probes prune WITHIN, which deltas earn when the
+    * COMPACTION cadence folds them (compaction derives its split from
+    * exact rows and is already rewriting the bucket — the first r13 cut
+    * auto-split bulk deltas from plan stats and the 69M-key increment's
+    * advance went 5.6 → 68 s paying a 623M-row sort for files nothing
+    * would ever sub-prune). Pass an explicit factor for the two
+    * DELIBERATE corpus-mass layout writes that ARE the serving store:
+    * seeding a base corpus into a fresh store, or re-bucketing a state
+    * for the micro-batch serving lane (derive the factor with
+    * [[OccStateStore.deriveSubSplit]]). */
   def advance(batchCounts: DataFrame, batchId: Long,
               subSplit: Int = 0): Unit = {
     require(subSplit >= 0 && subSplit <= OccStateStore.MaxSubSplit,
@@ -610,27 +622,21 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
       .map(readManifestStats).getOrElse(Map.empty)
 
     // 1. the batch's delta — its counts hash-routed into bucket dirs; a
-    //    batch touching b buckets writes exactly b directories. Bulk
-    //    frames (plan-stats past the delta-zone bound) sub-split so the
-    //    probe's tier-3 pruning covers corpus-mass segments from the
-    //    start (the serving lane's base build / re-bucket path); rows
-    //    are estimated from the plan stats at ~8 B/row (zstd parquet of
-    //    (shingle, occ): the shingle column is a random hash —
-    //    incompressible 8 B — and the occ column, mostly small repeated
-    //    counts, compresses to noise; measured ~8 B/row at the 692M-row
-    //    504k-doc state) — the estimate only sizes granularity, never
-    //    correctness (sub routing is a pure key function at ANY factor).
+    //    batch touching b buckets writes exactly b directories. Flat by
+    //    default (see the scaladoc's subSplit policy); an explicit
+    //    subSplit sorts into sb= sub-files for the deliberate layout
+    //    writes. Rows for the sorted write's width are estimated from
+    //    plan stats at ~8 B/row (zstd parquet of (shingle, occ):
+    //    random-hash shingles don't compress, the occ column vanishes;
+    //    measured at the 692M-row 504k-doc state) — the estimate only
+    //    sizes tasks, never correctness.
     val deltaSeg = s"seg-$batchId-delta"
     val statsBytes =
       batchCounts.queryExecution.optimizedPlan.stats.sizeInBytes
     val bulk = statsBytes > BigInt(OccStateStore.DeltaZoneMaxBytes)
     val estRows = (statsBytes / OccStateStore.EstBytesPerOccRow)
       .min(BigInt(Long.MaxValue)).toLong
-    val deltaSub =
-      if (subSplit > 0) subSplit
-      else if (bulk)
-        OccStateStore.deriveSubSplit(estRows / math.max(1, numBuckets))
-      else 1
+    val deltaSub = if (subSplit > 0) subSplit else 1
     writeSegment(batchCounts, deltaSeg, deltaSub, numBuckets, estRows)
     // zone sidecar only for BATCH-sized flat deltas: the serving regime
     // they prune; a corpus-mass batch pays tier 3 instead of a second
