@@ -160,9 +160,15 @@ object VectorIndex {
     val batch = newVecs.persist()
     try {
       val appended = batch.count()
+      // ONE file per touched cell: without the cell repartition every
+      // input partition writes its own file into every cell it touches
+      // (≤ tasks × cells tiny files per append — the 504k ann leg's
+      // 50k-row append cost 84.7 s, mostly file count + v1 job-commit
+      // renames); the exchange is batch-sized
       batch.select(col(idCol).cast("long").as("neighbor_id"),
           col(vecCol).as("vec_c"),
           Similarity.cellAssignCol(cents, col(vecCol)).as("cell"))
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$path/appends/append_id=$appendId")
       recordAppend(spark, path, meta, appendId, appended)

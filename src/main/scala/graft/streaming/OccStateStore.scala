@@ -502,7 +502,16 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * sub-files compress tighter and leave parquet row-group min/max
     * stats meaningful for any future range consumer). The sorted write
     * needs no concurrent-writer scope — partition-ordered rows stream
-    * through one open file at a time. */
+    * through one open file at a time — but it DOES scope the v2 output
+    * committer: a sub-split segment is numBuckets × subSplit files
+    * (131,072 at the 504k serve layout), and v1's JOB commit renames
+    * every one of them single-threaded on the driver — measured as the
+    * bulk of a 780 s layout wall. v2 commits at TASK commit (parallel,
+    * one rename per task attempt dir tree move); its weaker crash story
+    * (partial files visible in the target dir on job failure) is
+    * covered by the store's own commit point — a segment is INVISIBLE
+    * until the manifest references it, a retry overwrites the dir
+    * wholesale, and retire() GCs unreferenced orphans. */
   private def writeSegment(df: DataFrame, segName: String, subSplit: Int,
                            nBuckets: Int, estRows: Long): Unit = {
     if (subSplit <= 1) {
@@ -514,13 +523,29 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           .parquet(segDir(segName).toString)
       }
     } else {
-      df.select(col("shingle"), col("occ"),
-          pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"),
-          subCol(subSplit).as("sb"))
-        .repartition(sortedWriteParts(estRows), col("b"), col("sb"))
-        .sortWithinPartitions("b", "sb", "shingle")
-        .write.mode("overwrite").partitionBy("b", "sb")
-        .parquet(segDir(segName).toString)
+      withSessionConf(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2") {
+        df.select(col("shingle"), col("occ"),
+            pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"),
+            subCol(subSplit).as("sb"))
+          .repartition(sortedWriteParts(estRows), col("b"), col("sb"))
+          .sortWithinPartitions("b", "sb", "shingle")
+          .write.mode("overwrite").partitionBy("b", "sb")
+          .parquet(segDir(segName).toString)
+      }
+    }
+  }
+
+  /** Scope one session conf around `body`, restoring the prior value —
+    * the same discipline as [[withConcurrentWriters]]. */
+  private def withSessionConf[T](key: String, value: String)(body: => T): T = {
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
