@@ -1717,19 +1717,20 @@ object Dedup {
 
   /** Affected-doc cap per sweep SLICE (r12 verdict item 6 — the 2×
     * headroom leg's sweep walled 4.43× at a 61.7 GB pool peak on a fixed
-    * 48 GB heap: the affected-doc positions, their key slim, and the
-    * coverage aggregate were all live AT ONCE, and the working set grows
-    * with the accumulated increment while the heap does not): affected
-    * docs' spans are mutually independent (coverage is per doc), so the
-    * recompute is embarrassingly sliceable by doc id. Past the cap,
-    * [[sweepFromCrossed]]'s tail runs one bounded slice at a time —
-    * each slice MATERIALIZES its spans and releases its intermediates
-    * before the next starts, so the live working set is one slice
-    * regardless of how affected the window was. The price, recorded
-    * honestly: each slice re-SCANS positions and the slimmed state (the
-    * scans are map-side semi-joins under the broadcast gate — no extra
-    * exchange), traded for a bounded peak. 32768 ≈ the 504k run's whole
-    * sweep in one slice (comparability) with the 2× leg at two. */
+    * 48 GB heap: the per-doc coverage join + gaps-and-islands window
+    * sort's execution state grows with the accumulated increment while
+    * the heap does not): affected docs' spans are mutually independent
+    * (coverage is per doc), so the per-DOC tail is embarrassingly
+    * sliceable by doc-id hash. Past the cap, the tail runs one bounded
+    * slice at a time, each materializing its spans before the next
+    * allocates. What is NOT sliced, deliberately: the state's
+    * affected-key slim and threshold aggregate — the sweep's heaviest
+    * exchange — runs ONCE for the whole affected set and feeds every
+    * slice from a checkpoint (the first r13 cut re-ran it per slice and
+    * the 2× sweep got WORSE: shuffle 24.1 → 32.9 GB, wall 375 → 429 s —
+    * that A/B is the measured reason for this shape). 32768 ≈ the 504k
+    * run's whole sweep in one slice (comparability) with the 2× leg at
+    * two. */
   final val SweepSliceMaxAffected: Int = 32768
 
   /** Shared tail of the sweep forms: crossed keys → affected base
@@ -1765,81 +1766,62 @@ object Dedup {
     val nSlices =
       if (sliceAffected <= 0) 1
       else ((nAffected + sliceAffected - 1) / sliceAffected).toInt
-    if (nSlices <= 1)
-      sweepCoverage(positions, affected, nAffected, curOcc, n, minOcc,
-        occParts, eager = false)
-    else {
-      // disjoint doc slices by id HASH (xxhash64+pmod — total over any
-      // id type, where a bare pmod(id) would NULL out a non-castable id
-      // and silently drop its docs from every slice; r13 review), no
-      // ordering job; each slice materializes its spans and drops its
-      // intermediates before the next slice allocates
-      (0 until nSlices).map { s =>
-        val aff = affected
-          .filter(pmod(xxhash64(col("id")), lit(nSlices.toLong)) ===
-            lit(s.toLong))
-          .localCheckpoint()
-        sweepCoverage(positions, aff, aff.count(), curOcc, n, minOcc,
-          occParts, eager = true)
-      }.reduce(_.unionByName(_))
-    }
-  }
-
-  /** One affected-set coverage pass (the sweep tail below the affected
-    * discovery). `eager = false` keeps the r12 single-slice shape
-    * byte-for-byte (lazy result, localCheckpoint intermediates);
-    * `eager = true` — the sliced path — caches + materializes the
-    * slice's spans, then unpersists the slice's intermediates so at most
-    * one slice's working set is ever live. */
-  private def sweepCoverage(positions: DataFrame, affected: DataFrame,
-                            nAffected: Long, curOcc: DataFrame, n: Int,
-                            minOcc: Int, occParts: Int,
-                            eager: Boolean): DataFrame = {
     // past-the-gate fallbacks stay SHUFFLE_HASH-hinted like their
     // siblings — an unhinted semi here went SortMergeJoin and SORTED the
     // corpus-sized positions index (the finding-20 class; r11 review)
-    val posAffected0 = (
+    val posAffected = (
       if (nAffected <= Curation.MaxFlaggedIdBroadcast)
         positions.join(broadcast(affected), Seq("id"), "left_semi")
       else positions.join(affected.hint("SHUFFLE_HASH"),
         Seq("id"), "left_semi"))
-    val posAffected =
-      if (eager) { val p = posAffected0.persist(); p.count(); p }
-      else posAffected0.localCheckpoint()
+      .localCheckpoint()
     // coverage for the affected docs under the CURRENT state, without a
     // second corpus-wide aggregate (the crossed computation above already
     // paid the states' one inherent exchange): slim the state to the
     // affected docs' key set FIRST — map-side under the broadcast gate,
     // hash semi past it — then the aggregate + threshold runs on
-    // affected-doc mass only
-    val affKeys0 = posAffected.select("shingle").distinct()
-    val affKeys =
-      if (eager) { val k = affKeys0.persist(); k }
-      else affKeys0.localCheckpoint()
+    // affected-doc mass only. This runs ONCE for the whole affected set
+    // regardless of slicing: the state semi-join is the sweep's heaviest
+    // exchange, and the first r13 slicing cut re-ran it per slice — the
+    // 2× leg's sweep shuffle jumped 24.1 → 32.9 GB and the wall went UP
+    // (429.2 vs 375.1 s); only the per-DOC tail below is sliceable for
+    // free
+    val affKeys = posAffected.select("shingle").distinct()
+      .localCheckpoint()
     val nAffKeys = affKeys.count()
     val curSlim =
       if (nAffKeys <= Curation.MaxFlaggedIdBroadcast)
         curOcc.join(broadcast(affKeys), Seq("shingle"), "left_semi")
       else curOcc.join(affKeys.hint("SHUFFLE_HASH"),
         Seq("shingle"), "left_semi")
-    val coveredAff = aggregateOccurrences(curSlim, occParts)
+    val coveredAff0 = aggregateOccurrences(curSlim, occParts)
       .filter(col("occ") >= minOcc).select("shingle")
-    val coveredPos = posAffected
-      .join(coveredAff.hint("SHUFFLE_HASH"), Seq("shingle"), "left_semi")
-      .select("id", "pos")
-    val spans = islandsToSpans(coveredPos, n)
-    if (!eager) spans
+    // the sliced path reads coveredAff once per slice — checkpoint it
+    // (affected-keys-bounded, 8-byte rows) so the state slim runs once
+    val coveredAff =
+      if (nSlices <= 1) coveredAff0 else coveredAff0.localCheckpoint()
+    def spansOf(pos: DataFrame): DataFrame =
+      islandsToSpans(pos
+        .join(coveredAff.hint("SHUFFLE_HASH"), Seq("shingle"), "left_semi")
+        .select("id", "pos"), n)
+    if (nSlices <= 1) spansOf(posAffected)
     else {
-      // localCheckpoint, NOT persist: SQL-cached frames live in the
-      // cacheManager registry until an explicit unpersist, and the
-      // caller only ever sees the slices' UNION — in a long-lived
-      // streaming driver the per-sweep slice caches would accumulate
-      // for the stream's lifetime (r13 review). A localCheckpoint RDD
-      // is ContextCleaner-released once the consumer drops the frame.
-      val out = spans.localCheckpoint()
-      posAffected.unpersist()
-      affKeys.unpersist()
-      out
+      // slice ONLY the per-doc coverage + gaps-and-islands tail (its
+      // window sort is the execution-memory hot spot that walled at 2×
+      // on a fixed heap): disjoint doc slices by id HASH
+      // (xxhash64+pmod — total over any id type, where a bare pmod(id)
+      // would NULL out a non-castable id and silently drop its docs
+      // from every slice; r13 review). Each slice's spans materialize
+      // via localCheckpoint — NOT the SQL cache, whose registry entries
+      // would accumulate per sweep for a streaming driver's lifetime —
+      // and are ContextCleaner-released once the consumer drops the
+      // union.
+      (0 until nSlices).map { s =>
+        spansOf(posAffected
+          .filter(pmod(xxhash64(col("id")), lit(nSlices.toLong)) ===
+            lit(s.toLong)))
+          .localCheckpoint()
+      }.reduce(_.unionByName(_))
     }
   }
 
