@@ -217,7 +217,19 @@ object VectorIndex {
                            meta: Map[String, String], appendId: Long,
                            appended: Long): Unit = {
     val base = meta("baseRows").toLong
-    val withId = meta + (s"append_$appendId" -> appended.toString)
+    // a pre-r13 index carries a running `appendedRows` counter with NO
+    // per-id rows (the old bumpAppended accounting) — deriving the sum
+    // from per-id rows alone would silently RESET it on the first keyed
+    // append (r13 ADVICE item 2); preserve it once as a legacy row so the
+    // derived total keeps counting those rows (`committedAppendDirs`
+    // ignores it: no `append_id=legacy` dir can exist)
+    val hasIdRows = meta.keysIterator.exists(_.startsWith("append_"))
+    val legacy = meta.get("appendedRows").map(_.toLong).getOrElse(0L)
+    val carried =
+      if (!hasIdRows && legacy > 0L)
+        meta + ("append_legacy" -> legacy.toString)
+      else meta
+    val withId = carried + (s"append_$appendId" -> appended.toString)
     val total = withId.collect {
       case (k, v) if k.startsWith("append_") => v.toLong }.sum
     val next = withId ++ Map("appendedRows" -> total.toString,

@@ -523,9 +523,15 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           .parquet(segDir(segName).toString)
       }
     } else {
+      // the UNPREFIXED key: SessionState.newHadoopConf copies session-conf
+      // entries VERBATIM into the write job's Hadoop conf, so this is what
+      // FileOutputCommitter actually reads — the r13 cut set the
+      // "spark.hadoop."-prefixed key at runtime, which only works at
+      // SparkContext CREATION (r13 ADVICE: the prefixed runtime set was a
+      // silent no-op and the v1->v2 A/B measured noise; re-measured with
+      // the effective key in the r14 layout leg)
       withSessionConf(
-        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
-        "2") {
+        "mapreduce.fileoutputcommitter.algorithm.version", "2") {
         df.select(col("shingle"), col("occ"),
             pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"),
             subCol(subSplit).as("sb"))
@@ -640,9 +646,9 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
   def advance(batchCounts: DataFrame, batchId: Long,
               subSplit: Int = 0): Unit = {
     require(subSplit >= 0 && subSplit <= OccStateStore.MaxSubSplit,
-      s"subSplit must be in [0, ${OccStateStore.MaxSubSplit}] (0 = " +
-        s"derive; the cap keeps the sub-presence mask one Long), got " +
-        s"$subSplit")
+      s"subSplit must be in [0, ${OccStateStore.MaxSubSplit}] (0 = flat, " +
+        s"the default — deltas never auto-derive a split; pass an " +
+        s"explicit factor for deliberate layout writes), got $subSplit")
     val prior: Map[Int, Seq[SegStat]] = latestVersionBefore(batchId)
       .map(readManifestStats).getOrElse(Map.empty)
 
@@ -964,6 +970,23 @@ object OccStateStore {
     def dropManifest(dir: String, v: Long): Unit =
       synchronized { manifests.remove((dir, v)) }
 
+    /** Invalidate EVERYTHING cached for a store root — called when
+      * [[OccStateStore.open]] creates fresh write-once meta at a path
+      * (the one observable moment of a same-path delete+recreate done
+      * outside the API, e.g. a test/ScaleRun rmDir+open; r13 ADVICE: the
+      * path-keyed memo would otherwise serve the DELETED store's
+      * manifests/zones whenever the recreated store's version or segment
+      * names diverge from the old ones). */
+    def dropAll(dir: String): Unit = synchronized {
+      val mIt = manifests.keySet().iterator()
+      while (mIt.hasNext) if (mIt.next()._1 == dir) mIt.remove()
+      val zIt = zoneMaps.entrySet().iterator()
+      while (zIt.hasNext) {
+        val e = zIt.next()
+        if (e.getKey._1 == dir) { zoneBytes -= e.getValue._2; zIt.remove() }
+      }
+    }
+
     def dropZones(dir: String, seg: String): Unit =
       synchronized {
         val prev = zoneMaps.remove((dir, seg))
@@ -1027,6 +1050,10 @@ object OccStateStore {
       } else {
         val create = if (numBuckets == 0) 64 else numBuckets
         fs.mkdirs(root)
+        // a FRESH meta at this path means any memoized artifacts belong
+        // to a previous (externally deleted) store — drop them before the
+        // first read can hit a stale entry (r13 ADVICE item 4)
+        Memo.dropAll(root.toString)
         // atomic publish: a crash mid-create must not leave a torn meta
         // that every later open trips over (r11 advice)
         graft.FsText.writeAtomic(spark, metaPath, create.toString)
