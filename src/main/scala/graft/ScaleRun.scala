@@ -491,10 +491,11 @@ object ScaleRun {
     } }
     phase("inc-sweep") { withDocParts {
       val store = graft.streaming.OccStateStore.open(spark, incStateDir)
-      // delta form: prev state + the pure per-batch deltas since — ONE
-      // tagged exchange through the KeyedSum2 kernel for the crossed
-      // keys, instead of aggregating two full state snapshots (the pair
-      // form's first cut measured 170.0 s / 21.5 GB shuffle here)
+      // delta form: prev state + the pure per-batch deltas since — the
+      // crossed keys come from the slim-first shape (crossed ⊆ delta
+      // keys, so prev slims to the delta's key set; r14), instead of
+      // aggregating two full state snapshots (the pair form's first cut
+      // measured 170.0 s / 21.5 GB shuffle here)
       val sweep = graft.ops.Dedup.retroactiveSpanSweepDelta(
         spark.read.parquet(incPosPath), store.read(0L),
         store.readDeltasBetween(0L, 1L), n = 10)
@@ -561,18 +562,25 @@ object ScaleRun {
         val (shEx, counts) = graft.ops.Dedup.prepareIncrementalBatch(
           batch, "doc_id", "text", n = 10)
         // the deployment-true probe read (what processBatch runs): all
-        // three pruning tiers — bucket set, zone sidecars, and since r13
-        // the sub-bucket files of the corpus-mass serve segment (the
-        // r12-verdict fix for the mid-size-batch regime: bucket pruning
-        // alone saturated at 74% of state for 5 docs / 100% for 50)
-        val pruned = serve.readPruned(1L, counts)
+        // FOUR pruning tiers — bucket set, zone sidecars, sub-bucket
+        // files (r13), and since r14 page-level reads inside the
+        // admitted sub-files (SubFileProbe: per-file key predicates
+        // against the sorted column's row-group stats + column index).
+        // The exact key count rides along, as in processBatch.
+        val pr = serve.probeRead(1L, counts, keyCountHint = counts.count())
         val prunedSpans = graft.ops.Dedup.incrementalSpansPrepared(
-          shEx, counts, pruned, n = 10).collect().map(_.toSeq).toSet
+          shEx, counts, pr.frame, n = 10).collect().map(_.toSeq).toSet
         val nSpans = prunedSpans.size
         val secs = (System.nanoTime() - t0) / 1e9
-        val prunedFiles = pruned.inputFiles
-        val prunedB = bytesOf(prunedFiles)
-        val touched = prunedFiles.flatMap(
+        // bytes: whole-scanned paths by file size; the tier-4 side by its
+        // MEASURED accumulators (valid here — exactly one action ran)
+        val sharpB = pr.bytesRead.map(_.value.toLong).getOrElse(0L)
+        val sharpFiles = pr.filesOpened.map(_.value.toLong).getOrElse(0L)
+        val sharpAdmitted = pr.rowFiltered.size
+        val prunedB = bytesOf(pr.frame.inputFiles) + sharpB
+        val touched = pr.rowFiltered.map(fk =>
+          "b=(\\d+)".r.findFirstMatchIn(fk.path).map(_.group(1).toInt))
+          .flatten.toSet ++ pr.wholePaths.flatMap(
           "b=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toInt)).toSet
         val fullB = bytesOf(serve.readLatestBefore(1L).inputFiles)
         // identity: the pruned probe's spans == the full-scan probe's,
@@ -584,9 +592,10 @@ object ScaleRun {
           s"pruned vs full spans diverged at nDocs=$nDocs")
         shEx.unpersist(); counts.unpersist(); batch.unpersist()
         f"$nDocs%d docs: ${touched.size}/${serve.numBuckets} buckets, " +
-          f"${prunedFiles.length} files, " +
+          f"$sharpAdmitted sub-files ($sharpFiles opened, " +
+          f"${sharpB >> 20} MB measured) + ${pr.wholePaths.length} whole, " +
           f"${prunedB >> 20} of ${fullB >> 20} MB read " +
-          f"(${100.0 * prunedB / math.max(1, fullB)}%.1f%%), " +
+          f"(${100.0 * prunedB / math.max(1, fullB)}%.2f%%), " +
           f"$nSpans spans, $secs%.1f s"
       }
       spark.catalog.clearCache()

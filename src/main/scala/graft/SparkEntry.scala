@@ -1382,8 +1382,8 @@ object SparkEntry {
     // state tables: prev = base-only (shared with q100's memo), delta =
     // the increments' counts — in deployment both are OccStateStore
     // reads (read(prev) + readDeltasBetween), not sweep work; the DELTA
-    // form runs the one-pass KeyedSum2 crossed computation instead of
-    // aggregating two full state snapshots
+    // form slims prev to the delta's key set (crossed ⊆ delta keys)
+    // instead of aggregating two full state snapshots
     val baseOccPath = q100BaseOccPath(s, dir)
     val deltaOccPath = MemoParquet(s"q101_delta_occ:$dir") { out =>
       Dedup.shingleOccurrenceTable(

@@ -1628,12 +1628,13 @@ object Dedup {
     * PREVIOUS state and the DELTAS accumulated since (contract:
     * cur ≡ prev ⊎ delta as per-shingle sums — exactly what
     * [[graft.streaming.OccStateStore.readDeltasBetween]] returns). This
-    * halves the sweep's dominant cost: the pair form aggregates BOTH full
+    * cuts the sweep's dominant cost: the pair form aggregates BOTH full
     * states (two corpus-mass exchanges — 21.5 GB of the 504k run's
-    * inc-sweep row); here prev and delta union into ONE tagged exchange
-    * and the [[KeyedSum2]] kernel answers (prev-sum, delta-sum) per key
-    * in a single pass — crossed = prev < minOcc ≤ prev + delta. Output
-    * is row-identical to the pair form (RetroactiveSweepSpec pins it). */
+    * inc-sweep row); here the crossed set comes from
+    * [[crossedKeysDelta]]'s slim-first shape — crossed ⊆ delta keys, so
+    * the prev state slims to the delta's key set instead of exchanging
+    * (see that method's scaladoc for the r14 shape change). Output is
+    * row-identical to the pair form (RetroactiveSweepSpec pins it). */
   def retroactiveSpanSweepDelta(positions: DataFrame, prevOcc: DataFrame,
                                 deltaOcc: DataFrame, n: Int = 10,
                                 minOcc: Int = 2, occParts: Int = 0,
@@ -1656,13 +1657,24 @@ object Dedup {
   }
 
   /** The delta decomposition's crossed-key set — prev < minOcc ≤
-    * prev + delta, via ONE tagged union exchange through the
-    * [[KeyedSum2]] kernel (checkpointed: the sweep reads it several
-    * times). Public piece of [[retroactiveSpanSweepDelta]] so a pruning
-    * layout can compute the crossed keys FIRST, file-prune its positions
-    * read against them ([[graft.ops.ZoneIndex]]'s pattern — the
-    * streaming driver's per-batch positions partitions do), and hand
-    * both to [[sweepFromCrossed]]. */
+    * prev + delta (checkpointed: the sweep reads it several times).
+    * Public piece of [[retroactiveSpanSweepDelta]] so a pruning layout
+    * can compute the crossed keys FIRST, file-prune its positions read
+    * against them ([[graft.ops.ZoneIndex]]'s pattern — the streaming
+    * driver's per-batch positions partitions do), and hand both to
+    * [[sweepFromCrossed]].
+    *
+    * Shape (r14, verdict item 5 — the r13 cut ran ONE tagged union of
+    * the FULL prev state + delta through [[KeyedSum2]], a
+    * (state+delta)-mass exchange of 24-byte rows that was the sweep's
+    * heaviest once-run cost): every crossed key satisfies
+    * p < minOcc ≤ p + d, hence d ≥ 1 — '''crossed ⊆ delta keys''' — so
+    * the state never needs a full exchange. The delta aggregates first
+    * (increment-sized), prev is SLIMMED to the delta's key set (map-side
+    * under the broadcast gate — zero state exchange; SHUFFLE_HASH past
+    * it — one 16-byte-row state exchange, still narrower than the old
+    * 24-byte tagged union), and the threshold test runs on delta-keyed
+    * mass only. Row-identical to the pair form (RetroactiveSweepSpec). */
   def crossedKeysDelta(prevOcc: DataFrame, deltaOcc: DataFrame,
                        minOcc: Int = 2, occParts: Int = 0): DataFrame = {
     require(minOcc >= 2, s"need minOcc >= 2, got $minOcc")
@@ -1670,17 +1682,38 @@ object Dedup {
       require(t.columns.contains("shingle") && t.columns.contains("occ"),
         s"occurrence frames need (shingle, occ); got ${t.columns.mkString(", ")}")
     }
-    val spark = prevOcc.sparkSession
-    import spark.implicits._
-    val tagged = prevOcc
-      .select(col("shingle"), col("occ").as("a"), lit(0L).as("b"))
-      .unionByName(deltaOcc
-        .select(col("shingle"), lit(0L).as("a"), col("occ").as("b")))
-    tagged
-      .repartition(occExchangeParts(tagged, occParts), col("shingle"))
-      .as[(Long, Long, Long)]
-      .mapPartitions(it => new KeyedSum2()(it))
-      .toDF("shingle", "p_occ", "d_occ")
+    crossedFromDeltaAgg(prevOcc,
+      aggregateOccurrences(deltaOcc, occParts)
+        .select(col("shingle"), col("occ").as("d_occ"))
+        .localCheckpoint(),
+      minOcc, occParts)
+  }
+
+  /** [[crossedKeysDelta]] from a PRE-AGGREGATED delta (`dAgg`:
+    * (shingle, d_occ), one row per key, checkpointed by the caller):
+    * the split lets a state-store caller aggregate the delta FIRST and
+    * prune its prev-state READ by the delta's key set (crossed ⊆ delta
+    * keys, so a key-pruned prev read is exact —
+    * [[graft.streaming.StreamingSpanDedup.maybeSweep]] passes
+    * `OccStateStore.readPruned` output and the state's untouched
+    * buckets never leave disk). `prevOcc` may be any SUPERSET of the
+    * prev rows whose shingle is in `dAgg` — extra rows are slimmed
+    * exactly here. */
+  def crossedFromDeltaAgg(prevOcc: DataFrame, dAgg: DataFrame,
+                          minOcc: Int = 2, occParts: Int = 0): DataFrame = {
+    require(minOcc >= 2, s"need minOcc >= 2, got $minOcc")
+    val dKeys = dAgg.select("shingle")
+    val nDelta = dAgg.count()
+    val prevSlim =
+      if (nDelta <= Curation.MaxFlaggedIdBroadcast)
+        prevOcc.join(broadcast(dKeys), Seq("shingle"), "left_semi")
+      else prevOcc.join(dKeys.hint("SHUFFLE_HASH"), Seq("shingle"),
+        "left_semi")
+    val pAgg = aggregateOccurrences(prevSlim, occParts)
+      .select(col("shingle"), col("occ").as("p_occ"))
+    dAgg.join(pAgg, Seq("shingle"), "left_outer")
+      .select(col("shingle"),
+        coalesce(col("p_occ"), lit(0L)).as("p_occ"), col("d_occ"))
       .filter(col("p_occ") < minOcc &&
         col("p_occ") + col("d_occ") >= minOcc)
       .select("shingle")

@@ -228,22 +228,45 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
   def readLatestBefore(batchId: Long, buckets: Set[Int]): DataFrame =
     latestVersionBefore(batchId).map(read(_, buckets)).getOrElse(emptyOcc)
 
-  /** The sharpest probe read — all three pruning tiers (class doc):
+  /** The sharpest probe read — all FOUR pruning tiers (class doc):
     * bucket SET (exact), per-segment ZONE sidecars on the stacked delta
-    * files, and SUB-BUCKET files within touched corpus-mass buckets
+    * files, SUB-BUCKET files within touched corpus-mass buckets
     * (exact — `pmod(xxhash64(shingle), subSplit)` is a pure function of
-    * the key, recomputed from the batch's own keys). No false negatives
-    * anywhere (zones are one-sided; the other two tiers are routing
-    * functions), so the probe's spans are row-identical to the full read
-    * (StreamingSpanDedupSpec pins it). `keys` is the batch's
-    * (shingle, …) frame — in the serving path the probe's checkpointed
-    * counts. Per-batch cost: ONE batch-sized planning job
-    * ([[probePlan]]) + bounded collects; manifests and sidecars come
-    * from the [[OccStateStore.Memo]] cache (a sidecar is read once per
-    * segment per JVM, not once per micro-batch — r12 verdict item 4). */
-  def readPruned(batchId: Long, keys: DataFrame): DataFrame = {
+    * the key, recomputed from the batch's own keys), and — under the
+    * [[OccStateStore.ProbeRowFilterMaxKeys]] gate — PAGE-level reads
+    * INSIDE each admitted sub-file through [[SubFileProbe]] (per-file key
+    * predicates against the sorted shingle column's row-group stats and
+    * column index; tier 4, r14). No false negatives anywhere (zones are
+    * one-sided; tiers 1/3 are routing functions; tier 4 keeps every row
+    * EQUAL to a probe key by construction) — tier 4 additionally drops
+    * non-matching rows, which every consumer's contract already allows
+    * (they re-filter to their key set), so the probe's spans stay
+    * row-identical to the full read (StreamingSpanDedupSpec pins it).
+    * `keys` is the batch's (shingle, …) frame — in the serving path the
+    * probe's checkpointed counts. Per-batch cost: ONE batch-sized
+    * planning job ([[probePlan]]) + bounded collects; manifests and
+    * sidecars come from the [[OccStateStore.Memo]] cache (a sidecar is
+    * read once per segment per JVM, not once per micro-batch — r12
+    * verdict item 4). */
+  def readPruned(batchId: Long, keys: DataFrame,
+                 keyCountHint: Long = -1L): DataFrame =
+    probeRead(batchId, keys, keyCountHint).frame
+
+  /** [[readPruned]] with its planning artifacts exposed — what the probe
+    * decided to open (whole paths vs per-file key-filtered sub-files) and
+    * the tier-4 read's MEASURED byte/file accumulators, for evidence
+    * harnesses (ScaleRun's inc-serve rows) and the pruning specs.
+    * `keyCountHint`: the batch's exact distinct-key count when the caller
+    * has one (processBatch does — it counts for its broadcast gate
+    * anyway); −1 derives a bound from plan statistics (exact for the
+    * checkpointed/cached frames every real caller passes; an
+    * unmaterialized frame estimates huge and simply stays on the
+    * whole-file path — the safe side). */
+  def probeRead(batchId: Long, keys: DataFrame,
+                keyCountHint: Long = -1L): OccStateStore.ProbeRead = {
     latestVersionBefore(batchId) match {
-      case None => emptyOcc
+      case None =>
+        OccStateStore.ProbeRead(emptyOcc, Seq.empty, Seq.empty, None, None)
       case Some(v) =>
         val stacks = readManifestStats(v)
         val allSegs: Seq[SegStat] = stacks.values.flatten.toSeq
@@ -278,29 +301,69 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
         val zoneMaps: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]] =
           (cachedZones.collect { case (s, Some(zm)) if zm.nonEmpty =>
             s -> zm } ++ fetched.filter(_._2.nonEmpty)).toMap
-        val (touched, subTouched, hits) =
-          probePlan(keys, subSplits, zoneMaps)
-        val paths = stacks.toSeq
-          .filter(e => touched.contains(e._1)).sortBy(_._1)
-          .flatMap { case (b, segs) =>
-            segs.flatMap { s =>
-              if (s.subSplit > 1)
+        // tier-4 gate: collect per-key routing only when the batch's
+        // distinct keys are known (or plan-stats-bounded) small
+        val estKeys =
+          if (keyCountHint >= 0L) keyCountHint
+          else {
+            val st = keys.queryExecution.optimizedPlan.stats
+            st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong)
+              .getOrElse((st.sizeInBytes /
+                BigInt(OccStateStore.EstBytesPerOccRow))
+                .min(BigInt(Long.MaxValue)).toLong)
+          }
+        val collectKeys = subSplits.nonEmpty &&
+          estKeys <= OccStateStore.ProbeRowFilterMaxKeys
+        val plan = probePlan(keys, subSplits, zoneMaps, collectKeys)
+        val wholePaths = scala.collection.mutable.ArrayBuffer.empty[String]
+        val fileSpecs =
+          scala.collection.mutable.ArrayBuffer.empty[SubFileProbe.FileKeys]
+        stacks.toSeq
+          .filter(e => plan.touched.contains(e._1)).sortBy(_._1)
+          .foreach { case (b, segs) =>
+            segs.foreach { s =>
+              if (s.subSplit > 1) {
                 // hasSub: a touched (b, sb) whose sub-file no row ever
-                // landed in is pruned from the PATH list (it cannot
-                // match by construction), not handed to the reader as a
-                // nonexistent directory
-                subTouched.getOrElse(s.subSplit, Set.empty).collect {
-                  case (`b`, sb) if s.hasSub(sb) =>
-                    new Path(segDir(s.name), s"b=$b/sb=$sb").toString
-                }.toSeq.sorted
-              else if (zoneMaps.contains(s.name)) {
-                if (hits((s.name, b)))
-                  Seq(new Path(segDir(s.name), s"b=$b").toString)
-                else Seq.empty
-              } else Seq(new Path(segDir(s.name), s"b=$b").toString)
+                // landed in is pruned (it cannot match by construction),
+                // not handed to the reader as a nonexistent directory
+                if (collectKeys)
+                  plan.routes.foreach {
+                    case ((split, bb, sb), ks)
+                        if split == s.subSplit && bb == b &&
+                          s.hasSub(sb) =>
+                      fileSpecs += SubFileProbe.FileKeys(
+                        new Path(segDir(s.name), s"b=$b/sb=$sb").toString,
+                        ks)
+                    case _ => ()
+                  }
+                else
+                  wholePaths ++= plan.subTouched
+                    .getOrElse(s.subSplit, Set.empty).collect {
+                      case (`b`, sb) if s.hasSub(sb) =>
+                        new Path(segDir(s.name), s"b=$b/sb=$sb").toString
+                    }.toSeq.sorted
+              } else if (zoneMaps.contains(s.name)) {
+                if (plan.hits((s.name, b)))
+                  wholePaths += new Path(segDir(s.name), s"b=$b").toString
+              } else
+                wholePaths += new Path(segDir(s.name), s"b=$b").toString
             }
           }
-        readPaths(paths)
+        if (fileSpecs.isEmpty)
+          OccStateStore.ProbeRead(readPaths(wholePaths.toSeq),
+            wholePaths.toSeq, Seq.empty, None, None)
+        else {
+          val bytesAcc = spark.sparkContext
+            .longAccumulator("graft.probe.bytesRead")
+          val filesAcc = spark.sparkContext
+            .longAccumulator("graft.probe.filesOpened")
+          val sharp =
+            SubFileProbe.read(spark, fileSpecs.toSeq, bytesAcc, filesAcc)
+          OccStateStore.ProbeRead(
+            readPaths(wholePaths.toSeq).unionByName(sharp),
+            wholePaths.toSeq, fileSpecs.toSeq,
+            Some(bytesAcc), Some(filesAcc))
+        }
     }
   }
 
@@ -324,29 +387,34 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * touched buckets — per-batch broadcast scales with touched-bucket
     * mass again, at the price of one extra batch-sized job. */
   private def probePlan(keys: DataFrame, subSplits: Seq[Int],
-                        groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]])
-      : (Set[Int], Map[Int, Set[(Int, Int)]], Set[(String, Int)]) = {
+                        groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]],
+                        collectKeys: Boolean): OccStateStore.ProbePlan = {
     val zoneBytes = groups.valuesIterator.flatMap(_.valuesIterator)
       .map(z => 64L + (if (z.bloom == null) 0L else z.bloom.length.toLong))
       .sum
     if (zoneBytes <= OccStateStore.ProbeZoneBroadcastMaxBytes) {
-      planJob(keys, subSplits, groups)
+      planJob(keys, subSplits, groups, collectKeys)
     } else {
-      val (touched, subTouched, _) =
-        planJob(keys, subSplits, Map.empty)
+      val base = planJob(keys, subSplits, Map.empty, collectKeys)
       val slim = groups.view
-        .mapValues(_.filter(e => touched.contains(e._1)))
+        .mapValues(_.filter(e => base.touched.contains(e._1)))
         .filter(_._2.nonEmpty).toMap
       val hits =
         if (slim.isEmpty) Set.empty[(String, Int)]
         else graft.ops.ZoneIndex.hitPairs(slim, keys, "shingle", numBuckets)
-      (touched, subTouched, hits)
+      base.copy(hits = hits)
     }
   }
 
+  /** See [[probeRead]]'s cost note. With `collectKeys` (the tier-4 gate)
+    * the job ALSO ships each key's (split, bucket, sub) routing to the
+    * driver — bounded by the gate at ≤ ProbeRowFilterMaxKeys rows per
+    * split factor — so sub-split segments can be read with per-file key
+    * predicates; the routing columns are the SAME Spark SQL expressions
+    * as the segment writes, so write and probe agree bit-for-bit. */
   private def planJob(keys: DataFrame, subSplits: Seq[Int],
-                      groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]])
-      : (Set[Int], Map[Int, Set[(Int, Int)]], Set[(String, Int)]) = {
+                      groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]],
+                      collectKeys: Boolean): OccStateStore.ProbePlan = {
     val spark2 = keys.sparkSession
     import spark2.implicits._
     val cols = col("shingle").cast("long").as("k") +:
@@ -360,7 +428,8 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
         val gs = bc.value
         val probe = new graft.ops.ZoneIndex.ZoneProbe
         val buckets = new scala.collection.mutable.HashSet[Int]
-        val pairs = new scala.collection.mutable.HashSet[(Int, Int, Int)]
+        val pairs =
+          new scala.collection.mutable.HashSet[(Int, Int, Int, Long)]
         val hits = new scala.collection.mutable.HashSet[(String, Int)]
         it.foreach { row =>
           val k = row.getLong(0)
@@ -368,7 +437,10 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           buckets += b
           var i = 0
           while (i < nSubs) {
-            pairs += ((subArr(i), b, row.getInt(2 + i)))
+            // key rides along only under the tier-4 gate; otherwise the
+            // pair set stays (split, b, sb)-distinct as before
+            pairs += ((subArr(i), b, row.getInt(2 + i),
+              if (collectKeys) k else 0L))
             i += 1
           }
           gs.foreach { case (name, zones) =>
@@ -378,18 +450,25 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
               }
           }
         }
-        buckets.iterator.map(b => (0, "", b, -1)) ++
-          pairs.iterator.map { case (s, b, sb) => (1, s.toString, b, sb) } ++
-          hits.iterator.map { case (n, b) => (2, n, b, -1) }
+        buckets.iterator.map(b => (0, "", b, -1, 0L)) ++
+          pairs.iterator.map { case (s, b, sb, k) =>
+            (1, s.toString, b, sb, k) } ++
+          hits.iterator.map { case (n, b) => (2, n, b, -1, 0L) }
       }
       .distinct()
       .collect()
     bc.unpersist()
-    val touched = planned.collect { case (0, _, b, _) => b }.toSet
-    val subTouched = planned.collect { case (1, s, b, sb) => (s.toInt, b, sb) }
+    val touched = planned.collect { case (0, _, b, _, _) => b }.toSet
+    val pairRows = planned.collect { case (1, s, b, sb, k) =>
+      (s.toInt, b, sb, k) }
+    val subTouched = pairRows
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
-    val zoneHits = planned.collect { case (2, n, b, _) => (n, b) }.toSet
-    (touched, subTouched, zoneHits)
+    val routes: Map[(Int, Int, Int), Array[Long]] =
+      if (!collectKeys) Map.empty
+      else pairRows.groupBy(t => (t._1, t._2, t._3)).view
+        .mapValues(_.map(_._4).distinct.sorted).toMap
+    val zoneHits = planned.collect { case (2, n, b, _, _) => (n, b) }.toSet
+    OccStateStore.ProbePlan(touched, subTouched, zoneHits, routes)
   }
 
   /** One row per shingle (a full merge — state-sized exchange; for specs
@@ -538,6 +617,14 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           .repartition(sortedWriteParts(estRows), col("b"), col("sb"))
           .sortWithinPartitions("b", "sb", "shingle")
           .write.mode("overwrite").partitionBy("b", "sb")
+          // page-ROW bound (default 20k): with the rows sorted by
+          // shingle, parquet's per-page column-index min/max becomes the
+          // probe's tier-4 granularity ([[SubFileProbe]]) — ~1k-row pages
+          // let a probe key read ~8 KB of an arbitrarily large sub-file,
+          // which is what lets [[OccStateStore.SubSplitTargetRows]] be
+          // COARSE (fewer, larger files) without growing probe bytes
+          .option("parquet.page.row.count.limit",
+            OccStateStore.SortedPageRows.toString)
           .parquet(segDir(segName).toString)
       }
     }
@@ -830,6 +917,28 @@ object OccStateStore {
       subMask == -1L || ((subMask >>> sb) & 1L) == 1L
   }
 
+  /** [[OccStateStore.probeRead]]'s result: the probe frame plus what the
+    * planner decided to open. `wholePaths` are DataFrame-scanned whole
+    * (flat bucket dirs + zone-admitted delta files + sub-files past the
+    * tier-4 gate); `rowFiltered` are the sub-files opened through
+    * [[SubFileProbe]] with per-file key predicates (empty when the gate
+    * is off). `bytesRead`/`filesOpened` are the tier-4 read's measured
+    * accumulators — valid AFTER an action on `frame`, None when nothing
+    * row-filters. */
+  final case class ProbeRead(frame: DataFrame, wholePaths: Seq[String],
+                             rowFiltered: Seq[SubFileProbe.FileKeys],
+                             bytesRead: Option[org.apache.spark.util.LongAccumulator],
+                             filesOpened: Option[org.apache.spark.util.LongAccumulator])
+
+  /** One planning job's output (see planJob): touched buckets, touched
+    * (bucket, sub) pairs per split factor, zone hits, and — under the
+    * tier-4 gate — each (split, bucket, sub) file's own probe keys. */
+  private[streaming] final case class ProbePlan(
+      touched: Set[Int],
+      subTouched: Map[Int, Set[(Int, Int)]],
+      hits: Set[(String, Int)],
+      routes: Map[(Int, Int, Int), Array[Long]])
+
   /** Thrown by [[OccStateStore.readDeltasBetween]] when a compaction
     * landed inside the requested window (the decomposition would
     * double-count the folded state). A TYPE, not a message, so callers
@@ -869,19 +978,43 @@ object OccStateStore {
     * sizes sub-split granularity — correctness never depends on it. */
   final val EstBytesPerOccRow: Long = 8L
 
-  /** Sub-bucket size target for [[deriveSubSplit]] (tier 3): a probe key
-    * hitting a corpus-mass bucket reads ~one sub-file of
-    * ~SubSplitTargetRows rows instead of the whole bucket. 8192 rows ≈
-    * 100–200 KB of zstd parquet — small enough that a handful of keys
-    * per bucket read a small fraction of it, big enough to stay
-    * footer-efficient. */
-  final val SubSplitTargetRows: Long = 8192L
+  /** Sub-bucket size target for [[deriveSubSplit]] (tier 3). r14 (verdict
+    * item 1): 8192 → 32768 — the FILE is no longer the probe's read
+    * granularity (tier 4 reads ~one PAGE per key inside a sorted
+    * sub-file), so the file-size target serves only the file-count
+    * economics: 4× fewer sub-files at the 504k-doc serve layout
+    * (131,072 → 32,768) at equal-or-better probed bytes. */
+  final val SubSplitTargetRows: Long = 32768L
 
-  /** Cap on the sub-split factor: bounds file count per segment at
-    * numBuckets × 64 (a 2²⁰-bucket 100 TB state stays ~67M files of
-    * ~2.5 MB — heavy but object-store-realistic; the honest regime note
-    * lives in SURVEY's ledger). */
+  /** Hard cap on the sub-split factor (the one-Long sub-presence mask):
+    * the explicit `advance(subSplit = …)` knob's bound, and what readers
+    * honor on any recorded segment. */
   final val MaxSubSplit: Int = 64
+
+  /** Cap on the DERIVED sub-split factor — r14: 64 → 16, the file-count
+    * side of verdict item 1 (a 2²⁰-bucket 100 TB state's compactions
+    * write ~17M files of ~10 MB instead of ~67M of ~2.5 MB; tier 4's
+    * page reads keep a probe key at ~one page regardless of file size).
+    * An explicit knob up to [[MaxSubSplit]] remains available to a
+    * deployment that measures otherwise. */
+  final val DeriveMaxSubSplit: Int = 16
+
+  /** Rows per parquet page in sorted sub-split writes — the tier-4 read
+    * granularity (see the writeSegment note): 1024 rows ≈ 8 KB raw of
+    * (shingle, occ), so a key's page read is ~the size of r13's whole
+    * TINY sub-file while the files themselves grow 4×+ coarser. */
+  final val SortedPageRows: Int = 1024
+
+  /** Probe-key bound for the tier-4 ROW-FILTERED read path: under it the
+    * planning job additionally collects each key's (bucket, sub) routing
+    * (≤ this many rows per split factor — driver-bounded by
+    * construction) and sub-split segments are read through
+    * [[SubFileProbe]] with per-file predicates; past it the probe falls
+    * back to whole-sub-file reads (the r13 shape — bulk batches touch
+    * most pages anyway, and a corpus-mass key collect would not be
+    * driver-safe). Serving micro-batches (1–50 docs ≈ 10²–10⁴ keys) sit
+    * far under it. */
+  final val ProbeRowFilterMaxKeys: Long = 262144L
 
   /** Per-task row target for the sorted sub-split write (~80 MB of
     * 20-byte rows — an in-memory sort; the width rule that kept the
@@ -892,7 +1025,7 @@ object OccStateStore {
   /** Sub-split factor for a segment averaging `rowsPerBucket` rows per
     * bucket: next power of two of rowsPerBucket / [[SubSplitTargetRows]],
     * 1 below 2× the target (splitting a small bucket buys nothing and
-    * costs files), capped at [[MaxSubSplit]]. */
+    * costs files), capped at [[DeriveMaxSubSplit]]. */
   def deriveSubSplit(rowsPerBucket: Long): Int = {
     if (rowsPerBucket < 2L * SubSplitTargetRows) return 1
     val raw = rowsPerBucket / SubSplitTargetRows
@@ -900,7 +1033,7 @@ object OccStateStore {
       case h if h == raw => raw
       case h => h << 1
     }
-    math.min(MaxSubSplit.toLong, pow2).toInt
+    math.min(DeriveMaxSubSplit.toLong, pow2).toInt
   }
 
   /** numBuckets for a FRESH store, derived from the expected state size —

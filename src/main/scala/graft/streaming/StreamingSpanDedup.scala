@@ -133,11 +133,13 @@ object StreamingSpanDedup {
           shExProbe = spark.read
             .schema("id BIGINT, pos INT, shingle BIGINT").parquet(dir)
       }
-      // bucket-set pruning + per-segment zone pruning in one call (the
-      // sidecar trims stacked delta files the batch's keys provably miss)
-      val baseOcc = store.readPruned(batchId, counts)
+      // all four pruning tiers in one call (bucket set, zone sidecars,
+      // sub-bucket files, per-file page reads) — the exact key count
+      // rides along so the tier-4 gate never has to estimate
+      val nKeys = counts.count()
+      val baseOcc = store.readPruned(batchId, counts, keyCountHint = nKeys)
       val broadcastSlim = microBatch &&
-        counts.count() <= graft.ops.Curation.MaxFlaggedIdBroadcast
+        nKeys <= graft.ops.Curation.MaxFlaggedIdBroadcast
       graft.ops.Dedup
         .incrementalSpansPrepared(shExProbe, counts, baseOcc, n, minOcc,
           broadcastSlim)
@@ -531,7 +533,20 @@ object StreamingSpanDedup {
     val sweep =
       try {
         val deltas = store.readDeltasBetween(last, batchId)
-        val crossed = graft.ops.Dedup.crossedKeysDelta(prev, deltas, minOcc)
+        // r14 (verdict item 5): aggregate the window's delta FIRST so the
+        // prev-state read for the crossed-key computation is store-PRUNED
+        // by the delta's key set — crossed ⊆ delta keys, so the pruning
+        // is exact and the state's untouched buckets/sub-files never
+        // leave disk (batchId = last + 1 reads the state exactly at the
+        // bookmark version); crossedFromDeltaAgg then slims whatever the
+        // pruned read returned to the key set map-side
+        val dAgg = graft.ops.Dedup.aggregateOccurrences(deltas)
+          .select(col("shingle"), col("occ").as("d_occ"))
+          .localCheckpoint()
+        val prevForCrossed = store.readPruned(last + 1, dAgg,
+          keyCountHint = dAgg.count())
+        val crossed = graft.ops.Dedup.crossedFromDeltaAgg(prevForCrossed,
+          dAgg, minOcc)
         // affected-id discovery reads ONLY the batch partitions whose
         // zone sidecar a crossed key might hit (consumer 2 of the
         // ZoneIndex primitive; partitions without a sidecar stay

@@ -132,7 +132,7 @@ class RetroactiveSweepSpec extends SparkSpec {
   }
 
   test("delta form == pair form, row-exact (hand + real corpus + " +
-    "multi-row delta segments); KeyedSum2 crossed == two-aggregate crossed") {
+    "multi-row delta segments); slim-first crossed == two-aggregate crossed") {
     val n = 5
     val positions = Dedup.shinglePositionsTable(base, "doc_id", "text",
       n = n)

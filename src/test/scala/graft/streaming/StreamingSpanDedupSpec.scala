@@ -657,7 +657,7 @@ class StreamingSpanDedupSpec extends SparkSpec {
       compactAt = 9)
     // synthetic count tables big enough that COMPACTION derives a split
     // (exact manifest rows: 200k rows over 2 buckets → rowsPerBucket
-    // 100k → pow2(100k/8192) = 16) while the deltas stay flat (the
+    // 100k → pow2(100k/32768) = 4) while the deltas stay flat (the
     // micro regime)
     def counts(lo: Long, hi: Long) = spark.range(lo, hi)
       .select(col("id").as("shingle"),
@@ -670,13 +670,13 @@ class StreamingSpanDedupSpec extends SparkSpec {
     val stats1 = store.readManifestStats(1L)
     val compactStat = stats1.values.flatten
       .find(_.name.endsWith("-compact")).get
-    assert(compactStat.subSplit === 16,
-      s"compaction over 100k rows/bucket must split 16, got $compactStat")
+    assert(compactStat.subSplit === 4,
+      s"compaction over 100k rows/bucket must split 4, got $compactStat")
     // layout: sb= dirs exist under each bucket of the compact segment
     val subDirs = new java.io.File(
       s"$root/segments/${compactStat.name}/b=0").listFiles()
       .filter(_.getName.startsWith("sb=")).map(_.getName).toSet
-    assert(subDirs === (0 until 16).map(s => s"sb=$s").toSet)
+    assert(subDirs === (0 until 4).map(s => s"sb=$s").toSet)
     // content preserved through the split layout: per-shingle sums ==
     // hand-computed overlap sums
     def occOf(id: Long) = 1L + math.floorMod(id, 3L)
@@ -686,26 +686,66 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(agg1(149999L) === occOf(149999L)) // only delta 1
     assert(agg1.size === 150000)
 
-    // readPruned: probe keys → exactly their (b, sb) files open. The
-    // expected pair set is computed with the SAME SQL expressions the
-    // writer uses (pmod + xxhash64 — pure key functions).
+    // probeRead: probe keys → exactly their (b, sb) files open, through
+    // the tier-4 row-filtered reader (the key count is far under the
+    // gate). The expected pair set is computed with the SAME SQL
+    // expressions the writer uses (pmod + xxhash64 — pure key functions).
     val probeKeys = Seq(5L, 77L, 100007L, 149998L, 33L)
     val keys = probeKeys.toDF("shingle")
     val expectPairs = keys.select(
         pmod(col("shingle"), lit(B.toLong)).cast("int"),
-        pmod(xxhash64(col("shingle")), lit(16L)).cast("int"))
+        pmod(xxhash64(col("shingle")), lit(4L)).cast("int"))
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-    val pruned = store.readPruned(2L, keys)
-    val openedPairs = pruned.inputFiles.map { f =>
-      val m = "b=(\\d+)/sb=(\\d+)".r.findFirstMatchIn(f).get
+    val pr = store.probeRead(2L, keys)
+    assert(pr.rowFiltered.nonEmpty,
+      "a 5-key probe must take the tier-4 row-filtered path")
+    val openedPairs = pr.rowFiltered.map { fk =>
+      val m = "b=(\\d+)/sb=(\\d+)".r.findFirstMatchIn(fk.path).get
       (m.group(1).toInt, m.group(2).toInt)
     }.toSet
     assert(openedPairs === expectPairs,
       "tier 3 must open exactly the probe's (bucket, sub) files")
+    // each file's predicate carries ONLY the keys routing to it
+    pr.rowFiltered.foreach { fk =>
+      val m = "b=(\\d+)/sb=(\\d+)".r.findFirstMatchIn(fk.path).get
+      val (fb, fsb) = (m.group(1).toInt, m.group(2).toInt)
+      val expectKeys = keys.filter(
+          pmod(col("shingle"), lit(B.toLong)).cast("int") === fb &&
+            pmod(xxhash64(col("shingle")), lit(4L)).cast("int") === fsb)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(fk.keys.toSeq === expectKeys, s"per-file keys at ${fk.path}")
+    }
+    val pruned = pr.frame
     // no false negatives: every probe key's full occurrence survives
     val prunedSlim = occMap(graft.ops.Dedup.aggregateOccurrences(
       pruned.join(keys, Seq("shingle"), "left_semi")))
     assert(prunedSlim === probeKeys.map(k => k -> agg1(k)).toMap)
+    // accumulators snapshot right after the FIRST action (each further
+    // action re-executes the probe RDD and accumulates again — the
+    // documented valid-after-an-action contract)
+    assert(pr.filesOpened.get.value === pr.rowFiltered.size.toLong)
+    val bytesRead = pr.bytesRead.get.value
+    assert(bytesRead > 0L)
+    // tier 4 is EXACT on the row-filtered side: nothing but probe keys
+    // comes back
+    val gotKeys = pruned.select("shingle").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(gotKeys === probeKeys.toSet,
+      "row-filtered probe must return exactly the probe keys' rows")
+    // page-level pruning bites: the admitted files' total size is well
+    // above what the reader actually pulled (footer + the keys' pages) —
+    // each 25k-row sub-file holds ~25 sorted 1024-row pages and a probe
+    // key needs ~one
+    val admittedBytes = pr.rowFiltered.map { fk =>
+      val d = new java.io.File(fk.path.stripPrefix("file:"))
+      if (d.isDirectory)
+        d.listFiles().filter(f => !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).map(_.length()).sum
+      else d.length()
+    }.sum
+    assert(bytesRead < admittedBytes,
+      s"tier 4 must read less than the admitted files " +
+        s"($bytesRead vs $admittedBytes)")
 
     // an EXPLICITLY split delta stacks on the split compact; the mixed
     // stack reads correctly and the pruned probe crosses both layouts
@@ -733,13 +773,14 @@ class StreamingSpanDedupSpec extends SparkSpec {
       .filter(pmod(col("id"), lit(B.toLong)).cast("int") === bOf100 &&
         pmod(xxhash64(col("id")), lit(4L)).cast("int") =!= sOf100)
       .select(col("id")).orderBy("id").limit(1).collect()(0).getLong(0)
-    val prunedSparse =
-      store.readPruned(4L, Seq(kSparse).toDF("shingle")) // must not throw
+    val prSparse =
+      store.probeRead(4L, Seq(kSparse).toDF("shingle")) // must not throw
     assert(occMap(graft.ops.Dedup.aggregateOccurrences(
-      prunedSparse.filter(col("shingle") === kSparse)))
+      prSparse.frame.filter(col("shingle") === kSparse)))
       === Map(kSparse -> agg2(kSparse)),
       "sparse-sub pruning must keep the key's other segments readable")
-    assert(!prunedSparse.inputFiles.exists(_.contains("seg-3-delta")),
+    assert(!prSparse.rowFiltered.exists(_.path.contains("seg-3-delta")) &&
+      !prSparse.wholePaths.exists(_.contains("seg-3-delta")),
       "the 1-row split delta's only sub is a different one — pruned")
     // bit-63 edge: a sparse subSplit=64 bucket populating sb=63 makes
     // the mask NEGATIVE — the all-present sentinel must be exactly -1,
@@ -754,19 +795,25 @@ class StreamingSpanDedupSpec extends SparkSpec {
       .filter(pmod(col("id"), lit(B.toLong)).cast("int") === bK63 &&
         pmod(xxhash64(col("id")), lit(64L)).cast("int") =!= 63)
       .select(col("id")).orderBy("id").limit(1).collect()(0).getLong(0)
-    val p63 = store.readPruned(5L,
+    val p63 = store.probeRead(5L,
       Seq(kOther).toDF("shingle")) // must not throw
-    assert(!p63.inputFiles.exists(_.contains("seg-4-delta")),
+    p63.frame.count()
+    assert(!p63.rowFiltered.exists(_.path.contains("seg-4-delta")) &&
+      !p63.wholePaths.exists(_.contains("seg-4-delta")),
       "the sb=63-only delta holds nothing for this key's sub — pruned")
     // the one-Long mask bounds the explicit knob
     intercept[IllegalArgumentException] {
       store.advance(Seq((1L, 1L)).toDF("shingle", "occ"), 6L,
         subSplit = 65)
     }
-    // derive rule unit pins (the write-once granularity policy)
+    // derive rule unit pins (the write-once granularity policy — r14:
+    // target 32768 rows/sub-file, derived splits capped at 16; tier 4's
+    // page reads keep probe bytes key-proportional inside the coarser
+    // files, so the file-count dial moved without a byte regression)
     assert(OccStateStore.deriveSubSplit(10000L) === 1)
-    assert(OccStateStore.deriveSubSplit(16384L) === 2)
-    assert(OccStateStore.deriveSubSplit(100000L) === 16)
-    assert(OccStateStore.deriveSubSplit(1000000000L) === 64)
+    assert(OccStateStore.deriveSubSplit(65535L) === 1)
+    assert(OccStateStore.deriveSubSplit(65536L) === 2)
+    assert(OccStateStore.deriveSubSplit(100000L) === 4)
+    assert(OccStateStore.deriveSubSplit(1000000000L) === 16)
   }
 }
