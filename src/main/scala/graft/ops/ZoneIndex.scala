@@ -68,17 +68,67 @@ object ZoneIndex {
     * [[graft.streaming.OccStateStore]]'s probe-planning job (r13
     * review: two hand-copies of the kmin/kmax + bloom rules would
     * silently desynchronize probe pruning from sweep pruning at the
-    * next rule change). Blooms deserialize once per (group, bucket) per
-    * instance; construct one per task. */
-  final class ZoneProbe {
+    * next rule change). Construct one per task. With `cacheNamespace`
+    * null, blooms deserialize once per (group, bucket) per INSTANCE
+    * (the r13 behavior — right for one-shot consumers over ad-hoc
+    * groups); a non-null namespace routes through the JVM-wide
+    * [[BloomCache]] instead, so a high-cadence serving deployment
+    * deserializes each immutable sidecar's bloom once per EXECUTOR, not
+    * once per task per micro-batch (r13 verdict item 2). The caller
+    * owns the immutability contract: (namespace, group, bucket) must
+    * identify one bloom forever — segment/chunk names are write-once
+    * (or deterministically replay-rewritten) in both stores that pass
+    * one. */
+  final class ZoneProbe(cacheNamespace: String = null) {
     private val blooms =
       new scala.collection.mutable.HashMap[(String, Int), BloomFilter]
     /** true iff key `k` MIGHT be present in `name`'s bucket `b` with
       * zone `z` — never a false negative. */
     def mightHit(name: String, b: Int, z: Zone, k: Long): Boolean =
-      k >= z.kmin && k <= z.kmax && (z.bloom == null ||
-        blooms.getOrElseUpdate((name, b), BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(z.bloom))).mightContainLong(k))
+      k >= z.kmin && k <= z.kmax && (z.bloom == null || {
+        val bf =
+          if (cacheNamespace == null)
+            blooms.getOrElseUpdate((name, b), BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(z.bloom)))
+          else BloomCache.get(cacheNamespace, name, b, z.bloom)
+        bf.mightContainLong(k)
+      })
+  }
+
+  /** JVM-wide (= per-executor) deserialized-bloom LRU, keyed
+    * (namespace, group, bucket) and bounded by serialized bloom bytes —
+    * the read twin of the store's driver-side artifact memo. Reads on a
+    * cached [[BloomFilter]] are safe concurrently (pure bit-array
+    * lookups); the map itself synchronizes. `missCount` instruments
+    * deserializations for the one-per-JVM spec pin. */
+  private[graft] object BloomCache {
+    private val MaxBytes = 256L << 20
+    private val entries =
+      new java.util.LinkedHashMap[(String, String, Int),
+        (BloomFilter, Long)](64, 0.75f, true)
+    private var bytes = 0L
+    private val misses = new java.util.concurrent.atomic.LongAdder
+
+    def missCount: Long = misses.sum()
+
+    def get(ns: String, name: String, b: Int,
+            ser: Array[Byte]): BloomFilter = synchronized {
+      val k = (ns, name, b)
+      val hit = entries.get(k)
+      if (hit != null) hit._1
+      else {
+        misses.increment()
+        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(ser))
+        entries.put(k, (bf, ser.length.toLong))
+        bytes += ser.length.toLong
+        val it = entries.entrySet().iterator()
+        while (bytes > MaxBytes && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != k) { bytes -= e.getValue._2; it.remove() }
+        }
+        bf
+      }
+    }
   }
 
   /** Build the zone rows for `df`'s `keyCol` under `numBuckets` pmod
@@ -286,21 +336,23 @@ object ZoneIndex {
     * missing entirely (legacy relation without zones) should simply not
     * be passed — the caller keeps it unpruned. */
   def hitPairs(groups: Map[String, Map[Int, Zone]], keys: DataFrame,
-               keyCol: String, numBuckets: Int): Set[(String, Int)] = {
+               keyCol: String, numBuckets: Int,
+               cacheNamespace: String = null): Set[(String, Int)] = {
     require(numBuckets >= 1, s"need numBuckets >= 1, got $numBuckets")
     if (groups.isEmpty) return Set.empty
     val spark = keys.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(groups)
-    // per-executor deserialized-bloom cache: writeTo bytes → BloomFilter
-    // once per (group, bucket) per task batch, not per key
+    val ns = cacheNamespace
+    // blooms deserialize once per (group, bucket) per task — or once per
+    // JVM when the caller names a BloomCache namespace (see ZoneProbe)
     val hits = keys
       .select(pmod(col(keyCol), lit(numBuckets.toLong)).cast("int").as("b"),
         col(keyCol).cast("long").as("k"))
       .as[(Int, Long)]
       .mapPartitions { it =>
         val gs = bc.value
-        val probe = new ZoneProbe
+        val probe = new ZoneProbe(ns)
         val out = new scala.collection.mutable.HashSet[(String, Int)]
         it.foreach { case (b, k) =>
           gs.foreach { case (name, zones) =>

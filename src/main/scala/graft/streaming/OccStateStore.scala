@@ -314,7 +314,7 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           }
         val collectKeys = subSplits.nonEmpty &&
           estKeys <= OccStateStore.ProbeRowFilterMaxKeys
-        val plan = probePlan(keys, subSplits, zoneMaps, collectKeys)
+        val plan = planJob(keys, subSplits, zoneMaps, collectKeys)
         val wholePaths = scala.collection.mutable.ArrayBuffer.empty[String]
         val fileSpecs =
           scala.collection.mutable.ArrayBuffer.empty[SubFileProbe.FileKeys]
@@ -386,32 +386,24 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * [[graft.ops.ZoneIndex.hitPairs]] with the maps SLIMMED to the
     * touched buckets — per-batch broadcast scales with touched-bucket
     * mass again, at the price of one extra batch-sized job. */
-  private def probePlan(keys: DataFrame, subSplits: Seq[Int],
-                        groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]],
-                        collectKeys: Boolean): OccStateStore.ProbePlan = {
-    val zoneBytes = groups.valuesIterator.flatMap(_.valuesIterator)
-      .map(z => 64L + (if (z.bloom == null) 0L else z.bloom.length.toLong))
-      .sum
-    if (zoneBytes <= OccStateStore.ProbeZoneBroadcastMaxBytes) {
-      planJob(keys, subSplits, groups, collectKeys)
-    } else {
-      val base = planJob(keys, subSplits, Map.empty, collectKeys)
-      val slim = groups.view
-        .mapValues(_.filter(e => base.touched.contains(e._1)))
-        .filter(_._2.nonEmpty).toMap
-      val hits =
-        if (slim.isEmpty) Set.empty[(String, Int)]
-        else graft.ops.ZoneIndex.hitPairs(slim, keys, "shingle", numBuckets)
-      base.copy(hits = hits)
-    }
-  }
-
   /** See [[probeRead]]'s cost note. With `collectKeys` (the tier-4 gate)
     * the job ALSO ships each key's (split, bucket, sub) routing to the
     * driver — bounded by the gate at ≤ ProbeRowFilterMaxKeys rows per
     * split factor — so sub-split segments can be read with per-file key
     * predicates; the routing columns are the SAME Spark SQL expressions
-    * as the segment writes, so write and probe agree bit-for-bit. */
+    * as the segment writes, so write and probe agree bit-for-bit.
+    *
+    * Zone shipping (r14, verdict item 2 — the r13 cut re-broadcast the
+    * full cached zone maps EVERY micro-batch under a 4 MB bound and fell
+    * back to a second job past it): each segment's zone map broadcasts
+    * ONCE per JVM through [[OccStateStore.Memo.zonesBc]] (segments are
+    * immutable; the broadcast is destroyed with the segment's GC), so a
+    * micro-batch ships only the segments it has never shipped — in
+    * steady state, just its own predecessor's delta sidecar. Executor
+    * tasks route bloom deserialization through the JVM-wide
+    * [[graft.ops.ZoneIndex.BloomCache]] keyed by this store's root, so
+    * a bloom also DESERIALIZES once per executor, not once per task per
+    * batch. */
   private def planJob(keys: DataFrame, subSplits: Seq[Int],
                       groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]],
                       collectKeys: Boolean): OccStateStore.ProbePlan = {
@@ -420,13 +412,17 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     val cols = col("shingle").cast("long").as("k") +:
       pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b") +:
       subSplits.map(s => subCol(s).as(s"sub_$s"))
-    val bc = spark2.sparkContext.broadcast(groups)
+    val bcs: Seq[(String,
+        org.apache.spark.broadcast.Broadcast[Map[Int, graft.ops.ZoneIndex.Zone]])] =
+      groups.toSeq.sortBy(_._1).map { case (name, zm) =>
+        name -> OccStateStore.Memo.zonesBc(rootKey, name, spark2, zm)
+      }
+    val ns = rootKey
     val nSubs = subSplits.length
     val subArr = subSplits.toArray
     val planned = keys.select(cols: _*)
       .mapPartitions { it =>
-        val gs = bc.value
-        val probe = new graft.ops.ZoneIndex.ZoneProbe
+        val probe = new graft.ops.ZoneIndex.ZoneProbe(ns)
         val buckets = new scala.collection.mutable.HashSet[Int]
         val pairs =
           new scala.collection.mutable.HashSet[(Int, Int, Int, Long)]
@@ -443,9 +439,9 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
               if (collectKeys) k else 0L))
             i += 1
           }
-          gs.foreach { case (name, zones) =>
+          bcs.foreach { case (name, bc) =>
             if (!hits.contains((name, b)))
-              zones.get(b).foreach { z =>
+              bc.value.get(b).foreach { z =>
                 if (probe.mightHit(name, b, z, k)) hits += ((name, b))
               }
           }
@@ -457,7 +453,6 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
       }
       .distinct()
       .collect()
-    bc.unpersist()
     val touched = planned.collect { case (0, _, b, _, _) => b }.toSet
     val pairRows = planned.collect { case (1, s, b, sb, k) =>
       (s.toInt, b, sb, k) }
@@ -964,13 +959,6 @@ object OccStateStore {
     * footer-efficient. */
   final val TargetBucketBytes: Long = 64L << 20
 
-  /** Per-micro-batch zone-broadcast bound for [[OccStateStore.readPruned]]'s
-    * single-job planning path (see `probePlan`): under it, the cached
-    * full zone maps ride one broadcast per batch; over it, planning
-    * splits into buckets-first + touched-slimmed hitPairs so the
-    * broadcast scales with the batch's buckets, not the sidecar mass. */
-  final val ProbeZoneBroadcastMaxBytes: Long = 4L << 20
-
   /** Plan-stats → row estimate for (shingle, occ) frames whose exact
     * count is unknown (bulk delta writes): zstd parquet of this table
     * measures ~8 B/row (random-hash shingles don't compress; the occ
@@ -1118,13 +1106,62 @@ object OccStateStore {
         val e = zIt.next()
         if (e.getKey._1 == dir) { zoneBytes -= e.getValue._2; zIt.remove() }
       }
+      val bIt = zoneBcs.entrySet().iterator()
+      while (bIt.hasNext) {
+        val e = bIt.next()
+        if (e.getKey._1 == dir) {
+          scala.util.Try(e.getValue.destroy())
+          bIt.remove()
+        }
+      }
     }
 
     def dropZones(dir: String, seg: String): Unit =
       synchronized {
         val prev = zoneMaps.remove((dir, seg))
         if (prev != null) zoneBytes -= prev._2
+        dropBc(dir, seg)
       }
+
+    // ---- per-segment zone-map broadcasts (r14, verdict item 2) -------
+    // One broadcast per immutable segment per JVM, reused across every
+    // micro-batch's planning job; destroyed when the segment GCs (or a
+    // same-path store recreation invalidates the root). Same soundness
+    // argument as the zone map cache itself — every mutation path runs
+    // through this JVM's single writer.
+    private val zoneBcs = new java.util.LinkedHashMap[(String, String),
+      org.apache.spark.broadcast.Broadcast[Map[Int, graft.ops.ZoneIndex.Zone]]](
+      16, 0.75f, true)
+    private val MaxZoneBcs = 256
+
+    def zonesBc(dir: String, seg: String, spark: SparkSession,
+                zm: Map[Int, graft.ops.ZoneIndex.Zone])
+        : org.apache.spark.broadcast.Broadcast[Map[Int, graft.ops.ZoneIndex.Zone]] =
+      synchronized {
+        val k = (dir, seg)
+        val hit = zoneBcs.get(k)
+        if (hit != null) hit
+        else {
+          val bc = spark.sparkContext.broadcast(zm)
+          zoneBcs.put(k, bc)
+          val it = zoneBcs.entrySet().iterator()
+          while (zoneBcs.size() > MaxZoneBcs && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != k) {
+              scala.util.Try(e.getValue.destroy())
+              it.remove()
+            }
+          }
+          bc
+        }
+      }
+
+    private def dropBc(dir: String, seg: String): Unit = {
+      val bc = zoneBcs.remove((dir, seg))
+      // Try: the broadcast may belong to an already-stopped context (a
+      // test suite's session) — eviction must still succeed
+      if (bc != null) scala.util.Try(bc.destroy())
+    }
 
     /** None = not cached (caller decides whether a sidecar exists);
       * Some(Map.empty) = cached "no sidecar / nothing prunable". */

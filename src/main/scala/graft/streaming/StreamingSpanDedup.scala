@@ -631,7 +631,12 @@ object StreamingSpanDedup {
       "(batch_id=[^/]+|chunk=[^/]+)/_zones", None)
     val hits =
       if (groups.isEmpty) Set.empty[(String, Int)]
-      else graft.ops.ZoneIndex.hitPairs(groups, keys, "shingle", 1)
+      // batch partitions and chunks are write-once (replays rewrite the
+      // same content), so their blooms cache JVM-wide under the
+      // positions path's namespace — one deserialization per executor
+      // across sweep cadences, not one per task per sweep
+      else graft.ops.ZoneIndex.hitPairs(groups, keys, "shingle", 1,
+        cacheNamespace = positionsPath)
     val keep = bare.map(_.toString) ++ bareChunks.map(_._2) ++
       zoned.map(_.toString).filter { p =>
         hits((new org.apache.hadoop.fs.Path(p).getName, 0))

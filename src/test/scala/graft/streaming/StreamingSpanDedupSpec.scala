@@ -358,6 +358,14 @@ class StreamingSpanDedupSpec extends SparkSpec {
           pruned, n = 5)) ===
         spanRows(Dedup.incrementalSpansPrepared(shEx, counts,
           store.readLatestBefore(2L), n = 5)))
+      // executor-level bloom cache (r14 verdict item 2): the probes
+      // above deserialized this store's sidecar blooms into the
+      // JVM-wide cache; a REPEATED probe (fresh planning job, fresh
+      // per-task ZoneProbe instances) must not deserialize again
+      val missesBefore = graft.ops.ZoneIndex.BloomCache.missCount
+      store.readPruned(2L, counts).count()
+      assert(graft.ops.ZoneIndex.BloomCache.missCount === missesBefore,
+        "a repeated probe must reuse the executor-level bloom cache")
       shEx.unpersist(); counts.unpersist()
     } finally batch.unpersist()
   }
