@@ -1458,6 +1458,36 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN serving through an append COMPACTION (r14,
+    * [[graft.ops.VectorIndex.compactAppends]] — the fold that bounds a
+    * long-running ingest cadence's directory growth): same base/append
+    * split as q104, but append 0 is FOLDED into the base cells (a file
+    * move under the frozen codebook), the folded id is then REPLAYED
+    * (must be a tombstoned no-op — re-landing it would duplicate every
+    * row), and append 1 lands after the compaction. The oracle is once
+    * more q46's single-shot IVF SQL verbatim: a hash match proves the
+    * fold moved every row exactly once, the tombstone swallowed the
+    * replay, and post-compaction appends still serve. */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idxPath = MemoParquet(s"q105_ivf_compact:$dir") { out =>
+      VectorIndex.buildIvf(
+        emb.filter(col("vec_id") % 10 =!= 3 && col("vec_id") % 10 =!= 7),
+        out, centroidStride = 50)
+      VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 3), out,
+        appendId = 0L)
+      VectorIndex.compactAppends(s, out)
+      // replay of the FOLDED append: the tombstone must no-op it
+      VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 3), out,
+        appendId = 0L)
+      VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 7), out,
+        appendId = 1L)
+    }
+    VectorIndex.ivfTopKIndexed(s, idxPath,
+        emb.filter(col("vec_id") % 25 === 0), k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** PQ ADC serving over an APPENDED persisted codes table (r12,
     * [[graft.ops.VectorIndex.appendToPq]]): same base/append split and
     * same oracle-by-identity argument as q102 — the PQ codebook rows
@@ -1666,7 +1696,8 @@ object SparkEntry {
     "q101_retroactive_sweep" -> (q101 _),
     "q102_ivf_append" -> (q102 _),
     "q103_pq_append" -> (q103 _),
-    "q104_ivf_replayed_append" -> (q104 _))
+    "q104_ivf_replayed_append" -> (q104 _),
+    "q105_ivf_append_compact" -> (q105 _))
 
   /** Shared CTE chain for the q90/q91 substring-dedup oracles: positional
     * 10-token shingles (pos zero-based, window [pos, pos+10)), occurrence
@@ -3290,5 +3321,6 @@ object SparkEntry {
     // partition-preserving file append), not on new query semantics
     "q102_ivf_append" -> ivfStride50OracleSql,
     "q103_pq_append" -> pqAdcOracleSql,
-    "q104_ivf_replayed_append" -> ivfStride50OracleSql)
+    "q104_ivf_replayed_append" -> ivfStride50OracleSql,
+    "q105_ivf_append_compact" -> ivfStride50OracleSql)
 }

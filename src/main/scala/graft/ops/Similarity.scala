@@ -604,6 +604,37 @@ object Similarity {
     * `floor(x·10⁶)` longs first (float→double cast and one multiply are
     * correctly rounded, hence engine-identical), so the argmin can never
     * depend on double summation order. */
+  /** Integer squared-L2 quantization error between a vector and its
+    * ASSIGNED IVF centroid, in [[toPqInts]]'s scaled-integer space —
+    * deterministic (exact integer arithmetic, so replayed appends record
+    * bit-identical drift figures; a floating mean would wobble with
+    * partial-sum order). The drift metric behind
+    * [[VectorIndex]]'s `rebuildAdvised` (r13 verdict item 4: the
+    * count-based proxy misses distribution shift at low volume). Null
+    * vectors follow [[cellAssignCol]]'s all-zero convention. */
+  private[graft] def ivfQuantErrCol(cents: Array[(Long, Array[Double])],
+                                    vecCol: Column,
+                                    cellCol: Column): Column = {
+    val intCents: Map[Long, Array[Long]] = cents.map { case (cid, v) =>
+      cid -> toPqInts(scala.collection.immutable.ArraySeq.unsafeWrapArray(v))
+    }.toMap
+    val errUdf = udf { (v: Seq[Double], c: Long) =>
+      val iv = toPqInts(if (v == null) Seq.empty else v)
+      val ce = intCents(c)
+      var d = 0L
+      var i = 0
+      val len = math.max(iv.length, ce.length)
+      while (i < len) {
+        val x = (if (i < iv.length) iv(i) else 0L) -
+          (if (i < ce.length) ce(i) else 0L)
+        d += x * x
+        i += 1
+      }
+      d
+    }
+    errUdf(vecCol.cast("array<double>"), cellCol.cast("long"))
+  }
+
   private[ops] def toPqInts(v: Seq[Double]): Array[Long] = {
     val a = new Array[Long](v.length)
     var i = 0

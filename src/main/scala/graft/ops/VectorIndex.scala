@@ -99,15 +99,25 @@ object VectorIndex {
         Similarity.cellAssignCol(cents, col(vecCol)).as("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells")
-    // footer-count job (no data pages): the append path's drift
-    // accounting baselines on what the build indexed
-    val baseRows = spark.read.parquet(s"$path/cells").count()
+    // one narrow stats pass over the written cells: row count + the
+    // base's mean quantization error (integer squared-L2 to the assigned
+    // centroid — Similarity.ivfQuantErrCol) — the figure the append
+    // path's DRIFT rule compares against (r13 verdict item 4: the
+    // count-based proxy alone misses distribution shift at low volume)
+    val cellsDf = spark.read.parquet(s"$path/cells")
+    val st = cellsDf.agg(count(lit(1)),
+      sum(Similarity.ivfQuantErrCol(cents, col("vec_c"), col("cell"))))
+      .collect()(0)
+    val baseRows = st.getLong(0)
+    val baseErr =
+      if (baseRows == 0L || st.isNullAt(1)) 0L else st.getLong(1) / baseRows
     writeMeta(spark, path, Seq("kind" -> "ivf",
       "centroidStride" -> centroidStride.toString,
       "nCentroids" -> cents.length.toString,
       "idCol" -> idCol, "vecCol" -> vecCol,
       "vecType" -> corpus.schema(vecCol).dataType.catalogString,
-      "baseRows" -> baseRows.toString, "appendedRows" -> "0",
+      "baseRows" -> baseRows.toString,
+      "baseQuantErr" -> baseErr.toString, "appendedRows" -> "0",
       "rebuildAdvised" -> "false"))
   }
 
@@ -144,35 +154,89 @@ object VectorIndex {
     * same id is a no-op), derives `appendedRows` as their sum, and flips
     * `rebuildAdvised` once appendedRows > baseRows; serving never
     * refuses (advice, not a gate — the caller owns the rebuild cadence). */
-  def appendToIvf(newVecs: DataFrame, path: String, appendId: Long): Unit = {
+  def appendToIvf(newVecs: DataFrame, path: String,
+                  appendId: Long): Unit = {
     val spark = newVecs.sparkSession
-    val meta = readMeta(spark, path)
-    assertMeta(meta, path, "kind" -> "ivf")
-    require(meta.contains("baseRows"),
-      s"vector index at $path predates append support (no baseRows in " +
-        "meta) — rebuild it once with buildIvf to enable appends")
-    val (idCol, vecCol) = (meta("idCol"), meta("vecCol"))
-    assertVecType(meta, path, newVecs, vecCol)
-    val cents = loadIvfCentroids(spark, path, meta)
-    // one evaluation of the (possibly expensive, possibly
-    // non-deterministic) source: cache across the count and the write,
-    // so the meta's append row always equals the rows written
-    val batch = newVecs.persist()
-    try {
-      val appended = batch.count()
-      // ONE file per touched cell: without the cell repartition every
-      // input partition writes its own file into every cell it touches
-      // (≤ tasks × cells tiny files per append — the 504k ann leg's
-      // 50k-row append cost 84.7 s, mostly file count + v1 job-commit
-      // renames); the exchange is batch-sized
-      batch.select(col(idCol).cast("long").as("neighbor_id"),
-          col(vecCol).as("vec_c"),
-          Similarity.cellAssignCol(cents, col(vecCol)).as("cell"))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$path/appends/append_id=$appendId")
-      recordAppend(spark, path, meta, appendId, appended)
-    } finally batch.unpersist()
+    withLease(spark, path) {
+      val meta = readMeta(spark, path)
+      assertMeta(meta, path, "kind" -> "ivf")
+      require(meta.contains("baseRows"),
+        s"vector index at $path predates append support (no baseRows in " +
+          "meta) — rebuild it once with buildIvf to enable appends")
+      if (meta.contains(s"compacted_$appendId"))
+        // a replay of an id compactAppends already folded into the base:
+        // re-landing its rows would duplicate them next to the folded
+        // copies, so the tombstone makes the retry the same no-op a
+        // normal replayed append is
+        System.err.println(s"[vector-index] append $appendId at $path " +
+          "was already folded into the base by compactAppends — replay " +
+          "is a no-op")
+      else {
+        val (idCol, vecCol) = (meta("idCol"), meta("vecCol"))
+        assertVecType(meta, path, newVecs, vecCol)
+        val cents = loadIvfCentroids(spark, path, meta)
+        // ONE file per touched cell: without the cell repartition every
+        // input partition writes its own file into every cell it touches
+        // (≤ tasks × cells tiny files per append — the 504k ann leg's
+        // 50k-row append cost 84.7 s, mostly file count + v1 job-commit
+        // renames); the exchange is batch-sized. The source evaluates
+        // ONCE (the write); rows/drift stats read BACK the written dir,
+        // so the meta records exactly what landed on disk.
+        val dir = s"$path/appends/append_id=$appendId"
+        newVecs.select(col(idCol).cast("long").as("neighbor_id"),
+            col(vecCol).as("vec_c"),
+            Similarity.cellAssignCol(cents, col(vecCol)).as("cell"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dir)
+        val (appended, errAvg) =
+          if (!hasDataFiles(spark, dir)) (0L, 0L)
+          else {
+            val st = spark.read.parquet(dir).agg(count(lit(1)),
+              sum(Similarity.ivfQuantErrCol(cents, col("vec_c"),
+                col("cell")))).collect()(0)
+            val n = st.getLong(0)
+            (n, if (n == 0L || st.isNullAt(1)) 0L else st.getLong(1) / n)
+          }
+        recordAppend(spark, path, meta, appendId, appended, errAvg)
+      }
+    }
+  }
+
+  /** ≥ 1 non-hidden file anywhere under `dir` — guards the read-back
+    * stats pass (an empty batch's write leaves only `_SUCCESS`, and
+    * schema inference over that throws). */
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = graft.FsText.fs(spark, p)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val name = it.next().getPath.getName
+      found = !name.startsWith("_") && !name.startsWith(".")
+    }
+    found
+  }
+
+  /** Exclusive claim around every meta READ-MODIFY-WRITE (append,
+    * compaction) — r13 review item 3: the meta rewrite is last-wins, so
+    * two concurrent appenders would silently drop one side's accounting;
+    * the store-side writers assert their single-writer contract, this
+    * one now does too. `createNewFile` is atomic on HDFS/local (object
+    * stores without atomic create should schedule these single-writer
+    * externally — same caveat as every lease file). A crashed holder
+    * leaves the lease behind: fail LOUDLY with the recovery instruction
+    * rather than guessing at staleness. */
+  private def withLease[T](spark: SparkSession, path: String)(body: => T): T = {
+    val lease = new Path(path, "_graft_index_lease")
+    val fs = graft.FsText.fs(spark, lease)
+    require(fs.createNewFile(lease),
+      s"vector index at $path: another writer holds $lease — appends and " +
+        "compactions are single-writer; if its holder crashed, delete " +
+        "the lease file and retry")
+    try body
+    finally fs.delete(lease, false)
   }
 
   /** The persisted vector element type must match the batch's — a
@@ -207,15 +271,29 @@ object VectorIndex {
     cents
   }
 
-  /** Record append `appendId`'s rows and refresh the derived accounting
-    * (see [[appendToIvf]]'s contract): the per-id `append_<id>` row is
-    * what makes a REPLAYED append a no-op (it overwrites itself, never
-    * accumulates — the r12 running `appendedRows +=` double-counted on
-    * retry), and `appendedRows`/`rebuildAdvised` are recomputed as the
-    * sum over all recorded ids. */
+  /** Drift threshold for [[recordAppend]]'s error rule: `rebuildAdvised`
+    * flips when the appends' weighted mean quantization error exceeds
+    * this multiple of the base build's — an in-distribution append sits
+    * near 1× (the codebook fits it about as well as it fit the base),
+    * a genuinely shifted batch lands orders of magnitude out
+    * (VectorIndexSpec pins both sides with a scaled append). */
+  final val QuantErrDriftRatio = 4L
+
+  /** Record append `appendId`'s rows + mean quantization error and
+    * refresh the derived accounting (see [[appendToIvf]]'s contract):
+    * the per-id `append_<id>`/`appendErr_<id>` rows are what make a
+    * REPLAYED append a no-op (they overwrite themselves, never
+    * accumulate — the r12 running `appendedRows +=` double-counted on
+    * retry; the integer error figure is deterministic, so a replay
+    * rewrites the same value). `rebuildAdvised` = the count rule
+    * (appends outnumber the base) OR the drift rule (r13 verdict item 4
+    * — weighted append error > [[QuantErrDriftRatio]] × base error,
+    * catching distribution shift the count proxy misses at low volume;
+    * indexes built before `baseQuantErr` existed keep the count rule
+    * only). */
   private def recordAppend(spark: SparkSession, path: String,
                            meta: Map[String, String], appendId: Long,
-                           appended: Long): Unit = {
+                           appended: Long, errAvg: Long): Unit = {
     val base = meta("baseRows").toLong
     // a pre-r13 index carries a running `appendedRows` counter with NO
     // per-id rows (the old bumpAppended accounting) — deriving the sum
@@ -229,11 +307,33 @@ object VectorIndex {
       if (!hasIdRows && legacy > 0L)
         meta + ("append_legacy" -> legacy.toString)
       else meta
-    val withId = carried + (s"append_$appendId" -> appended.toString)
+    val withId = carried +
+      (s"append_$appendId" -> appended.toString) +
+      (s"appendErr_$appendId" -> errAvg.toString)
     val total = withId.collect {
       case (k, v) if k.startsWith("append_") => v.toLong }.sum
+    // weighted mean error over the ids that carry one (legacy rows
+    // don't); BigInt: rows × err can pass Long at corpus scale.
+    // .toSeq FIRST — collecting (rows, err) pairs straight off the Map
+    // would build a Map keyed by ROWS and silently drop every append
+    // whose row count ties another's
+    val weighted = withId.toSeq.collect {
+      case (k, v) if k.startsWith("append_") && k != "append_legacy" &&
+        withId.contains("appendErr_" + k.stripPrefix("append_")) =>
+        (v.toLong,
+          withId("appendErr_" + k.stripPrefix("append_")).toLong)
+    }
+    val wRows = weighted.map(_._1).sum
+    val appendErr =
+      if (wRows == 0L) 0L
+      else (weighted.map { case (r, e) => BigInt(r) * BigInt(e) }.sum /
+        BigInt(wRows)).toLong
+    val baseErr = meta.get("baseQuantErr").map(_.toLong).getOrElse(0L)
+    val drift = baseErr > 0L && wRows > 0L &&
+      appendErr > QuantErrDriftRatio * baseErr
     val next = withId ++ Map("appendedRows" -> total.toString,
-      "rebuildAdvised" -> (total > base).toString)
+      "appendQuantErr" -> appendErr.toString,
+      "rebuildAdvised" -> (total > base || drift).toString)
     writeMeta(spark, path, next.toSeq.sortBy(_._1))
   }
 
@@ -282,6 +382,116 @@ object VectorIndex {
     * scheduling rebuilds. */
   def indexStats(spark: SparkSession, path: String): Map[String, String] =
     readMeta(spark, path)
+
+  /** Fold every RECORDED append into the base table — a FILE MOVE, exact
+    * under the frozen codebook (appends were encoded with the base's own
+    * codebook, so folding re-encodes nothing and the serve set is
+    * unchanged; q105 oracle-gates it with a compaction interleaved
+    * between appends). This is what bounds a long-running
+    * [[graft.streaming.StreamingVectorIngest]] cadence's directory
+    * growth (r13 verdict item 3): without it every micro-batch leaves an
+    * `append_id=<n>` tree forever — the same small-file/manifest growth
+    * the occurrence store solved with size-tiered refold, except here
+    * the fold is free because appends already nest the base's partition
+    * layout.
+    *
+    * Protocol (single-writer, lease-guarded like every meta writer; run
+    * it from the ingest lane's own maintenance cadence, never
+    * concurrently with an append):
+    *  1. every data file under a recorded append dir RENAMES into the
+    *     base (`cells/cell=<c>/` for ivf — the per-cell subdirs map
+    *     1:1; `codes/` for pq), name-prefixed with its append id so
+    *     files never collide; the drained dir is deleted;
+    *  2. the meta rewrite is the commit: `baseRows` absorbs the folded
+    *     rows, `baseQuantErr` absorbs their weighted error, each
+    *     `append_<id>`/`appendErr_<id>` pair becomes a
+    *     `compacted_<id>` TOMBSTONE (a replayed append of a folded id
+    *     must be a no-op — re-landing rows next to their folded copies
+    *     would duplicate them; [[appendToIvf]]/[[appendToPq]] check it),
+    *     and `rebuildAdvised` carries over STICKY — folding moves files,
+    *     it does not re-fit the codebook, so advice earned by drifted
+    *     appends survives until an actual rebuild.
+    * Crash-safe at every point: a data file lives in exactly one place
+    * (rename), the base always serves whole, and a dir drained before
+    * the meta rewrite simply has no data files — [[committedAppendDirs]]
+    * already skips those, so nothing double-serves; the next call finds
+    * the still-recorded ids and finishes the accounting. Only fold ids
+    * no in-flight batch can replay (the positions compaction's
+    * `upToBatch` contract); [[graft.streaming.StreamingVectorIngest]]'s
+    * cadence satisfies this by construction — a foreachBatch retry
+    * replays only the latest batch, and the tombstone catches even that.
+    * Returns the number of appends folded. */
+  def compactAppends(spark: SparkSession, path: String): Int =
+    withLease(spark, path) {
+      val meta = readMeta(spark, path)
+      val kind = meta.getOrElse("kind", "<absent>")
+      require(kind == "ivf" || kind == "pq",
+        s"compactAppends supports ivf/pq indexes, got kind=$kind at $path")
+      val (appRoot, baseRoot) =
+        if (kind == "ivf") (s"$path/appends", s"$path/cells")
+        else (s"$path/append_codes", s"$path/codes")
+      val recorded = meta.keysIterator
+        .filter(k => k.startsWith("append_") && k != "append_legacy")
+        .map(_.stripPrefix("append_")).toSeq.sorted
+      if (recorded.isEmpty) 0
+      else {
+        val rootP = new Path(appRoot)
+        val fs = graft.FsText.fs(spark, rootP)
+        recorded.foreach { id =>
+          val dir = new Path(rootP, s"append_id=$id")
+          if (fs.exists(dir)) {
+            val it = fs.listFiles(dir, true)
+            val moves = scala.collection.mutable.ArrayBuffer
+              .empty[(Path, Path)]
+            while (it.hasNext) {
+              val f = it.next().getPath
+              if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+                // ivf nests one cell= level; pq is flat — carry the
+                // immediate partition dir through, nothing deeper exists
+                val parent = f.getParent.getName
+                val destDir =
+                  if (parent.startsWith("cell="))
+                    new Path(baseRoot, parent)
+                  else new Path(baseRoot)
+                moves += ((f, new Path(destDir,
+                  s"append-$id-${f.getName}")))
+              }
+            }
+            moves.foreach { case (src, dst) =>
+              fs.mkdirs(dst.getParent)
+              require(fs.rename(src, dst),
+                s"compactAppends at $path: rename $src -> $dst failed")
+            }
+            fs.delete(dir, true)
+          }
+        }
+        // the commit: absorb rows + weighted error into the base figures,
+        // tombstone the folded ids, keep rebuildAdvised sticky
+        val foldedRows = recorded
+          .map(id => meta(s"append_$id").toLong).sum
+        val baseRows = meta("baseRows").toLong
+        val baseErr = meta.get("baseQuantErr").map(_.toLong)
+        val foldedErrWeighted = recorded.flatMap { id =>
+          meta.get(s"appendErr_$id")
+            .map(e => BigInt(meta(s"append_$id").toLong) * BigInt(e.toLong))
+        }.sum
+        val newBaseErr = baseErr.map { be =>
+          val totalRows = baseRows + foldedRows
+          if (totalRows == 0L) 0L
+          else ((BigInt(baseRows) * BigInt(be) + foldedErrWeighted) /
+            BigInt(totalRows)).toLong
+        }
+        val next = (meta --
+          recorded.flatMap(id => Seq(s"append_$id", s"appendErr_$id"))) ++
+          recorded.map(id =>
+            s"compacted_$id" -> meta(s"append_$id")) ++
+          Map("baseRows" -> (baseRows + foldedRows).toString,
+            "appendedRows" -> "0", "appendQuantErr" -> "0") ++
+          newBaseErr.map(e => "baseQuantErr" -> e.toString)
+        writeMeta(spark, path, next.toSeq.sortBy(_._1))
+        recorded.size
+      }
+    }
 
   /** IVF top-k served from a persisted index — bit-identical to
     * [[Similarity.ivfTopK]] over the corpus the index was built on
@@ -343,13 +553,21 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
     Similarity.pqEncode(corpus, m, nCent, centroidStride, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$path/codes")
-    val baseRows = spark.read.parquet(s"$path/codes").count()
+    // the codes table already carries the EXACT integer distortion per
+    // row ([[Similarity.pqEncode]]) — one columnar agg gives the base's
+    // mean quantization error, the drift rule's baseline
+    val st = spark.read.parquet(s"$path/codes")
+      .agg(count(lit(1)), sum(col("distortion"))).collect()(0)
+    val baseRows = st.getLong(0)
+    val baseErr =
+      if (baseRows == 0L || st.isNullAt(1)) 0L else st.getLong(1) / baseRows
     writeMeta(spark, path, Seq("kind" -> "pq", "m" -> m.toString,
       "nCent" -> nCent.toString,
       "centroidStride" -> centroidStride.toString,
       "idCol" -> idCol, "vecCol" -> vecCol,
       "vecType" -> corpus.schema(vecCol).dataType.catalogString,
-      "baseRows" -> baseRows.toString, "appendedRows" -> "0",
+      "baseRows" -> baseRows.toString,
+      "baseQuantErr" -> baseErr.toString, "appendedRows" -> "0",
       "rebuildAdvised" -> "false"))
   }
 
@@ -361,23 +579,36 @@ object VectorIndex {
     * row). */
   def appendToPq(newVecs: DataFrame, path: String, appendId: Long): Unit = {
     val spark = newVecs.sparkSession
-    val meta = readMeta(spark, path)
-    assertMeta(meta, path, "kind" -> "pq")
-    require(meta.contains("baseRows"),
-      s"vector index at $path predates append support (no baseRows in " +
-        "meta) — rebuild it once with buildPq to enable appends")
-    assertVecType(meta, path, newVecs, meta("vecCol"))
-    val cents = loadPqCentroids(spark, path, meta)
-    // one evaluation across count + write (same contract as appendToIvf)
-    val batch = newVecs.persist()
-    try {
-      val appended = batch.count()
-      Similarity.pqEncodeWith(batch, cents, meta("m").toInt,
-          meta("idCol"), meta("vecCol"))
-        .write.mode("overwrite")
-        .parquet(s"$path/append_codes/append_id=$appendId")
-      recordAppend(spark, path, meta, appendId, appended)
-    } finally batch.unpersist()
+    withLease(spark, path) {
+      val meta = readMeta(spark, path)
+      assertMeta(meta, path, "kind" -> "pq")
+      require(meta.contains("baseRows"),
+        s"vector index at $path predates append support (no baseRows in " +
+          "meta) — rebuild it once with buildPq to enable appends")
+      if (meta.contains(s"compacted_$appendId"))
+        System.err.println(s"[vector-index] append $appendId at $path " +
+          "was already folded into the base by compactAppends — replay " +
+          "is a no-op")
+      else {
+        assertVecType(meta, path, newVecs, meta("vecCol"))
+        val cents = loadPqCentroids(spark, path, meta)
+        // source evaluates once (the write); rows + drift stats read
+        // back the written codes, whose distortion column is exact
+        val dir = s"$path/append_codes/append_id=$appendId"
+        Similarity.pqEncodeWith(newVecs, cents, meta("m").toInt,
+            meta("idCol"), meta("vecCol"))
+          .write.mode("overwrite").parquet(dir)
+        val (appended, errAvg) =
+          if (!hasDataFiles(spark, dir)) (0L, 0L)
+          else {
+            val st = spark.read.parquet(dir)
+              .agg(count(lit(1)), sum(col("distortion"))).collect()(0)
+            val n = st.getLong(0)
+            (n, if (n == 0L || st.isNullAt(1)) 0L else st.getLong(1) / n)
+          }
+        recordAppend(spark, path, meta, appendId, appended, errAvg)
+      }
+    }
   }
 
   /** Load + integrity-check a persisted PQ codebook (count asserted

@@ -121,6 +121,94 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("kind"))
   }
 
+  test("compactAppends: serve set identical through the fold; append " +
+    "dirs drain; replay of a folded id is a tombstoned no-op; " +
+    "post-compaction appends keep working; lease guards the writers") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_compact_").toString
+    // disjoint three-way split so the post-compaction rebuild twin is a
+    // clean union (codebook rows all have vec_id % 50 == 0 → base)
+    val b0 = emb.filter(col("vec_id") % 50 =!= 1 && col("vec_id") % 50 =!= 2)
+    val a1 = emb.filter(col("vec_id") % 50 === 1)
+    val a2 = emb.filter(col("vec_id") % 50 === 2)
+    VectorIndex.buildIvf(b0, path, centroidStride = 50)
+    VectorIndex.appendToIvf(a1, path, appendId = 0L)
+    val before = rows(VectorIndex.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 2))
+    val statsBefore = VectorIndex.indexStats(spark, path)
+    assert(VectorIndex.compactAppends(spark, path) === 1)
+    // serve set unchanged — the fold moved files, re-encoded nothing
+    assert(rows(VectorIndex.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 2)) === before)
+    // bounded dirs: the appends tree is gone
+    assert(!new java.io.File(s"$path/appends").exists() ||
+      new java.io.File(s"$path/appends").listFiles().isEmpty)
+    // accounting absorbed + tombstoned
+    val stats = VectorIndex.indexStats(spark, path)
+    assert(stats("baseRows").toLong ===
+      statsBefore("baseRows").toLong + statsBefore("appendedRows").toLong)
+    assert(stats("appendedRows") === "0")
+    assert(stats.contains("compacted_0") && !stats.contains("append_0"))
+    // replay of the FOLDED id: a no-op, not a duplicate
+    VectorIndex.appendToIvf(a1, path, appendId = 0L)
+    assert(rows(VectorIndex.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 2)) === before)
+    assert(VectorIndex.indexStats(spark, path)("appendedRows") === "0")
+    // a NEW post-compaction append serves == one-shot rebuild over all
+    VectorIndex.appendToIvf(a2, path, appendId = 1L)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_ivf_compact_reb_").toString
+    VectorIndex.buildIvf(emb, rebuilt, centroidStride = 50)
+    assert(rows(VectorIndex.ivfTopKIndexed(spark, path, queries,
+        k = 5, nProbe = 2)) ===
+      rows(VectorIndex.ivfTopKIndexed(spark, rebuilt, queries,
+        k = 5, nProbe = 2)))
+    // PQ twin: fold + identical serve
+    val pq = java.nio.file.Files
+      .createTempDirectory("graft_pq_compact_").toString
+    VectorIndex.buildPq(baseVecs, pq, m = 4, nCent = 8,
+      centroidStride = 50)
+    VectorIndex.appendToPq(appendBatch, pq, appendId = 0L)
+    val pqBefore = rows(VectorIndex.pqTopKIndexed(spark, pq, queries,
+      k = 5))
+    assert(VectorIndex.compactAppends(spark, pq) === 1)
+    assert(rows(VectorIndex.pqTopKIndexed(spark, pq, queries, k = 5)) ===
+      pqBefore)
+    // lease: a stale claim fails every meta writer loudly
+    val lease = new java.io.File(s"$path/_graft_index_lease")
+    assert(lease.createNewFile())
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.appendToIvf(appendBatch, path, appendId = 7L)
+    }
+    assert(e.getMessage.contains("lease"))
+    assert(lease.delete())
+  }
+
+  test("drift rule: an in-distribution append keeps rebuildAdvised " +
+    "false; a deliberately shifted append of the same size flips it " +
+    "while appends are still a minority") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_drift_").toString
+    VectorIndex.buildIvf(baseVecs, path, centroidStride = 50)
+    VectorIndex.appendToIvf(appendBatch, path, appendId = 0L)
+    val inDist = VectorIndex.indexStats(spark, path)
+    assert(inDist("rebuildAdvised") === "false")
+    assert(inDist("baseQuantErr").toLong > 0L)
+    assert(inDist("appendQuantErr").toLong <
+      VectorIndex.QuantErrDriftRatio * inDist("baseQuantErr").toLong,
+      "an in-distribution append must sit under the drift threshold")
+    // the same batch scaled 100× quantizes terribly against the frozen
+    // codebook — drift must flip the flag while the count rule is off
+    val shifted = appendBatch.withColumn("embedding",
+      transform(col("embedding"), v => v * lit(100.0f)))
+    VectorIndex.appendToIvf(shifted, path, appendId = 1L)
+    val after = VectorIndex.indexStats(spark, path)
+    assert(after("appendedRows").toLong < after("baseRows").toLong,
+      "the count rule must NOT be what flips the flag here")
+    assert(after("rebuildAdvised") === "true",
+      s"drift must flip rebuildAdvised: $after")
+  }
+
   test("append type contract: a batch whose vector column type differs " +
     "from the build's fails loudly instead of poisoning the parquet " +
     "schema; a matching batch with identical values still appends") {
