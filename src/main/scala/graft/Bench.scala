@@ -51,6 +51,28 @@ object Bench {
     // (BENCH_LOCAL_r10.json) even after the q13/q84/q90/q91 shaves, so
     // the default budget is 460 s — headroom for a slow window at 3
     // reps while staying inside the driver's capture patience.
+    // Host canary (r13 verdict item 6): a FIXED-WORK single-thread CPU
+    // kernel, zero Spark jobs, timed before the sweep — every bench
+    // artifact now carries its own measurement-window calibration, so a
+    // cross-round total delta can be read against the canary's delta
+    // instead of arguing host noise from prose (the documented ~2×
+    // hour-to-hour swing on this box). Median of 3; the kernel is a
+    // fixed 2^30-step multiply-xor mix whose result is consumed so the
+    // JIT cannot elide it.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9e3779b97f4a7c15L
+      var i = 0L
+      while (i < (1L << 30)) {
+        h = (h ^ (h >>> 29)) * 0xbf58476d1ce4e5b9L
+        h ^= h >>> 32
+        i += 1L
+      }
+      if (h == 42L) System.err.println("canary collision (never)")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canary = Seq.fill(3)(canaryOnce()).sorted.apply(1)
+    System.err.println(f"[bench] host canary: $canary%.3f s (fixed work)")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val budget =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "460").toDouble
@@ -118,7 +140,7 @@ object Bench {
         .mkString("{", ",", "}")
       val rcs = repCounts.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"wall":$wall,"queries":$qs,"rep_counts":$rcs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"wall":$wall,"canary":$canary,"queries":$qs,"rep_counts":$rcs,"sf":"$sfDir"}"""
     }
     def writeArtifact(label: String): Unit = try {
       java.nio.file.Files.createDirectories(
@@ -161,7 +183,7 @@ object Bench {
     // only the min actually run (== reps unless the budget degraded a rep)
     val repsMin = if (repCounts.nonEmpty) repCounts.values.min else reps
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","reps":$reps,"reps_min":$repsMin,"wall":$wall%.1f,"queries":$qsShort,"sf":"$sfShort"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","reps":$reps,"reps_min":$repsMin,"wall":$wall%.1f,"canary":$canary%.2f,"queries":$qsShort,"sf":"$sfShort"}""")
     System.out.flush()
   }
 }

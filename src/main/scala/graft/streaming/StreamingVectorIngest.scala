@@ -38,10 +38,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * extension via Structured Streaming. */
 object StreamingVectorIngest {
 
-  /** One micro-batch: idempotent append + drift log. Public so specs and
-    * backfill jobs can drive it with explicit batch ids. */
+  /** One micro-batch: idempotent append + drift log, then — every
+    * `compactEvery` batches — [[graft.ops.VectorIndex.compactAppends]]
+    * folds the accumulated `append_id=` trees into the base table (r13
+    * verdict item 3: without a fold the lane leaves one directory tree
+    * per batch forever). Folding is replay-safe even for the id just
+    * appended: the fold tombstones it, and a retried batch of a
+    * tombstoned id is a no-op by [[graft.ops.VectorIndex.appendToIvf]]'s
+    * contract. Public so specs and backfill jobs can drive it with
+    * explicit batch ids. */
   def processBatch(batch: DataFrame, batchId: Long,
-                   indexPath: String): Unit = {
+                   indexPath: String, compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     val kind = graft.ops.VectorIndex.indexStats(spark, indexPath)
       .getOrElse("kind", "?")
@@ -62,6 +69,12 @@ object StreamingVectorIngest {
       s"appendedRows=${stats.getOrElse("appendedRows", "?")} of " +
       s"baseRows=${stats.getOrElse("baseRows", "?")}, " +
       s"rebuildAdvised=${stats.getOrElse("rebuildAdvised", "?")}")
+    if (compactEvery > 0 && batchId > 0L && batchId % compactEvery == 0L) {
+      val folded = graft.ops.VectorIndex.compactAppends(spark, indexPath)
+      if (folded > 0)
+        println(s"[vec-ingest] compacted $folded append dirs into the " +
+          s"base at $indexPath (cadence $compactEvery)")
+    }
   }
 
   /** Start the ingest stream: `vecs` is a streaming DataFrame carrying
@@ -71,9 +84,10 @@ object StreamingVectorIngest {
     * already exist (`buildIvf`/`buildPq` — the codebook is a corpus
     * decision, not a streaming one). */
   def ingestStream(vecs: DataFrame, indexPath: String,
-                   checkpointDir: String): StreamingQuery = {
+                   checkpointDir: String,
+                   compactEvery: Int = 0): StreamingQuery = {
     val fn: (Dataset[Row], Long) => Unit =
-      (b, id) => processBatch(b, id, indexPath)
+      (b, id) => processBatch(b, id, indexPath, compactEvery)
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(fn)

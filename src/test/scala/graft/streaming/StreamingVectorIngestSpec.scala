@@ -74,6 +74,40 @@ class StreamingVectorIngestSpec extends SparkSpec {
       === (b0.size + b1.size).toLong)
   }
 
+  test("compaction cadence (compactEvery): folded appends keep serving " +
+    "identically, the append-dir count stays bounded, and a replay of a " +
+    "FOLDED batch is a tombstoned no-op") {
+    val streamed = java.nio.file.Files
+      .createTempDirectory("graft_vec_ingest_cpt_").toString
+    val oneShot = java.nio.file.Files
+      .createTempDirectory("graft_vec_oneshot_cpt_").toString
+    VectorIndex.buildIvf(baseVecs, streamed, centroidStride = 50)
+    VectorIndex.buildIvf(baseVecs, oneShot, centroidStride = 50)
+    val (b0, b1) = (streamRows(1L), streamRows(51L))
+    // batches 0..2 with a fold at batch 2 — batch ids drive the cadence
+    StreamingVectorIngest.processBatch(b0.toDF("vec_id", "embedding"),
+      0L, streamed, compactEvery = 2)
+    StreamingVectorIngest.processBatch(b1.toDF("vec_id", "embedding"),
+      1L, streamed, compactEvery = 2)
+    StreamingVectorIngest.processBatch(b0.toDF("vec_id", "embedding")
+      .limit(0), 2L, streamed, compactEvery = 2) // empty batch, triggers fold
+    VectorIndex.appendToIvf(
+      emb.filter(col("vec_id") % 50 === 1).select("vec_id", "embedding"),
+      oneShot, appendId = 0L)
+    assert(serveRows(streamed) === serveRows(oneShot))
+    // bounded: the fold drained every append_id= tree
+    val appDirs = Option(new java.io.File(s"$streamed/appends").listFiles())
+      .map(_.count(_.getName.startsWith("append_id="))).getOrElse(0)
+    assert(appDirs === 0, s"fold must drain append dirs, found $appDirs")
+    val stats = VectorIndex.indexStats(spark, streamed)
+    assert(stats.contains("compacted_0") && stats.contains("compacted_1"))
+    // replay of FOLDED batch 1 through the driver: tombstoned no-op
+    StreamingVectorIngest.processBatch(b1.toDF("vec_id", "embedding"),
+      1L, streamed, compactEvery = 2)
+    assert(serveRows(streamed) === serveRows(oneShot))
+    assert(VectorIndex.indexStats(spark, streamed)("appendedRows") === "0")
+  }
+
   test("PQ ingest: streamed batches == one-shot append; replay of a PQ " +
     "batch is idempotent too") {
     val streamed = java.nio.file.Files
