@@ -1631,10 +1631,10 @@ object Dedup {
     * cuts the sweep's dominant cost: the pair form aggregates BOTH full
     * states (two corpus-mass exchanges — 21.5 GB of the 504k run's
     * inc-sweep row); here the crossed set comes from
-    * [[crossedKeysDelta]]'s slim-first shape — crossed ⊆ delta keys, so
-    * the prev state slims to the delta's key set instead of exchanging
-    * (see that method's scaladoc for the r14 shape change). Output is
-    * row-identical to the pair form (RetroactiveSweepSpec pins it). */
+    * [[crossedKeysDelta]], regime-gated between the bulk tagged-union
+    * kernel and the small-delta slim-first shape (crossed ⊆ delta keys —
+    * see that scaladoc for the r14 A/B). Output is row-identical to the
+    * pair form (RetroactiveSweepSpec pins it). */
   def retroactiveSpanSweepDelta(positions: DataFrame, prevOcc: DataFrame,
                                 deltaOcc: DataFrame, n: Int = 10,
                                 minOcc: Int = 2, occParts: Int = 0,
@@ -1664,17 +1664,21 @@ object Dedup {
     * driver's per-batch positions partitions do), and hand both to
     * [[sweepFromCrossed]].
     *
-    * Shape (r14, verdict item 5 — the r13 cut ran ONE tagged union of
-    * the FULL prev state + delta through [[KeyedSum2]], a
-    * (state+delta)-mass exchange of 24-byte rows that was the sweep's
-    * heaviest once-run cost): every crossed key satisfies
-    * p < minOcc ≤ p + d, hence d ≥ 1 — '''crossed ⊆ delta keys''' — so
-    * the state never needs a full exchange. The delta aggregates first
-    * (increment-sized), prev is SLIMMED to the delta's key set (map-side
-    * under the broadcast gate — zero state exchange; SHUFFLE_HASH past
-    * it — one 16-byte-row state exchange, still narrower than the old
-    * 24-byte tagged union), and the threshold test runs on delta-keyed
-    * mass only. Row-identical to the pair form (RetroactiveSweepSpec). */
+    * Shape (r14, verdict item 5), REGIME-GATED on the delta's size:
+    * every crossed key satisfies p < minOcc ≤ p + d, hence d ≥ 1 —
+    * '''crossed ⊆ delta keys''' — so for a SMALL delta (distinct keys
+    * under the broadcast gate) the state never needs an exchange at
+    * all: the delta aggregates first (increment-sized), prev is SLIMMED
+    * to the delta's key set MAP-SIDE, and the threshold test runs on
+    * delta-keyed mass only — the serving-cadence shape, which also
+    * lets the caller PRUNE its prev READ by the delta's keys
+    * ([[crossedFromDeltaAgg]]). For a BULK delta the r13 tagged-union
+    * [[KeyedSum2]] shape stays — the r14 same-window A/B on the
+    * 504k-doc 69M-key window measured slim-first WORSE there (138.4 vs
+    * 123.3 s, input 38.1 vs 17.4 GB: a corpus-mass semi-join + re-agg
+    * reads the state twice for keys the tagged union handles in one
+    * pass). Row-identical either way (RetroactiveSweepSpec pins both
+    * branches against the pair form). */
   def crossedKeysDelta(prevOcc: DataFrame, deltaOcc: DataFrame,
                        minOcc: Int = 2, occParts: Int = 0): DataFrame = {
     require(minOcc >= 2, s"need minOcc >= 2, got $minOcc")
@@ -1682,11 +1686,44 @@ object Dedup {
       require(t.columns.contains("shingle") && t.columns.contains("occ"),
         s"occurrence frames need (shingle, occ); got ${t.columns.mkString(", ")}")
     }
-    crossedFromDeltaAgg(prevOcc,
-      aggregateOccurrences(deltaOcc, occParts)
-        .select(col("shingle"), col("occ").as("d_occ"))
-        .localCheckpoint(),
-      minOcc, occParts)
+    // plan-stats row estimate (file bytes / ~8 B per zstd occ row — the
+    // occ-store figure); an unmaterialized delta estimates huge and
+    // takes the bulk branch, the safe side (it is exactly r13's shape)
+    val estRows =
+      (deltaOcc.queryExecution.optimizedPlan.stats.sizeInBytes /
+        BigInt(graft.streaming.OccStateStore.EstBytesPerOccRow))
+        .min(BigInt(Long.MaxValue)).toLong
+    if (estRows > Curation.MaxFlaggedIdBroadcast)
+      taggedCrossed(prevOcc, deltaOcc, minOcc, occParts)
+    else
+      crossedFromDeltaAgg(prevOcc,
+        aggregateOccurrences(deltaOcc, occParts)
+          .select(col("shingle"), col("occ").as("d_occ"))
+          .localCheckpoint(),
+        minOcc, occParts)
+  }
+
+  /** The BULK branch of [[crossedKeysDelta]] — r13's shape, kept by
+    * measurement (see that scaladoc): prev and delta union into ONE
+    * tagged exchange and [[KeyedSum2]] answers (prev-sum, delta-sum)
+    * per key in a single pass. */
+  private[graft] def taggedCrossed(prevOcc: DataFrame, deltaOcc: DataFrame,
+                                   minOcc: Int, occParts: Int): DataFrame = {
+    val spark = prevOcc.sparkSession
+    import spark.implicits._
+    val tagged = prevOcc
+      .select(col("shingle"), col("occ").as("a"), lit(0L).as("b"))
+      .unionByName(deltaOcc
+        .select(col("shingle"), lit(0L).as("a"), col("occ").as("b")))
+    tagged
+      .repartition(occExchangeParts(tagged, occParts), col("shingle"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(it => new KeyedSum2()(it))
+      .toDF("shingle", "p_occ", "d_occ")
+      .filter(col("p_occ") < minOcc &&
+        col("p_occ") + col("d_occ") >= minOcc)
+      .select("shingle")
+      .localCheckpoint()
   }
 
   /** [[crossedKeysDelta]] from a PRE-AGGREGATED delta (`dAgg`:
@@ -1702,22 +1739,28 @@ object Dedup {
   def crossedFromDeltaAgg(prevOcc: DataFrame, dAgg: DataFrame,
                           minOcc: Int = 2, occParts: Int = 0): DataFrame = {
     require(minOcc >= 2, s"need minOcc >= 2, got $minOcc")
-    val dKeys = dAgg.select("shingle")
     val nDelta = dAgg.count()
-    val prevSlim =
-      if (nDelta <= Curation.MaxFlaggedIdBroadcast)
+    if (nDelta > Curation.MaxFlaggedIdBroadcast)
+      // bulk window: the slim-first shape would semi-join + re-aggregate
+      // corpus mass (the r14 A/B's losing side) — dAgg is itself a valid
+      // per-shingle-sum delta frame, so the tagged union applies as-is
+      taggedCrossed(prevOcc,
+        dAgg.select(col("shingle"), col("d_occ").as("occ")),
+        minOcc, occParts)
+    else {
+      val dKeys = dAgg.select("shingle")
+      val prevSlim =
         prevOcc.join(broadcast(dKeys), Seq("shingle"), "left_semi")
-      else prevOcc.join(dKeys.hint("SHUFFLE_HASH"), Seq("shingle"),
-        "left_semi")
-    val pAgg = aggregateOccurrences(prevSlim, occParts)
-      .select(col("shingle"), col("occ").as("p_occ"))
-    dAgg.join(pAgg, Seq("shingle"), "left_outer")
-      .select(col("shingle"),
-        coalesce(col("p_occ"), lit(0L)).as("p_occ"), col("d_occ"))
-      .filter(col("p_occ") < minOcc &&
-        col("p_occ") + col("d_occ") >= minOcc)
-      .select("shingle")
-      .localCheckpoint()
+      val pAgg = aggregateOccurrences(prevSlim, occParts)
+        .select(col("shingle"), col("occ").as("p_occ"))
+      dAgg.join(pAgg, Seq("shingle"), "left_outer")
+        .select(col("shingle"),
+          coalesce(col("p_occ"), lit(0L)).as("p_occ"), col("d_occ"))
+        .filter(col("p_occ") < minOcc &&
+          col("p_occ") + col("d_occ") >= minOcc)
+        .select("shingle")
+        .localCheckpoint()
+    }
   }
 
   /** [[retroactiveSpanSweepDelta]]'s tail from a PRECOMPUTED crossed set,

@@ -108,6 +108,74 @@ private[graft] final class KeyedSum {
   }
 }
 
+/** Two-accumulator sibling of [[KeyedSum]]: sums `(wa, wb)` per key over
+  * a key-partitioned `(key, wa, wb)` iterator — the one-pass kernel
+  * behind [[Dedup.retroactiveSpanSweepDelta]]'s crossed-key computation,
+  * where the previous state and the increment deltas union into ONE
+  * exchange and each key needs BOTH sums (prev, delta) to answer "did it
+  * cross the threshold". Same open-addressing table, memory contract,
+  * doubling, and loud 2³⁰ ceiling as [[KeyedSum]]; emission after the
+  * input drains, in table-slot order. */
+private[graft] final class KeyedSum2 {
+  private[this] val MaxCap = 1 << 30
+  private[this] var cap = 1 << 12
+  private[this] var mask = cap - 1
+  private[this] var keys = new Array[Long](cap)
+  private[this] var sumA = new Array[Long](cap)
+  private[this] var sumB = new Array[Long](cap)
+  private[this] var present = new Array[Boolean](cap)
+  private[this] var used = 0
+
+  private def mix(k: Long): Int = {
+    var h = k ^ (k >>> 33)
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 29
+    (h & mask).toInt
+  }
+
+  private def grow(): Unit = {
+    if (cap == MaxCap)
+      throw new IllegalStateException(
+        s"KeyedSum2: > ~${(MaxCap.toLong * 6 / 10) / 1000000}M distinct " +
+          "keys in one partition — raise parts so partitions carry fewer " +
+          "distinct keys")
+    val ok = keys; val oa = sumA; val ob = sumB; val op = present
+    cap <<= 1; mask = cap - 1
+    keys = new Array[Long](cap); sumA = new Array[Long](cap)
+    sumB = new Array[Long](cap); present = new Array[Boolean](cap)
+    var i = 0
+    while (i < ok.length) {
+      if (op(i)) {
+        var j = mix(ok(i))
+        while (present(j)) j = (j + 1) & mask
+        keys(j) = ok(i); sumA(j) = oa(i); sumB(j) = ob(i); present(j) = true
+      }
+      i += 1
+    }
+  }
+
+  def apply(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+    while (it.hasNext) {
+      val (k, wa, wb) = it.next()
+      var j = mix(k)
+      while (present(j) && keys(j) != k) j = (j + 1) & mask
+      if (!present(j)) {
+        if ((used + 1).toLong * 10 >= cap.toLong * 6) {
+          grow()
+          j = mix(k)
+          while (present(j) && keys(j) != k) j = (j + 1) & mask
+        }
+        keys(j) = k; present(j) = true
+        used += 1
+      }
+      sumA(j) += wa
+      sumB(j) += wb
+    }
+    val ks = keys; val sa = sumA; val sb = sumB; val ps = present
+    (0 until cap).iterator.filter(ps(_)).map(i => (ks(i), sa(i), sb(i)))
+  }
+}
+
 private[graft] final class OccurrenceFilter(minOcc: Int) {
   require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
 

@@ -576,16 +576,19 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * sub-files compress tighter and leave parquet row-group min/max
     * stats meaningful for any future range consumer). The sorted write
     * needs no concurrent-writer scope — partition-ordered rows stream
-    * through one open file at a time — but it DOES scope the v2 output
-    * committer: a sub-split segment is numBuckets × subSplit files
-    * (131,072 at the 504k serve layout), and v1's JOB commit renames
-    * every one of them single-threaded on the driver — measured as the
-    * bulk of a 780 s layout wall. v2 commits at TASK commit (parallel,
-    * one rename per task attempt dir tree move); its weaker crash story
-    * (partial files visible in the target dir on job failure) is
-    * covered by the store's own commit point — a segment is INVISIBLE
-    * until the manifest references it, a retry overwrites the dir
-    * wholesale, and retire() GCs unreferenced orphans. */
+    * through one open file at a time — and runs on the DEFAULT (v1)
+    * output committer: r13 scoped v2 here believing a 780 → 692 s A/B,
+    * but the conf key never reached the write job (r13 ADVICE — the
+    * "spark.hadoop."-prefixed key set at runtime is a no-op), and the
+    * r14 re-measure with the EFFECTIVE unprefixed key inverted the
+    * result: at the 32,768-file serve layout v1 wrote in 196.3 s vs
+    * v2's 248.7 s same-window — the single-threaded job-commit rename
+    * (~0.5 ms/file locally) is NOT the wall, and v2's per-task commits
+    * cost more than they save. v1 is also the safer committer, so the
+    * scope is gone. Deployments on object stores should measure their
+    * own committer; the store's manifest commit point tolerates either
+    * (a segment is invisible until referenced, a retry overwrites the
+    * dir wholesale, retire() GCs orphans). */
   private def writeSegment(df: DataFrame, segName: String, subSplit: Int,
                            nBuckets: Int, estRows: Long): Unit = {
     if (subSplit <= 1) {
@@ -597,43 +600,21 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           .parquet(segDir(segName).toString)
       }
     } else {
-      // the UNPREFIXED key: SessionState.newHadoopConf copies session-conf
-      // entries VERBATIM into the write job's Hadoop conf, so this is what
-      // FileOutputCommitter actually reads — the r13 cut set the
-      // "spark.hadoop."-prefixed key at runtime, which only works at
-      // SparkContext CREATION (r13 ADVICE: the prefixed runtime set was a
-      // silent no-op and the v1->v2 A/B measured noise; re-measured with
-      // the effective key in the r14 layout leg)
-      withSessionConf(
-        "mapreduce.fileoutputcommitter.algorithm.version", "2") {
-        df.select(col("shingle"), col("occ"),
-            pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"),
-            subCol(subSplit).as("sb"))
-          .repartition(sortedWriteParts(estRows), col("b"), col("sb"))
-          .sortWithinPartitions("b", "sb", "shingle")
-          .write.mode("overwrite").partitionBy("b", "sb")
-          // page-ROW bound (default 20k): with the rows sorted by
-          // shingle, parquet's per-page column-index min/max becomes the
-          // probe's tier-4 granularity ([[SubFileProbe]]) — ~1k-row pages
-          // let a probe key read ~8 KB of an arbitrarily large sub-file,
-          // which is what lets [[OccStateStore.SubSplitTargetRows]] be
-          // COARSE (fewer, larger files) without growing probe bytes
-          .option("parquet.page.row.count.limit",
-            OccStateStore.SortedPageRows.toString)
-          .parquet(segDir(segName).toString)
-      }
-    }
-  }
-
-  /** Scope one session conf around `body`, restoring the prior value —
-    * the same discipline as [[withConcurrentWriters]]. */
-  private def withSessionConf[T](key: String, value: String)(body: => T): T = {
-    val before = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body
-    finally before match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      df.select(col("shingle"), col("occ"),
+          pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b"),
+          subCol(subSplit).as("sb"))
+        .repartition(sortedWriteParts(estRows), col("b"), col("sb"))
+        .sortWithinPartitions("b", "sb", "shingle")
+        .write.mode("overwrite").partitionBy("b", "sb")
+        // page-ROW bound (default 20k): with the rows sorted by
+        // shingle, parquet's per-page column-index min/max becomes the
+        // probe's tier-4 granularity ([[SubFileProbe]]) — ~1k-row pages
+        // let a probe key read ~8 KB of an arbitrarily large sub-file,
+        // which is what lets [[OccStateStore.SubSplitTargetRows]] be
+        // COARSE (fewer, larger files) without growing probe bytes
+        .option("parquet.page.row.count.limit",
+          OccStateStore.SortedPageRows.toString)
+        .parquet(segDir(segName).toString)
     }
   }
 

@@ -180,6 +180,19 @@ class RetroactiveSweepSpec extends SparkSpec {
     val plain = Dedup.retroactiveSpanSweepDelta(positions, prevOcc,
       deltaOcc, n = n)
     val crossed = Dedup.crossedKeysDelta(prevOcc, deltaOcc)
+    // the r14 regime gate: BOTH branches — the bulk tagged-union kernel
+    // and the small-delta slim-first shape — produce the same crossed
+    // key set (each is pinned explicitly; crossedKeysDelta picks one by
+    // delta plan-stats size)
+    val dAgg = Dedup.aggregateOccurrences(deltaOcc)
+      .select(col("shingle"), col("occ").as("d_occ")).localCheckpoint()
+    val slimFirst = Dedup.crossedFromDeltaAgg(prevOcc, dAgg)
+      .collect().map(_.getLong(0)).toSet
+    val tagged = Dedup.taggedCrossed(prevOcc, deltaOcc, 2, 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(slimFirst === tagged)
+    assert(slimFirst === crossed.collect().map(_.getLong(0)).toSet)
+    assert(slimFirst.nonEmpty)
     // the pruning contract: positionsForCrossed must keep every row whose
     // shingle ∈ crossed — a row-filtered superset models what file-level
     // zone pruning produces (plus arbitrary extra rows, here half of one
