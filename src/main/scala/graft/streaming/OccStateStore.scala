@@ -314,7 +314,7 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           }
         val collectKeys = subSplits.nonEmpty &&
           estKeys <= OccStateStore.ProbeRowFilterMaxKeys
-        val plan = planJob(keys, subSplits, zoneMaps, collectKeys)
+        val plan = planJob(keys, subSplits, zoneMaps, collectKeys, estKeys)
         val wholePaths = scala.collection.mutable.ArrayBuffer.empty[String]
         val fileSpecs =
           scala.collection.mutable.ArrayBuffer.empty[SubFileProbe.FileKeys]
@@ -406,12 +406,24 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * batch. */
   private def planJob(keys: DataFrame, subSplits: Seq[Int],
                       groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]],
-                      collectKeys: Boolean): OccStateStore.ProbePlan = {
+                      collectKeys: Boolean,
+                      estKeys: Long = Long.MaxValue): OccStateStore.ProbePlan = {
     val spark2 = keys.sparkSession
     import spark2.implicits._
     val cols = col("shingle").cast("long").as("k") +:
       pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("b") +:
       subSplits.map(s => subCol(s).as(s"sub_$s"))
+    // size the planning job to the BATCH, not the session width: a 1-doc
+    // serving probe otherwise launches ~32 near-empty tasks whose launch
+    // overhead IS the planning job's wall (r13 stretch item 7); ~64k
+    // keys per task keeps the fold in-memory trivial. Bulk/unknown
+    // batches keep their natural partitioning.
+    val slimKeys =
+      if (estKeys > OccStateStore.ProbeRowFilterMaxKeys)
+        keys.select(cols: _*) // bulk: keep the natural width
+      else keys.select(cols: _*).coalesce(math.max(1, math.min(
+        spark2.sparkContext.defaultParallelism.toLong,
+        estKeys / 65536L + 1L)).toInt)
     val bcs: Seq[(String,
         org.apache.spark.broadcast.Broadcast[Map[Int, graft.ops.ZoneIndex.Zone]])] =
       groups.toSeq.sortBy(_._1).map { case (name, zm) =>
@@ -420,7 +432,7 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     val ns = rootKey
     val nSubs = subSplits.length
     val subArr = subSplits.toArray
-    val planned = keys.select(cols: _*)
+    val planned = slimKeys
       .mapPartitions { it =>
         val probe = new graft.ops.ZoneIndex.ZoneProbe(ns)
         val buckets = new scala.collection.mutable.HashSet[Int]
