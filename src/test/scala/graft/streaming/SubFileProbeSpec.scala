@@ -43,6 +43,31 @@ class SubFileProbeSpec extends SparkSpec {
       s"expected a page-selective read, got ${bytes.value} of $fileBytes")
   }
 
+  test("signed keys: real shingles are raw xxhash64 values, so the " +
+    "sorted file spans negative and positive longs — per-key reads stay " +
+    "exact across the sign boundary") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_subfile_neg_").toString + "/data"
+    // hash-valued keys: roughly half negative, sorted as signed longs
+    spark.range(100000L)
+      .select(xxhash64(col("id")).as("shingle"), lit(2L).as("occ"))
+      .coalesce(1).sortWithinPartitions("shingle")
+      .write.option("parquet.page.row.count.limit",
+        OccStateStore.SortedPageRows.toString)
+      .parquet(dir)
+    val present = spark.range(100000L).select(xxhash64(col("id")))
+      .filter(col("xxhash64(id)") % 9999 === 0)
+      .collect().map(_.getLong(0)).sorted
+    assert(present.exists(_ < 0L) && present.exists(_ > 0L),
+      "fixture must straddle the sign boundary")
+    val bytes = spark.sparkContext.longAccumulator("b")
+    val files = spark.sparkContext.longAccumulator("f")
+    val got = SubFileProbe.read(spark,
+        Seq(SubFileProbe.FileKeys(dir, present :+ 1L)), bytes, files)
+      .collect().map(_.getLong(0)).sorted // key 1L is absent (hash range)
+    assert(got.toSeq === present.toSeq)
+  }
+
   test("over-cap key sets fall back to the whole file (correct " +
     "superset); empty spec list returns an empty frame") {
     val dir = writeSorted(5000L)
