@@ -568,14 +568,23 @@ object ScaleRun {
         // against the sorted column's row-group stats + column index).
         // The exact key count rides along, as in processBatch.
         val pr = serve.probeRead(1L, counts, keyCountHint = counts.count())
-        val prunedSpans = graft.ops.Dedup.incrementalSpansPrepared(
-          shEx, counts, pr.frame, n = 10).collect().map(_.toSeq).toSet
-        val nSpans = prunedSpans.size
-        val secs = (System.nanoTime() - t0) / 1e9
-        // bytes: whole-scanned paths by file size; the tier-4 side by its
-        // MEASURED accumulators (valid here — exactly one action ran)
+        // snapshot the tier-4 accumulators right after ONE dedicated
+        // action (r14 ADVICE item 4: accumulator updates re-add on any
+        // re-execution — a second action over the frame, an AQE stage
+        // retry, a resubmitted result task — so reading them after the
+        // span job could silently inflate the MEASURED bytes); the
+        // persist pins every later consumer to the materialized rows, so
+        // the probe executes exactly once
+        val pf = pr.frame.persist()
+        pf.count()
         val sharpB = pr.bytesRead.map(_.value.toLong).getOrElse(0L)
         val sharpFiles = pr.filesOpened.map(_.value.toLong).getOrElse(0L)
+        val prunedSpans = graft.ops.Dedup.incrementalSpansPrepared(
+          shEx, counts, pf, n = 10).collect().map(_.toSeq).toSet
+        val nSpans = prunedSpans.size
+        val secs = (System.nanoTime() - t0) / 1e9
+        // bytes: whole-scanned paths by file size; the tier-4 side by
+        // the snapshot above
         val sharpAdmitted = pr.rowFiltered.size
         val prunedB = bytesOf(pr.frame.inputFiles) + sharpB
         val touched = pr.rowFiltered.map(fk =>
@@ -590,6 +599,7 @@ object ScaleRun {
           .collect().map(_.toSeq).toSet
         require(prunedSpans == fullSpans,
           s"pruned vs full spans diverged at nDocs=$nDocs")
+        pf.unpersist()
         shEx.unpersist(); counts.unpersist(); batch.unpersist()
         f"$nDocs%d docs: ${touched.size}/${serve.numBuckets} buckets, " +
           f"$sharpAdmitted sub-files ($sharpFiles opened, " +

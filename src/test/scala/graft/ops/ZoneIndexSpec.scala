@@ -173,4 +173,48 @@ class ZoneIndexSpec extends SparkSpec {
     assert(ZoneIndex.hitPairs(zones, Seq(150L).toDF("k"), "k", 1)
       === Set(("g", 0)))
   }
+
+  test("BloomCache hit verifies CONTENT: same (ns, segment, bucket) key " +
+    "with different serialized bytes replaces the entry instead of " +
+    "serving the stale one-sided filter (r14 ADVICE item 1 — a same-path " +
+    "store recreate reuses deterministic segment names, and a stale " +
+    "bloom's false negative silently drops state rows); dropNamespace " +
+    "frees a root's entries") {
+    import org.apache.spark.util.sketch.BloomFilter
+    def ser(keys: Seq[Long]): Array[Byte] = {
+      val bf = BloomFilter.create(keys.length.toLong, ZoneIndex.BloomFpp)
+      keys.foreach(bf.putLong)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out); out.toByteArray
+    }
+    def roundtrip(bf: BloomFilter): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out); out.toByteArray
+    }
+    val gen1 = ser(Seq(1L, 2L, 3L))
+    val gen2 = ser(Seq(100L, 200L)) // the recreated store's bloom
+    val ns = s"zis-stale-${System.nanoTime()}"
+    ZoneIndex.BloomCache.get(ns, "seg-1-delta", 0, gen1)
+    // the old store is deleted and recreated at the same path; the
+    // deterministic segment name collides — the hit must detect the
+    // content change, re-deserialize, and serve gen2's filter
+    val missesBefore = ZoneIndex.BloomCache.missCount
+    val served = ZoneIndex.BloomCache.get(ns, "seg-1-delta", 0, gen2)
+    assert(ZoneIndex.BloomCache.missCount === missesBefore + 1,
+      "a content mismatch must re-deserialize, not serve the stale bloom")
+    assert(java.util.Arrays.equals(roundtrip(served), gen2))
+    // reference fast path (the steady state: memoized broadcasts pass
+    // the same array instance): a hit, zero misses
+    val m2 = ZoneIndex.BloomCache.missCount
+    ZoneIndex.BloomCache.get(ns, "seg-1-delta", 0, gen2)
+    assert(ZoneIndex.BloomCache.missCount === m2)
+    // equal content in a DIFFERENT array instance (a fresh broadcast of
+    // the same immutable sidecar): still a hit via the equals fallback
+    ZoneIndex.BloomCache.get(ns, "seg-1-delta", 0, gen2.clone)
+    assert(ZoneIndex.BloomCache.missCount === m2)
+    // dropNamespace evicts: the next get deserializes again
+    ZoneIndex.BloomCache.dropNamespace(ns)
+    ZoneIndex.BloomCache.get(ns, "seg-1-delta", 0, gen2)
+    assert(ZoneIndex.BloomCache.missCount === m2 + 1)
+  }
 }
