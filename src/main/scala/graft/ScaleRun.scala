@@ -579,6 +579,7 @@ object ScaleRun {
         pf.count()
         val sharpB = pr.bytesRead.map(_.value.toLong).getOrElse(0L)
         val sharpFiles = pr.filesOpened.map(_.value.toLong).getOrElse(0L)
+        val metaB = pr.metaBytesRead.map(_.value.toLong).getOrElse(0L)
         val prunedSpans = graft.ops.Dedup.incrementalSpansPrepared(
           shEx, counts, pf, n = 10).collect().map(_.toSeq).toSet
         val nSpans = prunedSpans.size
@@ -586,7 +587,7 @@ object ScaleRun {
         // bytes: whole-scanned paths by file size; the tier-4 side by
         // the snapshot above
         val sharpAdmitted = pr.rowFiltered.size
-        val prunedB = bytesOf(pr.frame.inputFiles) + sharpB
+        val prunedB = bytesOf(pr.frame.inputFiles) + sharpB + metaB
         val touched = pr.rowFiltered.map(fk =>
           "b=(\\d+)".r.findFirstMatchIn(fk.path).map(_.group(1).toInt))
           .flatten.toSet ++ pr.wholePaths.flatMap(
@@ -603,7 +604,8 @@ object ScaleRun {
         shEx.unpersist(); counts.unpersist(); batch.unpersist()
         f"$nDocs%d docs: ${touched.size}/${serve.numBuckets} buckets, " +
           f"$sharpAdmitted sub-files ($sharpFiles opened, " +
-          f"${sharpB >> 20} MB measured) + ${pr.wholePaths.length} whole, " +
+          f"${sharpB >> 20} MB pages + ${metaB >> 20} MB meta measured) " +
+          f"+ ${pr.wholePaths.length} whole, " +
           f"${prunedB >> 20} of ${fullB >> 20} MB read " +
           f"(${100.0 * prunedB / math.max(1, fullB)}%.2f%%), " +
           f"$nSpans spans, $secs%.1f s"

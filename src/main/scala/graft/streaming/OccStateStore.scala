@@ -266,7 +266,8 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
                 keyCountHint: Long = -1L): OccStateStore.ProbeRead = {
     latestVersionBefore(batchId) match {
       case None =>
-        OccStateStore.ProbeRead(emptyOcc, Seq.empty, Seq.empty, None, None)
+        OccStateStore.ProbeRead(emptyOcc, Seq.empty, Seq.empty, None, None,
+          None)
       case Some(v) =>
         val stacks = readManifestStats(v)
         val allSegs: Seq[SegStat] = stacks.values.flatten.toSeq
@@ -351,18 +352,20 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           }
         if (fileSpecs.isEmpty)
           OccStateStore.ProbeRead(readPaths(wholePaths.toSeq),
-            wholePaths.toSeq, Seq.empty, None, None)
+            wholePaths.toSeq, Seq.empty, None, None, None)
         else {
           val bytesAcc = spark.sparkContext
-            .longAccumulator("graft.probe.bytesRead")
+            .longAccumulator("graft.probe.pageBytesRead")
           val filesAcc = spark.sparkContext
             .longAccumulator("graft.probe.filesOpened")
-          val sharp =
-            SubFileProbe.read(spark, fileSpecs.toSeq, bytesAcc, filesAcc)
+          val metaAcc = spark.sparkContext
+            .longAccumulator("graft.probe.metaBytesRead")
+          val sharp = SubFileProbe.read(spark, fileSpecs.toSeq, bytesAcc,
+            filesAcc, metaAcc)
           OccStateStore.ProbeRead(
             readPaths(wholePaths.toSeq).unionByName(sharp),
             wholePaths.toSeq, fileSpecs.toSeq,
-            Some(bytesAcc), Some(filesAcc))
+            Some(bytesAcc), Some(filesAcc), Some(metaAcc))
         }
     }
   }
@@ -908,15 +911,19 @@ object OccStateStore {
   /** [[OccStateStore.probeRead]]'s result: the probe frame plus what the
     * planner decided to open. `wholePaths` are DataFrame-scanned whole
     * (flat bucket dirs + zone-admitted delta files + sub-files past the
-    * tier-4 gate); `rowFiltered` are the sub-files opened through
+    * tier-4 gate); `rowFiltered` are the sub-files handed to
     * [[SubFileProbe]] with per-file key predicates (empty when the gate
-    * is off). `bytesRead`/`filesOpened` are the tier-4 read's measured
-    * accumulators — valid AFTER an action on `frame`, None when nothing
-    * row-filters. */
+    * is off). `bytesRead` (page bytes), `filesOpened` (files whose
+    * stream actually opened — a warm-cache file none of whose pages can
+    * match opens nothing), and `metaBytesRead` (footer/index loads —
+    * zero on a warm [[SubFileProbe.MetaCache]]) are the tier-4 read's
+    * measured accumulators — valid AFTER an action on `frame`, None when
+    * nothing row-filters. */
   final case class ProbeRead(frame: DataFrame, wholePaths: Seq[String],
                              rowFiltered: Seq[SubFileProbe.FileKeys],
                              bytesRead: Option[org.apache.spark.util.LongAccumulator],
-                             filesOpened: Option[org.apache.spark.util.LongAccumulator])
+                             filesOpened: Option[org.apache.spark.util.LongAccumulator],
+                             metaBytesRead: Option[org.apache.spark.util.LongAccumulator])
 
   /** One planning job's output (see planJob): touched buckets, touched
     * (bucket, sub) pairs per split factor, zone hits, and — under the

@@ -5,16 +5,22 @@ import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.HadoopReadOptions
+import org.apache.parquet.ParquetReadOptions
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
 import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.{ColumnPath, ParquetMetadata}
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.internal.column.columnindex.{ColumnIndex, OffsetIndex}
+import org.apache.parquet.internal.filter2.columnindex.{ColumnIndexFilter, ColumnIndexStore, RowRanges}
 import org.apache.parquet.io.{ColumnIOFactory, DelegatingSeekableInputStream, InputFile, SeekableInputStream}
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.util.LongAccumulator
+
+import scala.jdk.CollectionConverters._
 
 /** Row-group/page-level probe reads over the occurrence store's SORTED
   * sub-bucket files — [[OccStateStore.readPruned]]'s FOURTH pruning tier
@@ -35,30 +41,55 @@ import org.apache.spark.util.LongAccumulator
   * statistics and (since the column-index era) its per-PAGE min/max — it
   * just has to be a DIFFERENT predicate per file, which Spark's scan node
   * cannot express. So this reader distributes (file, its own few keys)
-  * pairs and opens each file with parquet-hadoop directly:
+  * pairs and opens each file with parquet-hadoop directly.
   *
-  *  - row groups are admitted by the file's OWN tiny or-of-eq predicate
-  *    against row-group statistics ([[ParquetFileReader]] filters blocks
-  *    at open);
-  *  - within an admitted row group, `readNextFilteredRowGroup()` applies
-  *    the COLUMN INDEX (per-page min/max over the sorted shingle column —
-  *    written by parquet by default, made selective by the writer's
-  *    [[OccStateStore]] page-row bound), so a key reads ~one page, not
-  *    the whole group;
+  * r15 (r14 verdict item 1 — the probe's remaining floor was PER-OPEN
+  * cost, not bytes: 28,209 opens on the 50-doc leg, each re-reading the
+  * footer + column index of an IMMUTABLE file): footers and page indexes
+  * now live in a per-JVM (= per-executor) LRU, [[SubFileProbe.MetaCache]],
+  * keyed by (path, fileLength) — the read twin of
+  * [[graft.ops.ZoneIndex.BloomCache]]. The read of one file becomes:
+  *
+  *  - '''plan from cache, pure CPU''': the per-file or-of-eq predicate is
+  *    evaluated against the CACHED column index
+  *    ([[ColumnIndexFilter.calculateRowRanges]] — public parquet API over
+  *    the same per-page min/max `readNextFilteredRowGroup` consults
+  *    internally), yielding each row group's admitted row ranges with ZERO
+  *    I/O on a warm cache;
+  *  - '''skip without opening''': a file none of whose pages can hold any
+  *    probe key is answered from memory — the warm probe never opens it
+  *    at all (the r14 reader paid footer + index + ~a page per admitted
+  *    file, every probe);
+  *  - '''read pages only''': files with admitted ranges open ONE stream
+  *    and read exactly the admitted pages —
+  *    [[ParquetFileReader.readFilteredRowGroup(int,RowRanges)*]] with the
+  *    reader's (virtual, overridden) column-index store serving the
+  *    CACHED offset indexes, so the open re-reads neither footer nor
+  *    index bytes;
   *  - record-level assembly applies the same predicate, so the emitted
   *    rows are EXACTLY the probe keys' state rows (a strict subset of
   *    what the whole-file read returned — sound for every consumer,
   *    which by contract re-filters to its key set anyway).
   *
+  * Soundness of the cache key: sub-bucket files are IMMUTABLE once their
+  * segment is manifest-published (the store's single-writer replay
+  * discipline rewrites a directory wholesale under a NEW length with
+  * overwhelming probability; (path, length) misses degrade to a fresh
+  * load, never to stale metadata — and the store-side GC path drops
+  * nothing here because a recreated file simply misses on length).
+  *
   * No false negatives: a key present in the file has a row whose shingle
   * EQUALS it, so every stats/page/record test keeps that row — the same
-  * one-sidedness argument as [[graft.ops.ZoneIndex]], pinned together
-  * with byte accounting by StreamingSpanDedupSpec.
+  * one-sidedness argument as [[graft.ops.ZoneIndex]]; blocks whose column
+  * index is absent are read WHOLE (the never-wrong direction), pinned
+  * together with byte accounting by StreamingSpanDedupSpec and
+  * SubFileProbeSpec.
   *
   * Scale shape: one task handles many files serially (the spec list is
   * batch-bounded); bytes actually pulled from storage are counted through
-  * a wrapping [[InputFile]], so the serving evidence (`graft.ScaleRun`
-  * inc-serve) reports MEASURED read bytes, not file-size sums. */
+  * a wrapping [[InputFile]] and SPLIT into metadata bytes (footer + index
+  * loads — cold-cache only) vs page bytes, so the serving evidence
+  * (`graft.ScaleRun` inc-serve) attributes the cache's win. */
 object SubFileProbe {
 
   /** One sub-bucket file and the probe keys that route to it (sorted,
@@ -75,12 +106,15 @@ object SubFileProbe {
     StructField("shingle", LongType), StructField("occ", LongType)))
 
   /** Read `specs` exactly: (shingle, occ) rows whose shingle is in the
-    * file's key set. `bytesRead`/`filesOpened` accumulate the measured
-    * stream bytes (footer + admitted pages) and opened-file count for the
-    * caller's evidence; pass freshly created accumulators. */
+    * file's key set. `pageBytesRead` accumulates the measured page-side
+    * stream bytes, `metaBytesRead` the footer/index loads (zero on a warm
+    * [[MetaCache]]), and `filesOpened` the files whose stream was
+    * actually opened (a warm file none of whose pages can match opens
+    * nothing); pass freshly created accumulators. */
   def read(spark: SparkSession, specs: Seq[FileKeys],
-           bytesRead: LongAccumulator,
-           filesOpened: LongAccumulator): DataFrame = {
+           pageBytesRead: LongAccumulator,
+           filesOpened: LongAccumulator,
+           metaBytesRead: LongAccumulator): DataFrame = {
     if (specs.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], occSchema)
@@ -93,8 +127,7 @@ object SubFileProbe {
       .mapPartitions { it =>
         val hconf = conf.value
         it.flatMap { fk =>
-          filesOpened.add(1L)
-          readFile(hconf, fk, bytesRead)
+          readFile(hconf, fk, pageBytesRead, filesOpened, metaBytesRead)
         }
       }
       .map { case (s, o) => Row(s, o) }
@@ -120,77 +153,244 @@ object SubFileProbe {
     * data file(s) (one per writing task; hidden/marker names skipped) and
     * read each with the spec's predicate. */
   private def readFile(conf: Configuration, fk: FileKeys,
-                       bytesRead: LongAccumulator): Iterator[(Long, Long)] = {
+                       pageBytes: LongAccumulator,
+                       filesOpened: LongAccumulator,
+                       metaBytes: LongAccumulator): Iterator[(Long, Long)] = {
     val dir = new Path(fk.path)
     val fs = dir.getFileSystem(conf)
     val st = fs.getFileStatus(dir)
-    val files =
+    val files: Seq[(Path, Long)] =
       if (st.isDirectory)
         fs.listStatus(dir).iterator
           .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
             !s.getPath.getName.startsWith("."))
-          .map(_.getPath).toSeq.sortBy(_.getName)
-      else Seq(dir)
-    files.iterator.flatMap(readOneFile(conf, _, fk.keys, bytesRead))
+          .map(s => (s.getPath, s.getLen)).toSeq.sortBy(_._1.getName)
+      else Seq((dir, st.getLen))
+    files.iterator.flatMap { case (p, len) =>
+      readOneFile(conf, p, len, fk.keys, pageBytes, filesOpened, metaBytes)
+    }
   }
 
-  private def readOneFile(conf: Configuration, path: Path,
+  // ---- per-executor footer/index cache (r14 verdict item 1) -----------
+
+  /** One row group's cached page-index artifacts: the shingle column's
+    * [[ColumnIndex]] (null when the file carries none — read whole) and
+    * every column's [[OffsetIndex]] by dotted name (what the filtered
+    * page read needs to slice pages; missing entries degrade that block
+    * to a whole read). */
+  private[graft] final case class BlockIdx(
+      shingleCi: ColumnIndex, offsets: Map[String, OffsetIndex])
+
+  /** JVM-wide (= per-executor) LRU of immutable files' deserialized
+    * footers + page indexes, keyed (path, fileLength) and bounded by
+    * approximate retained bytes. Cached objects are immutable parquet
+    * metadata — safe to share across concurrent tasks; the map itself
+    * synchronizes. `missCount` instruments loads for the
+    * zero-refooter-on-repeat spec pin (the twin of
+    * [[graft.ops.ZoneIndex.BloomCache.missCount]]). */
+  private[graft] object MetaCache {
+    final case class Entry(footer: ParquetMetadata, blocks: Array[BlockIdx],
+                           approxBytes: Long)
+    private val MaxBytes = 256L << 20
+    private val entries =
+      new java.util.LinkedHashMap[(String, Long), Entry](64, 0.75f, true)
+    private var bytes = 0L
+    private val misses = new java.util.concurrent.atomic.LongAdder
+
+    def missCount: Long = misses.sum()
+    private[SubFileProbe] def countMiss(): Unit = misses.increment()
+
+    def get(path: String, len: Long): Option[Entry] =
+      synchronized(Option(entries.get((path, len))))
+
+    def put(path: String, len: Long, e: Entry): Unit = synchronized {
+      val k = (path, len)
+      val prev = entries.put(k, e)
+      if (prev != null) bytes -= prev.approxBytes
+      bytes += e.approxBytes
+      val it = entries.entrySet().iterator()
+      while (bytes > MaxBytes && it.hasNext) {
+        val en = it.next()
+        if (en.getKey != k) { bytes -= en.getValue.approxBytes; it.remove() }
+      }
+    }
+  }
+
+  /** Mutable counting target — one stream serves both the metadata loads
+    * and the page reads, and the accounting must attribute each phase to
+    * its own accumulator (single task thread; no synchronization
+    * needed). */
+  private final class ByteSink(var acc: LongAccumulator) {
+    def add(n: Long): Unit = acc.add(n)
+  }
+
+  /** [[ParquetFileReader]] whose (virtual, public) column-index store is
+    * served from the CACHED page indexes — so a filtered page read
+    * re-reads neither column nor offset indexes from storage. `idx` is
+    * assigned before any filtered read (after the cold-path index load);
+    * a missing offset index throws the standard
+    * [[ColumnIndexStore.MissingOffsetIndexException]], which parquet's
+    * own paths treat as "read whole" (we additionally pre-check and route
+    * such blocks to whole-group reads). */
+  private final class CachedIndexReader(in: InputFile,
+                                        footer: ParquetMetadata,
+                                        opts: ParquetReadOptions,
+                                        stream: SeekableInputStream)
+      extends ParquetFileReader(in, footer, opts, stream) {
+    var idx: Array[BlockIdx] = null
+    override def getColumnIndexStore(blockIndex: Int): ColumnIndexStore = {
+      val bi = idx(blockIndex)
+      new ColumnIndexStore {
+        override def getColumnIndex(p: ColumnPath): ColumnIndex =
+          if (p.toDotString == "shingle") bi.shingleCi else null
+        override def getOffsetIndex(p: ColumnPath): OffsetIndex =
+          bi.offsets.getOrElse(p.toDotString,
+            throw new ColumnIndexStore.MissingOffsetIndexException(p))
+      }
+    }
+  }
+
+  /** Load a cold file's footer + page indexes through an already-open
+    * reader (instance methods are the only public index readers) and
+    * size the entry for the LRU. */
+  private def loadMeta(reader: ParquetFileReader): MetaCache.Entry = {
+    val footer = reader.getFooter
+    val blocks = footer.getBlocks.asScala.map { blk =>
+      val cols = blk.getColumns.asScala
+      val offsets = cols.flatMap { cc =>
+        Option(reader.readOffsetIndex(cc))
+          .map(oi => cc.getPath.toDotString -> oi)
+      }.toMap
+      val ci = cols.find(_.getPath.toDotString == "shingle")
+        .flatMap(cc => Option(reader.readColumnIndex(cc))).orNull
+      BlockIdx(ci, offsets)
+    }.toArray
+    val approx = 2048L + blocks.map { bi =>
+      val ciB =
+        if (bi.shingleCi == null) 0L
+        else bi.shingleCi.getMinValues.asScala.map(_.remaining.toLong).sum +
+          bi.shingleCi.getMaxValues.asScala.map(_.remaining.toLong).sum + 256L
+      ciB + bi.offsets.valuesIterator
+        .map(_.getPageCount.toLong * 48L + 128L).sum
+    }.sum + footer.getBlocks.size.toLong * 512L
+    MetaCache.Entry(footer, blocks, approx)
+  }
+
+  private def readOneFile(conf: Configuration, path: Path, len: Long,
                           keys: Array[Long],
-                          bytesRead: LongAccumulator): Iterator[(Long, Long)] = {
+                          pageBytes: LongAccumulator,
+                          filesOpened: LongAccumulator,
+                          metaBytes: LongAccumulator): Iterator[(Long, Long)] = {
     val pred = predicateFor(keys)
-    val optsB = HadoopReadOptions.builder(conf, path)
-    pred.foreach(p => optsB.withRecordFilter(FilterCompat.get(p)))
-    val in: InputFile = new CountingInputFile(
-      HadoopInputFile.fromPath(path, conf), bytesRead)
-    val reader = new ParquetFileReader(in, optsB.build())
+    val pathKey = path.toString
+    val sink = new ByteSink(metaBytes)
+    val opts = HadoopReadOptions.builder(conf, path).build()
+    var reader: CachedIndexReader = null
+    def openReader(footer: ParquetMetadata): CachedIndexReader = {
+      filesOpened.add(1L)
+      val in: InputFile = new CountingInputFile(
+        HadoopInputFile.fromPath(path, conf), sink)
+      val stream = in.newStream()
+      val foot =
+        if (footer != null) footer
+        else ParquetFileReader.readFooter(in, opts, stream)
+      new CachedIndexReader(in, foot, opts, stream)
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     try {
-      val fileSchema = reader.getFooter.getFileMetaData.getSchema
-      // getFields-based lookup sidesteps the String/String* getType
-      // overload ambiguity under Scala
-      def fieldOf(n: String) = fileSchema.getFields.get(
-        fileSchema.getFieldIndex(n))
-      val requested = new MessageType(fileSchema.getName,
-        fieldOf("shingle"), fieldOf("occ"))
-      reader.setRequestedSchema(requested)
-      val columnIO = new ColumnIOFactory().getColumnIO(requested,
-        fileSchema, true)
-      val filter = pred.map(FilterCompat.get).getOrElse(FilterCompat.NOOP)
-      var pages = reader.readNextFilteredRowGroup()
-      while (pages != null) {
-        val rr = columnIO.getRecordReader(pages,
-          new GroupRecordConverter(requested), filter)
-        val n = pages.getRowCount
-        var i = 0L
-        while (i < n) {
-          val g = rr.read()
-          if (g != null && !rr.shouldSkipCurrentRecord)
-            out += ((g.getLong("shingle", 0), g.getLong("occ", 0)))
-          i += 1
-        }
-        pages = reader.readNextFilteredRowGroup()
+      // footer + page indexes: from the per-executor cache, or one cold
+      // load through the file's single stream (counted as meta bytes)
+      val entry = MetaCache.get(pathKey, len).getOrElse {
+        MetaCache.countMiss()
+        reader = openReader(null)
+        val e = loadMeta(reader)
+        MetaCache.put(pathKey, len, e)
+        e
       }
-    } finally reader.close()
+      // plan: admitted row ranges per row group — PURE CPU against the
+      // cached column index; a block with no index (or no usable offset
+      // indexes) reads whole, the never-wrong direction
+      val fileSchema = entry.footer.getFileMetaData.getSchema
+      val allPaths: java.util.Set[ColumnPath] =
+        fileSchema.getColumns.asScala
+          .map(cd => ColumnPath.get(cd.getPath: _*)).toSet.asJava
+      val filter = pred.map(FilterCompat.get).getOrElse(FilterCompat.NOOP)
+      val nBlocks = entry.footer.getBlocks.size
+      val plans: Seq[(Int, RowRanges)] = (0 until nBlocks).flatMap { i =>
+        val rc = entry.footer.getBlocks.get(i).getRowCount
+        val bi = entry.blocks(i)
+        val wholeOk = pred.isEmpty || bi.shingleCi == null ||
+          !bi.offsets.contains("shingle") || !bi.offsets.contains("occ")
+        if (wholeOk) Some((i, RowRanges.createSingle(rc)))
+        else {
+          val store = new ColumnIndexStore {
+            override def getColumnIndex(p: ColumnPath): ColumnIndex =
+              if (p.toDotString == "shingle") bi.shingleCi else null
+            override def getOffsetIndex(p: ColumnPath): OffsetIndex =
+              bi.offsets.getOrElse(p.toDotString,
+                throw new ColumnIndexStore.MissingOffsetIndexException(p))
+          }
+          val rr = ColumnIndexFilter.calculateRowRanges(filter, store,
+            allPaths, rc)
+          if (rr.rowCount() == 0L) None else Some((i, rr))
+        }
+      }
+      if (plans.nonEmpty) {
+        // pages are wanted: open now if the cache answered the plan (the
+        // warm path), and flip the byte sink to the page accumulator
+        if (reader == null) reader = openReader(entry.footer)
+        reader.idx = entry.blocks
+        sink.acc = pageBytes
+        def fieldOf(n: String) = fileSchema.getFields.get(
+          fileSchema.getFieldIndex(n))
+        val requested = new MessageType(fileSchema.getName,
+          fieldOf("shingle"), fieldOf("occ"))
+        reader.setRequestedSchema(requested)
+        val columnIO = new ColumnIOFactory().getColumnIO(requested,
+          fileSchema, true)
+        plans.foreach { case (i, rr) =>
+          // upcast: the concrete ColumnChunkPageReadStore is
+          // package-private in parquet-hadoop
+          val pages: org.apache.parquet.column.page.PageReadStore =
+            reader.readFilteredRowGroup(i, rr)
+          if (pages != null) {
+            val rrd = columnIO.getRecordReader(pages,
+              new GroupRecordConverter(requested), filter)
+            val n = pages.getRowCount
+            var j = 0L
+            while (j < n) {
+              val g = rrd.read()
+              if (g != null && !rrd.shouldSkipCurrentRecord)
+                out += ((g.getLong("shingle", 0), g.getLong("occ", 0)))
+              j += 1
+            }
+          }
+        }
+      }
+      // plans empty on a warm cache: the file was never opened at all —
+      // the zero-I/O skip that pays for the cache
+    } finally if (reader != null) reader.close()
     out.iterator
   }
 
   /** An [[InputFile]] whose streams count every byte surfaced to the
-    * reader (footer, page, dictionary — whatever is actually pulled);
+    * reader (footer, index, page, dictionary — whatever is actually
+    * pulled) into the sink's CURRENT accumulator;
     * [[DelegatingSeekableInputStream]] routes all its read shapes through
     * the wrapped stream's two primitive reads, so counting those two
     * covers everything. */
   private final class CountingInputFile(underlying: HadoopInputFile,
-                                        acc: LongAccumulator)
+                                        sink: ByteSink)
       extends InputFile {
     override def getLength: Long = underlying.getLength
     override def newStream(): SeekableInputStream = {
       val raw = underlying.newStream()
       val counting = new java.io.FilterInputStream(raw) {
         override def read(): Int = {
-          val r = raw.read(); if (r >= 0) acc.add(1L); r
+          val r = raw.read(); if (r >= 0) sink.add(1L); r
         }
         override def read(b: Array[Byte], off: Int, len: Int): Int = {
-          val r = raw.read(b, off, len); if (r > 0) acc.add(r.toLong); r
+          val r = raw.read(b, off, len); if (r > 0) sink.add(r.toLong); r
         }
       }
       new DelegatingSeekableInputStream(counting) {

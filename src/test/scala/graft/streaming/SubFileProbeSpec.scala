@@ -28,8 +28,9 @@ class SubFileProbeSpec extends SparkSpec {
     val keys = Array(3L, 77777L, 123456L, 199999L, 500000L) // last absent
     val bytes = spark.sparkContext.longAccumulator("b")
     val files = spark.sparkContext.longAccumulator("f")
+    val meta = spark.sparkContext.longAccumulator("m")
     val got = SubFileProbe.read(spark,
-        Seq(SubFileProbe.FileKeys(dir, keys.sorted)), bytes, files)
+        Seq(SubFileProbe.FileKeys(dir, keys.sorted)), bytes, files, meta)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(got.toSeq === Seq(3L, 77777L, 123456L, 199999L)
       .map(k => (k, k % 7 + 1)))
@@ -63,9 +64,48 @@ class SubFileProbeSpec extends SparkSpec {
     val bytes = spark.sparkContext.longAccumulator("b")
     val files = spark.sparkContext.longAccumulator("f")
     val got = SubFileProbe.read(spark,
-        Seq(SubFileProbe.FileKeys(dir, present :+ 1L)), bytes, files)
+        Seq(SubFileProbe.FileKeys(dir, present :+ 1L)), bytes, files,
+        spark.sparkContext.longAccumulator("m"))
       .collect().map(_.getLong(0)).sorted // key 1L is absent (hash range)
     assert(got.toSeq === present.toSeq)
+  }
+
+  test("MetaCache (r14 verdict item 1): a repeated probe re-reads ZERO " +
+    "footer/index bytes — the warm read pays pages only, byte-identical " +
+    "to the cold read's page side; absent keys on a warm cache open " +
+    "NOTHING at all") {
+    val dir = writeSorted(200000L)
+    val keys = Array(3L, 77777L, 123456L, 199999L)
+    def probe(ks: Array[Long]) = {
+      val pages = spark.sparkContext.longAccumulator("p")
+      val files = spark.sparkContext.longAccumulator("f")
+      val meta = spark.sparkContext.longAccumulator("m")
+      val rows = SubFileProbe.read(spark,
+        Seq(SubFileProbe.FileKeys(dir, ks)), pages, files, meta)
+        .collect().length
+      (rows, pages.value.toLong, files.value.toLong, meta.value.toLong)
+    }
+    // cold: one open loads footer + page indexes (meta bytes) and reads
+    // the keys' pages
+    val m0 = SubFileProbe.MetaCache.missCount
+    val (rows1, pages1, files1, meta1) = probe(keys)
+    assert(rows1 === 4 && files1 === 1L)
+    assert(SubFileProbe.MetaCache.missCount === m0 + 1)
+    assert(meta1 > 0L && pages1 > 0L)
+    // warm: zero footer/index re-reads, pages byte-identical
+    val (rows2, pages2, files2, meta2) = probe(keys)
+    assert(rows2 === 4 && files2 === 1L)
+    assert(SubFileProbe.MetaCache.missCount === m0 + 1,
+      "a repeated probe must not re-load the immutable file's metadata")
+    assert(meta2 === 0L,
+      s"warm probe must read zero metadata bytes, got $meta2")
+    assert(pages2 === pages1,
+      s"warm page reads must be byte-identical ($pages2 vs $pages1)")
+    // absent keys, warm cache: the plan is answered from memory and the
+    // file is NEVER OPENED — the zero-I/O skip that pays for the cache
+    val (rows3, pages3, files3, meta3) = probe(Array(500000L, 600000L))
+    assert(rows3 === 0 && files3 === 0L && pages3 === 0L && meta3 === 0L,
+      s"all-miss warm probe must do zero I/O ($rows3/$pages3/$files3/$meta3)")
   }
 
   test("over-cap key sets fall back to the whole file (correct " +
@@ -75,10 +115,12 @@ class SubFileProbeSpec extends SparkSpec {
     val bytes = spark.sparkContext.longAccumulator("b")
     val files = spark.sparkContext.longAccumulator("f")
     val got = SubFileProbe.read(spark,
-      Seq(SubFileProbe.FileKeys(dir, many)), bytes, files)
+      Seq(SubFileProbe.FileKeys(dir, many)), bytes, files,
+      spark.sparkContext.longAccumulator("m"))
     // unfiltered fallback: every row of the file comes back
     assert(got.count() === 5000L)
     assert(SubFileProbe.read(spark, Seq.empty,
+      spark.sparkContext.longAccumulator,
       spark.sparkContext.longAccumulator,
       spark.sparkContext.longAccumulator).count() === 0L)
   }
