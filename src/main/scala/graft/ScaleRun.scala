@@ -567,7 +567,11 @@ object ScaleRun {
         // admitted sub-files (SubFileProbe: per-file key predicates
         // against the sorted column's row-group stats + column index).
         // The exact key count rides along, as in processBatch.
+        // plan wall split out (r14 verdict item 2): micro batches plan on
+        // the driver — one narrow collect, no planJob shuffle
+        val tp0 = System.nanoTime()
         val pr = serve.probeRead(1L, counts, keyCountHint = counts.count())
+        val planSecs = (System.nanoTime() - tp0) / 1e9
         // snapshot the tier-4 accumulators right after ONE dedicated
         // action (r14 ADVICE item 4: accumulator updates re-add on any
         // re-execution — a second action over the frame, an AQE stage
@@ -608,7 +612,8 @@ object ScaleRun {
           f"+ ${pr.wholePaths.length} whole, " +
           f"${prunedB >> 20} of ${fullB >> 20} MB read " +
           f"(${100.0 * prunedB / math.max(1, fullB)}%.2f%%), " +
-          f"$nSpans spans, $secs%.1f s"
+          f"$nSpans spans, $secs%.1f s " +
+          f"(plan $planSecs%.2f s${if (pr.driverPlanned) " driver" else ""})"
       }
       spark.catalog.clearCache()
       legs.mkString("; ")
@@ -733,11 +738,35 @@ object ScaleRun {
       val appendS = (System.nanoTime() - tA) / 1e9
       val nGrown = graft.ops.VectorIndex.ivfTopKIndexed(spark, idxDir,
         queries, k = 10, nProbe = 2).count()
+      // drift-advice leg at scale (r14 verdict item 5): the 50k
+      // in-distribution append above must leave rebuildAdvised quiet; a
+      // SAME-SIZE off-distribution batch (the recipe scaled 100× — a
+      // terrible fit for the frozen codebook) must flip it while appends
+      // are still a 20% minority of the 500k base, i.e. the ERROR rule
+      // fires where the count proxy cannot (VectorIndexSpec pins the
+      // mechanism at spec scale; this is the 500k evidence row)
+      val quietAfterInDist = graft.ops.VectorIndex
+        .indexStats(spark, idxDir)("rebuildAdvised")
+      val shifted = spark.range(550000, 600000)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (sin(i * (col("id") % 97 + 1) * 0.37 + col("id") * 0.11) * 100.0)
+              .cast("float")).as("embedding"))
+      graft.ops.VectorIndex.appendToIvf(shifted, idxDir, appendId = 1L)
+      val driftSt = graft.ops.VectorIndex.indexStats(spark, idxDir)
+      require(quietAfterInDist == "false" &&
+        driftSt("rebuildAdvised") == "true",
+        s"drift advice at 500k scale: expected quiet->flip, got " +
+          s"in-dist=$quietAfterInDist shifted=${driftSt("rebuildAdvised")}")
       spark.catalog.clearCache()
       s"recall@10 over 200 queries x 500k vectors: ${recalls.mkString(", ")}; " +
         f"ivf index build $buildS%.1f s, query-only serve $queryS%.1f s " +
         f"($nIdx rows); 50k-vector ingest-append $appendS%.1f s vs " +
         f"$buildS%.1f s rebuild ($nGrown rows served over base+append); " +
+        s"drift advice: in-dist 50k quiet, 100x-shifted 50k flips " +
+        s"rebuildAdvised (ratio ${driftSt.getOrElse("driftRatio", "4")}x, " +
+        s"appendErr ${driftSt.getOrElse("appendQuantErr", "?")} vs " +
+        s"baseErr ${driftSt.getOrElse("baseQuantErr", "?")}); " +
         ivfKernelMicrobench()
     }
 

@@ -1458,30 +1458,76 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** ANN serving through an append COMPACTION (r14,
+  /** ANN serving through BOTH append-compaction paths (r14/r15,
     * [[graft.ops.VectorIndex.compactAppends]] — the fold that bounds a
-    * long-running ingest cadence's directory growth): same base/append
-    * split as q104, but append 0 is FOLDED into the base cells (a file
-    * move under the frozen codebook), the folded id is then REPLAYED
-    * (must be a tombstoned no-op — re-landing it would duplicate every
-    * row), and append 1 lands after the compaction. The oracle is once
-    * more q46's single-shot IVF SQL verbatim: a hash match proves the
-    * fold moved every row exactly once, the tombstone swallowed the
-    * replay, and post-compaction appends still serve. */
+    * long-running ingest cadence's directory growth): the base drops
+    * three tenths (every stride-50 codebook row has vec_id % 10 = 0, so
+    * the frozen codebook still equals the full-corpus one); append 0 is
+    * folded PHYSICALLY (a file move under the frozen codebook) and then
+    * REPLAYED (must be a tombstoned no-op — re-landing it would
+    * duplicate every row); append 1 is folded LOGICALLY (the rename-free
+    * object-store variant — meta-only commit, the dir keeps serving in
+    * place) and replayed too; append 2 lands live after both. The oracle
+    * is q46's single-shot IVF SQL verbatim: a hash match proves each
+    * fold moved/kept every row exactly once, both tombstones swallowed
+    * their replays, and post-compaction appends still serve. */
   private def q105(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val idxPath = MemoParquet(s"q105_ivf_compact:$dir") { out =>
+    val idxPath = MemoParquet(s"q105_ivf_compact2:$dir") { out =>
       VectorIndex.buildIvf(
-        emb.filter(col("vec_id") % 10 =!= 3 && col("vec_id") % 10 =!= 7),
+        emb.filter(col("vec_id") % 10 =!= 3 && col("vec_id") % 10 =!= 7 &&
+          col("vec_id") % 10 =!= 9),
         out, centroidStride = 50)
       VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 3), out,
         appendId = 0L)
       VectorIndex.compactAppends(s, out)
-      // replay of the FOLDED append: the tombstone must no-op it
+      // replay of the PHYSICALLY folded append: the tombstone no-ops it
       VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 3), out,
         appendId = 0L)
       VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 7), out,
         appendId = 1L)
+      VectorIndex.compactAppends(s, out, logical = true)
+      // replay of the LOGICALLY folded append: same no-op contract
+      VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 7), out,
+        appendId = 1L)
+      VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 9), out,
+        appendId = 2L)
+    }
+    VectorIndex.ivfTopKIndexed(s, idxPath,
+        emb.filter(col("vec_id") % 25 === 0), k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** ANN serving over an index grown by the STREAMING INGEST DRIVER
+    * (r15, r14 verdict item 4 — the composition q105 gated only through
+    * the batch API): three vector tenths arrive as micro-batches through
+    * [[graft.streaming.StreamingVectorIngest.processBatch]] — the
+    * literal foreachBatch body: kind dispatch, `appendId = batchId`
+    * keying, and the `compactEvery = 2` cadence, so batch 2's commit
+    * FOLDS batches 1–2 into the base mid-stream — and batch 2 is then
+    * REPLAYED through the same driver (the foreachBatch-retry shape; its
+    * cadence fires again and folds batch 3 too, so the retry exercises
+    * both the tombstone and a retry-triggered compaction). The oracle is
+    * q46's single-shot IVF SQL verbatim: a hash match proves the whole
+    * driver loop — append, cadence fold, replay — serves exactly the
+    * one-shot build. (Text→vector at ingest composes in front of this
+    * driver; StreamingVectorIngestSpec pins the featurized stream
+    * bit-identical to batch featurize, so this identity carries.) */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idxPath = MemoParquet(s"q106_ivf_ingest:$dir") { out =>
+      VectorIndex.buildIvf(
+        emb.filter(col("vec_id") % 10 =!= 3 && col("vec_id") % 10 =!= 7 &&
+          col("vec_id") % 10 =!= 9),
+        out, centroidStride = 50)
+      Seq(1L -> 3, 2L -> 7, 3L -> 9).foreach { case (batchId, tenth) =>
+        graft.streaming.StreamingVectorIngest.processBatch(
+          emb.filter(col("vec_id") % 10 === tenth), batchId, out,
+          compactEvery = 2)
+      }
+      // foreachBatch retry of batch 2 AFTER the cadence folded it
+      graft.streaming.StreamingVectorIngest.processBatch(
+        emb.filter(col("vec_id") % 10 === 7), 2L, out, compactEvery = 2)
     }
     VectorIndex.ivfTopKIndexed(s, idxPath,
         emb.filter(col("vec_id") % 25 === 0), k = 3, nProbe = 2)
@@ -1697,7 +1743,8 @@ object SparkEntry {
     "q102_ivf_append" -> (q102 _),
     "q103_pq_append" -> (q103 _),
     "q104_ivf_replayed_append" -> (q104 _),
-    "q105_ivf_append_compact" -> (q105 _))
+    "q105_ivf_append_compact" -> (q105 _),
+    "q106_ivf_stream_ingest" -> (q106 _))
 
   /** Shared CTE chain for the q90/q91 substring-dedup oracles: positional
     * 10-token shingles (pos zero-based, window [pos, pos+10)), occurrence
@@ -3322,5 +3369,6 @@ object SparkEntry {
     "q102_ivf_append" -> ivfStride50OracleSql,
     "q103_pq_append" -> pqAdcOracleSql,
     "q104_ivf_replayed_append" -> ivfStride50OracleSql,
-    "q105_ivf_append_compact" -> ivfStride50OracleSql)
+    "q105_ivf_append_compact" -> ivfStride50OracleSql,
+    "q106_ivf_stream_ingest" -> ivfStride50OracleSql)
 }

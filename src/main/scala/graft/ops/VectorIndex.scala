@@ -184,11 +184,12 @@ object VectorIndex {
       require(meta.contains("baseRows"),
         s"vector index at $path predates append support (no baseRows in " +
           "meta) — rebuild it once with buildIvf to enable appends")
-      if (meta.contains(s"compacted_$appendId"))
-        // a replay of an id compactAppends already folded into the base:
-        // re-landing its rows would duplicate them next to the folded
-        // copies, so the tombstone makes the retry the same no-op a
-        // normal replayed append is
+      if (meta.contains(s"compacted_$appendId") ||
+          meta.contains(s"folded_$appendId"))
+        // a replay of an id compactAppends already folded (physically or
+        // logically) into the base: re-landing its rows would duplicate
+        // them next to the folded copies, so the tombstone makes the
+        // retry the same no-op a normal replayed append is
         System.err.println(s"[vector-index] append $appendId at $path " +
           "was already folded into the base by compactAppends — replay " +
           "is a no-op")
@@ -388,8 +389,12 @@ object VectorIndex {
     val p = new Path(root)
     val fs = graft.FsText.fs(spark, p)
     if (!fs.exists(p)) return Seq.empty
-    val recorded: Set[String] = meta.keysIterator
-      .filter(_.startsWith("append_")).map(_.stripPrefix("append_")).toSet
+    // live appends AND logically-folded ones (the rename-free fold keeps
+    // a folded dir serving in place — see compactAppends' logical mode)
+    val recorded: Set[String] = meta.keysIterator.collect {
+      case k if k.startsWith("append_") => k.stripPrefix("append_")
+      case k if k.startsWith("folded_") => k.stripPrefix("folded_")
+    }.toSet
     val markers = spark.sparkContext.hadoopConfiguration.getBoolean(
       "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
     fs.listStatus(p).toSeq.map(_.getPath)
@@ -453,8 +458,25 @@ object VectorIndex {
     * `upToBatch` contract); [[graft.streaming.StreamingVectorIngest]]'s
     * cadence satisfies this by construction — a foreachBatch retry
     * replays only the latest batch, and the tombstone catches even that.
-    * Returns the number of appends folded. */
-  def compactAppends(spark: SparkSession, path: String): Int =
+    * Returns the number of appends folded.
+    *
+    * `logical = true` — the RENAME-FREE variant (r14 verdict item 3:
+    * the physical fold's crash-safety rides atomic rename, which object
+    * stores lack): no file moves at all. The meta rewrite alone is the
+    * fold — each `append_<id>` row becomes a `folded_<id>` row whose
+    * directory KEEPS SERVING in place ([[committedAppendDirs]] reads
+    * both row kinds), its rows/error are absorbed into the base figures,
+    * and a replay of a folded id is the same tombstoned no-op. What it
+    * buys: the accounting, drift baseline, and replay surface are
+    * bounded exactly as in the physical fold — one atomic meta write,
+    * safe on any storage. What it does NOT buy: the directory count
+    * keeps growing until a rebuild (or until a later PHYSICAL
+    * compactAppends, which drains `folded_` dirs too — moving their
+    * files without re-absorbing rows). That residual is the honest
+    * object-store trade; deployments with atomic rename keep the
+    * default. */
+  def compactAppends(spark: SparkSession, path: String,
+                     logical: Boolean = false): Int =
     withLease(spark, path) {
       val meta = readMeta(spark, path)
       val kind = meta.getOrElse("kind", "<absent>")
@@ -466,11 +488,16 @@ object VectorIndex {
       val recorded = meta.keysIterator
         .filter(k => k.startsWith("append_") && k != "append_legacy")
         .map(_.stripPrefix("append_")).toSeq.sorted
-      if (recorded.isEmpty) 0
+      // dirs logically folded earlier: physically drained here (rows
+      // were already absorbed at their logical commit — move only)
+      val priorFolded = meta.keysIterator
+        .filter(_.startsWith("folded_"))
+        .map(_.stripPrefix("folded_")).toSeq.sorted
+      if (recorded.isEmpty && (logical || priorFolded.isEmpty)) 0
       else {
         val rootP = new Path(appRoot)
         val fs = graft.FsText.fs(spark, rootP)
-        recorded.foreach { id =>
+        if (!logical) (recorded ++ priorFolded).foreach { id =>
           val dir = new Path(rootP, s"append_id=$id")
           if (fs.exists(dir)) {
             val it = fs.listFiles(dir, true)
@@ -498,8 +525,10 @@ object VectorIndex {
             fs.delete(dir, true)
           }
         }
-        // the commit: absorb rows + weighted error into the base figures,
-        // tombstone the folded ids, keep rebuildAdvised sticky
+        // the commit: absorb rows + weighted error into the base figures
+        // (live appends only — logically-folded ids absorbed at THEIR
+        // commit), tombstone/mark the folded ids, keep rebuildAdvised
+        // sticky
         val foldedRows = recorded
           .map(id => meta(s"append_$id").toLong).sum
         val baseRows = meta("baseRows").toLong
@@ -514,15 +543,22 @@ object VectorIndex {
           else ((BigInt(baseRows) * BigInt(be) + foldedErrWeighted) /
             BigInt(totalRows)).toLong
         }
+        val markRow: String => (String, String) =
+          if (logical) id => s"folded_$id" -> meta(s"append_$id")
+          else id => s"compacted_$id" -> meta(s"append_$id")
+        val drainedPrior: Seq[(String, String)] =
+          if (logical) Seq.empty
+          else priorFolded.map(id =>
+            s"compacted_$id" -> meta(s"folded_$id"))
         val next = (meta --
-          recorded.flatMap(id => Seq(s"append_$id", s"appendErr_$id"))) ++
-          recorded.map(id =>
-            s"compacted_$id" -> meta(s"append_$id")) ++
+          recorded.flatMap(id => Seq(s"append_$id", s"appendErr_$id")) --
+          (if (logical) Seq.empty else priorFolded.map(id => s"folded_$id"))) ++
+          recorded.map(markRow) ++ drainedPrior ++
           Map("baseRows" -> (baseRows + foldedRows).toString,
             "appendedRows" -> "0", "appendQuantErr" -> "0") ++
           newBaseErr.map(e => "baseQuantErr" -> e.toString)
         writeMeta(spark, path, next.toSeq.sortBy(_._1))
-        recorded.size
+        recorded.size + (if (logical) 0 else priorFolded.size)
       }
     }
 
@@ -618,7 +654,8 @@ object VectorIndex {
       require(meta.contains("baseRows"),
         s"vector index at $path predates append support (no baseRows in " +
           "meta) — rebuild it once with buildPq to enable appends")
-      if (meta.contains(s"compacted_$appendId"))
+      if (meta.contains(s"compacted_$appendId") ||
+          meta.contains(s"folded_$appendId"))
         System.err.println(s"[vector-index] append $appendId at $path " +
           "was already folded into the base by compactAppends — replay " +
           "is a no-op")

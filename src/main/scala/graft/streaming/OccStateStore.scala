@@ -267,7 +267,7 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     latestVersionBefore(batchId) match {
       case None =>
         OccStateStore.ProbeRead(emptyOcc, Seq.empty, Seq.empty, None, None,
-          None)
+          None, driverPlanned = false)
       case Some(v) =>
         val stacks = readManifestStats(v)
         val allSegs: Seq[SegStat] = stacks.values.flatten.toSeq
@@ -315,7 +315,31 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           }
         val collectKeys = subSplits.nonEmpty &&
           estKeys <= OccStateStore.ProbeRowFilterMaxKeys
-        val plan = planJob(keys, subSplits, zoneMaps, collectKeys, estKeys)
+        // micro batches plan on the DRIVER (r14 verdict item 2): the
+        // routing is pure arithmetic over the keys + already-memoized
+        // sidecars, so the only distributed work left is ONE narrow
+        // 1-task collect of the keys — the planJob's shuffle stage and
+        // its scheduler round-trip disappear from the warm serve wall
+        val driverPlanned = estKeys <= OccStateStore.DriverPlanMaxKeys
+        val plan =
+          if (driverPlanned) driverPlan(keys, subSplits, zoneMaps,
+            collectKeys)
+          else planJob(keys, subSplits, zoneMaps, collectKeys, estKeys)
+        // routes/pairs re-indexed by (split, bucket) ONCE: the spec loop
+        // below visits every (touched bucket × stacked segment) pair, and
+        // scanning the full route map per pair was O(buckets × routes) —
+        // 115M tuple matches ≈ 3.8 s of the 50-doc serve's plan wall
+        // (r15; the loop predates the driver plan and cost planJob
+        // callers the same)
+        val routesBySplitBucket: Map[(Int, Int), Seq[(Int, Array[Long])]] =
+          plan.routes.toSeq
+            .map { case ((split, b, sb), ks) => ((split, b), (sb, ks)) }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+        val subsBySplitBucket: Map[(Int, Int), Seq[Int]] =
+          plan.subTouched.toSeq
+            .flatMap { case (split, pairs) =>
+              pairs.toSeq.map { case (b, sb) => ((split, b), sb) } }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
         val wholePaths = scala.collection.mutable.ArrayBuffer.empty[String]
         val fileSpecs =
           scala.collection.mutable.ArrayBuffer.empty[SubFileProbe.FileKeys]
@@ -328,21 +352,19 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
                 // landed in is pruned (it cannot match by construction),
                 // not handed to the reader as a nonexistent directory
                 if (collectKeys)
-                  plan.routes.foreach {
-                    case ((split, bb, sb), ks)
-                        if split == s.subSplit && bb == b &&
-                          s.hasSub(sb) =>
-                      fileSpecs += SubFileProbe.FileKeys(
-                        new Path(segDir(s.name), s"b=$b/sb=$sb").toString,
-                        ks)
-                    case _ => ()
-                  }
+                  routesBySplitBucket.getOrElse((s.subSplit, b), Seq.empty)
+                    .foreach { case (sb, ks) =>
+                      if (s.hasSub(sb))
+                        fileSpecs += SubFileProbe.FileKeys(
+                          new Path(segDir(s.name), s"b=$b/sb=$sb").toString,
+                          ks)
+                    }
                 else
-                  wholePaths ++= plan.subTouched
-                    .getOrElse(s.subSplit, Set.empty).collect {
-                      case (`b`, sb) if s.hasSub(sb) =>
+                  wholePaths ++= subsBySplitBucket
+                    .getOrElse((s.subSplit, b), Seq.empty).collect {
+                      case sb if s.hasSub(sb) =>
                         new Path(segDir(s.name), s"b=$b/sb=$sb").toString
-                    }.toSeq.sorted
+                    }
               } else if (zoneMaps.contains(s.name)) {
                 if (plan.hits((s.name, b)))
                   wholePaths += new Path(segDir(s.name), s"b=$b").toString
@@ -352,7 +374,7 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           }
         if (fileSpecs.isEmpty)
           OccStateStore.ProbeRead(readPaths(wholePaths.toSeq),
-            wholePaths.toSeq, Seq.empty, None, None, None)
+            wholePaths.toSeq, Seq.empty, None, None, None, driverPlanned)
         else {
           val bytesAcc = spark.sparkContext
             .longAccumulator("graft.probe.pageBytesRead")
@@ -365,7 +387,7 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
           OccStateStore.ProbeRead(
             readPaths(wholePaths.toSeq).unionByName(sharp),
             wholePaths.toSeq, fileSpecs.toSeq,
-            Some(bytesAcc), Some(filesAcc), Some(metaAcc))
+            Some(bytesAcc), Some(filesAcc), Some(metaAcc), driverPlanned)
         }
     }
   }
@@ -407,6 +429,72 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * [[graft.ops.ZoneIndex.BloomCache]] keyed by this store's root, so
     * a bloom also DESERIALIZES once per executor, not once per task per
     * batch. */
+  /** Driver-side twin of [[planJob]] for MICRO batches (r14 verdict
+    * item 2): under [[OccStateStore.DriverPlanMaxKeys]] the plan's inputs
+    * fit on the driver trivially, and everything it derives — bucket
+    * routing (`pmod`), sub routing (`pmod(xxhash64(...))`), zone-bloom
+    * hits — is pure arithmetic over the keys plus sidecar maps the
+    * [[OccStateStore.Memo]] ALREADY holds driver-side. So the whole plan
+    * costs ONE narrow 1-task collect of the keys (the cached counts
+    * frame), no shuffle, no second job — the planJob's exchange and its
+    * scheduler round-trip were ~1–2 s of the r14 warm 1-doc serve's
+    * 2.0–2.9 s wall (SURVEY §19 ledger).
+    *
+    * Bit-exactness with the segment writes (the correctness hinge —
+    * mis-routing a key would silently drop its state rows): bucket =
+    * `Math.floorMod(k, numBuckets)`, which IS Spark's `pmod` on longs;
+    * sub = `Math.floorMod(XXH64.hashLong(k, 42L), subSplit)` — Spark's
+    * `xxhash64(col)` is the XxHash64 expression with seed 42 evaluating
+    * `XXH64.hashLong` on a long input, the same static everything else
+    * calls. StreamingSpanDedupSpec pins plan EQUALITY against planJob
+    * across the gate on hash-valued keys. Zone blooms deserialize
+    * through the same [[graft.ops.ZoneIndex.BloomCache]] namespace the
+    * executors use (the driver is just another JVM to it). */
+  private def driverPlan(keys: DataFrame, subSplits: Seq[Int],
+                         groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]],
+                         collectKeys: Boolean): OccStateStore.ProbePlan = {
+    val collected: Array[Long] = keys
+      .select(col("shingle").cast("long"))
+      .coalesce(1)
+      .collect().map(_.getLong(0))
+    val distinctKeys = collected.distinct
+    val probe = new graft.ops.ZoneIndex.ZoneProbe(rootKey)
+    val touched = scala.collection.mutable.HashSet.empty[Int]
+    val routes =
+      scala.collection.mutable.HashMap.empty[(Int, Int, Int),
+        scala.collection.mutable.ArrayBuffer[Long]]
+    val subTouched =
+      scala.collection.mutable.HashMap.empty[Int,
+        scala.collection.mutable.HashSet[(Int, Int)]]
+    val hits = scala.collection.mutable.HashSet.empty[(String, Int)]
+    val groupSeq = groups.toSeq.sortBy(_._1)
+    distinctKeys.foreach { k =>
+      val b = java.lang.Math.floorMod(k, numBuckets.toLong).toInt
+      touched += b
+      if (subSplits.nonEmpty) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(k, 42L)
+        subSplits.foreach { s =>
+          val sb = java.lang.Math.floorMod(h, s.toLong).toInt
+          subTouched.getOrElseUpdate(s,
+            scala.collection.mutable.HashSet.empty) += ((b, sb))
+          if (collectKeys)
+            routes.getOrElseUpdate((s, b, sb),
+              scala.collection.mutable.ArrayBuffer.empty) += k
+        }
+      }
+      groupSeq.foreach { case (name, zones) =>
+        if (!hits.contains((name, b)))
+          zones.get(b).foreach { z =>
+            if (probe.mightHit(name, b, z, k)) hits += ((name, b))
+          }
+      }
+    }
+    OccStateStore.ProbePlan(touched.toSet,
+      subTouched.view.mapValues(_.toSet).toMap, hits.toSet,
+      routes.view.mapValues(_.toArray.sorted).toMap)
+  }
+
   private def planJob(keys: DataFrame, subSplits: Seq[Int],
                       groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]],
                       collectKeys: Boolean,
@@ -923,7 +1011,8 @@ object OccStateStore {
                              rowFiltered: Seq[SubFileProbe.FileKeys],
                              bytesRead: Option[org.apache.spark.util.LongAccumulator],
                              filesOpened: Option[org.apache.spark.util.LongAccumulator],
-                             metaBytesRead: Option[org.apache.spark.util.LongAccumulator])
+                             metaBytesRead: Option[org.apache.spark.util.LongAccumulator],
+                             driverPlanned: Boolean)
 
   /** One planning job's output (see planJob): touched buckets, touched
     * (bucket, sub) pairs per split factor, zone hits, and — under the
@@ -1003,6 +1092,14 @@ object OccStateStore {
     * driver-safe). Serving micro-batches (1–50 docs ≈ 10²–10⁴ keys) sit
     * far under it. */
   final val ProbeRowFilterMaxKeys: Long = 262144L
+
+  /** Probe-key bound for the DRIVER-side plan (r14 verdict item 2 —
+    * [[OccStateStore.probeRead]]'s `driverPlan`): under it the plan costs
+    * one narrow 1-task collect instead of the planJob's shuffle+collect.
+    * 64k keys = 512 KB of longs on the driver and sub-millisecond
+    * arithmetic — comfortably covers the serving lane's 1–50-doc batches
+    * (10²–10⁴ keys) while bulk batches keep the distributed plan. */
+  final val DriverPlanMaxKeys: Long = 65536L
 
   /** Per-task row target for the sorted sub-split write (~80 MB of
     * 20-byte rows — an in-memory sort; the width rule that kept the

@@ -209,6 +209,55 @@ class VectorIndexSpec extends SparkSpec {
       s"drift must flip rebuildAdvised: $after")
   }
 
+  test("LOGICAL (rename-free) compactAppends (r14 verdict item 3): zero " +
+    "file moves — the append tree is byte-identical before and after — " +
+    "serve set unchanged, replay of the folded id no-ops, accounting " +
+    "absorbed; a later PHYSICAL compact drains the folded dir without " +
+    "re-absorbing its rows") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_logical_").toString
+    VectorIndex.buildIvf(baseVecs, path, centroidStride = 50)
+    VectorIndex.appendToIvf(appendBatch, path, appendId = 0L)
+    val servedBefore = rows(VectorIndex.ivfTopKIndexed(spark, path,
+      queries, k = 5, nProbe = 2))
+    def tree(p: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).map(f => f.getPath -> f.length()).toMap
+    }
+    val tree0 = tree(s"$path/appends")
+    val st0 = VectorIndex.indexStats(spark, path)
+    // the no-rename property, asserted directly: every file under the
+    // append tree is still there, same path, same length
+    assert(VectorIndex.compactAppends(spark, path, logical = true) === 1)
+    assert(tree(s"$path/appends") === tree0,
+      "a logical fold must not move, rename, or delete a single file")
+    val st1 = VectorIndex.indexStats(spark, path)
+    assert(st1.contains("folded_0") && !st1.contains("append_0"))
+    assert(st1("appendedRows") === "0")
+    assert(st1("baseRows").toLong ===
+      st0("baseRows").toLong + st0("append_0").toLong,
+      "the folded rows must be absorbed into the base accounting")
+    assert(rows(VectorIndex.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 2)) === servedBefore,
+      "the folded dir must keep serving in place")
+    // replay of the logically folded id: tombstoned no-op
+    VectorIndex.appendToIvf(appendBatch, path, appendId = 0L)
+    assert(VectorIndex.indexStats(spark, path)("appendedRows") === "0")
+    assert(rows(VectorIndex.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 2)) === servedBefore)
+    // a later PHYSICAL compact drains the folded dir (moves files, no
+    // row re-absorption) and the serve set still hash-matches
+    assert(VectorIndex.compactAppends(spark, path) === 1)
+    val st2 = VectorIndex.indexStats(spark, path)
+    assert(st2.contains("compacted_0") && !st2.contains("folded_0"))
+    assert(st2("baseRows") === st1("baseRows"),
+      "the physical drain of a logically-folded id must not double-count")
+    assert(!new java.io.File(s"$path/appends/append_id=0").exists())
+    assert(rows(VectorIndex.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 2)) === servedBefore)
+  }
+
   test("rebuildAdvised is STICKY across compactAppends (r14 ADVICE " +
     "item 2): a small in-distribution append after the fold must not " +
     "clear advice no rebuild serviced; an actual rebuild does clear it") {

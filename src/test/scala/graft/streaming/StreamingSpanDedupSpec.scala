@@ -749,6 +749,21 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(pr2.bytesRead.get.value === bytesRead,
       s"warm page reads must be byte-identical " +
         s"(${pr2.bytesRead.get.value} vs $bytesRead)")
+    // r14 verdict item 2: a micro batch plans on the DRIVER (one narrow
+    // collect, no planJob shuffle), and the plan is BIT-EQUAL to the
+    // distributed planJob's across the gate — same opened files, same
+    // per-file keys, same whole paths, same rows (the hash-valued keys
+    // exercise the floorMod/XXH64 twins of the write-side SQL routing)
+    assert(pr2.driverPlanned, "a 5-key probe must plan on the driver")
+    val prJob = store.probeRead(2L, keys,
+      keyCountHint = OccStateStore.DriverPlanMaxKeys + 1)
+    assert(!prJob.driverPlanned)
+    assert(prJob.wholePaths === pr2.wholePaths)
+    assert(prJob.rowFiltered.map(fk => (fk.path, fk.keys.toSeq)).toSet ===
+      pr2.rowFiltered.map(fk => (fk.path, fk.keys.toSeq)).toSet,
+      "driver plan and planJob must admit identical per-file key sets")
+    assert(prJob.frame.collect().map(_.toSeq).toSet ===
+      pr2.frame.collect().map(_.toSeq).toSet)
     // tier 4 is EXACT on the row-filtered side: nothing but probe keys
     // comes back
     val gotKeys = pruned.select("shingle").distinct()

@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   * serve EXACTLY like one build∪append (the embeddings are the same
   * rows, the codebook is frozen either way), and a replayed batch must
   * change nothing — the `append_id` keying that makes wiring appends
-  * under `foreachBatch` safe at all (r12 verdict items 2+3). */
+  * under `foreachBatch` safe at all (r12 verdict items 2+3). The
+  * DuckDB-gated twin is q106_ivf_stream_ingest (r15): the same
+  * `processBatch` driver — appends, `compactEvery` cadence fold, and a
+  * post-fold replay — hash-matched against q46's single-shot IVF SQL at
+  * every scale factor. */
 class StreamingVectorIngestSpec extends SparkSpec {
   import spark.implicits._
 
