@@ -1706,13 +1706,18 @@ object Dedup {
   /** The BULK branch of [[crossedKeysDelta]] — r13's shape, kept by
     * measurement (see that scaladoc): prev and delta union into ONE
     * tagged exchange and [[KeyedSum2]] answers (prev-sum, delta-sum)
-    * per key in a single pass. The `graft.sweep.packedCrossed` system
-    * property routes to [[taggedCrossedPacked]] (the r14-verdict item-6
-    * width-cut A/B candidate — see that scaladoc for the measurement). */
+    * per key in a single pass. The r14-verdict item-6 WIDTH-CUT
+    * candidate — shipping `(shingle, min(occ, minOcc)*2 + tag)` through
+    * a saturating crossed-key kernel instead of the tagged triple — was
+    * built and A/B'd same-window over 14 interleaved legs on the
+    * 504k/69M-key window (r15): deterministic columns were IDENTICAL
+    * (shuffle 12,148 vs 12,149 MB — zstd already collapses the
+    * mostly-zero tagged columns) and the wall medians indistinguishable
+    * (100.0 vs 102.6 s inside a 79–316 s window swing), so the variant
+    * was REMOVED and the fixed-heap sweep residual is declared
+    * closed-by-measurement (SCALE.md round 15). */
   private[graft] def taggedCrossed(prevOcc: DataFrame, deltaOcc: DataFrame,
                                    minOcc: Int, occParts: Int): DataFrame = {
-    if (java.lang.Boolean.getBoolean("graft.sweep.packedCrossed"))
-      return taggedCrossedPacked(prevOcc, deltaOcc, minOcc, occParts)
     val spark = prevOcc.sparkSession
     import spark.implicits._
     val tagged = prevOcc
@@ -1727,34 +1732,6 @@ object Dedup {
       .filter(col("p_occ") < minOcc &&
         col("p_occ") + col("d_occ") >= minOcc)
       .select("shingle")
-      .localCheckpoint()
-  }
-
-  /** Width-cut twin of [[taggedCrossed]] (r14 verdict item 6): the
-    * exchange ships `(shingle, min(occ, minOcc)*2 + tag)` — one column
-    * narrower than the tagged triple, and the map-side SATURATION at
-    * minOcc (sound: the crossing predicate only needs sums exact below
-    * the threshold — [[KeyedSumCrossed]]'s scaladoc carries the
-    * argument) collapses the payload to ≤ 2·minOcc+1 tiny distinct
-    * values, which zstd shuffles at near-zero marginal bytes. The kernel
-    * emits crossed keys directly. Row-identical to [[taggedCrossed]]
-    * (RetroactiveSweepSpec pins it on random frames). */
-  private[graft] def taggedCrossedPacked(prevOcc: DataFrame,
-                                         deltaOcc: DataFrame,
-                                         minOcc: Int,
-                                         occParts: Int): DataFrame = {
-    val spark = prevOcc.sparkSession
-    import spark.implicits._
-    val m = lit(minOcc.toLong)
-    val tagged = prevOcc
-      .select(col("shingle"), (least(col("occ"), m) * 2).as("t"))
-      .unionByName(deltaOcc
-        .select(col("shingle"), (least(col("occ"), m) * 2 + 1).as("t")))
-    tagged
-      .repartition(occExchangeParts(tagged, occParts), col("shingle"))
-      .as[(Long, Long)]
-      .mapPartitions(it => new KeyedSumCrossed(minOcc)(it))
-      .toDF("shingle")
       .localCheckpoint()
   }
 

@@ -176,88 +176,6 @@ private[graft] final class KeyedSum2 {
   }
 }
 
-/** Crossing-test sibling of [[KeyedSum2]] over PACKED tagged rows —
-  * the r14-verdict width-cut A/B (item 6): the bulk crossed-key exchange
-  * ships `(key, packed)` where `packed = min(occ, minOcc)*2 + tag`
-  * instead of `(key, prevOcc, deltaOcc)` — one column narrower, and the
-  * map-side saturation collapses the packed column to ≤ 2·minOcc+1
-  * distinct tiny values (zstd eats it). Saturation is SOUND for the
-  * crossing predicate `p < minOcc && p + d >= minOcc`: addends below the
-  * threshold are exact, and any addend ≥ minOcc makes both the true and
-  * the saturated sum ≥ minOcc — the per-key sums here saturate at minOcc
-  * the same way. Emits the crossed KEYS directly (the downstream filter
-  * is folded in). Same open-addressing table, memory contract, doubling,
-  * and loud 2³⁰ ceiling as [[KeyedSum]]. */
-private[graft] final class KeyedSumCrossed(minOcc: Int) {
-  require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
-  private[this] val MaxCap = 1 << 30
-  private[this] var cap = 1 << 12
-  private[this] var mask = cap - 1
-  private[this] var keys = new Array[Long](cap)
-  // saturated sums fit an Int by construction (≤ minOcc ≤ 2^31-1)
-  private[this] var pSum = new Array[Int](cap)
-  private[this] var dSum = new Array[Int](cap)
-  private[this] var present = new Array[Boolean](cap)
-  private[this] var used = 0
-
-  private def mix(k: Long): Int = {
-    var h = k ^ (k >>> 33)
-    h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 29
-    (h & mask).toInt
-  }
-
-  private def grow(): Unit = {
-    if (cap == MaxCap)
-      throw new IllegalStateException(
-        s"KeyedSumCrossed: > ~${(MaxCap.toLong * 6 / 10) / 1000000}M " +
-          "distinct keys in one partition — raise parts so partitions " +
-          "carry fewer distinct keys")
-    val ok = keys; val op2 = pSum; val od = dSum; val opr = present
-    cap <<= 1; mask = cap - 1
-    keys = new Array[Long](cap); pSum = new Array[Int](cap)
-    dSum = new Array[Int](cap); present = new Array[Boolean](cap)
-    var i = 0
-    while (i < ok.length) {
-      if (opr(i)) {
-        var j = mix(ok(i))
-        while (present(j)) j = (j + 1) & mask
-        keys(j) = ok(i); pSum(j) = op2(i); dSum(j) = od(i)
-        present(j) = true
-      }
-      i += 1
-    }
-  }
-
-  def apply(it: Iterator[(Long, Long)]): Iterator[Long] = {
-    val m = minOcc
-    while (it.hasNext) {
-      val (k, packed) = it.next()
-      val occ = (packed >>> 1).toInt // pre-saturated ≤ minOcc map-side
-      var j = mix(k)
-      while (present(j) && keys(j) != k) j = (j + 1) & mask
-      if (!present(j)) {
-        if ((used + 1).toLong * 10 >= cap.toLong * 6) {
-          grow()
-          j = mix(k)
-          while (present(j) && keys(j) != k) j = (j + 1) & mask
-        }
-        keys(j) = k; present(j) = true
-        used += 1
-      }
-      if ((packed & 1L) == 1L) {
-        val s = dSum(j) + occ; dSum(j) = if (s > m) m else s
-      } else {
-        val s = pSum(j) + occ; pSum(j) = if (s > m) m else s
-      }
-    }
-    val ks = keys; val ps = pSum; val ds = dSum; val pr = present
-    (0 until cap).iterator
-      .filter(i => pr(i) && ps(i) < m && ps(i) + ds(i) >= m)
-      .map(ks(_))
-  }
-}
-
 private[graft] final class OccurrenceFilter(minOcc: Int) {
   require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
 

@@ -263,7 +263,22 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * unmaterialized frame estimates huge and simply stays on the
     * whole-file path — the safe side). */
   def probeRead(batchId: Long, keys: DataFrame,
-                keyCountHint: Long = -1L): OccStateStore.ProbeRead = {
+                keyCountHint: Long = -1L): OccStateStore.ProbeRead =
+    probeReadImpl(batchId, Left(keys), keyCountHint)
+
+  /** [[probeRead]] from keys ALREADY on the driver (r15): a serving
+    * caller that collects its micro-batch's key set anyway (the count
+    * and the keys come out of one narrow job —
+    * [[StreamingSpanDedup.processBatch]]'s micro regime) plans with ZERO
+    * additional Spark jobs: routing, zone hits, and file specs are pure
+    * driver arithmetic over the array plus the memoized sidecars. */
+  def probeRead(batchId: Long,
+                keysOnDriver: Array[Long]): OccStateStore.ProbeRead =
+    probeReadImpl(batchId, Right(keysOnDriver), keysOnDriver.length.toLong)
+
+  private def probeReadImpl(batchId: Long,
+                            keysIn: Either[DataFrame, Array[Long]],
+                            keyCountHint: Long): OccStateStore.ProbeRead = {
     latestVersionBefore(batchId) match {
       case None =>
         OccStateStore.ProbeRead(emptyOcc, Seq.empty, Seq.empty, None, None,
@@ -306,12 +321,14 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
         // distinct keys are known (or plan-stats-bounded) small
         val estKeys =
           if (keyCountHint >= 0L) keyCountHint
-          else {
-            val st = keys.queryExecution.optimizedPlan.stats
-            st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong)
-              .getOrElse((st.sizeInBytes /
-                BigInt(OccStateStore.EstBytesPerOccRow))
-                .min(BigInt(Long.MaxValue)).toLong)
+          else keysIn match {
+            case Right(arr) => arr.length.toLong
+            case Left(keys) =>
+              val st = keys.queryExecution.optimizedPlan.stats
+              st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong)
+                .getOrElse((st.sizeInBytes /
+                  BigInt(OccStateStore.EstBytesPerOccRow))
+                  .min(BigInt(Long.MaxValue)).toLong)
           }
         val collectKeys = subSplits.nonEmpty &&
           estKeys <= OccStateStore.ProbeRowFilterMaxKeys
@@ -319,12 +336,19 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
         // routing is pure arithmetic over the keys + already-memoized
         // sidecars, so the only distributed work left is ONE narrow
         // 1-task collect of the keys — the planJob's shuffle stage and
-        // its scheduler round-trip disappear from the warm serve wall
-        val driverPlanned = estKeys <= OccStateStore.DriverPlanMaxKeys
-        val plan =
-          if (driverPlanned) driverPlan(keys, subSplits, zoneMaps,
-            collectKeys)
-          else planJob(keys, subSplits, zoneMaps, collectKeys, estKeys)
+        // its scheduler round-trip disappear from the warm serve wall.
+        // Keys handed in as an array plan with ZERO jobs.
+        val driverPlanned = keysIn.isRight ||
+          estKeys <= OccStateStore.DriverPlanMaxKeys
+        val plan = keysIn match {
+          case Right(arr) =>
+            driverPlanFromKeys(arr.distinct, subSplits, zoneMaps,
+              collectKeys)
+          case Left(keys) if driverPlanned =>
+            driverPlan(keys, subSplits, zoneMaps, collectKeys)
+          case Left(keys) =>
+            planJob(keys, subSplits, zoneMaps, collectKeys, estKeys)
+        }
         // routes/pairs re-indexed by (split, bucket) ONCE: the spec loop
         // below visits every (touched bucket × stacked segment) pair, and
         // scanning the full route map per pair was O(buckets × routes) —
@@ -452,12 +476,20 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * executors use (the driver is just another JVM to it). */
   private def driverPlan(keys: DataFrame, subSplits: Seq[Int],
                          groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]],
-                         collectKeys: Boolean): OccStateStore.ProbePlan = {
-    val collected: Array[Long] = keys
-      .select(col("shingle").cast("long"))
-      .coalesce(1)
-      .collect().map(_.getLong(0))
-    val distinctKeys = collected.distinct
+                         collectKeys: Boolean): OccStateStore.ProbePlan =
+    driverPlanFromKeys(
+      keys.select(col("shingle").cast("long"))
+        .coalesce(1)
+        .collect().map(_.getLong(0)).distinct,
+      subSplits, groups, collectKeys)
+
+  /** The plan arithmetic itself — pure driver CPU over a deduplicated
+    * key array (see [[driverPlan]]'s scaladoc for the bit-exactness
+    * argument). */
+  private def driverPlanFromKeys(distinctKeys: Array[Long],
+                                 subSplits: Seq[Int],
+                                 groups: Map[String, Map[Int, graft.ops.ZoneIndex.Zone]],
+                                 collectKeys: Boolean): OccStateStore.ProbePlan = {
     val probe = new graft.ops.ZoneIndex.ZoneProbe(rootKey)
     val touched = scala.collection.mutable.HashSet.empty[Int]
     val routes =

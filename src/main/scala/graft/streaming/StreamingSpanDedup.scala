@@ -134,10 +134,21 @@ object StreamingSpanDedup {
             .schema("id BIGINT, pos INT, shingle BIGINT").parquet(dir)
       }
       // all four pruning tiers in one call (bucket set, zone sidecars,
-      // sub-bucket files, per-file page reads) — the exact key count
-      // rides along so the tier-4 gate never has to estimate
-      val nKeys = counts.count()
-      val baseOcc = store.readPruned(batchId, counts, keyCountHint = nKeys)
+      // sub-bucket files, per-file page reads). Micro batches collect
+      // their key set in ONE narrow job (the cached counts frame) and
+      // hand the ARRAY to the probe — count and plan both come out of
+      // it, so the serve pays zero further planning jobs (r14 verdict
+      // item 2; bulk batches keep the hinted distributed path).
+      val microKeys: Option[Array[Long]] =
+        if (microBatch)
+          Some(counts.select(col("shingle")).coalesce(1)
+            .collect().map(_.getLong(0)))
+        else None
+      val nKeys = microKeys.map(_.length.toLong).getOrElse(counts.count())
+      val baseOcc = microKeys match {
+        case Some(ks) => store.probeRead(batchId, ks).frame
+        case None => store.readPruned(batchId, counts, keyCountHint = nKeys)
+      }
       val broadcastSlim = microBatch &&
         nKeys <= graft.ops.Curation.MaxFlaggedIdBroadcast
       graft.ops.Dedup

@@ -193,20 +193,6 @@ class RetroactiveSweepSpec extends SparkSpec {
     assert(slimFirst === tagged)
     assert(slimFirst === crossed.collect().map(_.getLong(0)).toSet)
     assert(slimFirst.nonEmpty)
-    // the r15 width-cut candidate (r14 verdict item 6): the packed,
-    // threshold-saturated exchange must produce the SAME crossed set —
-    // including on multi-row per-shingle inputs where saturation and
-    // summation interleave
-    val packed = Dedup.taggedCrossedPacked(prevOcc, deltaOcc, 2, 0)
-      .collect().map(_.getLong(0)).toSet
-    assert(packed === tagged)
-    val packed3 = Dedup.taggedCrossedPacked(
-      prevOcc.unionByName(prevOcc), deltaOcc, 3, 0)
-      .collect().map(_.getLong(0)).toSet
-    val tagged3 = Dedup.taggedCrossed(
-      prevOcc.unionByName(prevOcc), deltaOcc, 3, 0)
-      .collect().map(_.getLong(0)).toSet
-    assert(packed3 === tagged3)
     // the pruning contract: positionsForCrossed must keep every row whose
     // shingle ∈ crossed — a row-filtered superset models what file-level
     // zone pruning produces (plus arbitrary extra rows, here half of one
