@@ -764,6 +764,15 @@ class StreamingSpanDedupSpec extends SparkSpec {
       "driver plan and planJob must admit identical per-file key sets")
     assert(prJob.frame.collect().map(_.toSeq).toSet ===
       pr2.frame.collect().map(_.toSeq).toSet)
+    // the ARRAY-keyed overload (r15 — processBatch's micro path: keys
+    // collected once, plan with ZERO further jobs) must match both
+    val prArr = store.probeRead(2L, probeKeys.toArray)
+    assert(prArr.driverPlanned)
+    assert(prArr.wholePaths === pr2.wholePaths)
+    assert(prArr.rowFiltered.map(fk => (fk.path, fk.keys.toSeq)).toSet ===
+      pr2.rowFiltered.map(fk => (fk.path, fk.keys.toSeq)).toSet)
+    assert(prArr.frame.collect().map(_.toSeq).toSet ===
+      pr2.frame.collect().map(_.toSeq).toSet)
     // tier 4 is EXACT on the row-filtered side: nothing but probe keys
     // comes back
     val gotKeys = pruned.select("shingle").distinct()
