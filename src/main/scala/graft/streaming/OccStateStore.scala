@@ -1247,6 +1247,9 @@ object OccStateStore {
       // item 1): in local mode this frees the old generation immediately;
       // on a cluster the cache's own content-verify-on-hit is the guard
       graft.ops.ZoneIndex.BloomCache.dropNamespace(dir)
+      // ditto the probe's footer/index cache (keys under the root's
+      // segment paths; the mtime in its key is the cross-JVM guard)
+      SubFileProbe.MetaCache.dropPrefix(dir)
     }
 
     def dropZones(dir: String, seg: String): Unit =

@@ -47,7 +47,7 @@ import scala.jdk.CollectionConverters._
   * cost, not bytes: 28,209 opens on the 50-doc leg, each re-reading the
   * footer + column index of an IMMUTABLE file): footers and page indexes
   * now live in a per-JVM (= per-executor) LRU, [[SubFileProbe.MetaCache]],
-  * keyed by (path, fileLength) — the read twin of
+  * keyed by (path, fileLength, modificationTime) — the read twin of
   * [[graft.ops.ZoneIndex.BloomCache]]. The read of one file becomes:
   *
   *  - '''plan from cache, pure CPU''': the per-file or-of-eq predicate is
@@ -72,11 +72,13 @@ import scala.jdk.CollectionConverters._
   *    which by contract re-filters to its key set anyway).
   *
   * Soundness of the cache key: sub-bucket files are IMMUTABLE once their
-  * segment is manifest-published (the store's single-writer replay
-  * discipline rewrites a directory wholesale under a NEW length with
-  * overwhelming probability; (path, length) misses degrade to a fresh
-  * load, never to stale metadata — and the store-side GC path drops
-  * nothing here because a recreated file simply misses on length).
+  * segment is manifest-published, and a REWRITTEN file (replayed
+  * advance, same-path store recreate) carries a new modificationTime —
+  * the key misses and the fresh file loads fresh metadata, with no
+  * verification I/O and no reliance on an invalidation message reaching
+  * the executor (the BloomCache staleness lesson, applied before it
+  * bites here). [[OccStateStore.Memo.dropAll]] additionally drops the
+  * root's entries in the same JVM (hygiene; the key is the guard).
   *
   * No false negatives: a key present in the file has a row whose shingle
   * EQUALS it, so every stats/page/record test keeps that row — the same
@@ -159,15 +161,17 @@ object SubFileProbe {
     val dir = new Path(fk.path)
     val fs = dir.getFileSystem(conf)
     val st = fs.getFileStatus(dir)
-    val files: Seq[(Path, Long)] =
+    val files: Seq[(Path, Long, Long)] =
       if (st.isDirectory)
         fs.listStatus(dir).iterator
           .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
             !s.getPath.getName.startsWith("."))
-          .map(s => (s.getPath, s.getLen)).toSeq.sortBy(_._1.getName)
-      else Seq((dir, st.getLen))
-    files.iterator.flatMap { case (p, len) =>
-      readOneFile(conf, p, len, fk.keys, pageBytes, filesOpened, metaBytes)
+          .map(s => (s.getPath, s.getLen, s.getModificationTime))
+          .toSeq.sortBy(_._1.getName)
+      else Seq((dir, st.getLen, st.getModificationTime))
+    files.iterator.flatMap { case (p, len, mtime) =>
+      readOneFile(conf, p, len, mtime, fk.keys, pageBytes, filesOpened,
+        metaBytes)
     }
   }
 
@@ -182,36 +186,56 @@ object SubFileProbe {
       shingleCi: ColumnIndex, offsets: Map[String, OffsetIndex])
 
   /** JVM-wide (= per-executor) LRU of immutable files' deserialized
-    * footers + page indexes, keyed (path, fileLength) and bounded by
-    * approximate retained bytes. Cached objects are immutable parquet
+    * footers + page indexes, keyed (path, fileLength, modificationTime)
+    * and bounded by approximate retained bytes. The mtime in the key is
+    * what makes a same-path delete+recreate rigorous, not probabilistic
+    * (the [[graft.ops.ZoneIndex.BloomCache]] staleness lesson, applied
+    * BEFORE it bites here): a recreated file serves fresh metadata
+    * because its key differs, with zero verification I/O — the mtime is
+    * free at listing time. Cached objects are immutable parquet
     * metadata — safe to share across concurrent tasks; the map itself
     * synchronizes. `missCount` instruments loads for the
-    * zero-refooter-on-repeat spec pin (the twin of
-    * [[graft.ops.ZoneIndex.BloomCache.missCount]]). */
+    * zero-refooter-on-repeat spec pin. */
   private[graft] object MetaCache {
     final case class Entry(footer: ParquetMetadata, blocks: Array[BlockIdx],
                            approxBytes: Long)
     private val MaxBytes = 256L << 20
     private val entries =
-      new java.util.LinkedHashMap[(String, Long), Entry](64, 0.75f, true)
+      new java.util.LinkedHashMap[(String, Long, Long), Entry](64, 0.75f, true)
     private var bytes = 0L
     private val misses = new java.util.concurrent.atomic.LongAdder
 
     def missCount: Long = misses.sum()
     private[SubFileProbe] def countMiss(): Unit = misses.increment()
 
-    def get(path: String, len: Long): Option[Entry] =
-      synchronized(Option(entries.get((path, len))))
+    def get(path: String, len: Long, mtime: Long): Option[Entry] =
+      synchronized(Option(entries.get((path, len, mtime))))
 
-    def put(path: String, len: Long, e: Entry): Unit = synchronized {
-      val k = (path, len)
-      val prev = entries.put(k, e)
-      if (prev != null) bytes -= prev.approxBytes
-      bytes += e.approxBytes
+    def put(path: String, len: Long, mtime: Long, e: Entry): Unit =
+      synchronized {
+        val k = (path, len, mtime)
+        val prev = entries.put(k, e)
+        if (prev != null) bytes -= prev.approxBytes
+        bytes += e.approxBytes
+        val it = entries.entrySet().iterator()
+        while (bytes > MaxBytes && it.hasNext) {
+          val en = it.next()
+          if (en.getKey != k) { bytes -= en.getValue.approxBytes; it.remove() }
+        }
+      }
+
+    /** Drop every entry whose path starts with `prefix` — hygiene hook
+      * for a store root's invalidation (the content guard is the key
+      * itself; this frees the old generation's bytes immediately in the
+      * same JVM). */
+    def dropPrefix(prefix: String): Unit = synchronized {
       val it = entries.entrySet().iterator()
-      while (bytes > MaxBytes && it.hasNext) {
+      while (it.hasNext) {
         val en = it.next()
-        if (en.getKey != k) { bytes -= en.getValue.approxBytes; it.remove() }
+        if (en.getKey._1.startsWith(prefix)) {
+          bytes -= en.getValue.approxBytes
+          it.remove()
+        }
       }
     }
   }
@@ -277,7 +301,7 @@ object SubFileProbe {
   }
 
   private def readOneFile(conf: Configuration, path: Path, len: Long,
-                          keys: Array[Long],
+                          mtime: Long, keys: Array[Long],
                           pageBytes: LongAccumulator,
                           filesOpened: LongAccumulator,
                           metaBytes: LongAccumulator): Iterator[(Long, Long)] = {
@@ -300,11 +324,11 @@ object SubFileProbe {
     try {
       // footer + page indexes: from the per-executor cache, or one cold
       // load through the file's single stream (counted as meta bytes)
-      val entry = MetaCache.get(pathKey, len).getOrElse {
+      val entry = MetaCache.get(pathKey, len, mtime).getOrElse {
         MetaCache.countMiss()
         reader = openReader(null)
         val e = loadMeta(reader)
-        MetaCache.put(pathKey, len, e)
+        MetaCache.put(pathKey, len, mtime, e)
         e
       }
       // plan: admitted row ranges per row group — PURE CPU against the

@@ -108,6 +108,49 @@ class SubFileProbeSpec extends SparkSpec {
       s"all-miss warm probe must do zero I/O ($rows3/$pages3/$files3/$meta3)")
   }
 
+  test("MetaCache staleness: a REWRITTEN file at the same path serves " +
+    "the NEW generation's rows — the modificationTime in the cache key " +
+    "makes a same-path delete+recreate rigorous, not probabilistic") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+    def partFileOf(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .head.toPath
+    def gen(occConst: Long): java.nio.file.Path = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_subfile_gen_").toString + "/data"
+      spark.range(1000L)
+        .select(col("id").as("shingle"), lit(occConst).as("occ"))
+        .coalesce(1).sortWithinPartitions("shingle")
+        .write.parquet(d)
+      partFileOf(d)
+    }
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_subfile_stale_").toString + "/fixed.parquet"
+    JFiles.createDirectories(JPaths.get(target).getParent)
+    JFiles.copy(gen(1L), JPaths.get(target),
+      StandardCopyOption.REPLACE_EXISTING)
+    def probe(): Seq[(Long, Long)] = SubFileProbe.read(spark,
+      Seq(SubFileProbe.FileKeys(target, Array(500L))),
+      spark.sparkContext.longAccumulator("p"),
+      spark.sparkContext.longAccumulator("f"),
+      spark.sparkContext.longAccumulator("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe() === Seq((500L, 1L)))
+    // same path, same row count, different content — constant-column
+    // zstd parquet typically lands the SAME byte length, so only the
+    // mtime distinguishes the generations
+    Thread.sleep(20) // ensure a distinct mtime at ms granularity
+    JFiles.copy(gen(7L), JPaths.get(target),
+      StandardCopyOption.REPLACE_EXISTING)
+    val misses = SubFileProbe.MetaCache.missCount
+    assert(probe() === Seq((500L, 7L)),
+      "the rewritten file must serve its own rows, not the cached " +
+        "generation's")
+    assert(SubFileProbe.MetaCache.missCount === misses + 1,
+      "the new generation must have loaded fresh metadata")
+  }
+
   test("over-cap key sets fall back to the whole file (correct " +
     "superset); empty spec list returns an empty frame") {
     val dir = writeSorted(5000L)
