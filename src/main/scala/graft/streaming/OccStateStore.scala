@@ -998,6 +998,9 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
         .foreach { p =>
           fs.delete(p, true)
           OccStateStore.Memo.dropZones(rootKey, p.getName)
+          // probe footer/index entries under the deleted segment (memory
+          // hygiene; the mtime-keyed cache is already stale-proof)
+          SubFileProbe.MetaCache.dropPrefix(p.toString)
         }
     }
   }
