@@ -125,6 +125,11 @@ object ZoneIndex {
 
     def missCount: Long = misses.sum()
 
+    // an entry retains BOTH the deserialized filter (~ser.length of bit
+    // array) and the verification bytes — account 2× so the budget
+    // bounds the real footprint (r15 review)
+    private def entryBytes(ser: Array[Byte]): Long = 2L * ser.length
+
     def get(ns: String, name: String, b: Int,
             ser: Array[Byte]): BloomFilter = synchronized {
       val k = (ns, name, b)
@@ -133,15 +138,15 @@ object ZoneIndex {
           ((hit._2 eq ser) || java.util.Arrays.equals(hit._2, ser)))
         hit._1
       else {
-        if (hit != null) { bytes -= hit._2.length.toLong; entries.remove(k) }
+        if (hit != null) { bytes -= entryBytes(hit._2); entries.remove(k) }
         misses.increment()
         val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(ser))
         entries.put(k, (bf, ser))
-        bytes += ser.length.toLong
+        bytes += entryBytes(ser)
         val it = entries.entrySet().iterator()
         while (bytes > MaxBytes && it.hasNext) {
           val e = it.next()
-          if (e.getKey != k) { bytes -= e.getValue._2.length.toLong; it.remove() }
+          if (e.getKey != k) { bytes -= entryBytes(e.getValue._2); it.remove() }
         }
         bf
       }
@@ -157,7 +162,7 @@ object ZoneIndex {
       while (it.hasNext) {
         val e = it.next()
         if (e.getKey._1 == ns) {
-          bytes -= e.getValue._2.length.toLong
+          bytes -= entryBytes(e.getValue._2)
           it.remove()
         }
       }

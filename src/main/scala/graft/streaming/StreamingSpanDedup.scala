@@ -138,9 +138,20 @@ object StreamingSpanDedup {
       // their key set in ONE narrow job (the cached counts frame) and
       // hand the ARRAY to the probe — count and plan both come out of
       // it, so the serve pays zero further planning jobs (r14 verdict
-      // item 2; bulk batches keep the hinted distributed path).
+      // item 2; bulk batches keep the hinted distributed path). The
+      // collect is ADDITIONALLY gated on the counts frame's plan-stats
+      // key estimate (r15 review: the 16 MB byte gate alone admits
+      // batches of millions of DISTINCT shingles — all-unique text —
+      // and collecting those would stall the driver where the
+      // distributed planJob parallelizes; the estimate over a cached
+      // frame reads its materialized size, and overestimating falls
+      // back to the distributed path, the safe side).
+      val estKeys = (counts.queryExecution.optimizedPlan.stats.sizeInBytes /
+        BigInt(graft.streaming.OccStateStore.EstBytesPerOccRow))
+        .min(BigInt(Long.MaxValue)).toLong
       val microKeys: Option[Array[Long]] =
-        if (microBatch)
+        if (microBatch &&
+            estKeys <= graft.streaming.OccStateStore.DriverPlanMaxKeys)
           Some(counts.select(col("shingle")).coalesce(1)
             .collect().map(_.getLong(0)))
         else None

@@ -227,12 +227,29 @@ object SubFileProbe {
     /** Drop every entry whose path starts with `prefix` — hygiene hook
       * for a store root's invalidation (the content guard is the key
       * itself; this frees the old generation's bytes immediately in the
-      * same JVM). */
+      * same JVM). Comparison is SCHEME-BLIND (r15 review: cache keys
+      * are fully-qualified listStatus paths like `file:/tmp/x/...`
+      * while a store's root key may be the unqualified `/tmp/x` — a
+      * raw startsWith silently matched nothing on local paths). */
     def dropPrefix(prefix: String): Unit = synchronized {
+      def bare(p: String): String = {
+        val i = p.indexOf(":/")
+        if (i < 0) p
+        else {
+          val rest = p.substring(i + 1)
+          if (rest.startsWith("///")) rest.substring(2)
+          else if (rest.startsWith("//")) {
+            // authority form scheme://host/path — keep from the path
+            val slash = rest.indexOf('/', 2)
+            if (slash < 0) rest else rest.substring(slash)
+          } else rest
+        }
+      }
+      val want = bare(prefix)
       val it = entries.entrySet().iterator()
       while (it.hasNext) {
         val en = it.next()
-        if (en.getKey._1.startsWith(prefix)) {
+        if (bare(en.getKey._1).startsWith(want)) {
           bytes -= en.getValue.approxBytes
           it.remove()
         }
@@ -262,17 +279,22 @@ object SubFileProbe {
                                         stream: SeekableInputStream)
       extends ParquetFileReader(in, footer, opts, stream) {
     var idx: Array[BlockIdx] = null
-    override def getColumnIndexStore(blockIndex: Int): ColumnIndexStore = {
-      val bi = idx(blockIndex)
-      new ColumnIndexStore {
-        override def getColumnIndex(p: ColumnPath): ColumnIndex =
-          if (p.toDotString == "shingle") bi.shingleCi else null
-        override def getOffsetIndex(p: ColumnPath): OffsetIndex =
-          bi.offsets.getOrElse(p.toDotString,
-            throw new ColumnIndexStore.MissingOffsetIndexException(p))
-      }
-    }
+    override def getColumnIndexStore(blockIndex: Int): ColumnIndexStore =
+      storeFor(idx(blockIndex))
   }
+
+  /** The ONE [[ColumnIndexStore]] over a block's cached indexes — shared
+    * by the planning pass (`calculateRowRanges`) and the read-time
+    * reader override (r15 review: two hand-copies would silently
+    * desynchronize planning from reading at the next change). */
+  private def storeFor(bi: BlockIdx): ColumnIndexStore =
+    new ColumnIndexStore {
+      override def getColumnIndex(p: ColumnPath): ColumnIndex =
+        if (p.toDotString == "shingle") bi.shingleCi else null
+      override def getOffsetIndex(p: ColumnPath): OffsetIndex =
+        bi.offsets.getOrElse(p.toDotString,
+          throw new ColumnIndexStore.MissingOffsetIndexException(p))
+    }
 
   /** Load a cold file's footer + page indexes through an already-open
     * reader (instance methods are the only public index readers) and
@@ -315,10 +337,20 @@ object SubFileProbe {
       val in: InputFile = new CountingInputFile(
         HadoopInputFile.fromPath(path, conf), sink)
       val stream = in.newStream()
-      val foot =
-        if (footer != null) footer
-        else ParquetFileReader.readFooter(in, opts, stream)
-      new CachedIndexReader(in, foot, opts, stream)
+      // close the bare stream if the footer read or reader construction
+      // throws (r15 review: before a CachedIndexReader exists nothing
+      // owns it, and the caller's finally only closes the reader — a
+      // corrupt file would otherwise leak one handle per task retry)
+      try {
+        val foot =
+          if (footer != null) footer
+          else ParquetFileReader.readFooter(in, opts, stream)
+        new CachedIndexReader(in, foot, opts, stream)
+      } catch {
+        case t: Throwable =>
+          scala.util.Try(stream.close())
+          throw t
+      }
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     try {
@@ -347,15 +379,8 @@ object SubFileProbe {
           !bi.offsets.contains("shingle") || !bi.offsets.contains("occ")
         if (wholeOk) Some((i, RowRanges.createSingle(rc)))
         else {
-          val store = new ColumnIndexStore {
-            override def getColumnIndex(p: ColumnPath): ColumnIndex =
-              if (p.toDotString == "shingle") bi.shingleCi else null
-            override def getOffsetIndex(p: ColumnPath): OffsetIndex =
-              bi.offsets.getOrElse(p.toDotString,
-                throw new ColumnIndexStore.MissingOffsetIndexException(p))
-          }
-          val rr = ColumnIndexFilter.calculateRowRanges(filter, store,
-            allPaths, rc)
+          val rr = ColumnIndexFilter.calculateRowRanges(filter,
+            storeFor(bi), allPaths, rc)
           if (rr.rowCount() == 0L) None else Some((i, rr))
         }
       }
