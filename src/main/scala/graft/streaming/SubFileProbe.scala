@@ -230,26 +230,35 @@ object SubFileProbe {
       * same JVM). Comparison is SCHEME-BLIND (r15 review: cache keys
       * are fully-qualified listStatus paths like `file:/tmp/x/...`
       * while a store's root key may be the unqualified `/tmp/x` — a
-      * raw startsWith silently matched nothing on local paths). */
+      * raw startsWith silently matched nothing on local paths) but
+      * AUTHORITY-PRESERVING (r15 verdict item 6: a scheme-AND-authority-
+      * blind compare collapsed `s3://bucketA/x` onto `s3://bucketB/x` —
+      * over-dropping only, but two tenants' stores at equal paths could
+      * cross-evict each other's metadata). An authority-less prefix
+      * (`/tmp/x`, `file:/tmp/x`, `file:///tmp/x` — all authority "")
+      * matches only authority-less keys. */
     def dropPrefix(prefix: String): Unit = synchronized {
-      def bare(p: String): String = {
+      // (authority, path): "" authority for local/unqualified forms
+      def bare(p: String): (String, String) = {
         val i = p.indexOf(":/")
-        if (i < 0) p
+        if (i < 0) ("", p)
         else {
           val rest = p.substring(i + 1)
-          if (rest.startsWith("///")) rest.substring(2)
+          if (rest.startsWith("///")) ("", rest.substring(2))
           else if (rest.startsWith("//")) {
-            // authority form scheme://host/path — keep from the path
+            // authority form scheme://host/path
             val slash = rest.indexOf('/', 2)
-            if (slash < 0) rest else rest.substring(slash)
-          } else rest
+            if (slash < 0) (rest.substring(2), "")
+            else (rest.substring(2, slash), rest.substring(slash))
+          } else ("", rest)
         }
       }
-      val want = bare(prefix)
+      val (wantAuth, wantPath) = bare(prefix)
       val it = entries.entrySet().iterator()
       while (it.hasNext) {
         val en = it.next()
-        if (bare(en.getKey._1).startsWith(want)) {
+        val (auth, path) = bare(en.getKey._1)
+        if (auth == wantAuth && path.startsWith(wantPath)) {
           bytes -= en.getValue.approxBytes
           it.remove()
         }

@@ -151,6 +151,32 @@ class SubFileProbeSpec extends SparkSpec {
       "the new generation must have loaded fresh metadata")
   }
 
+  test("MetaCache.dropPrefix is scheme-blind but AUTHORITY-preserving " +
+    "(r15 verdict item 6): two buckets with equal paths cannot " +
+    "cross-drop; unqualified and file:-qualified local forms still " +
+    "match each other") {
+    // key-matching only — the entries are never dereferenced, so a null
+    // footer stands in for real metadata
+    def fake() = SubFileProbe.MetaCache.Entry(null, Array.empty, 64L)
+    val ks = Seq("s3://bucketA/x/part-0.parquet",
+      "s3://bucketB/x/part-0.parquet",
+      "file:/tmp/graft_dp_test/q/part-0.parquet",
+      "/tmp/graft_dp_test/q/part-1.parquet")
+    ks.foreach(k => SubFileProbe.MetaCache.put(k, 1L, 1L, fake()))
+    def live(k: String) = SubFileProbe.MetaCache.get(k, 1L, 1L).isDefined
+    assert(ks.forall(live))
+    // authority-qualified prefix: drops ONLY its own bucket
+    SubFileProbe.MetaCache.dropPrefix("s3://bucketA/x")
+    assert(!live(ks(0)), "own-bucket entry must drop")
+    assert(live(ks(1)), "same path in ANOTHER bucket must survive")
+    // authority-less prefix: matches both local spellings, never a bucket
+    SubFileProbe.MetaCache.dropPrefix("/tmp/graft_dp_test/q")
+    assert(!live(ks(2)) && !live(ks(3)),
+      "file:-qualified and unqualified local keys must both drop")
+    assert(live(ks(1)), "an authority-less prefix must not touch buckets")
+    SubFileProbe.MetaCache.dropPrefix("s3://bucketB/x") // cleanup
+  }
+
   test("over-cap key sets fall back to the whole file (correct " +
     "superset); empty spec list returns an empty frame") {
     val dir = writeSorted(5000L)
