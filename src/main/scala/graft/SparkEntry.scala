@@ -1534,6 +1534,67 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Substring-span dedup through the STREAMING DRIVER (r16, r15 verdict
+    * item 5 — the q106 pattern applied to the biggest spec-only lane):
+    * the corpus arrives as five micro-batches through the literal
+    * [[graft.streaming.StreamingSpanDedup.processBatch]] +
+    * [[graft.streaming.StreamingSpanDedup.maybeSweep]] loop — batches
+    * 1/3/5 under the default gate (the r16 driver-local lane at micro
+    * sizes), 2/4 with the gate DISABLED (the distributed bulk lane),
+    * sweeps firing at v3 and v5 on the `sweepEvery = 2` cadence (each
+    * with its post-sweep compaction and positions maintenance), and
+    * batch 5 REPLAYED through both calls after its sweep (the
+    * foreachBatch-retry shape). The serving composition — latest sweep
+    * containing an id wins over arrival spans — is hash-matched against
+    * q90's batch SQL over the full corpus: a match proves the whole
+    * driver loop (micro + bulk lanes, state advance, cadenced sweeps,
+    * replay) computes exactly what one batch `repeatedSpans` over
+    * everything ingested would. Drive memoized per sf-dir (the one-time
+    * stream history; the bench median measures the composition read). */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val outPath = MemoParquet(s"q107_span_stream:$dir") { out =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val work = s"$out/work"
+      val stateDir = s"$work/state"
+      val spansDir = s"$work/spans"
+      val posPath = s"$work/positions"
+      val sweepDir = s"$work/sweeps"
+      def drive(bid: Long, gate: Long): Unit = {
+        graft.streaming.StreamingSpanDedup.processBatch(
+          docs.filter(col("doc_id") % 5 === (bid - 1L)), bid, "doc_id",
+          "text", stateDir, spansDir, n = 10, minOcc = 2,
+          retainVersions = 3, compactAt = 4,
+          positionsPath = posPath, microBatchMaxBytes = gate)
+        graft.streaming.StreamingSpanDedup.maybeSweep(s, stateDir, bid,
+          sweepEvery = 2, positionsPath = posPath, sweepDir = sweepDir,
+          n = 10, minOcc = 2, retainVersions = 3, compactAt = 4)
+      }
+      drive(1L, graft.ops.Dedup.MicroBatchMaxBytes)
+      drive(2L, graft.ops.Dedup.MicroBatchGateDisabled)
+      drive(3L, graft.ops.Dedup.MicroBatchMaxBytes)
+      drive(4L, graft.ops.Dedup.MicroBatchGateDisabled)
+      drive(5L, graft.ops.Dedup.MicroBatchMaxBytes)
+      drive(5L, graft.ops.Dedup.MicroBatchMaxBytes) // foreachBatch retry
+      val arrivals = s.read.parquet(spansDir)
+        .select("id", "span_id", "span_start", "span_end", "n_shingles")
+      val s3 = s.read.parquet(s"$sweepDir/sweep_v=3")
+      val s5 = s.read.parquet(s"$sweepDir/sweep_v=5")
+      val swept = s5.unionByName(
+        s3.join(s5.select("id").distinct(), Seq("id"), "left_anti"))
+      arrivals
+        .join(swept.select("id").distinct(), Seq("id"), "left_anti")
+        .unionByName(swept)
+        .write.mode("overwrite").parquet(s"$out/result")
+    }
+    s.read.parquet(s"$outPath/result")
+      .select(col("id").as("doc_id"),
+        col("span_id").cast("long").as("span_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("n_shingles").cast("long").as("n_shingles"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** PQ ADC serving over an APPENDED persisted codes table (r12,
     * [[graft.ops.VectorIndex.appendToPq]]): same base/append split and
     * same oracle-by-identity argument as q102 — the PQ codebook rows
@@ -1744,7 +1805,8 @@ object SparkEntry {
     "q103_pq_append" -> (q103 _),
     "q104_ivf_replayed_append" -> (q104 _),
     "q105_ivf_append_compact" -> (q105 _),
-    "q106_ivf_stream_ingest" -> (q106 _))
+    "q106_ivf_stream_ingest" -> (q106 _),
+    "q107_span_stream_driver" -> (q107 _))
 
   /** Shared CTE chain for the q90/q91 substring-dedup oracles: positional
     * 10-token shingles (pos zero-based, window [pos, pos+10)), occurrence
@@ -3065,6 +3127,17 @@ object SparkEntry {
          FROM s GROUP BY code HAVING count(DISTINCT split) > 1
          ORDER BY code""",
     "q90_substring_spans" ->
+      s"""$substringSpanCtes
+         SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 10 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_shingles
+         FROM sp GROUP BY doc_id, span_id
+         ORDER BY doc_id, span_start""",
+    // q90's SQL verbatim IS the oracle for the streaming driver: the
+    // composed serving view must equal one batch recompute over
+    // everything the five batches ingested (see q107's scaladoc)
+    "q107_span_stream_driver" ->
       s"""$substringSpanCtes
          SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
            CAST(min(pos) AS BIGINT) AS span_start,

@@ -1541,6 +1541,95 @@ object Dedup {
       baseOcc, broadcastSlim, n, minOcc)
   }
 
+  // ---- driver-local micro-batch span kernel (r15 verdict item 1) ------
+  //
+  // The warm micro serve's remaining wall was the span compute's OWN
+  // distributed jobs (kernel + joins + window + collect) — scheduler
+  // round-trips over driver-sized data: a micro batch's text is ≤ the
+  // 16 MB byte gate and its distinct shingles ≤ the 64k key gate, so the
+  // whole probe tail fits a plain in-memory evaluation. These three
+  // functions are that evaluation — the symmetric move to the zero-job
+  // driver PLAN (OccStateStore.driverPlanFromKeys): same kernel
+  // (posShingleHashes — XXH64 over the shared token arena), same
+  // threshold arithmetic, same gaps-and-islands merge, row-identical to
+  // incrementalSpansPrepared by construction (StreamingSpanDedupSpec
+  // pins it on hash-valued keys across the gate). Past either gate the
+  // distributed lane stays — exactly like the plan gate.
+
+  /** Per-doc positional shingle hashes, driver-side: `(id, hashes)` where
+    * `hashes(pos)` is exactly the distributed exchange's (id, pos,
+    * shingle) rows for the doc ([[posShingleHashes]] is the same static
+    * the UDF calls — null/short texts yield empty arrays, matching the
+    * UDF's no-rows). */
+  def localShingleDocs(docs: Array[(Long, String)],
+                       n: Int): Array[(Long, Array[Long])] =
+    docs.map { case (id, text) => (id, posShingleHashes(text, n)) }
+
+  /** The batch's per-shingle occurrence counts, driver-side — the twin of
+    * [[prepareIncrementalBatch]]'s `counts` frame (position multiplicity,
+    * exactly [[shingleOccurrenceTable]]'s semantics). */
+  def localOccCounts(perDoc: Array[(Long, Array[Long])])
+      : scala.collection.mutable.LongMap[Long] = {
+    val m = new scala.collection.mutable.LongMap[Long](1 << 10)
+    perDoc.foreach { case (_, hs) =>
+      var i = 0
+      while (i < hs.length) {
+        val k = hs(i)
+        m.update(k, m.getOrElse(k, 0L) + 1L)
+        i += 1
+      }
+    }
+    m
+  }
+
+  /** DRIVER-LOCAL twin of [[incrementalSpansPrepared]]: spans as
+    * `(id, span_id, span_start, span_end, n_shingles)` tuples, computed
+    * in a plain loop — threshold `occ_new + occ_base >= minOcc` over the
+    * batch counts + the probed base rows (per-shingle SUM, the same
+    * relaxed contract), covered positions merged per doc with the
+    * gaps-and-islands rule (`islandsToSpans`): an island breaks exactly
+    * when a window starts past every previous window's end; positions
+    * arrive in order, so the previous max end IS the last covered
+    * position + n. Output multiset-identical to the distributed tail
+    * (the spec's pin); ordering is per-doc by position, docs in input
+    * order. */
+  def incrementalSpansLocal(perDoc: Array[(Long, Array[Long])],
+                            counts: scala.collection.Map[Long, Long],
+                            baseOcc: Array[(Long, Long)], n: Int,
+                            minOcc: Int): Array[(Long, Long, Int, Int, Long)] = {
+    require(n >= 1 && minOcc >= 2, "need n >= 1 and minOcc >= 2")
+    val base = new scala.collection.mutable.LongMap[Long](
+      math.max(16, baseOcc.length))
+    baseOcc.foreach { case (k, occ) =>
+      base.update(k, base.getOrElse(k, 0L) + occ)
+    }
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Long)]
+    perDoc.foreach { case (id, hs) =>
+      var spanId = 0L
+      var start = -1
+      var lastPos = -1
+      var nSh = 0L
+      var pos = 0
+      while (pos < hs.length) {
+        val k = hs(pos)
+        if (counts.getOrElse(k, 0L) + base.getOrElse(k, 0L) >= minOcc) {
+          if (start < 0 || pos > lastPos + n) {
+            if (start >= 0) out += ((id, spanId, start, lastPos + n, nSh))
+            spanId += 1
+            start = pos
+            nSh = 0L
+          }
+          nSh += 1L
+          lastPos = pos
+        }
+        pos += 1
+      }
+      if (start >= 0) out += ((id, spanId, start, lastPos + n, nSh))
+    }
+    out.toArray
+  }
+
   /** The incremental lane's POSITIONS index over a base corpus: one
     * (id, pos, shingle) row per shingle occurrence — written ONCE when
     * the base is indexed (parquet, alongside [[shingleOccurrenceTable]]'s

@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.util.LongAccumulator
 
 /** Versioned, shingle-BUCKETED, delta+compaction store for the
   * incremental span-dedup lane's occurrence table — the state backend of
@@ -278,11 +279,73 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
 
   private def probeReadImpl(batchId: Long,
                             keysIn: Either[DataFrame, Array[Long]],
-                            keyCountHint: Long): OccStateStore.ProbeRead = {
-    latestVersionBefore(batchId) match {
+                            keyCountHint: Long): OccStateStore.ProbeRead =
+    probeSpecs(batchId, keysIn, keyCountHint) match {
       case None =>
         OccStateStore.ProbeRead(emptyOcc, Seq.empty, Seq.empty, None, None,
           None, driverPlanned = false)
+      case Some((wholePaths, fileSpecs, driverPlanned)) =>
+        if (fileSpecs.isEmpty)
+          OccStateStore.ProbeRead(readPaths(wholePaths), wholePaths,
+            Seq.empty, None, None, None, driverPlanned)
+        else {
+          val bytesAcc = spark.sparkContext
+            .longAccumulator("graft.probe.pageBytesRead")
+          val filesAcc = spark.sparkContext
+            .longAccumulator("graft.probe.filesOpened")
+          val metaAcc = spark.sparkContext
+            .longAccumulator("graft.probe.metaBytesRead")
+          val sharp = SubFileProbe.read(spark, fileSpecs, bytesAcc,
+            filesAcc, metaAcc)
+          OccStateStore.ProbeRead(
+            readPaths(wholePaths).unionByName(sharp),
+            wholePaths, fileSpecs,
+            Some(bytesAcc), Some(filesAcc), Some(metaAcc), driverPlanned)
+        }
+    }
+
+  /** [[probeRead]] answered entirely ON THE DRIVER (r15 verdict item 1's
+    * probe half): same four pruning tiers, same per-file plans — but the
+    * admitted whole paths and sharp file specs are read as a plain loop
+    * in the driver JVM ([[SubFileProbe.readLocal]]), so a warm micro
+    * serve pays ZERO Spark jobs between the key array and the base occ
+    * ROWS. Row-multiset-identical to `probeRead(batchId, keys).frame`
+    * (whole paths ride the same reader with an empty key set = unfiltered
+    * read; StreamingSpanDedupSpec pins it). Intended strictly for the
+    * micro regime — the caller's [[OccStateStore.DriverPlanMaxKeys]] gate
+    * bounds the row mass; a bulk key set belongs on [[probeRead]]'s
+    * distributed readers. */
+  def probeReadLocal(batchId: Long,
+                     keysOnDriver: Array[Long]): OccStateStore.LocalProbeRead =
+    probeSpecs(batchId, Right(keysOnDriver), keysOnDriver.length.toLong) match {
+      case None =>
+        OccStateStore.LocalProbeRead(Array.empty, Seq.empty, Seq.empty,
+          0L, 0L, 0L)
+      case Some((wholePaths, fileSpecs, _)) =>
+        // unregistered accumulators: driver-side add/value only
+        val pages = new LongAccumulator
+        val files = new LongAccumulator
+        val meta = new LongAccumulator
+        val specs = wholePaths.map(p =>
+          SubFileProbe.FileKeys(p, Array.emptyLongArray)) ++ fileSpecs
+        val rows = SubFileProbe.readLocal(
+          spark.sparkContext.hadoopConfiguration, specs, pages, files, meta)
+        OccStateStore.LocalProbeRead(rows, wholePaths, fileSpecs,
+          pages.value, files.value, meta.value)
+    }
+
+  /** The probe's PLANNING alone — manifest stats, memoized sidecars,
+    * routing (driver arithmetic or [[planJob]] by the gate), assembled
+    * into (whole paths, per-file key specs, driverPlanned); None when no
+    * version precedes `batchId`. Shared by [[probeReadImpl]] (distributed
+    * readers) and [[probeReadLocal]] (driver loop) so the two lanes can
+    * never diverge on WHAT to read. */
+  private def probeSpecs(batchId: Long,
+                         keysIn: Either[DataFrame, Array[Long]],
+                         keyCountHint: Long)
+      : Option[(Seq[String], Seq[SubFileProbe.FileKeys], Boolean)] = {
+    latestVersionBefore(batchId) match {
+      case None => None
       case Some(v) =>
         val stacks = readManifestStats(v)
         val allSegs: Seq[SegStat] = stacks.values.flatten.toSeq
@@ -396,23 +459,7 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
                 wholePaths += new Path(segDir(s.name), s"b=$b").toString
             }
           }
-        if (fileSpecs.isEmpty)
-          OccStateStore.ProbeRead(readPaths(wholePaths.toSeq),
-            wholePaths.toSeq, Seq.empty, None, None, None, driverPlanned)
-        else {
-          val bytesAcc = spark.sparkContext
-            .longAccumulator("graft.probe.pageBytesRead")
-          val filesAcc = spark.sparkContext
-            .longAccumulator("graft.probe.filesOpened")
-          val metaAcc = spark.sparkContext
-            .longAccumulator("graft.probe.metaBytesRead")
-          val sharp = SubFileProbe.read(spark, fileSpecs.toSeq, bytesAcc,
-            filesAcc, metaAcc)
-          OccStateStore.ProbeRead(
-            readPaths(wholePaths.toSeq).unionByName(sharp),
-            wholePaths.toSeq, fileSpecs.toSeq,
-            Some(bytesAcc), Some(filesAcc), Some(metaAcc), driverPlanned)
-        }
+        Some((wholePaths.toSeq, fileSpecs.toSeq, driverPlanned))
     }
   }
 
@@ -1048,6 +1095,15 @@ object OccStateStore {
                              filesOpened: Option[org.apache.spark.util.LongAccumulator],
                              metaBytesRead: Option[org.apache.spark.util.LongAccumulator],
                              driverPlanned: Boolean)
+
+  /** [[OccStateStore.probeReadLocal]]'s result: the base occ ROWS on the
+    * driver (multiset-identical to the distributed probe's frame) plus
+    * the plan it executed and the measured byte split. */
+  final case class LocalProbeRead(rows: Array[(Long, Long)],
+                                  wholePaths: Seq[String],
+                                  rowFiltered: Seq[SubFileProbe.FileKeys],
+                                  pageBytes: Long, filesOpened: Long,
+                                  metaBytes: Long)
 
   /** One planning job's output (see planJob): touched buckets, touched
     * (bucket, sub) pairs per split factor, zone hits, and — under the

@@ -45,7 +45,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    replay-vs-retention argument.
   * StreamingSpanDedupSpec pins batch-vs-stream span equality, the
   * chained-history contract, replay idempotency, the touched-buckets-only
-  * delta write, compaction equivalence, and retention GC.
+  * delta write, compaction equivalence, and retention GC; q107
+  * (`q107_span_stream_driver`) oracle-gates the literal
+  * [[processBatch]] + [[maybeSweep]] loop — micro AND bulk regimes,
+  * mid-stream sweeps, a replayed batch — against the batch `repeatedSpans`
+  * SQL at the driver (the composed serving view hash-matches one batch
+  * recompute over everything ingested).
   *
   * Semantics match the batch lane exactly: batch k's spans are computed
   * against base + batches 1..k (history-ordered); a span in an EARLIER
@@ -92,7 +97,9 @@ object StreamingSpanDedup {
                    textCol: String, stateDir: String, spansDir: String,
                    n: Int = 10, minOcc: Int = 2, numBuckets: Int = 0,
                    retainVersions: Int = 3, compactAt: Int = 8,
-                   positionsPath: String = ""): Unit = {
+                   positionsPath: String = "",
+                   microBatchMaxBytes: Long =
+                     graft.ops.Dedup.MicroBatchMaxBytes): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val store = OccStateStore.open(spark, stateDir, numBuckets,
@@ -102,7 +109,21 @@ object StreamingSpanDedup {
     var prepared: Option[(DataFrame, DataFrame)] = None
     try {
       val microBatch = b.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        BigInt(graft.ops.Dedup.MicroBatchMaxBytes)
+        BigInt(microBatchMaxBytes)
+      // DRIVER-LOCAL micro lane (r15 verdict item 1): under the byte gate
+      // the batch's text is driver-sized (the stats are the CACHED
+      // frame's materialized size — real bytes, not an estimate), so the
+      // whole serve — shingle kernel, occurrence counts, probe, span
+      // merge — evaluates as plain driver CPU plus two tiny local-
+      // relation writes, skipping the distributed lane's scheduler
+      // round-trips entirely. The key gate is now EXACT (counted from
+      // the shingled batch, not plan statistics — this also retires the
+      // r15 stats-trusting collect: an optimizer row-estimate error can
+      // no longer admit an oversized collect, because the collect is the
+      // byte-gated batch itself and the key count is computed from it);
+      // past either gate the distributed lane below runs unchanged.
+      if (microBatch && processBatchLocal(b, batchId, idCol, textCol,
+          store, spansDir, n, minOcc, positionsPath)) return
       val (shEx, counts) = graft.ops.Dedup
         .prepareIncrementalBatch(b, idCol, textCol, n)
       prepared = Some((shEx, counts))
@@ -134,32 +155,14 @@ object StreamingSpanDedup {
             .schema("id BIGINT, pos INT, shingle BIGINT").parquet(dir)
       }
       // all four pruning tiers in one call (bucket set, zone sidecars,
-      // sub-bucket files, per-file page reads). Micro batches collect
-      // their key set in ONE narrow job (the cached counts frame) and
-      // hand the ARRAY to the probe — count and plan both come out of
-      // it, so the serve pays zero further planning jobs (r14 verdict
-      // item 2; bulk batches keep the hinted distributed path). The
-      // collect is ADDITIONALLY gated on the counts frame's plan-stats
-      // key estimate (r15 review: the 16 MB byte gate alone admits
-      // batches of millions of DISTINCT shingles — all-unique text —
-      // and collecting those would stall the driver where the
-      // distributed planJob parallelizes; the estimate over a cached
-      // frame reads its materialized size, and overestimating falls
-      // back to the distributed path, the safe side).
-      val estKeys = (counts.queryExecution.optimizedPlan.stats.sizeInBytes /
-        BigInt(graft.streaming.OccStateStore.EstBytesPerOccRow))
-        .min(BigInt(Long.MaxValue)).toLong
-      val microKeys: Option[Array[Long]] =
-        if (microBatch &&
-            estKeys <= graft.streaming.OccStateStore.DriverPlanMaxKeys)
-          Some(counts.select(col("shingle")).coalesce(1)
-            .collect().map(_.getLong(0)))
-        else None
-      val nKeys = microKeys.map(_.length.toLong).getOrElse(counts.count())
-      val baseOcc = microKeys match {
-        case Some(ks) => store.probeRead(batchId, ks).frame
-        case None => store.readPruned(batchId, counts, keyCountHint = nKeys)
-      }
+      // sub-bucket files, per-file page reads). This lane now runs only
+      // PAST the driver-local gates — bulk bytes, or a byte-micro batch
+      // of > DriverPlanMaxKeys distinct shingles (all-unique text, where
+      // a driver evaluation would hold millions of keys) — so the probe
+      // keeps the hinted distributed path; the r15 stats-gated key
+      // collect lived here and is retired by the local lane's exact gate.
+      val nKeys = counts.count()
+      val baseOcc = store.readPruned(batchId, counts, keyCountHint = nKeys)
       val broadcastSlim = microBatch &&
         nKeys <= graft.ops.Curation.MaxFlaggedIdBroadcast
       graft.ops.Dedup
@@ -180,6 +183,61 @@ object StreamingSpanDedup {
     * micro-batch size) ≈ 2.4 MB of filter per partition. Past it the
     * partition simply stays unpruned. */
   final val PositionsBloomMaxKeys = 2000000
+
+  /** The driver-local micro serve (r15 verdict item 1): collect the
+    * byte-gated batch, shingle + count + probe + merge as plain driver
+    * CPU ([[graft.ops.Dedup.incrementalSpansLocal]] over
+    * [[OccStateStore.probeReadLocal]]'s rows), land the spans and the
+    * positions partition as single-task local-relation writes, advance
+    * the state from the driver-built counts. Returns false WITHOUT
+    * writing anything when the exact key count overflows
+    * [[OccStateStore.DriverPlanMaxKeys]] (all-unique text: millions of
+    * keys under 16 MB — the driver holds the text either way, but the
+    * span-side maps and the probe's per-key routing belong on the
+    * distributed lane there) or when an id is null (the distributed
+    * join semantics own that degenerate shape) — the caller then runs
+    * the distributed lane on the still-persisted batch: the exact-count
+    * fallback that retires the r15 stats-trusting collect gate.
+    * Replay-idempotent exactly like the distributed lane: both writes
+    * are mode-OVERWRITE into `batch_id=<id>` partitions and the advance
+    * is batchId-keyed. */
+  private[graft] def processBatchLocal(b: DataFrame, batchId: Long,
+      idCol: String, textCol: String, store: OccStateStore,
+      spansDir: String, n: Int, minOcc: Int,
+      positionsPath: String): Boolean = {
+    val spark = b.sparkSession
+    import spark.implicits._
+    val docRows = b.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text")).collect()
+    if (docRows.exists(_.isNullAt(0))) return false
+    val docs = docRows.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val perDoc = graft.ops.Dedup.localShingleDocs(docs, n)
+    val counts = graft.ops.Dedup.localOccCounts(perDoc)
+    if (counts.size > OccStateStore.DriverPlanMaxKeys) return false
+    val countsDf = counts.toSeq.toDF("shingle", "occ")
+    if (positionsPath.nonEmpty) {
+      val dir = s"$positionsPath/batch_id=$batchId"
+      perDoc.toSeq.flatMap { case (id, hs) =>
+        hs.indices.map(p => (id, p, hs(p))) }
+        .toDF("id", "pos", "shingle")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      graft.ops.ZoneIndex.save(
+        graft.ops.ZoneIndex.build(countsDf.select("shingle"), "shingle",
+          numBuckets = 1, maxBloomKeys = PositionsBloomMaxKeys),
+        s"$dir/_zones")
+    }
+    val probe = store.probeReadLocal(batchId, counts.keysIterator.toArray)
+    val spans = graft.ops.Dedup.incrementalSpansLocal(perDoc, counts,
+      probe.rows, n, minOcc)
+    spans.toSeq
+      .toDF("id", "span_id", "span_start", "span_end", "n_shingles")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$spansDir/batch_id=$batchId")
+    store.advance(countsDf, batchId)
+    true
+  }
 
   /** The sweep-cadence bookmark: the store version the last retroactive
     * sweep ran at (atomic text file next to the state). */

@@ -152,28 +152,50 @@ object SubFileProbe {
   }
 
   /** A spec's path is the (b, sb) PARTITION DIRECTORY — expand it to its
-    * data file(s) (one per writing task; hidden/marker names skipped) and
-    * read each with the spec's predicate. */
+    * data file(s) (one per writing task; hidden/marker names skipped,
+    * nested dirs walked — a flat `b=` dir holds files directly, a
+    * sub-split one holds `sb=` subdirs, matching the whole-path read's
+    * `recursiveFileLookup`) and read each with the spec's predicate. */
   private def readFile(conf: Configuration, fk: FileKeys,
                        pageBytes: LongAccumulator,
                        filesOpened: LongAccumulator,
                        metaBytes: LongAccumulator): Iterator[(Long, Long)] = {
     val dir = new Path(fk.path)
     val fs = dir.getFileSystem(conf)
-    val st = fs.getFileStatus(dir)
-    val files: Seq[(Path, Long, Long)] =
-      if (st.isDirectory)
-        fs.listStatus(dir).iterator
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-          .map(s => (s.getPath, s.getLen, s.getModificationTime))
-          .toSeq.sortBy(_._1.getName)
-      else Seq((dir, st.getLen, st.getModificationTime))
-    files.iterator.flatMap { case (p, len, mtime) =>
+    def walk(p: Path): Seq[(Path, Long, Long)] = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) Seq((p, st.getLen, st.getModificationTime))
+      else fs.listStatus(p).iterator
+        .filter(s => !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .toSeq.sortBy(_.getPath.getName)
+        .flatMap(s =>
+          if (s.isFile) Seq((s.getPath, s.getLen, s.getModificationTime))
+          else walk(s.getPath))
+    }
+    walk(dir).iterator.flatMap { case (p, len, mtime) =>
       readOneFile(conf, p, len, mtime, fk.keys, pageBytes, filesOpened,
         metaBytes)
     }
   }
+
+  /** DRIVER-LOCAL read of `specs` — the same per-file plan/skip/page
+    * machinery as [[read]], run as a plain loop in the calling JVM with
+    * ZERO Spark jobs (r15 verdict item 1's probe half: a micro batch
+    * whose keys already sit on the driver should not pay a scheduler
+    * round-trip to read a few pages). A spec with EMPTY keys reads its
+    * path whole ([[predicateFor]] returns None) — how whole-path probe
+    * entries ride the same loop. The [[MetaCache]] serving these reads is
+    * the CALLING JVM's (on a cluster the driver's own — sized by the same
+    * 256 MB bound; in local mode it is the executors' cache, already
+    * warm). Accumulators may be unregistered (`new LongAccumulator`) —
+    * only driver-side `add`/`value` are used. */
+  def readLocal(conf: Configuration, specs: Seq[FileKeys],
+                pageBytesRead: LongAccumulator,
+                filesOpened: LongAccumulator,
+                metaBytesRead: LongAccumulator): Array[(Long, Long)] =
+    specs.iterator.flatMap(fk =>
+      readFile(conf, fk, pageBytesRead, filesOpened, metaBytesRead)).toArray
 
   // ---- per-executor footer/index cache (r14 verdict item 1) -----------
 

@@ -863,4 +863,94 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(OccStateStore.deriveSubSplit(100000L) === 4)
     assert(OccStateStore.deriveSubSplit(1000000000L) === 16)
   }
+
+  test("driver-local micro lane (r15 verdict item 1): the whole streamed " +
+    "history — spans AND state — is row-identical between the local lane " +
+    "and the gate-disabled distributed lane; probeReadLocal rows == the " +
+    "distributed probe frame through sub-split segments on hash-valued " +
+    "keys") {
+    val rootL = java.nio.file.Files
+      .createTempDirectory("graft_span_local_").toString
+    val rootD = java.nio.file.Files
+      .createTempDirectory("graft_span_dist_").toString
+    for ((bt, bid) <- Seq(b0, b1, b2).zipWithIndex) {
+      // default gate: these batches are byte- and key-micro → LOCAL lane
+      StreamingSpanDedup.processBatch(bt.toDF("doc_id", "text"),
+        bid.toLong, "doc_id", "text", s"$rootL/state", s"$rootL/spans",
+        n = 5)
+      // gate disabled → the distributed lane, same inputs
+      StreamingSpanDedup.processBatch(bt.toDF("doc_id", "text"),
+        bid.toLong, "doc_id", "text", s"$rootD/state", s"$rootD/spans",
+        n = 5, microBatchMaxBytes = Dedup.MicroBatchGateDisabled)
+    }
+    val spansL = spanRows(spark.read.parquet(s"$rootL/spans"))
+    assert(spansL === spanRows(spark.read.parquet(s"$rootD/spans")))
+    assert(spansL.nonEmpty, "fixture must emit spans")
+    assert(occMap(OccStateStore.open(spark, s"$rootL/state")
+      .readAggregated(2L)) ===
+      occMap(OccStateStore.open(spark, s"$rootD/state")
+        .readAggregated(2L)))
+
+    // probe identity through SUB-SPLIT segments (tier-4 file specs ride
+    // the driver loop too): a store whose base opts into sb= files
+    val rootP = java.nio.file.Files
+      .createTempDirectory("graft_probe_local_").toString
+    val storeP = OccStateStore.open(spark, rootP, numBuckets = 16)
+    storeP.advance(Dedup.shingleOccurrenceTable(
+      (b0 ++ b1).toDF("doc_id", "text"), "text", n = 5), 0L, subSplit = 4)
+    val perDoc = Dedup.localShingleDocs(b2.toArray.map(t => (t._1, t._2)), 5)
+    val counts = Dedup.localOccCounts(perDoc)
+    val keys = counts.keysIterator.toArray :+ 987654321L // one absent key
+    val local = storeP.probeReadLocal(1L, keys)
+    assert(local.rowFiltered.nonEmpty,
+      "fixture must exercise the sharp (sub-file) path")
+    val dist = storeP.probeRead(1L, keys)
+    assert(local.rows.sorted.toSeq === dist.frame.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    assert(local.rows.nonEmpty, "fixture must find base rows")
+
+    // kernel identity at the API level: incrementalSpansLocal over the
+    // locally-probed rows == the distributed prepared tail over the full
+    // state read (hash-valued keys, same batch)
+    val localSpans = Dedup.incrementalSpansLocal(perDoc, counts,
+        local.rows, 5, 2)
+      .sortBy(t => (t._1, t._3)).toSeq
+    val batch = b2.toDF("doc_id", "text").persist()
+    batch.count()
+    val (shEx, cnts) = Dedup.prepareIncrementalBatch(batch, "doc_id",
+      "text", n = 5)
+    val distSpans = spanRows(Dedup.incrementalSpansPrepared(shEx, cnts,
+      storeP.readLatestBefore(1L), n = 5))
+    assert(localSpans === distSpans)
+    shEx.unpersist(); cnts.unpersist(); batch.unpersist()
+  }
+
+  test("driver-local gate fallback is EXACT (retires the r15 " +
+    "stats-trusting collect): a byte-micro batch with more than " +
+    "DriverPlanMaxKeys distinct shingles refuses the local lane, and " +
+    "processBatch still serves it correctly through the distributed one") {
+    // one doc: > 64k unique tokens (so > DriverPlanMaxKeys distinct
+    // 5-gram shingles at well under the 16 MB byte gate) plus a phrase
+    // repeated twice so the batch emits a within-batch span
+    val repPhrase = "golf hotel india juliett kilo"
+    val text = ((0 until 70100).map(i => s"tk$i") :+ repPhrase :+
+      "uvw xyz" :+ repPhrase).mkString(" ")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_span_fallback_").toString
+    val bdf = Seq((7L, text)).toDF("doc_id", "text").persist()
+    bdf.count()
+    assert(bdf.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(Dedup.MicroBatchMaxBytes), "fixture must stay byte-micro")
+    val store = OccStateStore.open(spark, s"$root/state")
+    assert(!StreamingSpanDedup.processBatchLocal(bdf, 0L, "doc_id",
+      "text", store, s"$root/spans_local", 5, 2, ""),
+      "the exact key gate must refuse > DriverPlanMaxKeys")
+    bdf.unpersist()
+    StreamingSpanDedup.processBatch(Seq((7L, text)).toDF("doc_id", "text"),
+      0L, "doc_id", "text", s"$root/state", s"$root/spans", n = 5)
+    val got = spanRows(spark.read.parquet(s"$root/spans"))
+    assert(got === spanRows(Dedup.repeatedSpans(
+      Seq((7L, text)).toDF("doc_id", "text"), "doc_id", "text", n = 5)))
+    assert(got.nonEmpty, "the repeated phrase must span")
+  }
 }
