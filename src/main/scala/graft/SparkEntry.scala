@@ -1467,10 +1467,13 @@ object SparkEntry {
     * REPLAYED (must be a tombstoned no-op — re-landing it would
     * duplicate every row); append 1 is folded LOGICALLY (the rename-free
     * object-store variant — meta-only commit, the dir keeps serving in
-    * place) and replayed too; append 2 lands live after both. The oracle
-    * is q46's single-shot IVF SQL verbatim: a hash match proves each
-    * fold moved/kept every row exactly once, both tombstones swallowed
-    * their replays, and post-compaction appends still serve. */
+    * place) and replayed too; append 2 lands live and is then folded by
+    * COPY-THEN-COMMIT together with the logically-folded dir (r16 — the
+    * no-rename mode that also bounds directory count) and replayed as a
+    * third tombstoned no-op. The oracle is q46's single-shot IVF SQL
+    * verbatim: a hash match proves each of the THREE fold modes
+    * moved/copied/kept every row exactly once, every tombstone swallowed
+    * its replay, and post-compaction appends still serve. */
   private def q105(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val idxPath = MemoParquet(s"q105_ivf_compact2:$dir") { out =>
@@ -1490,6 +1493,14 @@ object SparkEntry {
       // replay of the LOGICALLY folded append: same no-op contract
       VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 7), out,
         appendId = 1L)
+      VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 9), out,
+        appendId = 2L)
+      // r16: the COPY-THEN-COMMIT fold (no rename anywhere in the data
+      // plane) merges the logically-folded dir + the live append into
+      // one committed dir, then the folded id replays as a no-op — the
+      // q105 chain now exercises all THREE fold modes against the same
+      // single-shot SQL
+      VectorIndex.compactAppends(s, out, copyCommit = true)
       VectorIndex.appendToIvf(emb.filter(col("vec_id") % 10 === 9), out,
         appendId = 2L)
     }

@@ -474,10 +474,38 @@ object VectorIndex {
     * compactAppends, which drains `folded_` dirs too — moving their
     * files without re-absorbing rows). That residual is the honest
     * object-store trade; deployments with atomic rename keep the
-    * default. */
+    * default — or close it with `copyCommit`.
+    *
+    * `copyCommit = true` — the COPY-THEN-COMMIT variant (r15 verdict
+    * item 2: bound the DIRECTORY count too, with no rename anywhere in
+    * the data plane): every recorded append dir AND every previously
+    * `folded_` dir COPIES its data files into ONE fresh merged dir
+    * (`append_id=fold<n>`, the same cell=/flat layout, a hand-written
+    * `_SUCCESS` since the copies bypass the committer), INVISIBLE until
+    * the meta commit — [[committedAppendDirs]] gates serving on the
+    * meta, so a half-copied merged dir double-serves nothing. The one
+    * atomic meta write then simultaneously (a) tombstones every source
+    * id (`compacted_<id>` — replays stay no-ops), (b) absorbs the live
+    * appends' rows/error into the base figures exactly like the logical
+    * fold, and (c) records the merged dir as `folded_fold<n>`, flipping
+    * the serve set from k dirs to one in a single object PUT. Source
+    * dirs are deleted best-effort AFTER the commit; a crash anywhere is
+    * re-runnable — a merged dir never committed, or a tombstoned source
+    * never deleted, is garbage the NEXT call's GC phase removes (the
+    * positions-compaction pattern). Repeated cadences refold the one
+    * merged dir together with the new appends, so live dir count is
+    * O(1) + live appends, not O(stream lifetime); the rewrite
+    * amplification is the size trade the caller's cadence controls.
+    * No-ops (returns 0) when only a single already-merged dir exists.
+    * VectorIndexSpec drives it through a rename-refusing FileSystem;
+    * q105 chains it after the logical fold against q46's single-shot
+    * SQL. */
   def compactAppends(spark: SparkSession, path: String,
-                     logical: Boolean = false): Int =
+                     logical: Boolean = false,
+                     copyCommit: Boolean = false): Int =
     withLease(spark, path) {
+      require(!(logical && copyCommit),
+        "compactAppends: pick ONE of logical / copyCommit")
       val meta = readMeta(spark, path)
       val kind = meta.getOrElse("kind", "<absent>")
       require(kind == "ivf" || kind == "pq",
@@ -493,7 +521,9 @@ object VectorIndex {
       val priorFolded = meta.keysIterator
         .filter(_.startsWith("folded_"))
         .map(_.stripPrefix("folded_")).toSeq.sorted
-      if (recorded.isEmpty && (logical || priorFolded.isEmpty)) 0
+      if (copyCommit)
+        copyCommitFold(spark, path, meta, appRoot, recorded, priorFolded)
+      else if (recorded.isEmpty && (logical || priorFolded.isEmpty)) 0
       else {
         val rootP = new Path(appRoot)
         val fs = graft.FsText.fs(spark, rootP)
@@ -561,6 +591,111 @@ object VectorIndex {
         recorded.size + (if (logical) 0 else priorFolded.size)
       }
     }
+
+  /** [[compactAppends]]' copy-then-commit body (see the `copyCommit`
+    * contract there) — pure copies + one atomic meta write + deferred
+    * deletes; never calls rename on a data path. Runs inside the
+    * caller's lease. */
+  private def copyCommitFold(spark: SparkSession, path: String,
+                             meta: Map[String, String], appRoot: String,
+                             recorded: Seq[String],
+                             priorFolded: Seq[String]): Int = {
+    val rootP = new Path(appRoot)
+    val fs = graft.FsText.fs(spark, rootP)
+    val tombstoned = meta.keysIterator.filter(_.startsWith("compacted_"))
+      .map(_.stripPrefix("compacted_")).toSet
+    // GC phase: crashed half-copies (fold-named dirs no commit ever
+    // recorded) and drained sources whose post-commit delete crashed
+    // (tombstoned ids). Plain unrecorded append dirs are NOT touched —
+    // they may be a crashed append an in-flight batch will replay.
+    if (fs.exists(rootP))
+      fs.listStatus(rootP).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("append_id="))
+        .foreach { d =>
+          val id = d.getName.stripPrefix("append_id=")
+          val live = recorded.contains(id) || priorFolded.contains(id)
+          if (!live && (id.startsWith("fold") || tombstoned.contains(id)))
+            fs.delete(d, true)
+        }
+    val srcIds = (recorded ++ priorFolded).sorted
+    // one already-merged dir and nothing else: re-copying it into a
+    // fresh merged dir shrinks nothing — pure churn
+    if (srcIds.isEmpty || (recorded.isEmpty && priorFolded.size <= 1))
+      return 0
+    val usedFold = (meta.keysIterator.collect {
+        case k if k.startsWith("folded_fold") => k.stripPrefix("folded_fold")
+        case k if k.startsWith("compacted_fold") =>
+          k.stripPrefix("compacted_fold")
+      } ++ (if (!fs.exists(rootP)) Iterator.empty
+        else fs.listStatus(rootP).iterator.map(_.getPath.getName).collect {
+          case n if n.startsWith("append_id=fold") =>
+            n.stripPrefix("append_id=fold")
+        }))
+      .flatMap(s => scala.util.Try(s.toLong).toOption).toSeq
+    val foldId = s"fold${if (usedFold.isEmpty) 0L else usedFold.max + 1L}"
+    val dest = new Path(rootP, s"append_id=$foldId")
+    val conf = spark.sparkContext.hadoopConfiguration
+    srcIds.foreach { id =>
+      val dir = new Path(rootP, s"append_id=$id")
+      if (fs.exists(dir)) {
+        val it = fs.listFiles(dir, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+            // ivf nests one cell= level; pq is flat — carry the
+            // immediate partition dir through (same rule as the rename
+            // fold); overwrite=true makes a retried copy re-runnable
+            val parent = f.getParent.getName
+            val destDir =
+              if (parent.startsWith("cell=")) new Path(dest, parent)
+              else dest
+            fs.mkdirs(destDir)
+            org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
+              new Path(destDir, s"append-$id-${f.getName}"),
+              false, true, conf)
+          }
+        }
+      }
+    }
+    // the merged dir must pass committedAppendDirs' marker gate — the
+    // copies bypass the committer, so the marker is written by hand
+    fs.create(new Path(dest, "_SUCCESS"), true).close()
+    // THE commit: absorb live appends' rows + weighted error into the
+    // base figures (prior folded_ ids absorbed at THEIR commit),
+    // tombstone every source, record the merged dir as folded —
+    // serving flips from k dirs to one in this single atomic write
+    val foldedRows = recorded.map(id => meta(s"append_$id").toLong).sum
+    val baseRows = meta("baseRows").toLong
+    val baseErr = meta.get("baseQuantErr").map(_.toLong)
+    val foldedErrWeighted = recorded.flatMap { id =>
+      meta.get(s"appendErr_$id")
+        .map(e => BigInt(meta(s"append_$id").toLong) * BigInt(e.toLong))
+    }.sum
+    val newBaseErr = baseErr.map { be =>
+      val totalRows = baseRows + foldedRows
+      if (totalRows == 0L) 0L
+      else ((BigInt(baseRows) * BigInt(be) + foldedErrWeighted) /
+        BigInt(totalRows)).toLong
+    }
+    val dirRows = foldedRows +
+      priorFolded.map(id => meta(s"folded_$id").toLong).sum
+    val next = (meta --
+      recorded.flatMap(id => Seq(s"append_$id", s"appendErr_$id")) --
+      priorFolded.map(id => s"folded_$id")) ++
+      recorded.map(id => s"compacted_$id" -> meta(s"append_$id")) ++
+      priorFolded.map(id => s"compacted_$id" -> meta(s"folded_$id")) ++
+      Map(s"folded_$foldId" -> dirRows.toString,
+        "baseRows" -> (baseRows + foldedRows).toString,
+        "appendedRows" -> "0", "appendQuantErr" -> "0") ++
+      newBaseErr.map(e => "baseQuantErr" -> e.toString)
+    writeMeta(spark, path, next.toSeq.sortBy(_._1))
+    // retirement: best-effort, strictly post-commit — a crash here
+    // leaves tombstoned dirs the next call's GC removes
+    srcIds.foreach { id =>
+      scala.util.Try(fs.delete(new Path(rootP, s"append_id=$id"), true))
+    }
+    srcIds.size
+  }
 
   /** IVF top-k served from a persisted index — bit-identical to
     * [[Similarity.ivfTopK]] over the corpus the index was built on

@@ -352,4 +352,122 @@ class VectorIndexSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("no vector index"))
   }
+
+  test("COPY-THEN-COMMIT compactAppends (r15 verdict item 2): on a " +
+    "rename-refusing store, k append dirs merge into ONE committed dir " +
+    "by pure copies + one atomic meta write — dir count SHRINKS, serve " +
+    "set and replay contract unchanged; crashed half-copies and crashed " +
+    "post-commit deletes GC on the next cadence") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_copyc_").toString
+    val b0 = emb.filter(col("vec_id") % 50 =!= 1 &&
+      col("vec_id") % 50 =!= 2 && col("vec_id") % 50 =!= 3)
+    VectorIndex.buildIvf(b0, path, centroidStride = 50)
+    VectorIndex.appendToIvf(emb.filter(col("vec_id") % 50 === 1), path,
+      appendId = 0L)
+    VectorIndex.appendToIvf(emb.filter(col("vec_id") % 50 === 2), path,
+      appendId = 1L)
+    // a logical fold first (the object-store cadence shape): two dirs
+    // keep serving in place as folded_ rows
+    assert(VectorIndex.compactAppends(spark, path, logical = true) === 2)
+    VectorIndex.appendToIvf(emb.filter(col("vec_id") % 50 === 3), path,
+      appendId = 2L)
+    val before = rows(VectorIndex.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 2))
+    def appendDirs() = Option(new java.io.File(s"$path/appends")
+        .listFiles())
+      .map(_.toSeq.map(_.getName).filter(_.startsWith("append_id="))
+        .sorted)
+      .getOrElse(Seq.empty)
+    assert(appendDirs().size === 3)
+    // every call below goes through the rename-refusing simulation
+    spark.sparkContext.hadoopConfiguration.set("fs.norename.impl",
+      classOf[NoRenameFs].getName)
+    val nr = s"norename:$path"
+    // contrast pin: the physical (rename) fold cannot run on this store
+    val exPhys = intercept[UnsupportedOperationException] {
+      VectorIndex.compactAppends(spark, nr)
+    }
+    assert(exPhys.getMessage.contains("rename disabled"))
+    // the copy-commit fold CAN: 3 source dirs (1 live + 2 folded) → 1
+    assert(VectorIndex.compactAppends(spark, nr, copyCommit = true) === 3)
+    assert(appendDirs() === Seq("append_id=fold0"),
+      "the directory count must actually shrink")
+    val st = VectorIndex.indexStats(spark, path)
+    assert(st.contains("folded_fold0") && st.contains("compacted_0") &&
+      st.contains("compacted_1") && st.contains("compacted_2"))
+    assert(st("appendedRows") === "0")
+    assert(rows(VectorIndex.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 2)) === before,
+      "the merged dir must serve exactly the folded dirs' rows")
+    // replay of a copy-committed id: tombstoned no-op
+    VectorIndex.appendToIvf(emb.filter(col("vec_id") % 50 === 3), path,
+      appendId = 2L)
+    assert(VectorIndex.indexStats(spark, path)("appendedRows") === "0")
+    assert(rows(VectorIndex.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 2)) === before)
+    // crash windows: a half-copied merged dir no commit recorded, and a
+    // tombstoned source whose post-commit delete crashed
+    val stray = new java.io.File(s"$path/appends/append_id=fold7/cell=0")
+    stray.mkdirs()
+    java.nio.file.Files.write(stray.toPath.resolve("junk.parquet"),
+      Array[Byte](1, 2, 3))
+    val zombie = new java.io.File(s"$path/appends/append_id=1/cell=0")
+    zombie.mkdirs()
+    java.nio.file.Files.write(zombie.toPath.resolve("junk.parquet"),
+      Array[Byte](4, 5, 6))
+    // next cadence: an empty live append + refold of the merged dir
+    VectorIndex.appendToIvf(emb.filter(col("vec_id") < -1), path,
+      appendId = 3L)
+    assert(VectorIndex.compactAppends(spark, nr, copyCommit = true) === 2)
+    assert(appendDirs() === Seq("append_id=fold1"),
+      "GC must remove the crashed half-copy and the zombie source; the " +
+        "refold must leave exactly one merged dir")
+    assert(rows(VectorIndex.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 2)) === before)
+    // a lone merged dir with no live appends: refolding it is churn — no-op
+    assert(VectorIndex.compactAppends(spark, nr, copyCommit = true) === 0)
+    assert(appendDirs() === Seq("append_id=fold1"))
+  }
+}
+
+/** Object-store simulation for the copy-commit spec: a local FS whose
+  * rename REFUSES every data path. Only the sibling `.tmp` publish of
+  * [[graft.FsText.writeAtomic]] is allowed through — the one
+  * rename-equivalent real object stores do provide as an atomic
+  * single-object PUT-overwrite (the meta commit's documented
+  * primitive). Instantiated by Hadoop via `fs.norename.impl`. */
+class NoRenameFs
+    extends org.apache.hadoop.fs.LocalFileSystem(new NoRenameRawFs) {
+  // Extends the CHECKSUMMED local FS (not RawLocal) so its writes keep
+  // the .crc sidecars consistent with the default file:// view the rest
+  // of the suite reads through; the scheme tolerance and the rename
+  // refusal live on the wrapped raw FS (FilterFileSystem delegates
+  // checkPath there, and ChecksumFileSystem renames data + crc through
+  // it). getUri stays file:/// so returned statuses qualify as file:
+  // paths (RawLocalFileSystem's non-native permission loader does
+  // `new java.io.File(status.getPath.toUri)`, which requires the file
+  // scheme).
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (src.getName.contains(".tmp")) super.rename(src, dst)
+    else throw new UnsupportedOperationException(
+      s"rename disabled (no-atomic-rename store simulation): $src -> $dst")
+}
+
+/** [[NoRenameFs]]' wrapped raw store: tolerant of the simulation scheme,
+  * rename refused except the `.tmp` single-object publish (and its crc
+  * sidecar) — the one rename-equivalent object stores provide as an
+  * atomic PUT-overwrite. */
+class NoRenameRawFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def checkPath(path: org.apache.hadoop.fs.Path): Unit = {
+    val scheme = path.toUri.getScheme
+    if (scheme != null && scheme != "file" && scheme != "norename")
+      super.checkPath(path)
+  }
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (src.getName.contains(".tmp")) super.rename(src, dst)
+    else throw new UnsupportedOperationException(
+      s"rename disabled (no-atomic-rename store simulation): $src -> $dst")
 }
