@@ -545,6 +545,10 @@ object ScaleRun {
         p.getFileSystem(hconf).getFileStatus(p).getLen
       }.sum
       import spark.implicits._
+      // distributed-lane spans per leg size, captured for the
+      // driver-local legs' identity check below
+      val distSpans =
+        scala.collection.mutable.Map.empty[Int, Set[Seq[Any]]]
       // the trailing repeat of the 1-doc leg splits out the per-batch
       // driver fixed cost (r12 verdict item 4): by then the store's
       // manifest + sidecar memo is warm, so the repeat pays only the
@@ -586,6 +590,7 @@ object ScaleRun {
         val metaB = pr.metaBytesRead.map(_.value.toLong).getOrElse(0L)
         val prunedSpans = graft.ops.Dedup.incrementalSpansPrepared(
           shEx, counts, pf, n = 10).collect().map(_.toSeq).toSet
+        distSpans(nDocs) = prunedSpans
         val nSpans = prunedSpans.size
         val secs = (System.nanoTime() - t0) / 1e9
         // bytes: whole-scanned paths by file size; the tier-4 side by
@@ -614,6 +619,105 @@ object ScaleRun {
           f"(${100.0 * prunedB / math.max(1, fullB)}%.2f%%), " +
           f"$nSpans spans, $secs%.1f s " +
           f"(plan $planSecs%.2f s${if (pr.driverPlanned) " driver" else ""})"
+      }
+      // DRIVER-LOCAL legs (r15 verdict item 1): the micro serve as
+      // processBatch's local lane runs it — collect the batch, shingle +
+      // count + probe + merge as plain driver CPU, zero Spark jobs past
+      // the one collect. Legs past the exact 64k key gate report the
+      // fallback instead (the production gate's behavior, not a harness
+      // exception). Spans are checked row-identical to the distributed
+      // legs above.
+      val legsLocal = Seq(1, 5, 50, 1).map { nDocs =>
+        val batch = corpus.filter(col("doc_id") % 10 === 0)
+          .orderBy("doc_id").limit(nDocs)
+          .select("doc_id", "text").persist()
+        batch.count()
+        val t0 = System.nanoTime()
+        val docs = batch
+          .select(col("doc_id").cast("long"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val perDoc = graft.ops.Dedup.localShingleDocs(docs, 10)
+        val counts = graft.ops.Dedup.localOccCounts(perDoc)
+        val note =
+          if (counts.size > graft.streaming.OccStateStore.DriverPlanMaxKeys)
+            f"$nDocs%d docs: ${counts.size}%d keys > 64k gate -> " +
+              "distributed lane (fallback)"
+          else {
+            val tp0 = System.nanoTime()
+            val pr = serve.probeReadLocal(1L, counts.keysIterator.toArray)
+            val probeSecs = (System.nanoTime() - tp0) / 1e9
+            val spans = graft.ops.Dedup.incrementalSpansLocal(
+              perDoc, counts, pr.rows, 10, 2)
+            val secs = (System.nanoTime() - t0) / 1e9
+            val got: Set[Seq[Any]] = spans.map(t =>
+              Seq[Any](t._1, t._2, t._3, t._4, t._5)).toSet
+            require(got == distSpans(nDocs),
+              s"driver-local spans diverged at nDocs=$nDocs")
+            f"$nDocs%d docs: ${pr.rowFiltered.size}%d sub-files " +
+              f"(${pr.filesOpened}%d opened, ${pr.pageBytes >> 20}%d MB " +
+              f"pages + ${pr.metaBytes >> 20}%d MB meta) + " +
+              f"${pr.wholePaths.length}%d whole, ${spans.length}%d spans, " +
+              f"$secs%.2f s (probe $probeSecs%.2f s, driver-local, 0 jobs)"
+          }
+        batch.unpersist()
+        note
+      }
+      spark.catalog.clearCache()
+      (legs ++ Seq("|| driver-local:") ++ legsLocal).mkString("; ")
+    } }
+
+    // ---- 5d. tier-4 vs vectorized whole-file crossover (r15 verdict
+    // item 3): the bulk probe's whole-file pass was argued, never
+    // measured. Both read modes FORCED at each density on the serving
+    // store: the sharp side reads admitted sub-files with per-file key
+    // predicates (files past the 512-key predicate cap degrade to whole
+    // reads — part of the honest measurement), the vectorized side reads
+    // the same admitted files whole. Rows differ by design (sharp drops
+    // non-matching rows — the subset every consumer re-filters anyway);
+    // the crossover table locates where the ProbeRowFilterMaxKeys gate
+    // (262144 keys) should sit. ----
+    phase("probe-crossover") { withDocParts {
+      val serve = graft.streaming.OccStateStore.open(spark, serveStateDir)
+      import spark.implicits._
+      val legs = Seq(25, 50, 100, 200, 400).map { nDocs =>
+        val batch = corpus.filter(col("doc_id") % 10 === 0)
+          .orderBy("doc_id").limit(nDocs)
+          .select("doc_id", "text").persist()
+        batch.count()
+        val (shEx, counts) = graft.ops.Dedup.prepareIncrementalBatch(
+          batch, "doc_id", "text", n = 10)
+        val nKeys = counts.count()
+        def side(rowFilter: Boolean): (Double, Long, Long, Int) = {
+          val t0 = System.nanoTime()
+          val pr = serve.probeReadTier(1L, counts, nKeys, rowFilter)
+          val pf = pr.frame.persist()
+          val rows = pf.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          // sharp bytes from the probe accumulators (snapshot right
+          // after the one materializing action); whole bytes as the
+          // recursive content size of every admitted dir (the scan
+          // reads the files whole, so dir bytes ARE the read)
+          val bytes =
+            if (rowFilter)
+              pr.bytesRead.map(_.value.toLong).getOrElse(0L) +
+                pr.metaBytesRead.map(_.value.toLong).getOrElse(0L)
+            else pr.wholePaths.map { d =>
+              val p = new org.apache.hadoop.fs.Path(d)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .getContentSummary(p).getLength
+            }.sum
+          val nFiles =
+            if (rowFilter) pr.rowFiltered.size else pr.wholePaths.size
+          pf.unpersist()
+          (secs, bytes, rows, nFiles)
+        }
+        val (sharpS, sharpB, sharpRows, sharpFiles) = side(rowFilter = true)
+        val (wholeS, wholeB, wholeRows, wholeFiles) = side(rowFilter = false)
+        shEx.unpersist(); counts.unpersist(); batch.unpersist()
+        f"$nDocs%d docs/$nKeys%d keys: sharp $sharpS%.1f s " +
+          f"${sharpB >> 20}%d MB ($sharpFiles%d files, $sharpRows%d rows) " +
+          f"vs whole $wholeS%.1f s ${wholeB >> 20}%d MB " +
+          f"($wholeFiles%d files, $wholeRows%d rows)"
       }
       spark.catalog.clearCache()
       legs.mkString("; ")

@@ -277,10 +277,26 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
                 keysOnDriver: Array[Long]): OccStateStore.ProbeRead =
     probeReadImpl(batchId, Right(keysOnDriver), keysOnDriver.length.toLong)
 
+  /** Harness-only (ScaleRun's probe-crossover phase): [[probeRead]] with
+    * the tier-4 gate FORCED to `rowFilter` — true reads admitted
+    * sub-files with per-file key predicates regardless of
+    * [[OccStateStore.ProbeRowFilterMaxKeys]] (files past
+    * [[SubFileProbe.MaxFilterKeysPerFile]] still degrade to whole
+    * reads), false reads them whole through the vectorized scan. Rows
+    * differ by design (the sharp read drops non-matching rows — a
+    * subset every consumer's contract allows); the measurement, not the
+    * serve path, is the caller. */
+  private[graft] def probeReadTier(batchId: Long, keys: DataFrame,
+                                   keyCountHint: Long,
+                                   rowFilter: Boolean): OccStateStore.ProbeRead =
+    probeReadImpl(batchId, Left(keys), keyCountHint, Some(rowFilter))
+
   private def probeReadImpl(batchId: Long,
                             keysIn: Either[DataFrame, Array[Long]],
-                            keyCountHint: Long): OccStateStore.ProbeRead =
-    probeSpecs(batchId, keysIn, keyCountHint) match {
+                            keyCountHint: Long,
+                            collectKeysOverride: Option[Boolean] = None)
+      : OccStateStore.ProbeRead =
+    probeSpecs(batchId, keysIn, keyCountHint, collectKeysOverride) match {
       case None =>
         OccStateStore.ProbeRead(emptyOcc, Seq.empty, Seq.empty, None, None,
           None, driverPlanned = false)
@@ -342,7 +358,8 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
     * never diverge on WHAT to read. */
   private def probeSpecs(batchId: Long,
                          keysIn: Either[DataFrame, Array[Long]],
-                         keyCountHint: Long)
+                         keyCountHint: Long,
+                         collectKeysOverride: Option[Boolean] = None)
       : Option[(Seq[String], Seq[SubFileProbe.FileKeys], Boolean)] = {
     latestVersionBefore(batchId) match {
       case None => None
@@ -394,7 +411,8 @@ final class OccStateStore private (spark: SparkSession, stateDir: String,
                   .min(BigInt(Long.MaxValue)).toLong)
           }
         val collectKeys = subSplits.nonEmpty &&
-          estKeys <= OccStateStore.ProbeRowFilterMaxKeys
+          collectKeysOverride.getOrElse(
+            estKeys <= OccStateStore.ProbeRowFilterMaxKeys)
         // micro batches plan on the DRIVER (r14 verdict item 2): the
         // routing is pure arithmetic over the keys + already-memoized
         // sidecars, so the only distributed work left is ONE narrow
@@ -1178,11 +1196,20 @@ object OccStateStore {
     * (≤ this many rows per split factor — driver-bounded by
     * construction) and sub-split segments are read through
     * [[SubFileProbe]] with per-file predicates; past it the probe falls
-    * back to whole-sub-file reads (the r13 shape — bulk batches touch
-    * most pages anyway, and a corpus-mass key collect would not be
-    * driver-safe). Serving micro-batches (1–50 docs ≈ 10²–10⁴ keys) sit
-    * far under it. */
-  final val ProbeRowFilterMaxKeys: Long = 262144L
+    * back to whole-sub-file reads (bulk batches touch most pages anyway,
+    * and a corpus-mass key collect would not be driver-safe). Serving
+    * micro-batches (1–50 docs ≈ 10²–10⁴ keys) sit far under it.
+    *
+    * Set FROM the measured crossover (r16, ScaleRun `probe-crossover`
+    * over the 504k-doc serve store, both sides FORCED at each density —
+    * SCALE.md round-16 table): the sharp read wins every measured
+    * density up to ~533k keys (277k keys: 7.2 s / 1.8 GB sharp vs
+    * 88.0 s / 5.4 GB whole — the old 262144 gate sent exactly that
+    * regime to the whole path, a measured 12× loss), and the walls
+    * CONVERGE at ~533k (40.1 vs 45.1 s) as per-file predicates deepen
+    * while the whole side flattens at corpus mass — so the gate sits at
+    * 2¹⁹, the last power of two before the measured convergence. */
+  final val ProbeRowFilterMaxKeys: Long = 524288L
 
   /** Probe-key bound for the DRIVER-side plan (r14 verdict item 2 —
     * [[OccStateStore.probeRead]]'s `driverPlan`): under it the plan costs

@@ -70,7 +70,14 @@ object StreamingSpanDedup {
     * history, then advance the state. Public so the spec (and a backfill
     * job) can drive it directly with explicit batch ids.
     *
-    * Per-batch cost shape (r12, closing the r11 weak mark + item 2):
+    * Lane order (r16): a batch under the byte gate first tries the
+    * DRIVER-LOCAL lane ([[processBatchLocal]] — collect once, shingle +
+    * count + probe + merge as driver CPU, zero span-side Spark jobs);
+    * the exact key count gates it, and overflow falls through to the
+    * distributed shape below unchanged.
+    *
+    * Per-batch cost shape of the DISTRIBUTED lane (r12, closing the r11
+    * weak mark + item 2):
     *  1. the batch shingles ONCE ([[graft.ops.Dedup.prepareIncrementalBatch]]
     *     — checkpointed (id,pos,shingle) exchange + (shingle,occ) counts;
     *     r11 ran the kernel twice, once for the probe and once for the

@@ -46,9 +46,18 @@ object StreamingVectorIngest {
     * appended: the fold tombstones it, and a retried batch of a
     * tombstoned id is a no-op by [[graft.ops.VectorIndex.appendToIvf]]'s
     * contract. Public so specs and backfill jobs can drive it with
-    * explicit batch ids. */
+    * explicit batch ids.
+    *
+    * `compactMode` picks the fold for the deployment's storage (r16):
+    * "rename" (default — atomic-rename stores, file moves),
+    * "logical" (meta-only; bounds accounting but not dir count), or
+    * "copy" (copy-then-commit — bounds dir count with no rename in the
+    * data plane; the object-store cadence). */
   def processBatch(batch: DataFrame, batchId: Long,
-                   indexPath: String, compactEvery: Int = 0): Unit = {
+                   indexPath: String, compactEvery: Int = 0,
+                   compactMode: String = "rename"): Unit = {
+    require(Set("rename", "logical", "copy").contains(compactMode),
+      s"compactMode must be rename|logical|copy, got $compactMode")
     val spark = batch.sparkSession
     val kind = graft.ops.VectorIndex.indexStats(spark, indexPath)
       .getOrElse("kind", "?")
@@ -70,10 +79,12 @@ object StreamingVectorIngest {
       s"baseRows=${stats.getOrElse("baseRows", "?")}, " +
       s"rebuildAdvised=${stats.getOrElse("rebuildAdvised", "?")}")
     if (compactEvery > 0 && batchId > 0L && batchId % compactEvery == 0L) {
-      val folded = graft.ops.VectorIndex.compactAppends(spark, indexPath)
+      val folded = graft.ops.VectorIndex.compactAppends(spark, indexPath,
+        logical = compactMode == "logical",
+        copyCommit = compactMode == "copy")
       if (folded > 0)
-        println(s"[vec-ingest] compacted $folded append dirs into the " +
-          s"base at $indexPath (cadence $compactEvery)")
+        println(s"[vec-ingest] compacted $folded append dirs " +
+          s"($compactMode) at $indexPath (cadence $compactEvery)")
     }
   }
 
@@ -85,9 +96,10 @@ object StreamingVectorIngest {
     * decision, not a streaming one). */
   def ingestStream(vecs: DataFrame, indexPath: String,
                    checkpointDir: String,
-                   compactEvery: Int = 0): StreamingQuery = {
+                   compactEvery: Int = 0,
+                   compactMode: String = "rename"): StreamingQuery = {
     val fn: (Dataset[Row], Long) => Unit =
-      (b, id) => processBatch(b, id, indexPath, compactEvery)
+      (b, id) => processBatch(b, id, indexPath, compactEvery, compactMode)
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(fn)

@@ -180,22 +180,67 @@ object SubFileProbe {
   }
 
   /** DRIVER-LOCAL read of `specs` — the same per-file plan/skip/page
-    * machinery as [[read]], run as a plain loop in the calling JVM with
-    * ZERO Spark jobs (r15 verdict item 1's probe half: a micro batch
-    * whose keys already sit on the driver should not pay a scheduler
-    * round-trip to read a few pages). A spec with EMPTY keys reads its
-    * path whole ([[predicateFor]] returns None) — how whole-path probe
-    * entries ride the same loop. The [[MetaCache]] serving these reads is
-    * the CALLING JVM's (on a cluster the driver's own — sized by the same
-    * 256 MB bound; in local mode it is the executors' cache, already
-    * warm). Accumulators may be unregistered (`new LongAccumulator`) —
-    * only driver-side `add`/`value` are used. */
+    * machinery as [[read]], run in the calling JVM with ZERO Spark jobs
+    * (r15 verdict item 1's probe half: a micro batch whose keys already
+    * sit on the driver should not pay a scheduler round-trip to read a
+    * few pages). A spec with EMPTY keys reads its path whole
+    * ([[predicateFor]] returns None) — how whole-path probe entries ride
+    * the same loop. The [[MetaCache]] serving these reads is the CALLING
+    * JVM's (on a cluster the driver's own — sized by the same 256 MB
+    * bound; in local mode it is the executors' cache, already warm).
+    * Accumulators may be unregistered (`new LongAccumulator`) — only
+    * driver-side `add`/`value` are used.
+    *
+    * The loop runs on a bounded LOCAL thread pool (not Spark): per-open
+    * latency is the driver serve's floor (~1 ms/file on warm local
+    * disk — the 504k ScaleRun's 869-open 1-doc probe measured 0.75 s
+    * serial), and the opens are independent, so a few threads buy the
+    * whole floor back without a scheduler in sight. Each worker counts
+    * into its own accumulator triple, merged once at the end —
+    * `LongAccumulator.add` is not thread-safe (tasks own theirs
+    * exclusively in normal Spark use). */
   def readLocal(conf: Configuration, specs: Seq[FileKeys],
                 pageBytesRead: LongAccumulator,
                 filesOpened: LongAccumulator,
-                metaBytesRead: LongAccumulator): Array[(Long, Long)] =
-    specs.iterator.flatMap(fk =>
-      readFile(conf, fk, pageBytesRead, filesOpened, metaBytesRead)).toArray
+                metaBytesRead: LongAccumulator,
+                parallelism: Int = 0): Array[(Long, Long)] = {
+    if (specs.isEmpty) return Array.empty
+    val par = math.max(1, math.min(specs.length,
+      if (parallelism > 0) parallelism
+      else math.min(16, Runtime.getRuntime.availableProcessors())))
+    if (par == 1)
+      specs.iterator.flatMap(fk =>
+        readFile(conf, fk, pageBytesRead, filesOpened, metaBytesRead))
+        .toArray
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        val futures = specs.map { fk =>
+          pool.submit(new java.util.concurrent.Callable[
+              (Array[(Long, Long)], Long, Long, Long)] {
+            override def call() = {
+              val p = new LongAccumulator
+              val f = new LongAccumulator
+              val m = new LongAccumulator
+              val rows = readFile(conf, fk, p, f, m).toArray
+              (rows, p.value, f.value, m.value)
+            }
+          })
+        }
+        val results = futures.map { fu =>
+          try fu.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+        results.foreach { case (_, p, f, m) =>
+          pageBytesRead.add(p); filesOpened.add(f); metaBytesRead.add(m)
+        }
+        results.iterator.flatMap(_._1).toArray
+      } finally pool.shutdown()
+    }
+  }
 
   // ---- per-executor footer/index cache (r14 verdict item 1) -----------
 
