@@ -194,10 +194,13 @@ object SparkEntry {
       .withColumn("format",
         element_at(array(formats.map(lit): _*),
           (col("o_orderkey") % 5).cast("int") + 1))
-      .select(col("o_orderkey").as("doc_id"), col("format"),
-        format_string("doc_%05d_%s.txt", col("o_orderkey"), col("format"))
-          .as("filename"))
+      .select(col("o_orderkey").as("doc_id"), col("format"))
+      // filename formatting above the sort — single parallel evaluation,
+      // no sampling re-run; see the q29 shape note
       .orderBy("doc_id")
+      .select(col("doc_id"), col("format"),
+        format_string("doc_%05d_%s.txt", col("doc_id"), col("format"))
+          .as("filename"))
   }
 
   // ------------------------------------------------------------------
@@ -282,16 +285,18 @@ object SparkEntry {
       .orderBy("doc_id", "sit_id")
   }
 
-  /** P2/P3 — regex findall over the corpus (count + first match). */
+  /** P2/P3 — regex findall over the corpus (count + first match).
+    * Kernel above the sort — q29 shape note. */
   private def q14(s: SparkSession, dir: String): DataFrame = {
     val pat = "\\bs[a-z]+\\b"
     t(s, dir, "documents")
+      .select("doc_id", "text")
+      .orderBy("doc_id")
       .withColumn("ms", regexp_extract_all(col("text"), lit(pat), lit(0)))
       .select(col("doc_id"),
         size(col("ms")).cast("long").as("n_matches"),
         when(size(col("ms")) > 0, element_at(col("ms"), 1))
           .otherwise(lit(null).cast("string")).as("first_match"))
-      .orderBy("doc_id")
   }
 
   /** P5 — the placeholder heuristic over synthesized candidate values
@@ -308,17 +313,21 @@ object SparkEntry {
           .when(col("o_orderkey") % 8 === 5, "abc123")
           .when(col("o_orderkey") % 8 === 6, "--- ---")
           .otherwise("841-269-960"))
+      // heuristic above the sort — single parallel evaluation, no
+      // sampling re-run; see the q29 shape note
+      .orderBy("o_orderkey")
       .select(col("o_orderkey"), col("value"),
         Placeholder.isPlaceholderFast(col("value")).as("is_placeholder"))
-      .orderBy("o_orderkey")
 
-  /** T6/T7 — word/char counts (Python `len(s.split())` semantics). */
+  /** T6/T7 — word/char counts (Python `len(s.split())` semantics).
+    * Kernel above the sort — q29 shape note. */
   private def q16(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .select("doc_id", "text")
+      .orderBy("doc_id")
       .select(col("doc_id"),
         ContentGen.wordCountCol(col("text")).cast("long").as("n_words"),
         length(col("text")).cast("long").as("n_chars"))
-      .orderBy("doc_id")
 
   // ------------------------------------------------------------------
   //  scale extensions — dedup / similarity / text analysis / multimodal
@@ -351,35 +360,43 @@ object SparkEntry {
       n = 3, threshold = 0.4, maxBucket = 100)
       .orderBy("id_a", "id_b")
 
-  /** 16-bit SimHash signatures (per-row fold, no shuffle). */
+  /** 16-bit SimHash signatures (per-row fold, no shuffle).
+    * Kernel above the sort — q29 shape note. */
   private def q20(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), Dedup.simhashCol(col("text"), 16).as("simhash"))
+      .select("doc_id", "text")
       .orderBy("doc_id")
+      .select(col("doc_id"), Dedup.simhashCol(col("text"), 16).as("simhash"))
 
-  /** Language ID: marker-word argmax with deterministic tie-break. */
+  /** Language ID: marker-word argmax with deterministic tie-break.
+    * Kernel above the sort — q29 shape note. */
   private def q21(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.langIdCol(col("text")).as("lang_pred"))
+      .select("doc_id", "text")
       .orderBy("doc_id")
+      .select(col("doc_id"), TextAnalysis.langIdCol(col("text")).as("lang_pred"))
 
-  /** Quality profile + composite score. */
+  /** Quality profile + composite score.
+    * Kernels above the sort — q29 shape note. */
   private def q22(s: SparkSession, dir: String): DataFrame = {
     val text = col("text")
     t(s, dir, "documents")
+      .select("doc_id", "text")
+      .orderBy("doc_id")
       .select(col("doc_id") +:
         (TextAnalysis.qualityColumns(text).map { case (n, c) => c.as(n) } :+
           TextAnalysis.qualityScoreCol(text).as("quality_score")): _*)
-      .orderBy("doc_id")
   }
 
-  /** Token statistics: word count + BPE-ish pre-tokenizer count. */
+  /** Token statistics: word count + BPE-ish pre-tokenizer count.
+    * Kernels above the sort — q29 shape note. */
   private def q23(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .select("doc_id", "text")
+      .orderBy("doc_id")
       .select(col("doc_id"),
         TextAnalysis.tokenCountCol(col("text")).as("n_tokens"),
         TextAnalysis.bpeishCountCol(col("text")).cast("long").as("bpeish_tokens"))
-      .orderBy("doc_id")
 
   /** Brute-force cosine top-k (ANN baseline). */
   private def q24(s: SparkSession, dir: String): DataFrame = {
@@ -396,13 +413,15 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** Multimodal plumbing: binary column synthesis + byte-level metadata. */
+  /** Multimodal plumbing: binary column synthesis + byte-level metadata.
+    * Kernels above the sort — q29 shape note. */
   private def q26(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .select("doc_id", "text")
+      .orderBy("doc_id")
       .select(col("doc_id"),
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
         md5(col("text")).as("content_md5"))
-      .orderBy("doc_id")
 
   /** Event-time tumbling-window aggregate (batch form of the streaming
     * validator shape: event_time bucketing + keyed counts). */
@@ -432,11 +451,25 @@ object SparkEntry {
     t(s, dir, "orders")
       .withColumn("body",
         concat(lit("4"), lpad((col("o_orderkey") % 100000000000000L).cast("string"), 14, "0")))
-      .select(col("o_orderkey"), luhnUdf(col("body")).as("ccn"))
+      // kernel above the sort — single parallel evaluation, no sampling
+      // re-run; see the q29 shape note
       .orderBy("o_orderkey")
+      .select(col("o_orderkey"), luhnUdf(col("body")).as("ccn"))
   }
 
-  /** V3/V4 — IBAN mod-97 check digits: Scala kernel vs HUGEINT oracle. */
+  /** V3/V4 — IBAN mod-97 check digits: Scala kernel vs HUGEINT oracle.
+    *
+    * r16 shape (guide §2.3/§2.5 applied to the whole per-row-kernel
+    * family, see OPTIMIZATION_r16.md): the kernel projects ABOVE the
+    * orderBy, not below it. Written below, the UDF (a) runs inside the
+    * single-split scan stage — serial on a one-row-group parquet however
+    * many cores the session has — and (b) runs AGAIN over every row in
+    * the range-partitioner's sampling pass of the sort exchange. Above
+    * the sort it evaluates exactly once, post-exchange, on all cores,
+    * and the exchange carries the narrow input instead of the derived
+    * string. Row content and global order are unchanged (the sort key
+    * rides through untouched, per-row projection after a sort preserves
+    * ordering), so the oracle row is identical. */
   private def q29(s: SparkSession, dir: String): DataFrame = {
     val ibanUdf = udf { bban: String =>
       "GB" + graft.expr.Checksums.ibanCheckDigits("GB", bban) + bban
@@ -444,8 +477,8 @@ object SparkEntry {
     t(s, dir, "orders")
       .withColumn("bban",
         lpad((col("o_orderkey") % 10000000000000000L).cast("string"), 16, "0"))
-      .select(col("o_orderkey"), ibanUdf(col("bban")).as("iban"))
       .orderBy("o_orderkey")
+      .select(col("o_orderkey"), ibanUdf(col("bban")).as("iban"))
   }
 
   /** Gap-based sessionization over the events stream (lag + cumulative-sum
@@ -501,11 +534,14 @@ object SparkEntry {
     // the fused gated kernel (RedactKernel, SCALE.md finding 13) — the
     // serving path of Curation.redactSits, so the DuckDB oracle gates the
     // gated scan itself (both patterns classify as digit-window here);
-    // RedactKernelSpec pins bit equality with the legacy chain twin
-    planted.select(col("doc_id"),
+    // RedactKernelSpec pins bit equality with the legacy chain twin.
+    // Kernels above the sort — q29 shape note (text2 synthesis stays
+    // below: cheap concat, and the sort key needs only doc_id).
+    planted.select("doc_id", "text2")
+      .orderBy("doc_id")
+      .select(col("doc_id"),
       graft.expr.RedactExprs.countAllCol(col("text2"), pats).as("n_redactions"),
       md5(graft.expr.RedactExprs.redactAllCol(col("text2"), pats)).as("redacted_md5"))
-      .orderBy("doc_id")
   }
 
   /** Deterministic train/val/test split assignment + per-split stats. */
@@ -726,12 +762,14 @@ object SparkEntry {
       col("text"),
       lit("</p><div class=\"footer\">&amp;copy; 2026 Example &lt;corp&gt;" +
         "&nbsp;&#39;q&#39;</div></body></html>"))
-    t(s, dir, "documents").select(col("doc_id"),
+    // kernel above the sort — q29 shape note
+    t(s, dir, "documents").select("doc_id", "text")
+      .orderBy("doc_id")
+      .select(col("doc_id"),
         TextAnalysis.htmlToTextCol(html).as("extracted"))
       .select(col("doc_id"),
         length(col("extracted")).cast("long").as("n_chars"),
         md5(col("extracted")).as("text_md5"))
-      .orderBy("doc_id")
   }
 
   /** Sequence packing (concat-and-chunk, per shard of 100 docs, 512-token
@@ -784,14 +822,16 @@ object SparkEntry {
     * itself is ASCII). Gated byte-for-byte via md5 against DuckDB's
     * nfc_normalize/strip_accents pipeline. */
   private def q58(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
+    // kernel above the sort — q29 shape note
+    t(s, dir, "documents").select("doc_id", "text")
+      .orderBy("doc_id")
+      .select(col("doc_id"),
         graft.ops.Curation.normalizeTextCol(
           concat(lit("Café Ångström Ñoño ÜBER Ärgernis—ﬁ "), col("text")))
           .as("norm"))
       .select(col("doc_id"),
         length(col("norm")).cast("long").as("n_chars_norm"),
         md5(col("norm")).as("norm_md5"))
-      .orderBy("doc_id")
 
   /** Sliding-window chunking with overlap (64-token chunks, stride 48):
     * the long-document → training-window split, chunk text fingerprinted
@@ -1095,10 +1135,18 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val merges = ops.Bpe.trainOnCorpus(docs, "text",
       vocabSize = BpeVocab, nMerges = BpeMerges)
-    ops.Bpe.encode(docs, "doc_id", "text", merges)
+    // encode ABOVE the sort (q29 shape note): written below it, the BPE
+    // kernel ran serially in the one-split scan stage AND re-ran in the
+    // range-partitioner's sampling pass; above it, one parallel pass.
+    // Rows and their doc_id order are identical — the projection is
+    // per-row and the filter inside encode only drops rows, so the
+    // pre-established sort order carries through (no outer orderBy: the
+    // optimizer's EliminateSorts would fold it onto the inner one and
+    // re-sink the kernel below the exchange).
+    ops.Bpe.encode(docs.select("doc_id", "text").orderBy("doc_id"),
+        "doc_id", "text", merges)
       .select(col("doc_id"), col("n_bpe"),
         md5(array_join(col("bpe_tokens"), " ")).as("bpe_md5"))
-      .orderBy("doc_id")
   }
 
   /** Okapi BM25 top-50 against a fixed query-term set: query-filtered tf

@@ -136,17 +136,40 @@ object Bpe {
     * merges ship in the closure. Output: `idCol`, `bpe_tokens`
     * (array<string>, doc order), `n_bpe`. Docs with no word tokens are
     * dropped (nothing to encode — the oracle's inner-join semantics). */
+  /** Bound on the per-task word memo below: documents repeat words
+    * heavily (zipfian), so one encode per distinct word per TASK beats
+    * one per distinct word per ROW — but an adversarial all-unique
+    * vocabulary must not grow task state without bound, so past the cap
+    * the memo stops admitting and extra words encode directly. 64k
+    * encoded words ≈ a few MB. */
+  private val TaskMemoMaxWords = 1 << 16
+
   def encode(df: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
     val ranks = merges.zipWithIndex.toMap
+    // The memo lives in the UDF closure OUTSIDE the lambda: each task
+    // deserializes its own private copy (single-threaded within the
+    // task), so distinct words encode once per task, not once per row
+    // (r16, guide §4.5 — state amortized across the whole partition).
+    val taskMemo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
     val encodeUdf = udf { (text: String) =>
-      // per-row word memo: documents repeat words; each distinct word
-      // encodes once per row (per-executor caching would add shared
-      // state for little gain at this table size)
-      val memo = scala.collection.mutable.HashMap.empty[String, List[String]]
-      wordTokens(text).flatMap(w =>
-        memo.getOrElseUpdate(w, encodeWord(w, ranks)))
-    }
+      wordTokens(text).flatMap { w =>
+        taskMemo.get(w) match {
+          case Some(parts) => parts
+          case None =>
+            val parts = encodeWord(w, ranks)
+            if (taskMemo.size < TaskMemoMaxWords) taskMemo.update(w, parts)
+            parts
+        }
+      }
+    // asNondeterministic (it IS deterministic — guide §4.4's documented
+    // trade): without it the optimizer substitutes the UDF expression
+    // into the size(...) > 0 filter below and pushes that BELOW this
+    // project, evaluating the whole BPE encode twice per row (r16 plan
+    // audit: `Condition: size(UDF(text), false) > 0` under a separate
+    // `UDF(text) AS bpe_tokens` project). Marking it keeps one
+    // evaluation; the filter then tests the computed column.
+    }.asNondeterministic()
     df.select(col(idCol), encodeUdf(col(textCol)).as("bpe_tokens"))
       .filter(size(col("bpe_tokens")) > 0)
       .withColumn("n_bpe", size(col("bpe_tokens")).cast("long"))

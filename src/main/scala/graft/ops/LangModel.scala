@@ -65,8 +65,24 @@ object LangModel {
     * `nDocs` count the labeled docs (all docs, gram-less included). */
   private def trainFromGrams(grams: DataFrame, docsPerLang: DataFrame,
                              nDocs: DataFrame): NaiveBayesModel = {
+    // counts is the ONLY aggregate that touches the full gram stream, and
+    // it is charset-bounded tiny (≤ langs·|charset|ⁿ rows) — but it feeds
+    // THREE separate subtrees (gramWeights, vocab, totals; langStats pulls
+    // totals+vocab again), and Spark plans each DataFrame reuse as an
+    // independent subtree, so without a cut the corpus-wide explode +
+    // aggregate ran up to 4× per q98 call (r16 plan audit: the
+    // HashAggregate+Exchange pair over the exploded grams appeared 4 times
+    // in the before plan). One eager localCheckpoint of the tiny counts
+    // frame runs it ONCE; everything downstream is arithmetic over ≤ a few
+    // thousand rows. Measured NEUTRAL at sf0.1 (isolated same-window
+    // 3-rep medians 4.27 → 4.17 s — the local wall is plan codegen +
+    // the per-job floor, not the recompute; the before plan's 4 gram
+    // aggregates each cover only ~5k docs here). Kept for the scale
+    // shape: at 100 TB each duplicated subtree is a full corpus
+    // explode + shuffle, and the checkpoint caps that at one.
     val counts = grams.groupBy("lang", "gram")
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // V = corpus-wide distinct gram vocabulary; tot(L) = gram occurrences
     // in L; both tiny aggregates over the charset-bounded key space
     val vocab = counts.select("gram").distinct()
