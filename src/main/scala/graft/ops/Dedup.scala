@@ -375,13 +375,16 @@ object Dedup {
     bandDf.groupBy("band")
       .agg(BoundedCollect.longs(maxBucket)(col("id")).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      // in-bucket combinations via the compiled kernel (sorts per bucket
-      // → id_a < id_b by construction); the a<b filter stays as the
-      // guard against duplicate ids ever reaching one bucket
-      .select(explode(sortedPairsUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      // in-bucket combinations via the compiled PACKED kernel (sorts per
+      // bucket → id_a < id_b by construction); pack/unpack is bijective
+      // on the guarded id range, so dedup on the packed long IS dedup on
+      // (id_a, id_b) — the cross-band dropDuplicates exchange carries one
+      // primitive per pair (r16). The a<b filter stays as the guard
+      // against duplicate ids ever reaching one bucket.
+      .select(explode(sortedPackedPairsUdf(col("ids"))).as("pp"))
+      .dropDuplicates("pp")
+      .select(unpackPairCols(col("pp"))._1, unpackPairCols(col("pp"))._2)
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** All unordered pairs of a bucket's id array, emitted (min, max) — the
@@ -414,6 +417,47 @@ object Dedup {
     }
     out
   }
+
+  /** [[sortedPairsUdf]]'s PACKED serving twin (r16): each (min, max) pair
+    * leaves the kernel as ONE long — `(min << 32) | max` — so the pair
+    * stream's exchange (the dropDuplicates / groupBy that immediately
+    * follows every call) carries an 8-byte primitive key instead of a
+    * 16-byte struct, and the kernel allocates a primitive array instead
+    * of one boxed tuple per pair. Unpack is two codegen'd bit ops
+    * ([[unpackPairCols]]). Range guard is LOUD, the same policy as
+    * [[repeatedSpans]]' (id, pos) packing: ids must sit in [0, 2³¹) —
+    * 2.1 B docs per dedup pass — and a violation raises with the value,
+    * never silently corrupts a pair; a corpus past the bound shards its
+    * dedup pass (SCALE.md) or falls back to the struct twin. */
+  private val sortedPackedPairsUdf = udf { (ids: Seq[Long]) =>
+    val n = ids.length
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = ids(i)
+      if (v < 0L || v >= PackPairIdLimit) throw new IllegalArgumentException(
+        s"pair packing needs 0 <= id < 2^31, got $v — shard the corpus " +
+          "or use the struct pair kernel")
+      a(i) = v; i += 1
+    }
+    java.util.Arrays.sort(a)
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { out(k) = (a(i) << 32) | a(j); k += 1; j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  private final val PackPairIdLimit = 1L << 31
+
+  /** Unpack one [[sortedPackedPairsUdf]] long back to (id_a, id_b). */
+  private def unpackPairCols(pp: Column): (Column, Column) =
+    (shiftrightunsigned(pp, 32).as("id_a"),
+      pp.bitwiseAND(lit((1L << 32) - 1)).as("id_b"))
 
   /** The interpreted nested-transform twin (PairGenSpec pins identity;
     * not a serving path — see [[sortedPairsUdf]]). Emits index pairs
@@ -451,6 +495,10 @@ object Dedup {
   /** Spec accessors for the private kernels (PairGenSpec). */
   private[graft] def minhashPairsKernelForSpec(ids: Column): Column =
     sortedPairsUdf(ids)
+  private[graft] def packedPairsKernelForSpec(ids: Column): Column =
+    sortedPackedPairsUdf(ids)
+  private[graft] def unpackPairColsForSpec(pp: Column): (Column, Column) =
+    unpackPairCols(pp)
   private[graft] def simhashPairsKernelForSpec(members: Column): Column =
     simhashPairsUdf(members)
 
@@ -737,11 +785,15 @@ object Dedup {
     // (id_a < id_b) by construction — r10: this replaced the interpreted
     // nested-transform form the q19-family jstack attributed the task
     // CPU to (see the kernel's scaladoc)
+    val (idA, idB) = (unpackPairCols(col("pp"))._1, unpackPairCols(col("pp"))._2)
     buckets
       .filter(size(col("ids")) > 1)
-      .select(explode(sortedPairsUdf(col("ids"))).as("p"))
-      .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      // packed pair kernel (r16): the common-count exchange groups on ONE
+      // primitive long instead of a two-long struct — see sortedPackedPairsUdf
+      .select(explode(sortedPackedPairsUdf(col("ids"))).as("pp"))
+      .groupBy(col("pp"))
       .agg(count(lit(1)).as("n_common"))
+      .select(idA, idB, col("n_common"))
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .select("id_a", "id_b", "n_a", "n_b", "n_common")
@@ -902,8 +954,14 @@ object Dedup {
                                           parts: Int): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val p = if (parts > 0) parts
-      else spark.sessionState.conf.numShufflePartitions * 8
+    // r16: width through the SAME plan-stats gate as the incremental
+    // lanes ([[occExchangeParts]], r11 verdict item 6) instead of an
+    // unconditional 8× — a batch-sized position stream was paying 8×
+    // parallelism in empty-task scheduling (measured q90 2.94 → 2.71 s
+    // isolated same-window at sf0.1); corpus-mass streams (≥
+    // [[OccWideMinBytes]] plan-stats bytes, and UNKNOWN estimates) keep
+    // the wide side exactly as before — scale behavior unchanged.
+    val p = occExchangeParts(sh, parts)
     // (id, pos) pack into ONE long — id << 20 | pos (r9, verdict item 2):
     // the corpus-wide exchange here was the report's last spill (28.6 GB
     // at 724M rows of (key, id, pos)); packing drops each row 24 → 16 B

@@ -189,7 +189,21 @@ object Sketches {
     val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(orderCol) > lit(b), 1).otherwise(0)
     }
+    // ONE bucket-keyed exchange feeds BOTH consumers (r16, guide §2.4):
+    // the offsets aggregate and the ranking window each need the corpus
+    // clustered by _gq_bucket, but written as independent branches they
+    // re-ran the scan + 31-branch bucket projection twice (two `Scan
+    // parquet` leaves in the r16 before plan). An explicit repartition
+    // both branches reference makes the subtrees canonically identical,
+    // so exchange reuse materializes the scan + bucketing ONCE; the
+    // groupBy below and the window both consume the same shuffle output
+    // without further exchanges. Same hash-collision profile as the
+    // window's former implicit hashpartitioning(_gq_bucket) — the
+    // nBuckets≪partitions imbalance existed before and is bounded by the
+    // approx-quantile bucketing (§2.5 note).
     val bucketed = df.withColumn("_gq_bucket", bucketCol)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("_gq_bucket"))
     val countsW = org.apache.spark.sql.expressions.Window
       .orderBy("_gq_bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

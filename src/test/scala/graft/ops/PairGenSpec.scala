@@ -35,6 +35,44 @@ class PairGenSpec extends SparkSpec {
     }
   }
 
+  test("packed pair kernel, unpacked == struct kernel (property: the r16 " +
+    "serving twin — pack/unpack must be bijective on the guarded range)") {
+    val rng = new scala.util.Random(29)
+    val arrays = Seq(Seq.empty[Long], Seq(7L), Seq(3L, 3L),
+      Seq(0L, (1L << 31) - 1)) ++ // range endpoints
+      Seq.tabulate(60) { _ =>
+        Seq.fill(rng.nextInt(41))(math.abs(rng.nextLong()) % ((1L << 31) - 1))
+      }
+    val df = arrays.toDF("ids")
+    val rows = df.select(
+        Dedup.minhashPairsKernelForSpec(col("ids")).as("k"),
+        transform(Dedup.packedPairsKernelForSpec(col("ids")), { x =>
+          val (ua, ub) = Dedup.unpackPairColsForSpec(x)
+          struct(ua.as("_1"), ub.as("_2"))
+        }).as("p"))
+      .collect()
+    rows.foreach { r =>
+      val k = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(x => (x.getLong(0), x.getLong(1)))
+      val p = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getLong(1)))
+      assert(k === p)
+    }
+  }
+
+  test("packed pair kernel range guard is LOUD: an id past 2^31 raises " +
+    "with the value, never silently corrupts a pair") {
+    val df = Seq(Seq(1L, 1L << 31)).toDF("ids")
+    val e = intercept[Exception] {
+      df.select(Dedup.packedPairsKernelForSpec(col("ids"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("pair packing needs")),
+      s"guard message missing in: ${messages(e).mkString(" | ")}")
+  }
+
   test("simhash-pairs kernel == HOF twin (property, incl. hamming)") {
     val rng = new scala.util.Random(17)
     val arrays = Seq(Seq.empty[(Long, Long)], Seq((1L, 255L))) ++
