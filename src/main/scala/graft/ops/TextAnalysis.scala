@@ -511,8 +511,13 @@ object TextAnalysis {
       .groupBy("id")
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * round(log(col("c")) * 1e6).cast("long")).as("partial"))
-    val tot = tf.agg(
-      round(log(sum(col("tf"))) * 1e6).cast("long").as("rt"))
+    // tot from termC, not tf (r16): Σ_corpus tf == Σ_vocab c exactly
+    // (same longs, integer addition is order-free), but the tf form
+    // re-ran the tokenize+explode pass a THIRD time — termC's exchange
+    // is already materialized for the join, so this branch reuses it and
+    // aggregates vocab-sized partials instead of re-scanning the corpus.
+    val tot = termC.agg(
+      round(log(sum(col("c"))) * 1e6).cast("long").as("rt"))
     doc.crossJoin(broadcast(tot))
       .select(col("id"), col("n_tokens"),
         round((col("n_tokens") * col("rt") - col("partial")) /
