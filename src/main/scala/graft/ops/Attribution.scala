@@ -74,22 +74,26 @@ object Attribution {
     * drift. `pairs` needs conv_id, cents, channel, touch_ts (any ordered
     * type), touch_id. */
   def creditRollup(pairs: DataFrame): DataFrame = {
-    // one partitioning serves all three models
+    // one partitioning serves all three models — and ONE window SORT
+    // (r16): the former descending `last` window re-sorted every
+    // conversion's touches a second time, but last-touch is just
+    // rf == k under the (touch_ts, touch_id) order, and even at exact
+    // (ts, id) duplicates the credited value is invariant — `cents` is
+    // constant within a conv_id, so WHICH tied row takes the credit
+    // cannot change the per-channel sums (same argument the oracle's
+    // row_number relies on).
     val byConv = Window.partitionBy("conv_id")
     val first = Window.partitionBy("conv_id")
       .orderBy(col("touch_ts"), col("touch_id"))
-    val last = Window.partitionBy("conv_id")
-      .orderBy(col("touch_ts").desc, col("touch_id").desc)
     pairs
       .withColumn("k", count(lit(1)).over(byConv))
       .withColumn("rf", row_number().over(first))
-      .withColumn("rl", row_number().over(last))
       .groupBy("channel")
       .agg(
         count(lit(1)).as("n_touches"),
         sum(when(col("rf") === 1, col("cents")).otherwise(0L))
           .as("first_touch_cents"),
-        sum(when(col("rl") === 1, col("cents")).otherwise(0L))
+        sum(when(col("rf") === col("k"), col("cents")).otherwise(0L))
           .as("last_touch_cents"),
         sum(expr("cents * 10000 div k")).as("linear_microcents"))
       .orderBy("channel")
