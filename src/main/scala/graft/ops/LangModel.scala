@@ -121,18 +121,31 @@ object LangModel {
       .groupBy("id", "lang")
       .agg(sum(col("tf") * col("w_micro")).as("sum_seen"),
         sum("tf").as("tf_seen"))
-    val w = Window.partitionBy("id")
-      .orderBy(col("score_micro").desc, col("lang").asc)
+    // SHUFFLE_HASH (r16): both sides are (docs × langs)-class frames
+    // keyed (id, lang); the default sort-merge join SORTED each — the
+    // hash join's per-partition build is rows/partitions, the same
+    // bound stripRepeatedSpans' hinted join documents.
+    // The per-doc argmax is a min_by over (−score, lang): the struct
+    // ordering is exactly `score DESC, lang ASC` (scores are micro-nat
+    // longs ≤ ~10¹³, negation is overflow-safe), and langStats carries
+    // one row per lang so the ordering key is total per (id, lang) —
+    // identical rows to the former rank-1 window, but as a map-side-
+    // combinable HashAggregate instead of a per-id sort (r16: the
+    // window's exchange carried docs×langs rows; the aggregate's
+    // partials collapse to ≤ one row per id per task before the wire).
     nGrams.crossJoin(broadcast(model.langStats))
-      .join(seen, Seq("id", "lang"), "left")
+      .join(seen.hint("SHUFFLE_HASH"), Seq("id", "lang"), "left")
       .select(col("id"), col("lang"),
         (col("prior_micro")
           + coalesce(col("sum_seen"), lit(0L))
           + (col("n_grams") - coalesce(col("tf_seen"), lit(0L)))
             * col("default_micro")).as("score_micro"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("lang").as("pred_lang"), col("score_micro"))
+      .groupBy("id")
+      .agg(min_by(
+        struct(col("lang"), col("score_micro")),
+        struct((-col("score_micro")).as("ns"), col("lang"))).as("best"))
+      .select(col("id"), col("best.lang").as("pred_lang"),
+        col("best.score_micro").as("score_micro"))
   }
 
   /** Classify every doc: (id, pred_lang, score_micro) — argmax language
