@@ -43,7 +43,8 @@ object PageRankProbe {
     case class V(name: String, sp: Option[Int] = None,
                  ckptEvery: Int = 5, copart: Boolean = true,
                  eager: Boolean = true, ckpt: Boolean = true,
-                 bcastMax: Long = 2000000L, aqeWhilePinned: Boolean = false)
+                 bcastMax: Long = 2000000L, aqeWhilePinned: Boolean = false,
+                 dstLoop: Boolean = false)
     // round-3 sweep (r11 verdict item 5): rounds 1-2 (r10 history) landed
     // nocopart+ckpt2 with the n-gated broadcast hint (5.03 s vs 6.03
     // default). The remaining floor profiled as driver re-planning +
@@ -53,13 +54,17 @@ object PageRankProbe {
     // 5.46 on. pageRank now scopes AQE off around its loop whenever the
     // hint fires (adaptiveWhilePinned restores the old behavior); these
     // legs A/B the scoped library implementation against pinned-AQE-on
+    // round-4 sweep (r17 verdict item 1): the dstLoop legs key the edge
+    // checkpoint by dst so the broadcast-regime loop runs ZERO exchanges
+    // per round (contrib agg rides the dst partitioning; reattach is a
+    // co-partitioned SHUFFLE_HASH left join) — A/B'd against the r16
+    // shipping shape (nocopart_ckpt1) and the copartition=true library
+    // default the verdict asked to re-measure on the final binary.
     val variants = Seq(
       V("nocopart_ckpt1", copart = false, ckptEvery = 1),
-      V("nocopart_ckpt1_aqeon", copart = false, ckptEvery = 1,
-        aqeWhilePinned = true),
-      V("nocopart_ckpt2", copart = false, ckptEvery = 2),
-      V("nocopart_ckpt2_aqeon", copart = false, ckptEvery = 2,
-        aqeWhilePinned = true))
+      V("dstloop_ckpt1", copart = false, ckptEvery = 1, dstLoop = true),
+      V("dstloop_ckpt2", copart = false, ckptEvery = 2, dstLoop = true),
+      V("copart_ckpt1", copart = true, ckptEvery = 1))
 
     val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
       .withDefaultValue(Nil)
@@ -72,7 +77,8 @@ object PageRankProbe {
           checkpoint = v.ckpt, checkpointEvery = v.ckptEvery,
           copartition = v.copart, eagerCheckpoint = v.eager,
           broadcastRanksMaxNodes = v.bcastMax,
-          adaptiveWhilePinned = v.aqeWhilePinned)
+          adaptiveWhilePinned = v.aqeWhilePinned,
+          dstPartitionLoop = v.dstLoop)
         .queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
       qSession.catalog.clearCache()

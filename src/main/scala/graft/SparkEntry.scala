@@ -1268,7 +1268,15 @@ object SparkEntry {
           struct(col("a").as("src"), col("b").as("dst")),
           struct(col("b").as("src"), col("a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")),
-      copartition = false, checkpointEvery = 1)
+      copartition = false, checkpointEvery = 1,
+      // r17: dst-keyed broadcast-regime loop — zero exchanges between
+      // round checkpoints (GraphSpec pins the plan), AQE scoped off for
+      // the loop at any width (nothing left to coalesce). PageRankProbe
+      // same-JVM interleaved sweeps: 4.79 vs 5.82 s median at sp=32
+      // (warm tail 4.67 vs 5.82), 4.91 vs 5.08 at sp=8 — the r16
+      // shipping shape loses at both widths; copartition=true re-swept
+      // at 8.94–9.22 s (verdict item 1's re-measure, negative again).
+      dstPartitionLoop = true)
   }
 
   /** Compaction planning: documents as stand-in file metadata (size =

@@ -77,11 +77,13 @@ object Attribution {
     // one partitioning serves all three models — and ONE window SORT
     // (r16): the former descending `last` window re-sorted every
     // conversion's touches a second time, but last-touch is just
-    // rf == k under the (touch_ts, touch_id) order, and even at exact
-    // (ts, id) duplicates the credited value is invariant — `cents` is
-    // constant within a conv_id, so WHICH tied row takes the credit
-    // cannot change the per-channel sums (same argument the oracle's
-    // row_number relies on).
+    // rf == k under the (touch_ts, touch_id) order. The rewrite is
+    // exactly the row the descending window picked BECAUSE touch_id is
+    // the event id and unique, which makes (touch_ts, touch_id) a TOTAL
+    // order — that uniqueness is the contract here. (At a hypothetical
+    // exact (ts, id) duplicate, tied rows could carry different channels
+    // and either order is an arbitrary pick — same arbitrariness as the
+    // old desc window and the oracle's row_number, not an invariance.)
     val byConv = Window.partitionBy("conv_id")
     val first = Window.partitionBy("conv_id")
       .orderBy(col("touch_ts"), col("touch_id"))

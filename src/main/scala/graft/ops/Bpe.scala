@@ -151,6 +151,12 @@ object Bpe {
     // deserializes its own private copy (single-threaded within the
     // task), so distinct words encode once per task, not once per row
     // (r16, guide §4.5 — state amortized across the whole partition).
+    // CONTRACT (r16 advice): this per-task-private-copy scoping is what
+    // makes the unsynchronized HashMap safe, and it additionally relies
+    // on asNondeterministic() below — dropping that marking would
+    // re-enable driver-side/local-relation evaluation of the expression,
+    // where the ONE driver-resident closure copy could be shared across
+    // evaluation sites. Keep the marking and the memo together.
     val taskMemo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
     val encodeUdf = udf { (text: String) =>
       wordTokens(text).flatMap { w =>

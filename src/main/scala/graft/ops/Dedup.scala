@@ -2074,10 +2074,19 @@ object Dedup {
     * data. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
                   broadcastLabelsMaxNodes: Long = 2000000L): DataFrame = {
+    // symmetrize with ONE explode, not union(pairs, pairs.reversed): the
+    // union form evaluates the whole upstream pair pipeline TWICE (the
+    // two legs' aliases differ, so no exchange reuse — the same finding
+    // as q84's edge symmetrization; for q39 the upstream is the full
+    // LSH band+verify pipeline, so the duplicate evaluation dominated
+    // the setup). r17: measured on q39 — see OPTIMIZATION_r17.md.
     val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").cast("long").as("src"),
+          col("id_b").cast("long").as("dst")),
+        struct(col("id_b").cast("long").as("src"),
+          col("id_a").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
@@ -2100,9 +2109,17 @@ object Dedup {
         .join(lookup(labels.select(col("id").as("dst"),
           col("label").as("nlabel"))), "dst")
         .groupBy(col("src").as("id")).agg(min("nlabel").as("nmin"))
+      // LAZY checkpoint (r17): the pointer-jump join below consumes
+      // `propagated` on BOTH sides, and Spark plans the two references
+      // as independent subtrees — without a cut, the neighbor-min join +
+      // aggregate ran TWICE per round. The lazy checkpoint materializes
+      // on first use (the jump's lookup side — under the broadcast hint
+      // that build job runs first, then the streamed side reads the
+      // cached RDD) and adds NO extra job.
       val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(false)
       // pointer jump: follow my label to ITS label (labels are node ids,
       // so the lookup table is the label frame itself)
       val updated = propagated.alias("a")

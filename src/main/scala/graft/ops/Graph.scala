@@ -55,7 +55,8 @@ object Graph {
                checkpointEvery: Int = 5, copartition: Boolean = true,
                eagerCheckpoint: Boolean = true,
                broadcastRanksMaxNodes: Long = 2000000L,
-               adaptiveWhilePinned: Boolean = false): DataFrame = {
+               adaptiveWhilePinned: Boolean = false,
+               dstPartitionLoop: Boolean = false): DataFrame = {
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     // pin BOTH static frames to one hash partitioning up front — edges on
     // src, nodes on node — and every later checkpoint preserves it
@@ -72,9 +73,23 @@ object Graph {
     // The default stays TRUE — the scale regime this parameter exists for
     // is exactly the one where it saves a full edge re-shuffle per round —
     // and small-graph callers (q84) pass false with the measurement cited.
+    // r17 CORRECTION to the r6 claim above: under AQE the checkpoint
+    // does NOT carry the hash partitioning — localCheckpoint captures
+    // `executedPlan.outputPartitioning`, and with AQE enabled that plan
+    // is an AdaptiveSparkPlanExec, which never overrides
+    // outputPartitioning (UnknownPartitioning) — so every "pinned"
+    // checkpoint silently degraded to unknown and the loop re-shuffled
+    // anyway (the r10/r11 probes that validated the pin all ran inside
+    // the AQE-off scope, where the capture works). Partitioned setup
+    // checkpoints therefore materialize under a SCOPED AQE-off
+    // ([[checkpointKeepingPartitioning]]) — the one-time setup jobs are
+    // plain shuffles AQE had nothing to improve, and the captured
+    // hashpartitioning is what every round's EnsureRequirements needs.
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val e = (if (copartition) e0.repartition(parts, col("src")) else e0)
-      .localCheckpoint()
+    val e =
+      if (copartition)
+        checkpointKeepingPartitioning(e0.repartition(parts, col("src")))
+      else e0.localCheckpoint()
     // nodes + out-degrees in ONE shuffle: explode each edge into its two
     // endpoints with a source marker and sum the markers per node — the
     // former distinct ∪ degree-agg ∪ left-join formulation paid three
@@ -85,8 +100,10 @@ object Graph {
         struct(col("dst").as("node"), lit(0L).as("d")))).as("x"))
       .groupBy(col("x.node").as("node"))
       .agg(sum(col("x.d")).as("deg"))
-    val nodesDeg = (if (copartition) nd0.repartition(parts, col("node")) else nd0)
-      .localCheckpoint()
+    val nodesDeg =
+      if (copartition)
+        checkpointKeepingPartitioning(nd0.repartition(parts, col("node")))
+      else nd0.localCheckpoint()
     val n = nodesDeg.count()
     require(n > 0, "pageRank needs a non-empty graph")
     // n is MEASURED before the loop, so the broadcast decision is
@@ -98,6 +115,35 @@ object Graph {
     // exchange path serves (a billion-node graph must never collect its
     // rank frame to the driver).
     val hintBroadcastRanks = n <= broadcastRanksMaxNodes
+    // r17 (verdict item 1 — "no per-iteration exchange survives"): with
+    // the rank side BROADCAST, the per-round contrib aggregate is the
+    // loop's ONLY exchange, and it exists because the broadcast join's
+    // output inherits the STREAMED side's partitioning — edges. Keying
+    // the edge checkpoint by dst (the aggregate's key, alias-tracked
+    // through `dst AS node`) makes the aggregate exchange-free, and the
+    // rank' reattach becomes a co-partitioned SHUFFLE_HASH left join
+    // against the by-node nodesDeg checkpoint (same coalesce(contrib,0)
+    // arithmetic as the oracle's LEFT JOIN — the pre-r6 formulation,
+    // now without its exchanges): ZERO exchanges between checkpoints.
+    // One extra setup shuffle of the edge list pays for `iterations`
+    // removed aggregate exchanges + their AQE re-plans. Broadcast regime
+    // ONLY: past the gate the join needs e keyed by src (or both sides
+    // shuffled per round), so the flag is ignored there — the
+    // copartition-by-src path serves, where the contrib exchange is
+    // genuinely required (contributions regroup by destination).
+    val dstLoop = dstPartitionLoop && hintBroadcastRanks
+    val eLoop =
+      if (!dstLoop) e
+      else checkpointKeepingPartitioning(e.repartition(parts, col("dst")))
+    val ndLoop =
+      if (!dstLoop) nodesDeg
+      // pin nodesDeg to EXACTLY hashpartitioning(node, parts): nd0's own
+      // aggregate usually leaves it by-node already, but AQE may have
+      // coalesced that exchange (or erased the capture — see above), and
+      // the loop's co-partitioned join needs both sides at the SAME
+      // count to elide its exchanges. ≤n rows — a one-time trivial job.
+      else checkpointKeepingPartitioning(
+        nodesDeg.repartition(parts, col("node")))
     // With the broadcast hint pinned AND a small shuffle-partition count,
     // AQE has nothing left to do per round — the join is pre-decided and
     // there are no partitions worth coalescing — so its per-stage re-plan
@@ -119,8 +165,13 @@ object Graph {
     // gate AQE keeps its duties (skew splits, coalescing) — never touched.
     val aqeKey = "spark.sql.adaptive.enabled"
     val sess = edges.sparkSession
+    // dstLoop widens the scope past the partition gate: its loop has NO
+    // exchange at all between checkpoints, so AQE's per-stage re-plan
+    // has literally nothing to coalesce at any width (the sp=32 gate
+    // existed because the union+agg shape's exchange benefits from
+    // coalescing there).
     val scopeAqeOff = hintBroadcastRanks && !adaptiveWhilePinned &&
-      parts <= AqeOffMaxLoopPartitions &&
+      (parts <= AqeOffMaxLoopPartitions || dstLoop) &&
       checkpoint && eagerCheckpoint
     // The scope mutates a SESSION-GLOBAL conf: concurrent queries on the
     // same session lose AQE while the loop runs (documented, accepted for
@@ -140,13 +191,33 @@ object Graph {
       // the former "left-join contrib back onto nodesDeg" stage into the
       // aggregate that already shuffles on node (one fewer join per
       // round; same floor-DIV arithmetic, so the oracle is unchanged)
+      // per-node contribution rank DIV deg hoisted ABOVE the edge join
+      // (r17, guide §2.3): it is constant across a node's out-edges, so
+      // computing it on the ≤n-row rank side instead of per joined edge
+      // row saves |E|−n divisions per round and narrows the join input
       val rankSide = {
         val live = ranks.filter(col("deg") > 0)
+          .select(col("node"), expr("rank div deg").as("c"))
         if (hintBroadcastRanks) live.hint("BROADCAST") else live
       }
+      if (dstLoop) {
+        // zero-exchange round (see the dstLoop note above): the contrib
+        // aggregate rides eLoop's dst partitioning through the broadcast
+        // join, and the reattach is a co-partitioned hash join against
+        // the by-node degree checkpoint — LEFT join + coalesce is the
+        // oracle's own formulation, so the arithmetic is unchanged
+        val contrib = rankSide
+          .join(eLoop, rankSide("node") === eLoop("src"))
+          .select(col("dst").as("node"), col("c"))
+          .groupBy("node").agg(sum("c").as("contrib"))
+        ranks = ndLoop.join(contrib.hint("SHUFFLE_HASH"), Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            expr(s"${base}L + (${dampingPct}L * coalesce(contrib, 0L)) div 100")
+              .as("rank"))
+      } else {
       val edgeContrib = rankSide
         .join(e, rankSide("node") === e("src"))
-        .select(col("dst").as("node"), expr("rank div deg").as("c"),
+        .select(col("dst").as("node"), col("c"),
           lit(null).cast("long").as("d"))
       val zeroRows = nodesDeg.select(col("node"), lit(0L).as("c"),
         col("deg").as("d"))
@@ -155,6 +226,7 @@ object Graph {
         .agg(sum("c").as("contrib"), max("d").as("deg"))
         .select(col("node"), col("deg"),
           expr(s"${base}L + (${dampingPct}L * contrib) div 100").as("rank"))
+      }
       // truncate lineage every few rounds — each eager localCheckpoint is
       // a full materialization job, so per-round checkpointing pays ~1
       // job of fixed overhead per iteration while a 5-round linear plan
@@ -200,6 +272,26 @@ object Graph {
   /** Serializes the AQE-off scope of concurrent [[pageRank]] calls (the
     * conf is session-global; see the scope note there). */
   private object AqeScopeLock
+
+  /** Eager localCheckpoint that PRESERVES the frame's hash partitioning
+    * in the resulting LogicalRDD. `Dataset.localCheckpoint` records
+    * `executedPlan.outputPartitioning`, but under AQE the executed plan
+    * is an AdaptiveSparkPlanExec — a leaf wrapper that never overrides
+    * outputPartitioning, so the capture reads UnknownPartitioning and
+    * every downstream co-partitioning claim silently dies (r17 finding;
+    * Spark 4.1). Scoping AQE OFF around just this materialization makes
+    * the capture see the real exchange. Same session-global-conf trade
+    // as the loop scope — serialized on the same lock.
+    */
+  private[ops] def checkpointKeepingPartitioning(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    AqeScopeLock.synchronized {
+      val key = "spark.sql.adaptive.enabled"
+      val before = sess.conf.get(key)
+      sess.conf.set(key, "false")
+      try df.localCheckpoint() finally sess.conf.set(key, before)
+    }
+  }
 
   /** The DuckDB twin: same fixed-point update, iterations unrolled as
     * chained CTEs (recursive CTEs restrict aggregation over the recursive

@@ -86,36 +86,51 @@ object Kmeans {
     require(k >= 1 && k <= Similarity.MaxCentroids,
       s"k=$k out of range 1..${Similarity.MaxCentroids}")
     require(iters >= 0, "iters must be non-negative")
-    val init = df
-      .filter(col(idCol) % centroidStride === 0 &&
-        col(idCol) < centroidStride * k)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect().sortBy(_.getLong(0))
-      .map(r => toInts(Option(r.getSeq[Double](1)).getOrElse(Seq.empty)))
-    require(init.length == k,
-      s"expected $k init vectors at $idCol = 0, $centroidStride, …; got ${init.length}")
+    // PERSIST the scaled vectors for the TRAINING loop (r17, guide §5
+    // "reused AND expensive to recompute"): init + every Lloyd round is
+    // one full pass over (id, xs), and without the cache each pass
+    // re-ran the parquet scan + the toInts kernel — iters+1 times. The
+    // classic Lloyd shape (MLlib caches its norm-augmented input the
+    // same way) recomputes gracefully on executor loss (unlike a
+    // localCheckpoint), spills to disk past memory, and unpersists the
+    // moment training ends — strictly within one query's lifetime, so
+    // nothing persists across bench/oracle invocations. The init
+    // centroids read the SAME frame (toInts in the executor is the same
+    // correctly-rounded arithmetic the old driver-side map applied), so
+    // the first collect both seeds the codebook and warms the cache.
     val scaled = scaledVecs(df, idCol, vecCol)
-    var cents: Array[Array[Long]] = init
-    for (_ <- 1 to iters) {
-      val cs = cents // stable reference for the task closure
-      val cellUdf = udf { (xs: Seq[Long]) => nearest(xs.toArray, cs)._1 }
-      // element rows partial-aggregate map-side to ≤ k·dim rows per task;
-      // only those tiny partials shuffle, then k·dim sums come back
-      val sums: Array[Row] = scaled
-        .select(cellUdf(col("xs")).as("cell"),
-          posexplode(col("xs")).as(Seq("i", "x")))
-        .groupBy("cell", "i")
-        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone())
-      sums.foreach { r =>
-        val (cell, i) = (r.getInt(0), r.getInt(1))
-        // positive operands ⇒ truncating div == floor div == DuckDB //
-        if (i < next(cell).length) next(cell)(i) = r.getLong(2) / r.getLong(3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = scaled
+        .filter(col("id") % centroidStride === 0 &&
+          col("id") < centroidStride * k)
+        .collect().sortBy(_.getLong(0))
+        .map(r => Option(r.getSeq[Long](1)).map(_.toArray)
+          .getOrElse(Array.empty[Long]))
+      require(init.length == k,
+        s"expected $k init vectors at $idCol = 0, $centroidStride, …; got ${init.length}")
+      var cents: Array[Array[Long]] = init
+      for (_ <- 1 to iters) {
+        val cs = cents // stable reference for the task closure
+        val cellUdf = udf { (xs: Seq[Long]) => nearest(xs.toArray, cs)._1 }
+        // element rows partial-aggregate map-side to ≤ k·dim rows per task;
+        // only those tiny partials shuffle, then k·dim sums come back
+        val sums: Array[Row] = scaled
+          .select(cellUdf(col("xs")).as("cell"),
+            posexplode(col("xs")).as(Seq("i", "x")))
+          .groupBy("cell", "i")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone())
+        sums.foreach { r =>
+          val (cell, i) = (r.getInt(0), r.getInt(1))
+          // positive operands ⇒ truncating div == floor div == DuckDB //
+          if (i < next(cell).length) next(cell)(i) = r.getLong(2) / r.getLong(3)
+        }
+        cents = next // cells with no members kept their previous centroid
       }
-      cents = next // cells with no members kept their previous centroid
-    }
-    cents
+      cents
+    } finally scaled.unpersist(blocking = false)
   }
 
   private def scaledVecs(df: DataFrame, idCol: String,

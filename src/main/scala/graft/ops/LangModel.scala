@@ -52,6 +52,39 @@ object LangModel {
 
   private val charNgramsUdf = udf(charNgrams _)
 
+  /** [[charNgrams]] with the per-doc term frequencies folded INTO the
+    * kernel (r17, guide §2.2 "aggregate before you shuffle"): one pass
+    * emits (distinct gram, tf) pairs plus the total gram count, so the
+    * classify path needs NO corpus-wide groupBy(id, gram) exchange (the
+    * per-doc aggregation is exactly what that exchange's map side
+    * recomputed row by row) and the training counts aggregate reads
+    * distinct-per-doc rows instead of every occurrence. Σ tf per
+    * (lang, gram) == the occurrence count, so training arithmetic is
+    * unchanged; LangModelSpec pins kernel == explode+count. */
+  def charNgramTfs(text: String, n: Int): (Seq[(String, Long)], Long) = {
+    if (text == null) return (Seq.empty, 0L)
+    val t = text.toLowerCase(java.util.Locale.ROOT)
+    val cps = t.codePoints().toArray
+    if (cps.length < n) return (Seq.empty, 0L)
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var i = 0
+    while (i <= cps.length - n) {
+      val g = new String(cps, i, n)
+      m.update(g, m.getOrElse(g, 0L) + 1L)
+      i += 1
+    }
+    (m.toSeq, (cps.length - n + 1).toLong)
+  }
+
+  private val charNgramTfsUdf = udf(charNgramTfs _)
+
+  /** Tiny driver-side frame → LocalRelation (plan-local data, exact
+    * stats, broadcastable with zero executor jobs). Caller guarantees
+    * the frame is bounded (charset/labels, never corpus). */
+  private def localFrame(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** Trained model: `gramWeights` (lang, gram, w_micro) and `langStats`
     * (lang, prior_micro, default_micro) — both bounded by the charset,
     * not the corpus. */
@@ -60,9 +93,9 @@ object LangModel {
   private def microLn(x: Column): Column =
     round(log(x) * 1000000).cast("long")
 
-  /** Training tail shared by [[trainLangNB]] and [[langIdTrained]]:
-    * `grams` = one (lang, gram) row per gram occurrence; `docsPerLang` /
-    * `nDocs` count the labeled docs (all docs, gram-less included). */
+  /** Occurrence-row training entry ([[trainLangNB]]): `grams` = one
+    * (lang, gram) row per gram occurrence; `docsPerLang` / `nDocs` count
+    * the labeled docs (all docs, gram-less included). */
   private def trainFromGrams(grams: DataFrame, docsPerLang: DataFrame,
                              nDocs: DataFrame): NaiveBayesModel = {
     // counts is the ONLY aggregate that touches the full gram stream, and
@@ -72,17 +105,27 @@ object LangModel {
     // independent subtree, so without a cut the corpus-wide explode +
     // aggregate ran up to 4× per q98 call (r16 plan audit: the
     // HashAggregate+Exchange pair over the exploded grams appeared 4 times
-    // in the before plan). One eager localCheckpoint of the tiny counts
-    // frame runs it ONCE; everything downstream is arithmetic over ≤ a few
-    // thousand rows. Measured NEUTRAL at sf0.1 (isolated same-window
-    // 3-rep medians 4.27 → 4.17 s — the local wall is plan codegen +
-    // the per-job floor, not the recompute; the before plan's 4 gram
-    // aggregates each cover only ~5k docs here). Kept for the scale
-    // shape: at 100 TB each duplicated subtree is a full corpus
-    // explode + shuffle, and the checkpoint caps that at one.
-    val counts = grams.groupBy("lang", "gram")
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // in the before plan). r17 (verdict item 2): the cut is now a
+    // collect + LOCAL RELATION, not a localCheckpoint — same 4×→1×
+    // dedup of the corpus explode+aggregate, but the tiny frame lives on
+    // the driver as plan-local data, so (a) there is no eager
+    // persisted-block job whose executor-memory blocks a cold run pays
+    // for, and (b) no lineage truncated into NON-REPLICATED executor
+    // blocks — with localCheckpoint, ANY executor loss at 100 TB made
+    // the lineage unrecoverable and failed the job; a collected local
+    // relation has no executor dependency at all. The collect is bounded
+    // by the charset (≤ langs·|charset|ⁿ rows, KB-sized at any corpus
+    // scale), so driver memory is never corpus-proportional.
+    trainFromCounts(
+      localFrame(grams.groupBy("lang", "gram").agg(count(lit(1)).as("c"))),
+      docsPerLang, nDocs)
+  }
+
+  /** Model arithmetic over an already-aggregated `counts` (lang, gram,
+    * c) frame — the shared tail; langIdTrained feeds it tf-sums (equal
+    * to occurrence counts by the integer identity Σ_doc tf = c). */
+  private def trainFromCounts(counts: DataFrame, docsPerLang: DataFrame,
+                              nDocs: DataFrame): NaiveBayesModel = {
     // V = corpus-wide distinct gram vocabulary; tot(L) = gram occurrences
     // in L; both tiny aggregates over the charset-bounded key space
     val vocab = counts.select("gram").distinct()
@@ -157,12 +200,15 @@ object LangModel {
     * non-BMP text). */
   def classifyLangNB(model: NaiveBayesModel, df: DataFrame, idCol: String,
                      textCol: String, n: Int = 2): DataFrame = {
+    // tf kernel (r17): the per-doc gram frequencies come out of ONE
+    // compiled pass, so no corpus-wide (id, gram) aggregate exchange —
+    // see charNgramTfs. n_grams derives from the SAME kernel output.
     val base = df.select(col(idCol).cast("long").as("id"),
-      charNgramsUdf(col(textCol), lit(n)).as("grams"))
+      charNgramTfsUdf(col(textCol), lit(n)).as("g"))
     classifyFromGrams(model,
-      base.select(col("id"), explode(col("grams")).as("gram"))
-        .groupBy("id", "gram").agg(count(lit(1)).as("tf")),
-      base.select(col("id"), size(col("grams")).cast("long").as("n_grams")))
+      base.select(col("id"), explode(col("g._1")).as("t"))
+        .select(col("id"), col("t._1").as("gram"), col("t._2").as("tf")),
+      base.select(col("id"), col("g._2").as("n_grams")))
   }
 
   /** Train on the labeled corpus, classify the same corpus — the
@@ -171,21 +217,53 @@ object LangModel {
     * idiom as bm25TopK's fallback): training counts, per-doc tfs, and
     * the n_grams totals all read the checkpoint instead of re-running
     * the tokenize UDF over the corpus — at scale the tokenize is the
-    * dominant compute and the checkpoint is ~2× the text bytes. */
+    * dominant compute and the checkpoint is ~2× the text bytes.
+    * FAILURE MODE at 100 TB (r16 advice): localCheckpoint blocks are
+    * NON-replicated executor state — losing any executor after the
+    * checkpoint makes this lineage unrecoverable and fails the job
+    * instead of recomputing. A cluster run that cannot afford that
+    * should `checkpoint()` to reliable storage (or persist+count with a
+    * replicated level) at the price of writing ~2× the text bytes; the
+    * charset-bounded model frames themselves no longer depend on any
+    * checkpoint (they collect to a driver-local relation). */
   def langIdTrained(df: DataFrame, idCol: String, textCol: String,
                     labelCol: String, n: Int = 2): DataFrame = {
+    // ONE kernel pass per doc emits (distinct gram, tf) + the gram total
+    // (charNgramTfs): the checkpoint holds per-doc PRE-AGGREGATED rows,
+    // so (a) the classify tfs explode straight out of it with NO
+    // (id, gram) aggregate exchange, and (b) the training counts
+    // aggregate sums tf over distinct-per-doc rows instead of counting
+    // every occurrence — Σ_doc tf(L,g) == c(L,g) exactly (integer
+    // identity), so the model is unchanged.
     val base = df.select(col(idCol).cast("long").as("id"),
         col(labelCol).as("lang"),
-        charNgramsUdf(col(textCol), lit(n)).as("grams"))
+        charNgramTfsUdf(col(textCol), lit(n)).as("g"))
+      .select(col("id"), col("lang"), col("g._1").as("tfs"),
+        col("g._2").as("n_grams"))
       .localCheckpoint()
-    val exploded = base.select(col("id"), col("lang"),
-      explode(col("grams")).as("gram"))
-    val model = trainFromGrams(
-      exploded.select("lang", "gram"),
-      base.groupBy("lang").agg(count(lit(1)).as("n_docs")),
-      base.agg(count(lit(1)).as("n_all")))
+    val docTfs = base.select(col("id"), col("lang"),
+        explode(col("tfs")).as("t"))
+      .select(col("id"), col("lang"), col("t._1").as("gram"),
+        col("t._2").as("tf"))
+    // docsPerLang is ≤|langs| rows — collect it once and derive n_all as
+    // the driver-side sum (every doc carries exactly one lang), so the
+    // model's langStats side is pure local-relation arithmetic: its
+    // broadcast builds run zero executor jobs (r17).
+    val dplAgg = base.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val dplRows = dplAgg.collect()
+    val docsPerLang = dplAgg.sparkSession.createDataFrame(
+      java.util.Arrays.asList(dplRows: _*), dplAgg.schema)
+    val nAll = dplRows.map(_.getLong(1)).sum
+    val nDocsAgg = base.sparkSession.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(nAll)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_all",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val model = trainFromCounts(
+      localFrame(docTfs.groupBy("lang", "gram").agg(sum("tf").as("c"))),
+      docsPerLang, nDocsAgg)
     classifyFromGrams(model,
-      exploded.groupBy("id", "gram").agg(count(lit(1)).as("tf")),
-      base.select(col("id"), size(col("grams")).cast("long").as("n_grams")))
+      docTfs.select("id", "gram", "tf"),
+      base.select(col("id"), col("n_grams")))
   }
 }

@@ -189,21 +189,21 @@ object Sketches {
     val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(orderCol) > lit(b), 1).otherwise(0)
     }
-    // ONE bucket-keyed exchange feeds BOTH consumers (r16, guide §2.4):
-    // the offsets aggregate and the ranking window each need the corpus
-    // clustered by _gq_bucket, but written as independent branches they
-    // re-ran the scan + 31-branch bucket projection twice (two `Scan
-    // parquet` leaves in the r16 before plan). An explicit repartition
-    // both branches reference makes the subtrees canonically identical,
-    // so exchange reuse materializes the scan + bucketing ONCE; the
-    // groupBy below and the window both consume the same shuffle output
-    // without further exchanges. Same hash-collision profile as the
-    // window's former implicit hashpartitioning(_gq_bucket) — the
-    // nBuckets≪partitions imbalance existed before and is bounded by the
-    // approx-quantile bucketing (§2.5 note).
+    // TWO branches, each with its own scan — deliberate (r17, reverting
+    // the r16 "shared bucket exchange"): the r16 explicit repartition
+    // both branches referenced was SUPPOSED to let ReuseExchange
+    // materialize scan + bucketing once, but column pruning narrows the
+    // offsets branch to _gq_bucket only, so the two exchange subtrees
+    // are NOT canonically identical and reuse never fired (the r16
+    // after-plan still shows two Scan parquet leaves) — while the
+    // repartition DID destroy the offsets branch's map-side partial
+    // aggregation: every corpus row crossed that new exchange, where
+    // this shape shuffles only ~nBuckets count rows per map task
+    // (guide §2.3 "aggregate before you shuffle"). Two narrow scans +
+    // a tiny aggregate exchange beat one scan + a corpus-wide row
+    // shuffle at any scale; the ranking window below keeps its own
+    // bucket exchange either way.
     val bucketed = df.withColumn("_gq_bucket", bucketCol)
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col("_gq_bucket"))
     val countsW = org.apache.spark.sql.expressions.Window
       .orderBy("_gq_bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -430,4 +430,31 @@ class PlanAuditSpec extends SparkSpec {
       .exists(_.contains("shingle")),
       s"a sort reached the shingle stream in:\n$plan")
   }
+
+  test("kernel-above-sort family (r16 §1): the per-row kernel projects " +
+    "ABOVE the final sort with no exchange between them, and the kernel " +
+    "evaluates exactly once — row order is load-bearing (r16 verdict " +
+    "item 3: an optimizer change that re-sinks the kernel or re-inserts " +
+    "an exchange above the Sort would silently reorder/slow the family)") {
+    // q81 (no trailing orderBy at all — EliminateSorts would re-sink a
+    // kernel placed under a redundant sort) and q29 (representative of
+    // the orderBy members) pin the whole family's shape
+    for (q <- Seq("q81_bpe_encode", "q29_iban_mod97")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sf))
+      val lines = plan.linesIterator.toIndexedSeq
+      val udfIdx = lines.indexWhere(l => l.contains("Project") &&
+        l.contains("UDF("))
+      val sortIdx = lines.indexWhere(_.contains("Sort ["))
+      assert(udfIdx >= 0 && sortIdx >= 0,
+        s"$q: expected a UDF project and a sort in:\n$plan")
+      assert(udfIdx < sortIdx,
+        s"$q: kernel project must sit ABOVE the final sort:\n$plan")
+      assert(!lines.slice(udfIdx + 1, sortIdx).exists(_.contains("Exchange")),
+        s"$q: an exchange crept between the kernel and the sort " +
+          s"(breaks row-order carry-through):\n$plan")
+      assert(countOccurrences(plan, "UDF(") == 1,
+        s"$q: kernel must evaluate exactly once (no filter/sampling " +
+          s"double-eval):\n$plan")
+    }
+  }
 }

@@ -89,6 +89,30 @@ class GraphSpec extends SparkSpec {
     assert(hinted === unhinted)
   }
 
+  test("pageRank: dstPartitionLoop — ranks identical to the default " +
+    "shape, and the round body plans no shuffle above its checkpoints") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (0L, 3L),
+      (1L, 3L)).toDF("src", "dst")
+    val default = Graph.pageRank(edges, iterations = 6)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val dstLoop = Graph.pageRank(edges, iterations = 6,
+        dstPartitionLoop = true)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(default === dstLoop)
+    // one un-checkpointed round (minus the final orderBy, which owns the
+    // only legitimate exchange): the contrib aggregate and the reattach
+    // join must both ride the setup partitioning — no ShuffleExchange in
+    // the round body. checkpoint=false keeps the round's lineage visible;
+    // the setup repartitions hide below their own localCheckpoints.
+    val plan = Graph.pageRank(edges, iterations = 1, checkpoint = false,
+        dstPartitionLoop = true)
+      .queryExecution.executedPlan.toString
+    val body = plan.linesIterator
+      .filterNot(_.contains("rangepartitioning")).mkString("\n")
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"dstPartitionLoop round body should be exchange-free:\n$plan")
+  }
+
   test("pageRank: AQE-off-while-pinned scope — ranks identical either " +
     "way, session setting restored after the call") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))

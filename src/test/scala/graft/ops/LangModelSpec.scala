@@ -80,6 +80,23 @@ class LangModelSpec extends SparkSpec {
     assert((out(0).getString(1), out(0).getLong(2)) === expected)
   }
 
+  test("charNgramTfs kernel == charNgrams + per-doc count (r17: the tf " +
+    "fold must change nothing), incl. unicode and degenerate docs") {
+    val docs = Seq("hello world", "a𝐛c𝐝e", "", "x", "aaaa", null,
+      "𝐚𝐛𝐜𝐝", "ábç ábç") ++
+      (0 until 50).map(i => doc("abcde𝐛 ", i))
+    docs.foreach { d =>
+      val (tfs, total) = LangModel.charNgramTfs(d, 2)
+      val grams = LangModel.charNgrams(d, 2)
+      assert(total === grams.size.toLong, s"total mismatch for $d")
+      val expected = grams.groupBy(identity).map { case (g, o) =>
+        g -> o.size.toLong }
+      assert(tfs.toMap === expected, s"tf mismatch for $d")
+      assert(tfs.map(_._1).distinct.size === tfs.size,
+        s"kernel emitted duplicate grams for $d")
+    }
+  }
+
   test("langIdTrained tokenizes the corpus ONCE: every branch reads the " +
     "gram checkpoint — no tokenize UDF in the serving plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -41,7 +41,9 @@ class PairGenSpec extends SparkSpec {
     val arrays = Seq(Seq.empty[Long], Seq(7L), Seq(3L, 3L),
       Seq(0L, (1L << 31) - 1)) ++ // range endpoints
       Seq.tabulate(60) { _ =>
-        Seq.fill(rng.nextInt(41))(math.abs(rng.nextLong()) % ((1L << 31) - 1))
+        // & Long.MaxValue, not math.abs: abs(Long.MinValue) is NEGATIVE
+        // (r16 advice) — a seed change could trip the pack range guard
+        Seq.fill(rng.nextInt(41))((rng.nextLong() & Long.MaxValue) % ((1L << 31) - 1))
       }
     val df = arrays.toDF("ids")
     val rows = df.select(
