@@ -131,7 +131,13 @@ object Curation {
                            minHits: Int = 1): DataFrame = {
     // the fused byte-level kernel is bit-identical to the previous
     // explode(array_distinct(shinglesCol)) + xxhash64 chain (OpsSpec's
-    // real-corpus identity pin) and skips the per-window String build
+    // real-corpus identity pin) and skips the per-window String build.
+    // NOT widened under Dedup.widenNarrowScan (r17 negative result):
+    // corpusInv is consumed twice (flag pass + gated re-attach), so the
+    // widening exchange would run twice while this kernel (one xxhash64
+    // pass, no minhash permutations) is the family's cheapest — the
+    // same-window A/B measured q40 2.72 → 3.35 s WITH the widen; the
+    // serial one-split kernel stage is cheaper than two extra exchanges.
     val corpusInv = corpus.select(col(idCol).cast("long").as("id"),
       explode(Dedup.hashedShinglesCol(col(textCol), n)).as("h"))
     val benchInv = benchmark.select(

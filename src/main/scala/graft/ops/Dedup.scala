@@ -358,9 +358,36 @@ object Dedup {
   /** Deduped candidate pairs (id_a < id_b) from the capped band buckets —
     * the shared pair generator behind [[minhashCandidates]] and
     * [[minhashNearDups]]. Only (id, band) rows are shuffled. */
-  private[ops] def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+  /** Kernel-stage width gate for the pair family's BATCH entry points
+    * (r17, guide §2.5 "input skew — one huge unsplittable file … fix
+    * otherwise repartition immediately after the read"): when the doc
+    * input's plan-stats estimate fits in ≤ 2 scan splits but the session
+    * has more cores, the per-doc shingle/band kernels would run on 1–2
+    * tasks while the rest of the machine idles (the SCALE.md finding-23
+    * serial-map artifact — every sf-dir table is ONE split). One narrow
+    * round-robin shuffle of the doc rows (bytes = the doc text, small
+    * exactly when the gate fires) parallelizes the kernel stage.
+    * Same-JVM interleaved probe (PairFamilyWidthProbe, 32 cores, sf0.1):
+    * q19 2.51 → 1.98, q96 2.81 → 2.55 medians. At scale the scan's own
+    * splits provide the parallelism and the gate stays OFF — unknown
+    * stats estimate huge and also stay off (the safe side; the r10
+    * SubstringAbProbe measured a corpus-mass doc shuffle losing).
+    * Round-robin placement is semantically invisible here: every
+    * consumer below is a groupBy/join, never order-sensitive. */
+  private[ops] def widenNarrowScan(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    val parts = conf.numShufflePartitions
+    val twoSplits = BigInt(conf.filesMaxPartitionBytes) * 2
+    if (parts > 2 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= twoSplits)
+      df.repartition(parts)
+    else df
+  }
+
+  private[ops] def minhashPairs(df0: DataFrame, idCol: String, textCol: String,
                                 n: Int, bands: Int, rows: Int,
                                 maxBucket: Int): DataFrame = {
+    val df = widenNarrowScan(df0)
     val bandDf = minhashBands(df, idCol, textCol, n, bands, rows)
     // pairs within a band bucket via in-group combinations — one pass over
     // the band table (a self-join would evaluate the whole minhash pipeline
@@ -528,8 +555,9 @@ object Dedup {
     // (explode each pair into its two member ids, join, fold back) —
     // joining a dist frame once per side would scan and shingle the corpus
     // once per side, and Catalyst cannot plan-share the two branches
-    val dist = df.select(col(idCol).cast("long").as("id"),
-      array_distinct(shinglesCol(col(textCol), n)).as("sh"))
+    val dist = widenNarrowScan(df)
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(shinglesCol(col(textCol), n)).as("sh"))
     pairs
       .select(col("id_a"), col("id_b"),
         explode(array(col("id_a"), col("id_b"))).as("id"))
@@ -592,8 +620,9 @@ object Dedup {
     val nPairs = pairs.count()
     // fused byte-level kernel — bit-identical to the previous
     // explode(array_distinct(shinglesCol)) + xxhash64 chain (OpsSpec pin)
-    val hs0 = df.select(col(idCol).cast("long").as("id"),
-      explode(hashedShinglesCol(col(textCol), n)).as("h"))
+    val hs0 = widenNarrowScan(df)
+      .select(col(idCol).cast("long").as("id"),
+        explode(hashedShinglesCol(col(textCol), n)).as("h"))
     val hs = if (nPairs * 2 <= MaxVerifyIdBroadcast) {
       val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       hs0.join(broadcast(ids), Seq("id"), "left_semi")
@@ -628,10 +657,14 @@ object Dedup {
     * buckets. Shingle sets re-attach per side against that side's own
     * frame — id spaces of the two corpora may overlap freely. Output:
     * (id_in, id_ex, jaccard ≥ threshold). */
-  def crossCorpusNearDups(existing: DataFrame, incoming: DataFrame,
+  def crossCorpusNearDups(existing0: DataFrame, incoming0: DataFrame,
                           idCol: String, textCol: String, threshold: Double,
                           n: Int = 3, bands: Int = 4, rows: Int = 2,
                           maxBucket: Int = 1000): DataFrame = {
+    // each side feeds TWO kernel scans (bands + verify sets) — widen
+    // once per side under the narrow-scan gate (see widenNarrowScan)
+    val existing = widenNarrowScan(existing0)
+    val incoming = widenNarrowScan(incoming0)
     // existing-side bucket cap fused into a per-band collapse: the band
     // join then carries ONE array row per band and explodes members after
     // the match (no pre-cap window sort — see minhashPairs); the cap is
@@ -740,8 +773,9 @@ object Dedup {
 
   /** Shared pair pipeline: (id_a, id_b, n_common, n_a, n_b) over the
     * frequent-shingle-filtered universe (see [[ngramJaccardPairs]]). */
-  private def jaccardPairCounts(df: DataFrame, idCol: String, textCol: String,
+  private def jaccardPairCounts(df0: DataFrame, idCol: String, textCol: String,
                                 n: Int, maxBucket: Int): DataFrame = {
+    val df = widenNarrowScan(df0) // see the gate's scaladoc (r17)
     // the metric is Jaccard over the FREQUENT-SHINGLE-FILTERED universe:
     // shingles with document frequency > maxBucket (boilerplate/stopword
     // n-grams, which carry no similarity signal and would go quadratic in
