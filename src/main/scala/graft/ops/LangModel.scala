@@ -235,7 +235,17 @@ object LangModel {
     // aggregate sums tf over distinct-per-doc rows instead of counting
     // every occurrence — Σ_doc tf(L,g) == c(L,g) exactly (integer
     // identity), so the model is unchanged.
-    val base = df.select(col(idCol).cast("long").as("id"),
+    // NOT widened under Dedup.widenNarrowScan (r17 negative result):
+    // the same-window A/B read 6.55–7.91 s vs 3.79 base with a widen
+    // before the kernel-into-checkpoint — the checkpoint then holds 32
+    // partitions of KB-sized blocks, and every downstream job (counts
+    // collect, lang collect, classify, plus their broadcast builds)
+    // pays 32 task dispatches + closure deserializations where the
+    // 1-split checkpoint paid one (the q19 jstack put exactly that
+    // task-deser cost at the top). Widening wins only when the kernel
+    // outweighs the extra per-task fixed cost of every LATER stage.
+    val base = df
+      .select(col(idCol).cast("long").as("id"),
         col(labelCol).as("lang"),
         charNgramTfsUdf(col(textCol), lit(n)).as("g"))
       .select(col("id"), col("lang"), col("g._1").as("tfs"),

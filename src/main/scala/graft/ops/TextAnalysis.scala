@@ -359,6 +359,12 @@ object TextAnalysis {
     * a broadcast 1-row aggregate over a footer-only row-count scan. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
+    // NOT widened under Dedup.widenNarrowScan (r17 negative result):
+    // the same-window A/B measured q33 1.91 → 2.64 s with a widen —
+    // unlike the minhash family, this kernel is one cheap fused
+    // tokenize and the added exchange (evaluated per branch) costs more
+    // than the serial map stage it parallelizes (the q02/q40 negatives'
+    // pattern: cheap kernel ⇒ widening loses).
     val tf = termFrequencies(df, idCol, textCol) // narrow, no tf shuffle
     val nDf = df.agg(count(lit(1)).cast("double").as("n_docs"))
     val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
