@@ -368,12 +368,20 @@ object Dedup {
     * round-robin shuffle of the doc rows (bytes = the doc text, small
     * exactly when the gate fires) parallelizes the kernel stage.
     * Same-JVM interleaved probe (PairFamilyWidthProbe, 32 cores, sf0.1):
-    * q19 2.51 → 1.98, q96 2.81 → 2.55 medians. At scale the scan's own
-    * splits provide the parallelism and the gate stays OFF — unknown
-    * stats estimate huge and also stay off (the safe side; the r10
-    * SubstringAbProbe measured a corpus-mass doc shuffle losing).
-    * Round-robin placement is semantically invisible here: every
-    * consumer below is a groupBy/join, never order-sensitive. */
+    * q19 2.51 → 1.98, q96 2.81 → 2.55 medians; warm in-sweep pairs
+    * confirm for the jaccard pipeline (q19 −0.53, q89 −0.54, q96 −0.26).
+    * APPLIED ONLY to jaccardPairCounts: everywhere the input feeds more
+    * than one kernel subtree (minhash pairs + verify legs, cross-corpus
+    * sides, decontamination, tfidf) or a checkpoint fan-out (langid),
+    * the same-window A/Bs measured the widen LOSING warm — each
+    * consumer re-evaluates the exchange and the extra stages outweigh
+    * the serialized kernel (booked negatives in OPTIMIZATION_r17.md).
+    * At scale the scan's own splits provide the parallelism and the
+    * gate stays OFF — unknown stats estimate huge and also stay off
+    * (the safe side; the r10 SubstringAbProbe measured a corpus-mass
+    * doc shuffle losing). Round-robin placement is semantically
+    * invisible here: every consumer below is a groupBy/join, never
+    * order-sensitive. */
   private[ops] def widenNarrowScan(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
     val parts = conf.numShufflePartitions
@@ -384,10 +392,17 @@ object Dedup {
     else df
   }
 
-  private[ops] def minhashPairs(df0: DataFrame, idCol: String, textCol: String,
+  private[ops] def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                                 n: Int, bands: Int, rows: Int,
                                 maxBucket: Int): DataFrame = {
-    val df = widenNarrowScan(df0)
+    // NOT widened (r17): the cold isolated A/B loved a widen here
+    // (q18 4.61 → 2.73) but the WARM in-sweep pairs — the driver's
+    // measurement shape — consistently lost (q18 +0.38, q39 +0.37,
+    // q52 +0.65 across two reversed-order sweep pairs): every consumer
+    // of this generator re-evaluates the widen exchange (pairs + verify
+    // legs), and with a hot JIT the serial band kernel is cheaper than
+    // those extra stages. jaccardPairCounts keeps its widen — single
+    // kernel subtree, in-sweep wins (q19 −0.53, q89 −0.54, q96 −0.26).
     val bandDf = minhashBands(df, idCol, textCol, n, bands, rows)
     // pairs within a band bucket via in-group combinations — one pass over
     // the band table (a self-join would evaluate the whole minhash pipeline
@@ -555,9 +570,8 @@ object Dedup {
     // (explode each pair into its two member ids, join, fold back) —
     // joining a dist frame once per side would scan and shingle the corpus
     // once per side, and Catalyst cannot plan-share the two branches
-    val dist = widenNarrowScan(df)
-      .select(col(idCol).cast("long").as("id"),
-        array_distinct(shinglesCol(col(textCol), n)).as("sh"))
+    val dist = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(shinglesCol(col(textCol), n)).as("sh"))
     pairs
       .select(col("id_a"), col("id_b"),
         explode(array(col("id_a"), col("id_b"))).as("id"))
@@ -620,9 +634,8 @@ object Dedup {
     val nPairs = pairs.count()
     // fused byte-level kernel — bit-identical to the previous
     // explode(array_distinct(shinglesCol)) + xxhash64 chain (OpsSpec pin)
-    val hs0 = widenNarrowScan(df)
-      .select(col(idCol).cast("long").as("id"),
-        explode(hashedShinglesCol(col(textCol), n)).as("h"))
+    val hs0 = df.select(col(idCol).cast("long").as("id"),
+      explode(hashedShinglesCol(col(textCol), n)).as("h"))
     val hs = if (nPairs * 2 <= MaxVerifyIdBroadcast) {
       val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       hs0.join(broadcast(ids), Seq("id"), "left_semi")
@@ -657,14 +670,13 @@ object Dedup {
     * buckets. Shingle sets re-attach per side against that side's own
     * frame — id spaces of the two corpora may overlap freely. Output:
     * (id_in, id_ex, jaccard ≥ threshold). */
-  def crossCorpusNearDups(existing0: DataFrame, incoming0: DataFrame,
+  def crossCorpusNearDups(existing: DataFrame, incoming: DataFrame,
                           idCol: String, textCol: String, threshold: Double,
                           n: Int = 3, bands: Int = 4, rows: Int = 2,
                           maxBucket: Int = 1000): DataFrame = {
-    // each side feeds TWO kernel scans (bands + verify sets) — widen
-    // once per side under the narrow-scan gate (see widenNarrowScan)
-    val existing = widenNarrowScan(existing0)
-    val incoming = widenNarrowScan(incoming0)
+    // NOT widened (r17): each side feeds TWO kernel subtrees (bands +
+    // verify sets), so a widen exchange evaluates up to 4× — the warm
+    // in-sweep pairs read q52 +0.65 s with it (see minhashPairs' note).
     // existing-side bucket cap fused into a per-band collapse: the band
     // join then carries ONE array row per band and explodes members after
     // the match (no pre-cap window sort — see minhashPairs); the cap is

@@ -281,8 +281,7 @@ object Graph {
     * every downstream co-partitioning claim silently dies (r17 finding;
     * Spark 4.1). Scoping AQE OFF around just this materialization makes
     * the capture see the real exchange. Same session-global-conf trade
-    // as the loop scope — serialized on the same lock.
-    */
+    * as the loop scope — serialized on the same lock. */
   private[ops] def checkpointKeepingPartitioning(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     AqeScopeLock.synchronized {
