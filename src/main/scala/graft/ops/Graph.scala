@@ -86,8 +86,24 @@ object Graph {
     // plain shuffles AQE had nothing to improve, and the captured
     // hashpartitioning is what every round's EnsureRequirements needs.
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // dstPartitionLoop callers key the ONE edge checkpoint by dst up
+    // front (r17) instead of re-checkpointing a second copy after the
+    // broadcast gate resolves — one materialization job saved per call.
+    // If the gate then FAILS (rare for callers that request the flag),
+    // the legacy loop treats a dst-keyed e exactly like the
+    // copartition=false unpartitioned e it would have had: neither
+    // satisfies the join's src-keyed requirement, so behavior and cost
+    // are unchanged in that fallback.
+    // dst keying takes PRECEDENCE over copartition's src keying when
+    // both are requested: dstPartitionLoop declares broadcast-regime
+    // intent, and a caller at past-the-gate scale should not pass it
+    // (the scaladoc says so) — if the gate still fails, the legacy loop
+    // runs with a dst-keyed e, which costs the same per-round join
+    // shuffle as the copartition=false shape.
     val e =
-      if (copartition)
+      if (dstPartitionLoop)
+        checkpointKeepingPartitioning(e0.repartition(parts, col("dst")))
+      else if (copartition)
         checkpointKeepingPartitioning(e0.repartition(parts, col("src")))
       else e0.localCheckpoint()
     // nodes + out-degrees in ONE shuffle: explode each edge into its two
@@ -101,7 +117,7 @@ object Graph {
       .groupBy(col("x.node").as("node"))
       .agg(sum(col("x.d")).as("deg"))
     val nodesDeg =
-      if (copartition)
+      if (copartition || dstPartitionLoop)
         checkpointKeepingPartitioning(nd0.repartition(parts, col("node")))
       else nd0.localCheckpoint()
     val n = nodesDeg.count()
@@ -131,19 +147,11 @@ object Graph {
     // shuffled per round), so the flag is ignored there — the
     // copartition-by-src path serves, where the contrib exchange is
     // genuinely required (contributions regroup by destination).
+    // the setup above already keyed e by dst and nodesDeg by node when
+    // dstPartitionLoop was requested — the loop reads them directly
     val dstLoop = dstPartitionLoop && hintBroadcastRanks
-    val eLoop =
-      if (!dstLoop) e
-      else checkpointKeepingPartitioning(e.repartition(parts, col("dst")))
-    val ndLoop =
-      if (!dstLoop) nodesDeg
-      // pin nodesDeg to EXACTLY hashpartitioning(node, parts): nd0's own
-      // aggregate usually leaves it by-node already, but AQE may have
-      // coalesced that exchange (or erased the capture — see above), and
-      // the loop's co-partitioned join needs both sides at the SAME
-      // count to elide its exchanges. ≤n rows — a one-time trivial job.
-      else checkpointKeepingPartitioning(
-        nodesDeg.repartition(parts, col("node")))
+    val eLoop = e
+    val ndLoop = nodesDeg
     // With the broadcast hint pinned AND a small shuffle-partition count,
     // AQE has nothing left to do per round — the join is pre-decided and
     // there are no partitions worth coalescing — so its per-stage re-plan
