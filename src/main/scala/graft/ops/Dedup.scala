@@ -2145,13 +2145,28 @@ object Dedup {
     // withheld and the exchange path serves (a corpus-sized label frame
     // must never collect to the driver).
     val hintLabels = labels.count() <= broadcastLabelsMaxNodes
+    // past the broadcast gate, every round's neighbor-min join would
+    // re-shuffle the EDGE table — the corpus-mass side — by dst while
+    // only the n-row label side actually changes per round. Pin edges
+    // to hashpartitioning(dst) ONCE (r17 — the pageRank copartition
+    // recipe, including its AQE-scoped checkpoint: a plain
+    // localCheckpoint under AQE captures UnknownPartitioning and the
+    // pin silently dies); each round then shuffles labels only.
+    // In-gate (the bench regime) the broadcast join needs no edge
+    // distribution, so the extra setup exchange is skipped entirely.
+    val eJoin =
+      if (hintLabels) edges
+      else graft.ops.Graph.checkpointKeepingPartitioning(
+        edges.repartition(
+          edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("dst")))
     def lookup(df: DataFrame): DataFrame =
       if (hintLabels) df.hint("BROADCAST") else df
     var labelSum: Option[Long] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
+      val neighborMin = eJoin
         .join(lookup(labels.select(col("id").as("dst"),
           col("label").as("nlabel"))), "dst")
         .groupBy(col("src").as("id")).agg(min("nlabel").as("nmin"))
